@@ -1,0 +1,166 @@
+package graft.catalog
+
+import org.apache.spark.sql.types._
+
+/** Single-column invertible SQL expression template, e.g. `{v} * 100`.
+  *
+  * Mirrors the reference's `Transformation`
+  * (`core/src/model/mappings.rs:124-150`): `render` substitutes a physical
+  * column/expression for the placeholder; `compose` nests one template inside
+  * another (f compose g == f∘g — g applied first), which the reference uses to
+  * accumulate per-hop transformations across the mesh
+  * (`core/src/model/mappings.rs:137-149`).
+  */
+final case class Transformation(template: String = "{v}", replaceFrom: String = "{v}") {
+  /** Substitute `inner` (a column name or SQL expression) into the template. */
+  def render(inner: String): String = template.replace(replaceFrom, s"($inner)")
+
+  /** f.compose(g): apply `inner` first, then this. Pure string substitution,
+    * exactly like the reference. */
+  def compose(inner: Transformation): Transformation =
+    Transformation(template.replace(replaceFrom, inner.template), inner.replaceFrom)
+
+  def isIdentity: Boolean = template.trim == replaceFrom
+}
+
+object Transformation {
+  val identity: Transformation = Transformation()
+}
+
+/** One named, typed logical field of an Entity
+  * (`core/src/model/entity.rs:35-40`). All Entity fields are nullable
+  * (`core/src/execute/utils.rs:51-57`). */
+final case class Information(name: String, dtype: DataType)
+
+/** Named logical namespace (virtual table) scoped to one Site
+  * (`core/src/model/entity.rs:19-22`). */
+final case class Entity(name: String, informations: Seq[Information]) {
+  def schema: StructType =
+    StructType(informations.map(i => StructField(i.name, i.dtype, nullable = true)))
+  def info(name: String): Information = informations.find(_.name == name).get
+}
+
+/** ACL for one DataSource: allowed physical columns + allowed-rows SQL filter.
+  * Algebra mirrors `core/src/model/access_control.rs:66-143`:
+  * union = (cols ∪ cols, "(r1) OR (r2)"), intersection = (cols ∩ cols,
+  * "(r1) AND (r2)"). */
+final case class SourcePermission(allowedColumns: Set[String], allowedRows: String) {
+  def union(other: SourcePermission): SourcePermission =
+    SourcePermission(
+      allowedColumns ++ other.allowedColumns,
+      s"(${allowedRows}) OR (${other.allowedRows})")
+
+  def intersection(other: SourcePermission): SourcePermission =
+    SourcePermission(
+      allowedColumns.intersect(other.allowedColumns),
+      s"(${allowedRows}) AND (${other.allowedRows})")
+}
+
+object SourcePermission {
+  /** Combine default/user/relay policies exactly as
+    * `core/src/execute/mod.rs:180-191`: default ∪ (user ∩ relay), degrading
+    * to default ∪ user / default ∪ relay / default when absent. */
+  def evaluate(
+      default: SourcePermission,
+      user: Option[SourcePermission],
+      relay: Option[SourcePermission]): SourcePermission =
+    (user, relay) match {
+      case (Some(u), Some(r)) => default.union(u.intersection(r))
+      case (None, Some(r))    => default.union(r)
+      case (Some(u), None)    => default.union(u)
+      case (None, None)       => default
+    }
+}
+
+/** Information -> physical field link + transformation
+  * (`core/src/model/mappings.rs:30-34`). `fieldPath` is the physical column
+  * name (possibly a column derived in the source SQL). */
+final case class FieldMapping(
+    info: String,
+    fieldPath: String,
+    transform: Transformation = Transformation.identity)
+
+/** One queryable dataset within a physical connection
+  * (`core/src/model/data_stores/mod.rs:39-45`). `sourceSql` is a SQL snippet
+  * over the raw physical temp views, substituted as a derived table. */
+final case class DataSource(
+    id: String,
+    sourceSql: String,
+    mappings: Seq[FieldMapping],
+    defaultPermission: SourcePermission,
+    userPermissions: Map[String, SourcePermission] = Map.empty,
+    relayPermissions: Map[String, SourcePermission] = Map.empty)
+
+/** Local Information -> remote field name + transformation
+  * (`core/src/model/mappings.rs:106-111`). */
+final case class RemoteInfoMapping(
+    localInfo: String,
+    remoteInfo: String,
+    transform: Transformation = Transformation.identity)
+
+/** SQL template translating a remote site's entity into the local entity
+  * (`core/src/model/mappings.rs:53-62`). `{remote}` is substituted with the
+  * resolved remote entity relation; the reference's default template is the
+  * bare remote entity name (`rest_server/src/admin/utils.rs:191-197`). */
+final case class RemoteEntityMapping(
+    peer: String,
+    remoteEntity: String,
+    sqlTemplate: String = "SELECT * FROM {remote}",
+    infoMappings: Seq[RemoteInfoMapping])
+
+/** A Relay node: catalog of entities + local sources + peered remotes. */
+final case class Site(
+    name: String,
+    entities: Map[String, Entity],
+    localSources: Map[String, Seq[DataSource]] = Map.empty,
+    remoteMappings: Map[String, Seq[RemoteEntityMapping]] = Map.empty)
+
+/** The whole data web. */
+final case class Mesh(sites: Map[String, Site]) {
+  def site(name: String): Site = sites(name)
+}
+
+/** Arrow-style dtype string ⇄ Spark DataType codec, for config fidelity with
+  * the reference's serialized Arrow `DataType`s
+  * (`core/src/model/entity.rs:43-46`). */
+object ArrowLikeType {
+  def toSpark(s: String): DataType = s.trim.toLowerCase match {
+    case "int8"                      => ByteType
+    case "int16"                     => ShortType
+    case "int32"                     => IntegerType
+    case "int64"                     => LongType
+    case "uint32"                    => LongType
+    case "uint64"                    => LongType
+    case "float32"                   => FloatType
+    case "float64"                   => DoubleType
+    case "utf8" | "largeutf8"        => StringType
+    case "bool" | "boolean"          => BooleanType
+    case "date32" | "date64"         => DateType
+    case "binary" | "largebinary"    => BinaryType
+    case t if t.startsWith("timestamp") => TimestampType
+    case t if t.startsWith("decimal")   =>
+      val Array(p, sc) = t.stripPrefix("decimal128").stripPrefix("decimal")
+        .stripPrefix("(").stripSuffix(")").split(",").map(_.trim.toInt)
+      DecimalType(p, sc)
+    case t if t.startsWith("list<") =>
+      ArrayType(toSpark(t.stripPrefix("list<").stripSuffix(">")))
+    case other => throw new IllegalArgumentException(s"unsupported arrow dtype: $other")
+  }
+
+  def fromSpark(dt: DataType): String = dt match {
+    case ByteType      => "int8"
+    case ShortType     => "int16"
+    case IntegerType   => "int32"
+    case LongType      => "int64"
+    case FloatType     => "float32"
+    case DoubleType    => "float64"
+    case StringType    => "utf8"
+    case BooleanType   => "bool"
+    case DateType      => "date32"
+    case BinaryType    => "binary"
+    case TimestampType => "timestamp(us)"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case a: ArrayType  => s"list<${fromSpark(a.elementType)}>"
+    case other => throw new IllegalArgumentException(s"unsupported spark dtype: $other")
+  }
+}

@@ -1,0 +1,167 @@
+package graft.mesh
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+
+/** Resolves an Entity on a Site to a DataFrame, reproducing the reference's
+  * observable mesh semantics (SURVEY §7.1) as declarative DataFrame
+  * composition instead of SQL-string rewriting:
+  *
+  *   entityDF(site, entity) =
+  *     UNION over mapped local sources of
+  *       castToSchema( sql(source_sql)
+  *         .where(permission.allowedRows)                 // R7/R8
+  *         .select(info -> mapped expr | NULL) )          // R5 null-padding
+  *     UNION over peers of
+  *       remoteMapping.sqlTemplate applied over entityDF(peer, remoteEntity)
+  *       followed by RemoteInfoMapping renames/transforms // R9/R10
+  *
+  * with a visited-set cycle guard on site names (R12:
+  * `core/src/model/query.rs:35-39`, `flight_server/src/flight.rs:543-555`)
+  * and `_source_relay_`/`_source_id_` provenance injection (R14:
+  * `rest_server/src/query/utils.rs:92-165`).
+  *
+  * Because each per-source branch is a plain Project/Filter over the physical
+  * scan, Catalyst pushes user predicates and column pruning all the way into
+  * the parquet scan of every branch — the rebuild's equivalent of the
+  * reference's per-source SQL pushdown (`webengine/src/web_source.rs:98-143`),
+  * with joins/aggs/sorts supplied by Spark (SURVEY §2.3).
+  */
+object EntityResolver {
+  val SourceRelayCol = "_source_relay_"
+  val SourceIdCol    = "_source_id_"
+
+  private val viewCounter = new AtomicLong(0)
+
+  /** Resolve `entityName` as seen from `siteName` for `user`.
+    *
+    * @param withProvenance append `_source_relay_`/`_source_id_` columns
+    *                       identifying the executing leaf (site, source).
+    */
+  def resolve(
+      spark: SparkSession,
+      mesh: Mesh,
+      siteName: String,
+      entityName: String,
+      user: Option[String] = None,
+      withProvenance: Boolean = false): DataFrame =
+    resolveRec(spark, mesh, siteName, entityName, user, withProvenance, Set(siteName))
+
+  private def resolveRec(
+      spark: SparkSession,
+      mesh: Mesh,
+      siteName: String,
+      entityName: String,
+      user: Option[String],
+      withProvenance: Boolean,
+      visited: Set[String]): DataFrame = {
+    val site = mesh.site(siteName)
+    val entity = site.entities(entityName)
+
+    val localParts: Seq[DataFrame] =
+      site.localSources.getOrElse(entityName, Nil).map { ds =>
+        localSourceDF(spark, site, entity, ds, user, withProvenance)
+      }
+
+    val remoteParts: Seq[DataFrame] =
+      site.remoteMappings.getOrElse(entityName, Nil)
+        .filterNot(rm => visited.contains(rm.peer))
+        .map { rm =>
+          val remoteDF = resolveRec(
+            spark, mesh, rm.peer, rm.remoteEntity, user, withProvenance,
+            visited + rm.peer)
+          remoteMappedDF(spark, entity, rm, remoteDF, withProvenance)
+        }
+
+    val parts = localParts ++ remoteParts
+    if (parts.isEmpty) emptyDF(spark, entity, withProvenance)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** One local source branch: ACL row filter + mapped/transformed/null-padded
+    * projection + cast to the declared entity schema (R5-R8, R13). */
+  private def localSourceDF(
+      spark: SparkSession,
+      site: Site,
+      entity: Entity,
+      ds: DataSource,
+      user: Option[String],
+      withProvenance: Boolean): DataFrame = {
+    val perm = SourcePermission.evaluate(
+      ds.defaultPermission,
+      user.flatMap(ds.userPermissions.get),
+      None) // single-process: requests are user-direct (Requester::User)
+
+    val src = spark.sql(ds.sourceSql).where(expr(perm.allowedRows))
+
+    val projected = entity.informations.map { info =>
+      ds.mappings.find(_.info == info.name) match {
+        case Some(m) if perm.allowedColumns.contains(m.fieldPath) =>
+          expr(m.transform.render(m.fieldPath)).cast(info.dtype).as(info.name)
+        case _ =>
+          // unmapped or ACL-denied -> NULL literal, never an error
+          // (`core/src/execute/parse_utils.rs:211-216`)
+          lit(null).cast(info.dtype).as(info.name)
+      }
+    }
+    val prov =
+      if (withProvenance)
+        Seq(lit(site.name).as(SourceRelayCol), lit(ds.id).as(SourceIdCol))
+      else Nil
+    src.select(projected ++ prov: _*)
+  }
+
+  /** One remote branch: apply the peer's RemoteEntityMapping SQL template to
+    * the recursively-resolved remote entity, then per-info renames/transforms.
+    * Transformation composition across hops (R10) happens by nesting exprs at
+    * each hop — semantically identical to the reference's template
+    * composition (`core/src/model/mappings.rs:137-149`). */
+  private def remoteMappedDF(
+      spark: SparkSession,
+      entity: Entity,
+      rm: RemoteEntityMapping,
+      remoteDF: DataFrame,
+      withProvenance: Boolean): DataFrame = {
+    val viewName = s"__graft_remote_${rm.peer}_${rm.remoteEntity}_${viewCounter.incrementAndGet()}"
+    remoteDF.createOrReplaceTempView(viewName)
+    val templated = spark.sql(rm.sqlTemplate.replace("{remote}", viewName))
+
+    val available = templated.columns.toSet
+    val projected = entity.informations.map { info =>
+      rm.infoMappings.find(_.localInfo == info.name) match {
+        case Some(m) if available.contains(m.remoteInfo) =>
+          expr(m.transform.render(m.remoteInfo)).cast(info.dtype).as(info.name)
+        case _ => lit(null).cast(info.dtype).as(info.name)
+      }
+    }
+    val prov =
+      if (withProvenance) {
+        // provenance flows through from the executing leaf; templates that
+        // drop it (no SELECT *) degrade to NULL provenance for that branch
+        Seq(SourceRelayCol, SourceIdCol).map { c =>
+          (if (available.contains(c)) col(c) else lit(null).cast(StringType)).as(c)
+        }
+      } else Nil
+    templated.select(projected ++ prov: _*)
+  }
+
+  private def emptyDF(spark: SparkSession, entity: Entity, withProvenance: Boolean): DataFrame = {
+    val schema =
+      if (withProvenance)
+        StructType(entity.schema.fields ++ Seq(
+          StructField(SourceRelayCol, StringType), StructField(SourceIdCol, StringType)))
+      else entity.schema
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Column-wise cast of `df` to the declared `schema` (R13 — the reference
+    * casts every output stream to the requested return schema,
+    * `core/src/execute/data_stores/file_directory.rs:111-139`). */
+  def castToSchema(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+}
