@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.mesh.Fixtures
+
+/** Mesh-semantics queries (SURVEY §2.4): rewrite operators R5-R14 observable
+  * end-to-end — ACL row/column policy, null-padding, per-hop transformation
+  * composition, provenance injection, and the two partial-aggregate
+  * recombination modes the reference tests (`test/validation.py:29-61`).
+  */
+object MeshQueries {
+
+  private def meshSql(user: Option[String], sql: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    Fixtures.lineitemView(s, dir, user).createOrReplaceTempView("lineitem_entity")
+    s.sql(sql)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_proj_filter_limit" -> ((s, dir) => meshSql(Some("admin"),
+      """SELECT linenumber, tax_amount FROM lineitem_entity
+        |WHERE tax_percent > 3
+        |ORDER BY tax_amount DESC, orderkey, linenumber, quantity, extendedprice LIMIT 10""".stripMargin)(s, dir)),
+
+    "q2_star_nullpad_acl" -> ((s, dir) => meshSql(None,
+      """SELECT * FROM lineitem_entity WHERE tax_percent > 3
+        |ORDER BY orderkey, linenumber, quantity, extendedprice, partkey LIMIT 10000""".stripMargin)(s, dir)),
+
+    "q3_tpch_q1_mesh" -> ((s, dir) => meshSql(Some("admin"),
+      """SELECT returnflag, linestatus,
+        |       round(sum(quantity), 2) AS sum_qty,
+        |       round(sum(extendedprice), 2) AS sum_base_price,
+        |       round(sum(extendedprice * (1 - discount_percent / 100)), 2) AS sum_disc_price,
+        |       round(avg(quantity), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem_entity
+        |WHERE shipdate <= DATE '1998-09-02'
+        |GROUP BY returnflag, linestatus
+        |ORDER BY returnflag, linestatus""".stripMargin)(s, dir)),
+
+    "q4_tpch_q1_acl_default" -> ((s, dir) => meshSql(None,
+      """SELECT returnflag, linestatus,
+        |       round(sum(quantity), 2) AS sum_qty,
+        |       round(avg(quantity), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem_entity
+        |GROUP BY returnflag, linestatus
+        |ORDER BY returnflag, linestatus""".stripMargin)(s, dir)),
+
+    "q5_provenance_counts" -> { (s, dir) =>
+      Fixtures.lineitemView(s, dir, Some("admin"), withProvenance = true)
+        .createOrReplaceTempView("lineitem_entity_prov")
+      s.sql(
+        """SELECT _source_relay_, _source_id_, count(*) AS n,
+          |       round(sum(tax_amount), 2) AS sum_tax
+          |FROM lineitem_entity_prov
+          |GROUP BY _source_relay_, _source_id_
+          |ORDER BY _source_relay_, _source_id_""".stripMargin)
+    },
+
+    // Explicit client-side recombination of per-site partial aggregates —
+    // the reference's second execution mode (`test/validation.py:29-43`:
+    // each relay returns partial sums/counts; the client computes the
+    // global weighted average). Runs the full grouped query per leaf site,
+    // unions the partials, then re-aggregates.
+    "q6_partial_recombine" -> { (s, dir) =>
+      Fixtures.registerRaw(s, dir)
+      val mesh = Fixtures.mesh
+      val partials = Seq("na", "emea", "apac").map { site =>
+        graft.mesh.EntityResolver.resolve(s, mesh, site, "lineitem", Some("admin"))
+          .groupBy(col("returnflag"), col("linestatus"))
+          .agg(sum(col("quantity")).as("p_sum_qty"), count(lit(1)).as("p_count"))
+      }
+      partials.reduce(_.unionByName(_))
+        .groupBy(col("returnflag"), col("linestatus"))
+        .agg(
+          round(sum(col("p_sum_qty")) / sum(col("p_count")), 4).as("avg_qty"),
+          sum(col("p_count")).as("count_order"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+
+    // Two-hop transformation composition (R10): na_us exposes quantity ×2,
+    // na's hop mapping divides by 2 — global must see the original values.
+    "q7_transform_compose" -> ((s, dir) => meshSql(Some("admin"),
+      """SELECT orderkey, linenumber, quantity FROM lineitem_entity
+        |WHERE orderkey % 30 = 0
+        |ORDER BY orderkey, linenumber, quantity, extendedprice""".stripMargin)(s, dir)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_proj_filter_limit" ->
+      s"""SELECT linenumber, tax_amount FROM (${Views.lineitemOracle})
+         |WHERE tax_percent > 3
+         |ORDER BY tax_amount DESC, orderkey, linenumber, quantity, extendedprice LIMIT 10""".stripMargin,
+
+    "q2_star_nullpad_acl" ->
+      s"""SELECT * FROM (${Views.lineitemDefaultOracle}) WHERE tax_percent > 3
+         |ORDER BY orderkey, linenumber, quantity, extendedprice, partkey LIMIT 10000""".stripMargin,
+
+    "q3_tpch_q1_mesh" ->
+      s"""SELECT returnflag, linestatus,
+         |       round(sum(quantity), 2) AS sum_qty,
+         |       round(sum(extendedprice), 2) AS sum_base_price,
+         |       round(sum(extendedprice * (1 - discount_percent / 100)), 2) AS sum_disc_price,
+         |       round(avg(quantity), 4) AS avg_qty,
+         |       count(*) AS count_order
+         |FROM (${Views.lineitemOracle})
+         |WHERE shipdate <= DATE '1998-09-02'
+         |GROUP BY returnflag, linestatus
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q4_tpch_q1_acl_default" ->
+      s"""SELECT returnflag, linestatus,
+         |       round(sum(quantity), 2) AS sum_qty,
+         |       round(avg(quantity), 4) AS avg_qty,
+         |       count(*) AS count_order
+         |FROM (${Views.lineitemDefaultOracle})
+         |GROUP BY returnflag, linestatus
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q5_provenance_counts" ->
+      """SELECT CASE l_orderkey % 3 WHEN 0 THEN 'na_us' WHEN 1 THEN 'emea' ELSE 'apac' END AS _source_relay_,
+        |       CASE l_orderkey % 3 WHEN 0 THEN 'na_us_lineitem_parquet'
+        |            WHEN 1 THEN 'emea_lineitem_parquet' ELSE 'apac_lineitem_parquet' END AS _source_id_,
+        |       count(*) AS n, round(sum(l_tax * l_extendedprice), 2) AS sum_tax
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q6_partial_recombine" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q7_transform_compose" ->
+      """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+        |       l_quantity AS quantity
+        |FROM lineitem WHERE l_orderkey % 30 = 0
+        |ORDER BY orderkey, linenumber, quantity, l_extendedprice""".stripMargin)
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The accepted-SQL-surface inventory (SURVEY §2.2-§2.3): every construct the
+  * reference validator whitelists, executed by Spark SQL over the resolved
+  * entity views — joins/aggregations/sorts run in Catalyst exactly where the
+  * reference delegates them to DataFusion (`webengine/src/main.rs:52-124`).
+  *
+  * Each query's DuckDB oracle is, where the dialects agree, the *same* SQL
+  * text over CTE-reconstructed entity views — guaranteeing column-name parity
+  * with the driver's hash compare. All queries are fully ordered and float
+  * aggregates rounded so results are hash-deterministic.
+  */
+object SqlSurface {
+
+  private val prelude: String =
+    s"""WITH lineitem_entity AS (${Views.lineitemOracle}),
+       |customer_entity AS (${Views.customerOracle}),
+       |orders_entity AS (${Views.ordersOracle})
+       |""".stripMargin
+
+  /** name -> (spark SQL, oracle SQL override or None=same text + prelude). */
+  private case class Q(name: String, sparkSql: String, oracleOverride: Option[String] = None)
+
+  private val defs: Seq[Q] = Seq(
+    // TPC-H Q3-style 3-way join + agg + sort + limit (webengine/src/main.rs:86-124)
+    Q("q10_tpch_q3_join",
+      """SELECT o.orderkey,
+        |       round(sum(l.extendedprice * (1 - l.discount_percent / 100)), 2) AS revenue,
+        |       o.orderdate, o.orderpriority
+        |FROM customer_entity c
+        |JOIN orders_entity o ON c.custkey = o.custkey
+        |JOIN lineitem_entity l ON l.orderkey = o.orderkey
+        |WHERE c.mktsegment = 'BUILDING'
+        |  AND o.orderdate < DATE '1997-03-15' AND l.shipdate > DATE '1997-03-15'
+        |GROUP BY o.orderkey, o.orderdate, o.orderpriority
+        |ORDER BY revenue DESC, o.orderkey LIMIT 5""".stripMargin),
+
+    // window functions: ranking, running frame, lag
+    // NOTE: (orderkey, linenumber) is NOT unique in the synthetic lineitem,
+    // so every window order carries a full tiebreak chain for determinism.
+    Q("q11_window_funcs",
+      """SELECT orderkey, linenumber, quantity,
+        |  CAST(row_number() OVER (PARTITION BY orderkey
+        |       ORDER BY linenumber, quantity, extendedprice, partkey, suppkey) AS BIGINT) AS rn,
+        |  CAST(rank() OVER (PARTITION BY suppkey
+        |       ORDER BY quantity DESC, orderkey, linenumber, extendedprice, partkey) AS BIGINT) AS qty_rank,
+        |  round(sum(extendedprice) OVER (PARTITION BY orderkey
+        |       ORDER BY linenumber, quantity, extendedprice, partkey, suppkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price,
+        |  lag(quantity) OVER (PARTITION BY orderkey
+        |       ORDER BY linenumber, quantity, extendedprice, partkey, suppkey) AS prev_qty
+        |FROM lineitem_entity WHERE orderkey % 50 = 0
+        |ORDER BY orderkey, linenumber, quantity, extendedprice, partkey, suppkey""".stripMargin),
+
+    // DISTINCT ON semantics (validation.rs:413-422) via row_number()=1
+    Q("q12_distinct_on",
+      """SELECT custkey, orderkey, totalprice FROM (
+        |  SELECT custkey, orderkey, totalprice,
+        |         row_number() OVER (PARTITION BY custkey ORDER BY totalprice DESC, orderkey) AS rn
+        |  FROM orders_entity) t
+        |WHERE rn = 1 ORDER BY custkey""".stripMargin),
+
+    // UNION / INTERSECT / EXCEPT (validation.rs:537-540)
+    Q("q13_setops",
+      """SELECT 'union' AS op, k FROM (
+        |    SELECT custkey AS k FROM customer_entity WHERE acctbal > 5000
+        |    UNION SELECT custkey AS k FROM orders_entity WHERE totalprice > 400000) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM (
+        |    SELECT custkey AS k FROM customer_entity WHERE acctbal > 5000
+        |    INTERSECT SELECT custkey AS k FROM orders_entity WHERE totalprice > 400000) i
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (
+        |    SELECT custkey AS k FROM customer_entity WHERE acctbal > 5000
+        |    EXCEPT SELECT custkey AS k FROM orders_entity WHERE totalprice > 400000) e
+        |ORDER BY op, k""".stripMargin),
+
+    // CTE + scalar/IN/EXISTS/correlated subqueries (validation.rs:131-134, :294-296, :560-566)
+    Q("q14_cte_subqueries",
+      """WITH big_orders AS (
+        |  SELECT * FROM orders_entity
+        |  WHERE totalprice > (SELECT avg(totalprice) FROM orders_entity))
+        |SELECT c.custkey, c.customername,
+        |       (SELECT count(*) FROM big_orders b WHERE b.custkey = c.custkey) AS n_big
+        |FROM customer_entity c
+        |WHERE c.custkey IN (SELECT custkey FROM big_orders)
+        |  AND EXISTS (SELECT 1 FROM orders_entity o
+        |              WHERE o.custkey = c.custkey AND o.orderstatus = 'F')
+        |ORDER BY c.custkey""".stripMargin),
+
+    // ROLLUP + grouping() + HAVING (validation.rs:327-347, :516-518)
+    Q("q15_rollup_having",
+      """SELECT coalesce(returnflag, 'ALL') AS rf, coalesce(linestatus, 'ALL') AS ls,
+        |       count(*) AS n, round(sum(quantity), 2) AS sum_qty,
+        |       CAST(grouping(returnflag) AS BIGINT) AS g_rf
+        |FROM lineitem_entity
+        |GROUP BY ROLLUP(returnflag, linestatus)
+        |HAVING count(*) > 10
+        |ORDER BY rf, ls, g_rf""".stripMargin),
+
+    // scalar expression surface: CASE/BETWEEN/LIKE/substring/trim/position/
+    // ceil/floor/cast/extract (validation.rs:141-221, :272-293)
+    Q("q16_scalar_funcs",
+      """SELECT custkey,
+        |  upper(substring(customername, 1, 8)) AS pfx,
+        |  CAST(length(customername) AS BIGINT) AS name_len,
+        |  CASE WHEN acctbal < 0 THEN 'neg'
+        |       WHEN acctbal BETWEEN 0 AND 5000 THEN 'mid' ELSE 'high' END AS bal_class,
+        |  round(abs(acctbal), 1) AS abs_bal,
+        |  coalesce(nullif(mktsegment, 'BUILDING'), '<building>') AS seg,
+        |  CAST(position('1' IN customername) AS BIGINT) AS pos1,
+        |  trim(customername) AS trimmed,
+        |  CAST(floor(acctbal) AS BIGINT) AS fl,
+        |  CAST(ceil(acctbal) AS BIGINT) AS ce,
+        |  CAST(custkey AS STRING) AS ck_str
+        |FROM customer_entity
+        |WHERE customername LIKE 'Customer%'
+        |ORDER BY custkey""".stripMargin),
+
+    // aggregate FILTER clause + ordered string agg + count distinct
+    // (validation.rs:241-271, :297-326)
+    Q("q17_agg_filter_stragg",
+      """SELECT returnflag,
+        |  count(*) FILTER (WHERE quantity > 25) AS n_big,
+        |  round(sum(quantity) FILTER (WHERE linestatus = 'F'), 2) AS qty_f,
+        |  count(DISTINCT suppkey) AS n_supp,
+        |  array_join(array_sort(collect_set(linestatus)), ',') AS statuses
+        |FROM lineitem_entity GROUP BY returnflag ORDER BY returnflag""".stripMargin,
+      oracleOverride = Some(
+        s"""$prelude
+           |SELECT returnflag,
+           |  count(*) FILTER (WHERE quantity > 25) AS n_big,
+           |  round(sum(quantity) FILTER (WHERE linestatus = 'F'), 2) AS qty_f,
+           |  count(DISTINCT suppkey) AS n_supp,
+           |  string_agg(DISTINCT linestatus, ',' ORDER BY linestatus) AS statuses
+           |FROM lineitem_entity GROUP BY returnflag ORDER BY returnflag""".stripMargin)),
+
+    // EXISTS / NOT EXISTS -> semi/anti joins
+    Q("q18_semi_anti",
+      """SELECT c.custkey, c.customername FROM customer_entity c
+        |WHERE EXISTS (SELECT 1 FROM orders_entity o
+        |              WHERE o.custkey = c.custkey AND o.totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_entity o2
+        |                  WHERE o2.custkey = c.custkey AND o2.orderstatus = 'P')
+        |ORDER BY c.custkey""".stripMargin),
+
+    // ORDER BY + LIMIT + OFFSET (Query-level fields; Spark >=3.4 OFFSET)
+    Q("q19_limit_offset",
+      """SELECT orderkey, totalprice FROM orders_entity
+        |ORDER BY totalprice DESC, orderkey LIMIT 20 OFFSET 10""".stripMargin),
+
+    // events: time-bucketed aggregation (date_trunc parity)
+    Q("q20_events_hourly",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // events: gap-based sessionization via lag + running sum windows
+    Q("q21_events_sessionize",
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         unix_timestamp(ts) AS sec,
+        |         lag(unix_timestamp(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      oracleOverride = Some(
+        """WITH ordered AS (
+          |  SELECT user_id, event_id, ts, value,
+          |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+          |         lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+          |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+          |  FROM events),
+          |flagged AS (
+          |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_sess
+          |  FROM ordered),
+          |sess AS (
+          |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM flagged)
+          |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // semi-structured: JSON path access on the events props column
+    // (validation.rs:100-103; Spark get_json_object vs DuckDB json_extract_string)
+    Q("q22_json_access",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       round(avg(CAST(get_json_object(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      oracleOverride = Some(
+        """SELECT event_type,
+          |       count(*) AS n,
+          |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // VALUES inline table + join against it (validation.rs:541-547)
+    Q("q23_values_inline",
+      """SELECT v.region_tag, count(*) AS n_nations
+        |FROM nation n
+        |JOIN (VALUES (0, 'africa'), (1, 'america'), (2, 'asia')) AS v(rk, region_tag)
+        |  ON n.n_regionkey = v.rk
+        |GROUP BY v.region_tag ORDER BY v.region_tag""".stripMargin))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { q =>
+      q.name -> ((s: SparkSession, dir: String) => {
+        Views.registerAll(s, dir)
+        s.sql(q.sparkSql)
+      })
+    }.toMap
+
+  def oracleSql: Map[String, String] =
+    defs.map { q =>
+      // merge the entity-view CTE prelude with a query's own WITH clause
+      val auto =
+        if (q.sparkSql.trim.toUpperCase.startsWith("WITH"))
+          prelude + "," + q.sparkSql.trim.substring(4)
+        else prelude + q.sparkSql
+      q.name -> q.oracleOverride.getOrElse(auto)
+    }.toMap
+}

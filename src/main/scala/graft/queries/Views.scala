@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.mesh.{EntityResolver, Fixtures}
+
+/** Registers the resolved entity views (webengine path: every entity becomes
+  * an ordinary queryable table, `webengine/src/register.rs:36-90`) plus the
+  * raw physical tables. Cross-entity SQL then runs on Catalyst, which pushes
+  * projection/filter/limit into each per-source branch — the Spark-native
+  * equivalent of the reference's scan-template pushdown (SURVEY §2.5). */
+object Views {
+  /** DuckDB-side reconstruction of the resolved `lineitem` entity view for
+    * the all-access user. */
+  val lineitemOracle: String =
+    """SELECT l_orderkey AS orderkey, l_partkey AS partkey, l_suppkey AS suppkey,
+      |       CAST(l_linenumber AS BIGINT) AS linenumber, l_quantity AS quantity,
+      |       l_extendedprice AS extendedprice, l_discount * 100 AS discount_percent,
+      |       l_tax * 100 AS tax_percent, l_tax * l_extendedprice AS tax_amount,
+      |       l_extendedprice / l_quantity AS unitprice, l_returnflag AS returnflag,
+      |       l_linestatus AS linestatus, CAST(l_shipdate AS DATE) AS shipdate,
+      |       CAST(NULL AS DATE) AS commitdate, CAST(NULL AS DATE) AS receiptdate
+      |FROM lineitem""".stripMargin
+
+  /** Same view under the default (non-admin) policy. */
+  val lineitemDefaultOracle: String =
+    """SELECT l_orderkey AS orderkey, l_partkey AS partkey,
+      |       CAST(NULL AS BIGINT) AS suppkey,
+      |       CAST(l_linenumber AS BIGINT) AS linenumber, l_quantity AS quantity,
+      |       l_extendedprice AS extendedprice, l_discount * 100 AS discount_percent,
+      |       l_tax * 100 AS tax_percent, l_tax * l_extendedprice AS tax_amount,
+      |       l_extendedprice / l_quantity AS unitprice, l_returnflag AS returnflag,
+      |       l_linestatus AS linestatus, CAST(l_shipdate AS DATE) AS shipdate,
+      |       CAST(NULL AS DATE) AS commitdate, CAST(NULL AS DATE) AS receiptdate
+      |FROM lineitem WHERE l_returnflag = 'N'""".stripMargin
+
+  val customerOracle: String =
+    """SELECT c_custkey AS custkey, c_name AS customername,
+      |       CAST(c_nationkey AS BIGINT) AS nationkey, c_acctbal AS acctbal,
+      |       c_mktsegment AS mktsegment FROM customer""".stripMargin
+
+  val ordersOracle: String =
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      |       o_orderstatus AS orderstatus, o_totalprice AS totalprice,
+      |       CAST(o_orderdate AS DATE) AS orderdate,
+      |       o_orderpriority AS orderpriority FROM orders""".stripMargin
+
+  /** Register lineitem/customer/orders entity views (admin access) + raw
+    * physical tables as temp views on `spark`. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    Fixtures.registerRaw(spark, sfDir)
+    val mesh = Fixtures.mesh
+    val admin = Some("admin")
+    EntityResolver.resolve(spark, mesh, "global", "lineitem", admin)
+      .createOrReplaceTempView("lineitem_entity")
+    EntityResolver.resolve(spark, mesh, "global", "customer", admin)
+      .createOrReplaceTempView("customer_entity")
+    EntityResolver.resolve(spark, mesh, "global", "orders", admin)
+      .createOrReplaceTempView("orders_entity")
+  }
+}
