@@ -26,11 +26,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.MeshQueries.queries ++
-      graft.queries.SqlSurface.queries
+      graft.queries.SqlSurface.queries ++
+      graft.pipeline.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.MeshQueries.oracleSql ++
-      graft.queries.SqlSurface.oracleSql
+      graft.queries.SqlSurface.oracleSql ++
+      graft.pipeline.PipelineQueries.oracleSql
 }

@@ -1,0 +1,404 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.mesh.Fixtures
+
+/** Large-scale training-data pipeline operators (BASELINE.json north star):
+  * deduplication, similarity search, text analysis, multimodal plumbing —
+  * each expressed as a declarative Spark plan (explode/groupBy/join — no
+  * driver-side loops, no UDFs; everything stays inside codegen'd built-ins)
+  * so the same shape scales from 500 docs to 100 TB: shingling is a
+  * flatMap-shaped explode, minhash a partial-aggregable groupBy, LSH banding
+  * a hash-join on band signature, verification a pair-join on shingles.
+  *
+  * Every query has a DuckDB oracle computing the identical deterministic
+  * algorithm (md5-based hashing, rational LSH hyperplanes, index-ordered
+  * double summation), so results hash-match exactly.
+  */
+object PipelineQueries {
+
+  private case class Q(name: String, sparkSql: String, duckSql: String)
+
+  // --- shared fragments -------------------------------------------------
+  // trigram word shingles per doc (distinct), Spark + DuckDB dialects
+  private val sparkShingles =
+    """tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM tok
+      |       LATERAL VIEW explode(transform(sequence(0, greatest(size(w) - 3, 0)),
+      |                            i -> concat_ws(' ', slice(w, i + 1, 3)))) t AS shingle)""".stripMargin
+  private val duckShingles =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+      |       FROM tok, unnest(range(0, greatest(len(w) - 2, 1))) AS t(i))""".stripMargin
+
+  // exact cosine between two float vectors, index-ordered double summation
+  private def sparkCos(a: String, b: String): String =
+    s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |           CAST(0 AS DOUBLE), (acc, x) -> acc + x)
+       | / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                   CAST(0 AS DOUBLE), (acc, x) -> acc + x))
+       |  * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                   CAST(0 AS DOUBLE), (acc, x) -> acc + x))))""".stripMargin
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  private val defs: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // dd1: exact deduplication — content-hash groupBy (maps to a single
+    // shuffle on the hash at scale; keeper = min doc_id).
+    Q("dd1_exact_dedup",
+      """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM documents GROUP BY md5(text) ORDER BY sig""".stripMargin,
+      """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM documents GROUP BY md5(text) ORDER BY sig""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // dd2: MinHash + LSH near-dup pairs. shingle -> 12 md5-minhashes ->
+    // 4 bands of 3 -> band-signature hash-join -> exact-Jaccard verify at
+    // tau=0.8. min(md5(j || shingle)) is a valid minhash family (md5 as the
+    // random permutation); everything is partial-aggregable + joins on
+    // hashed keys, so the plan survives 1000x scale.
+    Q("dd2_minhash_lsh",
+      s"""WITH $sparkShingles,
+         |js AS (SELECT doc_id, j, shingle FROM sh
+         |       LATERAL VIEW explode(sequence(0, 11)) tj AS j),
+         |mh AS (SELECT doc_id, j, min(md5(concat(CAST(j AS STRING), ':', shingle))) AS mh
+         |       FROM js GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, band, md5(concat(CAST(band AS STRING), ':', s)) AS bsig FROM (
+         |    SELECT doc_id, j div 3 AS band,
+         |           array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), '') AS s
+         |    FROM mh GROUP BY doc_id, j div 3) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh s1 ON s1.doc_id = c.da
+         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $duckShingles,
+         |js AS (SELECT doc_id, j, shingle FROM sh, unnest(range(0, 12)) AS tj(j)),
+         |mh AS (SELECT doc_id, j, min(md5(j || ':' || shingle)) AS mh
+         |       FROM js GROUP BY doc_id, j),
+         |bands AS (SELECT doc_id, band, md5(band || ':' || s) AS bsig FROM (
+         |    SELECT doc_id, j // 3 AS band, string_agg(mh, '' ORDER BY j) AS s
+         |    FROM mh GROUP BY doc_id, j // 3) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh s1 ON s1.doc_id = c.da
+         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // dd3: exact n-gram Jaccard on a deterministic pair sample (metric
+    // correctness incl. zero-overlap pairs; LEFT JOIN keeps jaccard=0).
+    Q("dd3_ngram_jaccard",
+      s"""WITH $sparkShingles,
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM documents a
+         |          JOIN documents b ON b.doc_id = a.doc_id + 17),
+         |inter AS (SELECT s1.doc_id AS da, s2.doc_id AS db, count(*) AS i
+         |          FROM sh s1 JOIN sh s2
+         |            ON s2.doc_id = s1.doc_id + 17 AND s2.shingle = s1.shingle
+         |          GROUP BY s1.doc_id, s2.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT p.da AS doc_a, p.db AS doc_b,
+         |       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+         |             / (ca.n + cb.n - coalesce(i.i, 0)), 4) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+         |JOIN cnt ca ON ca.doc_id = p.da JOIN cnt cb ON cb.doc_id = p.db
+         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $duckShingles,
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db FROM documents a
+         |          JOIN documents b ON b.doc_id = a.doc_id + 17),
+         |inter AS (SELECT s1.doc_id AS da, s2.doc_id AS db, count(*) AS i
+         |          FROM sh s1 JOIN sh s2
+         |            ON s2.doc_id = s1.doc_id + 17 AND s2.shingle = s1.shingle
+         |          GROUP BY s1.doc_id, s2.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT p.da AS doc_a, p.db AS doc_b,
+         |       round(CAST(coalesce(i.i, 0) AS DOUBLE)
+         |             / (ca.n + cb.n - coalesce(i.i, 0)), 4) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.da = p.da AND i.db = p.db
+         |JOIN cnt ca ON ca.doc_id = p.da JOIN cnt cb ON cb.doc_id = p.db
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // dd4: 32-bit SimHash per document from md5 token hashes — the bit-b
+    // contribution of a token is the b-th bit of the first 8 hex chars of
+    // its md5; weighted by token multiplicity; per-doc = one groupBy.
+    Q("dd4_simhash",
+      """WITH tok AS (SELECT doc_id, token FROM documents
+        |             LATERAL VIEW explode(split(text, ' ')) t AS token),
+        |th AS (SELECT doc_id, token, substring(md5(token), 1, 8) AS h8 FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |         sum(CASE WHEN (shiftright(
+        |               CAST(position(substring(h8, CAST(b div 4 AS INT) + 1, 1)
+        |                    IN '0123456789abcdef') AS INT) - 1,
+        |               3 - CAST(b % 4 AS INT)) % 2) = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM th LATERAL VIEW explode(sequence(0, 31)) tb AS b
+        |         GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+        |                ELSE CAST(0 AS BIGINT) END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |th AS (SELECT doc_id, token, substring(md5(token), 1, 8) AS h8 FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |         sum(CASE WHEN ((CAST(position(substring(h8, (b // 4) + 1, 1)
+        |                        IN '0123456789abcdef') AS INT) - 1)
+        |                        >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM th, unnest(range(0, 32)) AS tb(b)
+        |         GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |                ELSE CAST(0 AS BIGINT) END) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // dd5: embedding near-dup via 4-bit sign-LSH bucketing (deterministic
+    // rational hyperplanes r[k][d] = ((k*73 + d*179) % 97 - 48)/48) then
+    // exact cosine >= 0.4 within bucket. Bucket join replaces the O(n^2)
+    // cross join — the 100 TB path.
+    Q("dd5_embedding_neardup",
+      s"""WITH buck AS (
+         |  SELECT vec_id, embedding,
+         |    aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) -> acc +
+         |      CASE WHEN aggregate(
+         |             zip_with(embedding,
+         |                      transform(sequence(0, 63),
+         |                                d -> CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE) / 48.0),
+         |                      (x, y) -> CAST(x AS DOUBLE) * y),
+         |             CAST(0 AS DOUBLE), (a, x) -> a + x) >= 0
+         |      THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${sparkCos("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${sparkCos("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+      s"""WITH buck AS (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(0, 4), k ->
+         |      CASE WHEN list_sum(list_transform(range(0, 64),
+         |             d -> CAST(embedding[d + 1] AS DOUBLE)
+         |                  * (CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE) / 48.0))) >= 0
+         |      THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ss1: brute-force cosine top-k (the exact baseline an ANN variant is
+    // judged against). Ranking on round(cos, 6) with vec_id tiebreak keeps
+    // the result independent of float summation order.
+    Q("ss1_bruteforce_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT qid, e.vec_id AS vec_id,
+         |             round(${sparkCos("qe", "e.embedding")}, 6) AS cos
+         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin,
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT qid, e.vec_id AS vec_id,
+         |             round(${duckCos("qe", "e.embedding")}, 6) AS cos
+         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ss2: IVF-style ANN — 16 deterministic seed centroids (vec_id < 16),
+    // every vector assigned to its nearest centroid, queries probe the 2
+    // nearest centroid cells only. The partition-prune shape of a 100 TB
+    // vector search: assignment is a bounded 16-way comparison, search
+    // touches ~2/16 of the data.
+    Q("ss2_ivf_topk",
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(${sparkCos("e.embedding", "c.ce")}, 6) DESC, c.cid) AS rnk
+         |    FROM embeddings e CROSS JOIN cent c) a WHERE rnk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |               ORDER BY round(${sparkCos("q.qe", "c.ce")}, 6) DESC, c.cid) AS rnk
+         |    FROM q CROSS JOIN cent c) p WHERE rnk <= 2),
+         |c AS (SELECT q.qid, e.vec_id,
+         |             round(${sparkCos("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q JOIN probe p ON p.qid = q.qid
+         |      JOIN assign a ON a.cid = p.cid
+         |      JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin,
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(${duckCos("e.embedding", "c.ce")}, 6) DESC, c.cid) AS rnk
+         |    FROM embeddings e CROSS JOIN cent c) a WHERE rnk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |               ORDER BY round(${duckCos("q.qe", "c.ce")}, 6) DESC, c.cid) AS rnk
+         |    FROM q CROSS JOIN cent c) p WHERE rnk <= 2),
+         |c AS (SELECT q.qid, e.vec_id,
+         |             round(${duckCos("q.qe", "e.embedding")}, 6) AS cos
+         |      FROM q JOIN probe p ON p.qid = q.qid
+         |      JOIN assign a ON a.cid = p.cid
+         |      JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tx1: n-gram/stopword language ID heuristic with deterministic argmax
+    Q("tx1_langid",
+      """SELECT doc_id, lang,
+        |       en_score, de_score, fr_score, es_score,
+        |       CASE WHEN en_score >= greatest(de_score, fr_score, es_score) THEN 'en'
+        |            WHEN de_score >= greatest(fr_score, es_score) THEN 'de'
+        |            WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS predicted
+        |FROM (SELECT doc_id, lang,
+        |  CAST(size(filter(split(lower(text), ' '),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS BIGINT) AS en_score,
+        |  CAST(size(filter(split(lower(text), ' '),
+        |       t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS BIGINT) AS de_score,
+        |  CAST(size(filter(split(lower(text), ' '),
+        |       t -> t IN ('le', 'les', 'et', 'est'))) AS BIGINT) AS fr_score,
+        |  CAST(size(filter(split(lower(text), ' '),
+        |       t -> t IN ('el', 'los', 'y', 'es'))) AS BIGINT) AS es_score
+        |  FROM documents) s
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang,
+        |       en_score, de_score, fr_score, es_score,
+        |       CASE WHEN en_score >= greatest(de_score, fr_score, es_score) THEN 'en'
+        |            WHEN de_score >= greatest(fr_score, es_score) THEN 'de'
+        |            WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS predicted
+        |FROM (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |       t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS BIGINT) AS en_score,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |       t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS BIGINT) AS de_score,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |       t -> t IN ('le', 'les', 'et', 'est'))) AS BIGINT) AS fr_score,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |       t -> t IN ('el', 'los', 'y', 'es'))) AS BIGINT) AS es_score
+        |  FROM documents) s
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tx2: quality scoring — length/stopword/avg-token-length ratios
+    Q("tx2_quality",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(length(replace(text, ' ', '')) / CAST(size(split(text, ' ')) AS DOUBLE), 4) AS avg_token_len,
+        |  round(CAST(size(filter(split(lower(text), ' '),
+        |        t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+        |        / size(split(text, ' ')), 4) AS stopword_ratio,
+        |  round(least(CAST(1.0 AS DOUBLE), size(split(text, ' ')) / CAST(100.0 AS DOUBLE)), 4) AS length_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(length(replace(text, ' ', '')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len,
+        |  round(CAST(len(list_filter(string_split(lower(text), ' '),
+        |        t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  round(least(CAST(1.0 AS DOUBLE), len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE)), 4) AS length_score
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tx3: token counting — whitespace + regex (BPE-ish word/number split)
+    Q("tx3_token_count",
+      """SELECT doc_id,
+        |  CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT) AS re_tokens,
+        |  round(length(text) / CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS DOUBLE), 4)
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+        |  round(length(text) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS DOUBLE), 4)
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tx4: document fingerprinting — exact md5 + min-shingle (winnowing-
+    // style content fingerprint robust to small edits)
+    Q("tx4_fingerprint",
+      """SELECT doc_id, md5(lower(text)) AS fp_exact,
+        |  array_min(transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)),
+        |    i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 5))))) AS fp_min_shingle
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, md5(lower(text)) AS fp_exact,
+        |  list_aggregate(list_transform(range(0, greatest(len(string_split(text, ' ')) - 4, 1)),
+        |    i -> md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + 5), ' '))), 'min')
+        |    AS fp_min_shingle
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // mm1: multimodal column plumbing — text re-encoded as an opaque binary
+    // payload with typed metadata; scalar projections only (byte length,
+    // mime, stub frame count) so the oracle is engine-neutral. The real
+    // decode path lives in graft.pipeline.Multimodal (stubbed decoder).
+    Q("mm1_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text, 'utf-8')) AS BIGINT) AS n_bytes,
+        |  CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+        |  CAST(n_chars % 16 AS BIGINT) AS frame_count_stub
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+        |  CAST(n_chars % 16 AS BIGINT) AS frame_count_stub
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { q =>
+      q.name -> ((s: SparkSession, dir: String) => {
+        Fixtures.registerRaw(s, dir)
+        s.sql(q.sparkSql)
+      })
+    }.toMap
+
+  def oracleSql: Map[String, String] = defs.map(q => q.name -> q.duckSql).toMap
+}
