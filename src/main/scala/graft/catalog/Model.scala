@@ -15,10 +15,16 @@ final case class Transformation(template: String = "{v}", replaceFrom: String = 
   /** Substitute `inner` (a column name or SQL expression) into the template. */
   def render(inner: String): String = template.replace(replaceFrom, s"($inner)")
 
-  /** f.compose(g): apply `inner` first, then this. Pure string substitution,
-    * exactly like the reference. */
-  def compose(inner: Transformation): Transformation =
-    Transformation(template.replace(replaceFrom, inner.template), inner.replaceFrom)
+  /** `f.compose(g)`: h = g(f(x)) — substitutes `f`'s template
+    * (parenthesized) into `g`'s, exactly mirroring the reference
+    * (`core/src/model/mappings.rs:137-149`: self applied first, then other).
+    */
+  def compose(other: Transformation): Transformation =
+    Transformation(
+      other.template
+        .replace(other.replaceFrom, s"($template)")
+        .replace(replaceFrom, other.replaceFrom),
+      other.replaceFrom)
 
   def isIdentity: Boolean = template.trim == replaceFrom
 }

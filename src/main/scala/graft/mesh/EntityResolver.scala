@@ -52,6 +52,23 @@ object EntityResolver {
       withProvenance: Boolean = false): DataFrame =
     resolveRec(spark, mesh, siteName, entityName, user, withProvenance, Set(siteName))
 
+  /** Enumerate the leaf (relay, sourceId) branches contributing to an
+    * entity as seen from `siteName` — the endpoints a `get_flight_info`
+    * response would list (`flight_server/src/flight.rs:194-309`). */
+  def leafBranches(
+      mesh: Mesh,
+      siteName: String,
+      entityName: String,
+      visited: Set[String] = Set.empty): Seq[(String, String)] = {
+    val site = mesh.site(siteName)
+    val local = site.localSources.getOrElse(entityName, Nil).map(ds => (siteName, ds.id))
+    val remote = site.remoteMappings.getOrElse(entityName, Nil)
+      .filterNot(rm => (visited + siteName).contains(rm.peer))
+      .flatMap(rm =>
+        leafBranches(mesh, rm.peer, rm.remoteEntity, visited + siteName + rm.peer))
+    local ++ remote
+  }
+
   private def resolveRec(
       spark: SparkSession,
       mesh: Mesh,

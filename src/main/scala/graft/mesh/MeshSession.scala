@@ -1,0 +1,147 @@
+package graft.mesh
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.validation.SqlValidator
+
+/** A relay's synchronous query entry point (Flight path, SURVEY §3.2):
+  * validate -> resolve the single entity -> substitute it for the table
+  * reference -> execute on Catalyst.
+  *
+  * Where the reference rewrites SQL text per source and ships it to backend
+  * engines (`core/src/execute/map_local.rs:24-36`), this registers the
+  * resolved entity DataFrame as a temp view under the entity's name, so the
+  * user's SQL runs unchanged and Catalyst performs pushdown into every
+  * per-source branch.
+  */
+class MeshSession(
+    val spark: SparkSession,
+    val mesh: graft.catalog.Mesh,
+    val siteName: String) {
+
+  /** Validate + execute `sqlText` as `user` against this site's catalog. */
+  def sql(sqlText: String, user: Option[String] = None,
+      withProvenance: Boolean = false): DataFrame = {
+    val entity = SqlValidator.validate(sqlText, spark)
+    if (!mesh.site(siteName).entities.contains(entity))
+      throw SqlValidator.InvalidQuery(s"Entity $entity not found on relay $siteName")
+    val entityDF =
+      EntityResolver.resolve(spark, mesh, siteName, entity, user, withProvenance)
+    entityDF.createOrReplaceTempView(entity)
+    spark.sql(sqlText)
+  }
+}
+
+/** Asynchronous query path (REST path, SURVEY §3.3): submitted queries are
+  * tracked as tasks with Queued/InProgress/Complete/Failed statuses
+  * (`core/src/model/query.rs:134-139`), results spill to
+  * `<resultDir>/task_<id>/result.parquet`
+  * (`core/src/execute/result_manager.rs:58-92`), and NDJSON export carries
+  * `_relay_metadata_` provenance per record
+  * (`rest_server/src/query/utils.rs:57-169`).
+  */
+class QueryService(session: MeshSession, resultDir: String) {
+  import QueryService._
+
+  private val tasks = new java.util.concurrent.ConcurrentHashMap[String, TaskState]()
+
+  /** Submit a query; executes on a background thread. Returns the task id. */
+  def submit(sqlText: String, user: Option[String] = None): String = {
+    val id = java.util.UUID.randomUUID().toString
+    tasks.put(id, TaskState(Queued, None))
+    val runnable = new Runnable {
+      override def run(): Unit = {
+        tasks.put(id, TaskState(InProgress, None))
+        try {
+          val df = executePerBranch(sqlText, user)
+          df.write.mode("overwrite").parquet(s"$resultDir/task_$id/result.parquet")
+          tasks.put(id, TaskState(Complete, None))
+        } catch {
+          case e: Throwable => tasks.put(id, TaskState(Failed, Some(e.getMessage)))
+        }
+      }
+    }
+    val t = new Thread(runnable, s"graft-query-$id")
+    t.setDaemon(true)
+    t.start()
+    id
+  }
+
+  /** Execute the full user query once per leaf (relay, source) branch and
+    * union the per-branch results with provenance — the reference's async
+    * semantics: every relay runs the query over its own slice and streams
+    * partial results tagged with `_relay_metadata_` back to the origin
+    * (`query_runner/src/lib.rs:117-182`, `rest_server/src/query/utils.rs`).
+    * A LIMIT/aggregate therefore applies per source, exactly like the
+    * reference's 53-rows-from-limit-10 query1 oracle. Catalyst constant-
+    * folds the provenance filter, pruning all other branches from each
+    * per-branch plan. */
+  private def executePerBranch(
+      sqlText: String, user: Option[String]): DataFrame = {
+    import EntityResolver.{SourceIdCol, SourceRelayCol}
+    val spark = session.spark
+    val entity = SqlValidator.validate(sqlText, spark)
+    if (!session.mesh.site(session.siteName).entities.contains(entity))
+      throw SqlValidator.InvalidQuery(
+        s"Entity $entity not found on relay ${session.siteName}")
+    val full = EntityResolver.resolve(
+      spark, session.mesh, session.siteName, entity, user, withProvenance = true)
+    val branches = EntityResolver.leafBranches(session.mesh, session.siteName, entity)
+    val parts = branches.map { case (relay, srcId) =>
+      full
+        .where(col(SourceRelayCol) === relay && col(SourceIdCol) === srcId)
+        .drop(SourceRelayCol, SourceIdCol)
+        .createOrReplaceTempView(entity)
+      spark.sql(sqlText)
+        .withColumn(SourceRelayCol, lit(relay))
+        .withColumn(SourceIdCol, lit(srcId))
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  def status(id: String): TaskState =
+    Option(tasks.get(id)).getOrElse(TaskState(Failed, Some(s"unknown task $id")))
+
+  /** Block until the task leaves Queued/InProgress (test convenience). */
+  def await(id: String, timeoutMs: Long = 120000): TaskState = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var st = status(id)
+    while ((st.status == Queued || st.status == InProgress)
+        && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      st = status(id)
+    }
+    st
+  }
+
+  /** Read a completed task's spilled result (S7). */
+  def results(id: String): DataFrame =
+    session.spark.read.parquet(s"$resultDir/task_$id/result.parquet")
+
+  /** NDJSON export with nested `_relay_metadata_` provenance (S8). The
+    * reference drops all-NULL columns in JSON output
+    * (`test/validation.py:17-19`) — `toJSON` reproduces that: null fields
+    * are omitted per record. */
+  def resultsNdjson(id: String): org.apache.spark.sql.Dataset[String] = {
+    val df = results(id)
+    val withMeta =
+      if (df.columns.contains(EntityResolver.SourceRelayCol))
+        df.withColumn("_relay_metadata_",
+            struct(
+              col(EntityResolver.SourceRelayCol).as("_source_relay_"),
+              col(EntityResolver.SourceIdCol).as("_source_id_")))
+          .drop(EntityResolver.SourceRelayCol, EntityResolver.SourceIdCol)
+      else df
+    withMeta.toJSON
+  }
+}
+
+object QueryService {
+  sealed trait Status
+  case object Queued extends Status
+  case object InProgress extends Status
+  case object Complete extends Status
+  case object Failed extends Status
+  final case class TaskState(status: Status, error: Option[String])
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (north-star extension — the
+  * reference itself has no streaming surface, SURVEY §2.6).
+  *
+  * `readStream` -> watermark -> windowed aggregation -> sink; the same
+  * declarative plan Spark runs incrementally on a real cluster. The events
+  * parquet stores `ts` as TIMESTAMP(NANOS), which the reader surfaces as
+  * nanos-long under `spark.sql.legacy.parquet.nanosAsLong`; we convert to
+  * microsecond timestamps in-stream.
+  */
+object EventStream {
+
+  /** Raw parquet schema of the events table with nanos-as-long ts. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Hourly per-type counts/sums with a 2-hour watermark — the streaming
+    * twin of batch query q20_events_hourly. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("hr"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Run the hourly aggregation to completion against a static directory via
+    * the memory sink (local smoke path; on a cluster this would be a kafka/
+    * delta sink with a processing-time trigger). */
+  def runHourlyToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val q = hourlyAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q
+  }
+}

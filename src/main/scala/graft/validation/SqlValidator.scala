@@ -1,0 +1,158 @@
+package graft.validation
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.parser.ParseException
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** The relay's SQL admission gate (R1, `core/src/execute/validation.rs`):
+  * read-only, exactly one statement, exactly one Entity, construct whitelist.
+  *
+  * Parsing is done with Spark's own parser instead of sqlparser-rs, so the
+  * whitelist is enforced *semantically* on the unresolved `LogicalPlan`
+  * (SURVEY §7.4): constructs the reference rejects either fail Spark's parse
+  * ("sqlparser syntax error: ...") or are rejected by the plan walker with
+  * the reference's message. The three golden negatives reproduce the
+  * reference's exact error strings
+  * (`core/src/execute/validation.rs:579-653`).
+  */
+object SqlValidator {
+  val MaxQueryLength: Int = 1000000
+
+  final case class InvalidQuery(msg: String)
+      extends Exception(s"invalid query: $msg")
+
+  /** Validate `sql`; returns the single referenced entity name.
+    * Mirrors `validate_sql` (`validation.rs:24-59`). */
+  def validate(sql: String, spark: SparkSession): String = {
+    if (sql.length > MaxQueryLength)
+      throw InvalidQuery(
+        s"SQL string exceeds maximum length of $MaxQueryLength characters! " +
+          "Either simplify query or break into multiple parts.")
+
+    val statements = splitStatements(sql)
+    if (statements.size != 1)
+      throw InvalidQuery(
+        s"Each query must contain exactly one statement. Found: ${statements.size}")
+
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(statements.head)
+      catch {
+        case e: ParseException =>
+          throw InvalidQuery(s"sqlparser syntax error: ${e.getMessage}")
+      }
+
+    if (!isReadOnly(plan))
+      throw InvalidQuery(
+        "SQL templates may only contain read-only queries (e.g. select statements), " +
+          s"found statement: ${normalizeStatement(statements.head)}")
+
+    validatePlan(plan)
+
+    val entities = relationNames(plan)
+    if (entities.size != 1)
+      throw InvalidQuery("There must be exactly one entity per query.")
+    entities.head
+  }
+
+  /** Quote-aware top-level split on ';' (the reference parses the full text
+    * and counts statements; Spark's parser is single-statement, so we count
+    * before parsing). */
+  private[validation] def splitStatements(sql: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' if !inDouble => inSingle = !inSingle; cur += c
+        case '"' if !inSingle  => inDouble = !inDouble; cur += c
+        case ';' if !inSingle && !inDouble =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString
+          cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  private def isReadOnly(plan: LogicalPlan): Boolean = plan match {
+    case _: InsertIntoStatement => false
+    case p =>
+      // any DML/DDL command parses to a Command-ish node; queries parse to
+      // Project/Aggregate/UnresolvedWith/SetOperation/... over relations
+      !p.nodeName.toLowerCase.contains("command") &&
+      !p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
+  }
+
+  /** Uppercase-keyword normalization of a rejected statement, matching the
+    * reference's re-serialized AST in the error text (e.g.
+    * `INSERT INTO user_tables VALUES (1, 2)`). */
+  private[validation] def normalizeStatement(sql: String): String = {
+    val keywords = Set(
+      "insert", "into", "values", "update", "set", "delete", "from", "create",
+      "table", "drop", "alter", "select", "where", "truncate", "merge", "copy",
+      "grant", "revoke", "show", "describe", "explain", "analyze", "use")
+    sql.trim
+      .replaceAll("\\s+", " ")
+      .replaceAll(",\\s*", ", ")
+      .split(" ")
+      .map(w => if (keywords.contains(w.toLowerCase)) w.toUpperCase else w)
+      .mkString(" ")
+  }
+
+  /** All distinct relation names referenced anywhere in the plan, including
+    * CTE alias references — matching sqlparser-rs `visit_relations`, which
+    * does not resolve CTE scoping (`validation.rs:77-94`): a CTE named after
+    * the entity counts once; a CTE with a fresh name counts as a second
+    * "entity" and is rejected, exactly like the reference. */
+  private[validation] def relationNames(plan: LogicalPlan): Seq[String] = {
+    val seen = mutable.LinkedHashSet.empty[String]
+    def walk(p: LogicalPlan): Unit = {
+      p match {
+        case r: UnresolvedRelation => seen += r.multipartIdentifier.mkString(".")
+        case w: UnresolvedWith =>
+          // visit cte definitions AND the main body; references to the cte
+          // alias inside the body are UnresolvedRelations and count as names
+          w.cteRelations.foreach { case (_, sub, _) => walk(sub) }
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.expressions.foreach(_.foreach {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          walk(sq.plan)
+        case _ =>
+      })
+    }
+    walk(plan)
+    seen.toSeq
+  }
+
+  /** Construct whitelist on the unresolved plan (`validation.rs:96-568`).
+    * Allowed: single-table SELECT with projection/filter/agg/having/sort/
+    * limit/offset/distinct/windows/set-ops/CTEs/subqueries/VALUES.
+    * Rejected with the reference's messages: explicit JOINs (only derived-
+    * table source substitution is allowed), table-valued functions,
+    * multi-part table paths, lateral views, DISTRIBUTE BY / CLUSTER BY. */
+  private def validatePlan(plan: LogicalPlan): Unit = {
+    def fail(msg: String): Nothing = throw InvalidQuery(msg)
+    plan.foreach {
+      case j: Join =>
+        fail(s"only explicit source substitutions are allowed but found ${j.joinType.sql} JOIN")
+      case _: Generate => fail("Lateral views are not allowed!")
+      case _: UnresolvedTableValuedFunction =>
+        fail("Table valued functions are not allowed!")
+      case r: UnresolvedRelation if r.multipartIdentifier.size > 1 =>
+        fail(s"Explicit table paths are not allowed! Found: ${r.multipartIdentifier.mkString(".")}")
+      case _: RepartitionByExpression =>
+        fail("Distribute by clause is not allowed!")
+      case _ =>
+    }
+  }
+}

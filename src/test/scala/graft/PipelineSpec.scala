@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mesh.Fixtures
+import graft.pipeline.{Multimodal, PipelineQueries}
+import graft.streaming.EventStream
+
+/** Pipeline-operator semantics beyond the oracle hash-checks: near-dup
+  * recall, SimHash locality, ANN recall vs brute force, multimodal
+  * mapPartitions plumbing, and the streaming/batch agreement. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+  private def sfDir = TestSessions.sfDir
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  test("minhash-LSH finds symmetric near-dup pairs with high jaccard") {
+    val pairs = run("dd2_minhash_lsh").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash of near-dup pairs has small hamming distance") {
+    val sim = run("dd4_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dups = run("dd2_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.nonEmpty)
+    val dists = dups.map { case (a, b) =>
+      java.lang.Long.bitCount(sim(a) ^ sim(b))
+    }
+    // near-identical docs should collide on most of the 32 simhash bits
+    assert(dists.forall(_ <= 8), s"hamming distances: ${dists.mkString(",")}")
+    // while random pairs shouldn't: median random distance ~16
+    val rand = sim.keys.toSeq.sorted.sliding(2, 29).collect {
+      case Seq(a, b) if !dups.contains((a, b)) =>
+        java.lang.Long.bitCount(sim(a) ^ sim(b))
+    }.toSeq
+    assert(rand.count(_ > 8) > rand.size / 2)
+  }
+
+  test("IVF top-k recall vs brute-force baseline is reasonable") {
+    val brute = run("ss1_bruteforce_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).take(5).toSet).toMap
+    val ivf = run("ss2_ivf_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.keys.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty).intersect(brute(q)).size
+      hit.toDouble / 5
+    }.toSeq
+    // 2-of-16 cell probing on near-random vectors: expect partial recall
+    assert(recalls.sum / recalls.size >= 0.2,
+      s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("multimodal: mapPartitions feature extraction preserves rows and shapes") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val records = Multimodal.toMediaRecords(spark, docs)
+    val feats = Multimodal.extractFeatures(records).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.histogram.length == 16)
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9) // normalized
+      assert(f.frameOffsets.length <= 15)
+      assert(f.nBytes > 0)
+    }
+  }
+
+  test("streaming hourly agg agrees with the batch query") {
+    // stream source needs a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = EventStream.runHourlyToMemory(spark, dir, "hourly_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_test")
+      .select(col("hr"), col("event_type"), col("n"))
+    val batch = run("q20_events_hourly").select(col("hr"), col("event_type"), col("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+}

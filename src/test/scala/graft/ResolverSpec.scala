@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mesh.{EntityResolver, Fixtures, MeshSession, QueryService}
+
+/** Entity-resolution semantics end-to-end over the fixture mesh at sf0.001:
+  * null-padding, ACL, provenance, transform-compose, cycle safety, and the
+  * session/task layer. */
+class ResolverSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+  private def sfDir = TestSessions.sfDir
+
+  test("resolved entity covers all slices exactly once (cycle guard)") {
+    val df = Fixtures.lineitemView(spark, sfDir)
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    assert(df.count() == raw.count())
+    assert(df.select(sum(col("orderkey"))).head.getLong(0) ==
+      raw.select(sum(col("l_orderkey"))).head.getLong(0))
+  }
+
+  test("unmapped informations null-pad; denied columns null-pad under default ACL") {
+    val admin = Fixtures.lineitemView(spark, sfDir, Some("admin"))
+    assert(admin.where(col("commitdate").isNotNull).count() == 0)
+    assert(admin.where(col("suppkey").isNull).count() == 0)
+
+    val default = Fixtures.lineitemView(spark, sfDir, None)
+    assert(default.where(col("suppkey").isNotNull).count() == 0) // column denied
+    assert(default.select(countDistinct(col("returnflag"))).head.getLong(0) == 1) // row ACL
+  }
+
+  test("two-hop transform composition is lossless for exact doubles") {
+    val df = Fixtures.lineitemView(spark, sfDir)
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    assert(df.agg(sum("quantity")).head.getDouble(0) ==
+      raw.agg(sum("l_quantity")).head.getDouble(0))
+  }
+
+  test("provenance identifies the executing leaf site per row") {
+    val df = Fixtures.lineitemView(spark, sfDir, Some("admin"), withProvenance = true)
+    val relays = df.select(collect_set(col(EntityResolver.SourceRelayCol))).head
+      .getSeq[String](0).toSet
+    assert(relays == Set("na_us", "emea", "apac"))
+    val mism = df.where(
+      (col("orderkey") % 3 === 0 && col(EntityResolver.SourceRelayCol) =!= "na_us") ||
+      (col("orderkey") % 3 === 1 && col(EntityResolver.SourceRelayCol) =!= "emea") ||
+      (col("orderkey") % 3 === 2 && col(EntityResolver.SourceRelayCol) =!= "apac")).count()
+    assert(mism == 0)
+  }
+
+  test("MeshSession: validated SQL runs against the resolved entity") {
+    Fixtures.registerRaw(spark, sfDir)
+    val session = new MeshSession(spark, Fixtures.mesh, "global")
+    val df = session.sql(
+      "select linenumber, tax_amount from lineitem where tax_percent > 3 limit 10",
+      Some("admin"))
+    assert(df.count() == 10)
+    assert(df.columns.toSeq == Seq("linenumber", "tax_amount"))
+    // invalid entity
+    intercept[graft.validation.SqlValidator.InvalidQuery] {
+      session.sql("select * from nosuch", Some("admin"))
+    }
+  }
+
+  test("QueryService: async submit -> Complete -> spilled parquet + NDJSON provenance") {
+    Fixtures.registerRaw(spark, sfDir)
+    val session = new MeshSession(spark, Fixtures.mesh, "global")
+    val dir = java.nio.file.Files.createTempDirectory("graft_results").toString
+    val svc = new QueryService(session, dir)
+    val id = svc.submit("select orderkey, tax_amount from lineitem limit 50", Some("admin"))
+    val st = svc.await(id)
+    assert(st.status == QueryService.Complete, st.error.getOrElse(""))
+    // per-branch execution: LIMIT applies per leaf source, like the
+    // reference's 53-rows-from-limit-10 query1 (3 leaf sources here)
+    assert(svc.results(id).count() == 150)
+    assert(svc.results(id).select(EntityResolver.SourceRelayCol).distinct().count() == 3)
+    val json = svc.resultsNdjson(id).head()
+    assert(json.contains("\"_relay_metadata_\""))
+    assert(json.contains("\"_source_relay_\""))
+
+    val bad = svc.submit("insert into x values (1)", Some("admin"))
+    assert(svc.await(bad).status == QueryService.Failed)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.validation.SqlValidator
+
+/** Validator parity: the three golden negatives assert the reference's exact
+  * error strings (`core/src/execute/validation.rs:579-653`); plus the
+  * single-entity rule and construct rejections. */
+class ValidatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSessions.spark
+
+  private def errOf(sql: String): String =
+    intercept[SqlValidator.InvalidQuery](SqlValidator.validate(sql, spark)).getMessage
+
+  test("golden: insert rejected with exact reference error string") {
+    assert(errOf("insert into user_tables values (1,2)") ==
+      "invalid query: SQL templates may only contain read-only queries (e.g. select statements), " +
+        "found statement: INSERT INTO user_tables VALUES (1, 2)")
+  }
+
+  test("golden: multi-statement rejected with exact reference error string") {
+    val sql = "with user_tables as (select * from user_tables) select * from user_tables; " +
+      "select * from user_tables"
+    assert(errOf(sql) ==
+      "invalid query: Each query must contain exactly one statement. Found: 2")
+  }
+
+  test("golden: >1,000,000 chars rejected with exact reference error string") {
+    val stmt = "select * from table;"
+    val sql = stmt * 50001
+    assert(errOf(sql) ==
+      "invalid query: SQL string exceeds maximum length of 1000000 characters! " +
+        "Either simplify query or break into multiple parts.")
+  }
+
+  test("single entity: two distinct relations rejected, self-named CTE passes") {
+    assert(errOf("with a as (select * from t1) select * from t2") ==
+      "invalid query: There must be exactly one entity per query.")
+    // CTE named like the entity shadows it -> one distinct name -> valid
+    assert(SqlValidator.validate(
+      "with lineitem as (select * from lineitem) select * from lineitem", spark) == "lineitem")
+  }
+
+  test("accepted surface parses and returns the entity") {
+    assert(SqlValidator.validate(
+      "select linenumber, tax_amount from lineitem where tax_percent > 3 limit 10",
+      spark) == "lineitem")
+    assert(SqlValidator.validate(
+      """select returnflag, linestatus, sum(quantity) filter (where quantity > 5) q,
+        |       row_number() over (partition by returnflag order by linestatus) rn
+        |from lineitem group by rollup(returnflag, linestatus)
+        |having count(*) > 0 order by returnflag limit 5""".stripMargin, spark) == "lineitem")
+    assert(SqlValidator.validate(
+      "select * from lineitem where orderkey in (select orderkey from lineitem) " +
+        "and exists (select 1 from lineitem)", spark) == "lineitem")
+  }
+
+  test("joins / multipart names / distribute by rejected") {
+    assert(errOf("select * from a join b on a.x = b.x").contains("only explicit source"))
+    assert(errOf("select * from cat.db.t").contains("Explicit table paths are not allowed!"))
+    assert(errOf("select * from t distribute by x") ==
+      "invalid query: Distribute by clause is not allowed!")
+  }
+
+  test("syntax errors surface as sqlparser syntax error") {
+    assert(errOf("selec * from t").startsWith("invalid query: sqlparser syntax error:"))
+  }
+}
