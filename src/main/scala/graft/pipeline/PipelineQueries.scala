@@ -32,18 +32,22 @@ object PipelineQueries {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
       |       FROM tok, unnest(range(0, greatest(len(w) - 2, 1))) AS t(i))""".stripMargin
 
-  // exact cosine between two float vectors, index-ordered double summation
-  private def sparkCos(a: String, b: String): String =
-    s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |           CAST(0 AS DOUBLE), (acc, x) -> acc + x)
-       | / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |                   CAST(0 AS DOUBLE), (acc, x) -> acc + x))
-       |  * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-       |                   CAST(0 AS DOUBLE), (acc, x) -> acc + x))))""".stripMargin
-  private def duckCos(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       | / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-       |  * sqrt(list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+  // exact dot product between two float vectors, index-ordered double
+  // summation (bit-identical across Spark and DuckDB). Norms are
+  // precomputed once per vector — higher-order functions are interpreted
+  // (not codegen'd), so per-pair work must be a single lambda aggregate.
+  private def sparkDot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |          CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+  private def duckDot(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+  // normed-vector CTE: vec_id, embedding, nrm
+  private val sparkVecs =
+    s"""v AS (SELECT vec_id, embedding, sqrt(${sparkDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings)""".stripMargin
+  private val duckVecs =
+    s"""v AS (SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings)""".stripMargin
 
   private val defs: Seq[Q] = Seq(
 
@@ -64,14 +68,14 @@ object PipelineQueries {
     // hashed keys, so the plan survives 1000x scale.
     Q("dd2_minhash_lsh",
       s"""WITH $sparkShingles,
-         |js AS (SELECT doc_id, j, shingle FROM sh
-         |       LATERAL VIEW explode(sequence(0, 11)) tj AS j),
-         |mh AS (SELECT doc_id, j, min(md5(concat(CAST(j AS STRING), ':', shingle))) AS mh
-         |       FROM js GROUP BY doc_id, j),
-         |bands AS (SELECT doc_id, band, md5(concat(CAST(band AS STRING), ':', s)) AS bsig FROM (
-         |    SELECT doc_id, j div 3 AS band,
-         |           array_join(transform(array_sort(collect_list(struct(j, mh))), x -> x.mh), '') AS s
-         |    FROM mh GROUP BY doc_id, j div 3) b),
+         |sig AS (SELECT doc_id, ${(0 until 12).map(j =>
+                    s"min(md5(concat('$j:', shingle))) AS mh$j").mkString(", ")}
+         |        FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, band,
+         |    CASE band ${(0 until 4).map(b =>
+                  s"WHEN $b THEN md5(concat('$b:', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2}))")
+                  .mkString(" ")} END AS bsig
+         |    FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS band),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -87,12 +91,14 @@ object PipelineQueries {
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
       s"""WITH $duckShingles,
-         |js AS (SELECT doc_id, j, shingle FROM sh, unnest(range(0, 12)) AS tj(j)),
-         |mh AS (SELECT doc_id, j, min(md5(j || ':' || shingle)) AS mh
-         |       FROM js GROUP BY doc_id, j),
-         |bands AS (SELECT doc_id, band, md5(band || ':' || s) AS bsig FROM (
-         |    SELECT doc_id, j // 3 AS band, string_agg(mh, '' ORDER BY j) AS s
-         |    FROM mh GROUP BY doc_id, j // 3) b),
+         |sig AS (SELECT doc_id, ${(0 until 12).map(j =>
+                    s"min(md5('$j:' || shingle)) AS mh$j").mkString(", ")}
+         |        FROM sh GROUP BY doc_id),
+         |bands AS (SELECT doc_id, band,
+         |    CASE band ${(0 until 4).map(b =>
+                  s"WHEN $b THEN md5('$b:' || mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2})")
+                  .mkString(" ")} END AS bsig
+         |    FROM sig, unnest(range(0, 4)) AS t(band)),
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -181,8 +187,9 @@ object PipelineQueries {
     // exact cosine >= 0.4 within bucket. Bucket join replaces the O(n^2)
     // cross join — the 100 TB path.
     Q("dd5_embedding_neardup",
-      s"""WITH buck AS (
-         |  SELECT vec_id, embedding,
+      s"""WITH $sparkVecs,
+         |buck AS (
+         |  SELECT vec_id, embedding, nrm,
          |    aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) -> acc +
          |      CASE WHEN aggregate(
          |             zip_with(embedding,
@@ -191,24 +198,27 @@ object PipelineQueries {
          |                      (x, y) -> CAST(x AS DOUBLE) * y),
          |             CAST(0 AS DOUBLE), (a, x) -> a + x) >= 0
          |      THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END) AS bucket
-         |  FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       round(${sparkCos("a.embedding", "b.embedding")}, 4) AS cos
-         |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${sparkCos("a.embedding", "b.embedding")} >= 0.4
+         |  FROM v)
+         |SELECT vec_a, vec_b, round(c, 4) AS cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${sparkDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS c
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |WHERE c >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
-      s"""WITH buck AS (
-         |  SELECT vec_id, embedding,
+      s"""WITH $duckVecs,
+         |buck AS (
+         |  SELECT vec_id, embedding, nrm,
          |    list_sum(list_transform(range(0, 4), k ->
          |      CASE WHEN list_sum(list_transform(range(0, 64),
          |             d -> CAST(embedding[d + 1] AS DOUBLE)
          |                  * (CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE) / 48.0))) >= 0
          |      THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS bucket
-         |  FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
-         |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.4
+         |  FROM v)
+         |SELECT vec_a, vec_b, round(c, 4) AS cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS c
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |WHERE c >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin),
 
     // ------------------------------------------------------------------
@@ -216,19 +226,21 @@ object PipelineQueries {
     // judged against). Ranking on round(cos, 6) with vec_id tiebreak keeps
     // the result independent of float summation order.
     Q("ss1_bruteforce_topk",
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      s"""WITH $sparkVecs,
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 5),
          |c AS (SELECT qid, e.vec_id AS vec_id,
-         |             round(${sparkCos("qe", "e.embedding")}, 6) AS cos
-         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid)
+         |             round(${sparkDot("qe", "e.embedding")} / (qn * e.nrm), 6) AS cos
+         |      FROM q CROSS JOIN v e WHERE e.vec_id <> qid)
          |SELECT qid, vec_id, cos FROM (
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
          |  FROM c) t
          |WHERE rnk <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin,
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+      s"""WITH $duckVecs,
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 5),
          |c AS (SELECT qid, e.vec_id AS vec_id,
-         |             round(${duckCos("qe", "e.embedding")}, 6) AS cos
-         |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid)
+         |             round(${duckDot("qe", "e.embedding")} / (qn * e.nrm), 6) AS cos
+         |      FROM q CROSS JOIN v e WHERE e.vec_id <> qid)
          |SELECT qid, vec_id, cos FROM (
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
@@ -242,45 +254,47 @@ object PipelineQueries {
     // vector search: assignment is a bounded 16-way comparison, search
     // touches ~2/16 of the data.
     Q("ss2_ivf_topk",
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+      s"""WITH $sparkVecs,
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |assign AS (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY round(${sparkCos("e.embedding", "c.ce")}, 6) DESC, c.cid) AS rnk
-         |    FROM embeddings e CROSS JOIN cent c) a WHERE rnk = 1),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |               ORDER BY round(${sparkDot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 5),
          |probe AS (SELECT qid, cid FROM (
          |    SELECT q.qid, c.cid,
          |           row_number() OVER (PARTITION BY q.qid
-         |               ORDER BY round(${sparkCos("q.qe", "c.ce")}, 6) DESC, c.cid) AS rnk
+         |               ORDER BY round(${sparkDot("q.qe", "c.ce")} / (q.qn * c.cn), 6) DESC, c.cid) AS rnk
          |    FROM q CROSS JOIN cent c) p WHERE rnk <= 2),
          |c AS (SELECT q.qid, e.vec_id,
-         |             round(${sparkCos("q.qe", "e.embedding")}, 6) AS cos
+         |             round(${sparkDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
          |      FROM q JOIN probe p ON p.qid = q.qid
          |      JOIN assign a ON a.cid = p.cid
-         |      JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
+         |      JOIN v e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
          |SELECT qid, vec_id, cos FROM (
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
          |  FROM c) t
          |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin,
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+      s"""WITH $duckVecs,
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
          |assign AS (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY e.vec_id
-         |               ORDER BY round(${duckCos("e.embedding", "c.ce")}, 6) DESC, c.cid) AS rnk
-         |    FROM embeddings e CROSS JOIN cent c) a WHERE rnk = 1),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |               ORDER BY round(${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 5),
          |probe AS (SELECT qid, cid FROM (
          |    SELECT q.qid, c.cid,
          |           row_number() OVER (PARTITION BY q.qid
-         |               ORDER BY round(${duckCos("q.qe", "c.ce")}, 6) DESC, c.cid) AS rnk
+         |               ORDER BY round(${duckDot("q.qe", "c.ce")} / (q.qn * c.cn), 6) DESC, c.cid) AS rnk
          |    FROM q CROSS JOIN cent c) p WHERE rnk <= 2),
          |c AS (SELECT q.qid, e.vec_id,
-         |             round(${duckCos("q.qe", "e.embedding")}, 6) AS cos
+         |             round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
          |      FROM q JOIN probe p ON p.qid = q.qid
          |      JOIN assign a ON a.cid = p.cid
-         |      JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
+         |      JOIN v e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid)
          |SELECT qid, vec_id, cos FROM (
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
