@@ -1,0 +1,210 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+/** Loads a Site catalog from the reference's `relayctl` YAML formats
+  * (the per-relay `deploy/development/.../data_modeling` trees;
+  * `core/src/model/config_commands/mod.rs:43-66`): multi-document files of
+  * kinds Entity / LocalData / LocalMapping / PeerRelay / RemoteMapping /
+  * User, applied in the reference's precedence order
+  * Entity -> LocalData -> LocalMapping -> PeerRelay -> RemoteMapping -> User.
+  *
+  * Single-process notes:
+  *  - FileDirectory connections map to Spark readers (csv/json/parquet);
+  *    Trino/FlightSQL connections are parsed but their sources execute
+  *    against pre-registered temp views of the same name (the in-process
+  *    stand-in for a delegated engine);
+  *  - PeerRelay endpoints/certs are parsed and ignored; the peer name links
+  *    RemoteMappings to the peer Site in the Mesh;
+  *  - User identity is the x509 file's basename (stand-in for the cert
+  *    fingerprint).
+  */
+object ConfigLoader {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  final case class RawDoc(kind: String, spec: JsonNode)
+
+  def parseDocs(file: Path): Seq[RawDoc] = {
+    val parser = new YAMLFactory().createParser(file.toFile)
+    val docs = mapper.readValues[JsonNode](parser, classOf[JsonNode]).readAll().asScala.toSeq
+    docs.filter(d => d.hasNonNull("kind") && d.hasNonNull("spec"))
+      .map(d => RawDoc(d.get("kind").asText(), d.get("spec")))
+  }
+
+  def parseTree(dir: Path): Seq[RawDoc] = {
+    val files = Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".yaml") || p.toString.endsWith(".yml"))
+      .toSeq.sortBy(_.toString)
+    files.flatMap(parseDocs)
+  }
+
+  private def textOpt(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def parseTransformation(n: JsonNode): Transformation =
+    Option(n.get("transformation")) match {
+      case Some(t) if !t.isNull =>
+        Transformation(
+          t.get("other_to_local_info").asText(),
+          textOpt(t, "replace_from").getOrElse("{v}"))
+      case _ => Transformation.identity
+    }
+
+  private def parsePermission(n: JsonNode): SourcePermission =
+    SourcePermission(
+      arr(n, "allowed_columns").map(_.asText()).toSet,
+      textOpt(n, "allowed_rows").getOrElse("false"))
+
+  /** Build one Site from all YAML docs under `dir` (a relay's
+    * data_modeling tree). `siteName` keys the site in the Mesh;
+    * `peerNameToSite` maps the config's relay names (e.g.
+    * `na_data_relay`) to Mesh site names. */
+  def loadSite(
+      siteName: String,
+      dir: Path,
+      peerNameToSite: Map[String, String] = Map.empty): Site = {
+    val docs = parseTree(dir)
+    def ofKind(k: String) = docs.filter(_.kind == k).map(_.spec)
+
+    // 1. Entities
+    val entities: Map[String, Entity] = ofKind("Entity").map { spec =>
+      val name = spec.get("name").asText()
+      val infos = arr(spec, "information").map { i =>
+        Information(i.get("name").asText(),
+          ArrowLikeType.toSpark(i.get("arrow_dtype").asText()))
+      }
+      name -> Entity(name, infos)
+    }.toMap
+
+    // 2. LocalData: (connName, sourceName) -> physical source pieces
+    final case class RawSource(
+        connName: String, name: String, sourceSql: String,
+        fields: Map[String, String], // field name -> physical path
+        defaultPermission: SourcePermission,
+        fileSource: Option[FileSource])
+    val rawSources: Map[(String, String), RawSource] = ofKind("LocalData").flatMap { spec =>
+      val connName = spec.get("name").asText()
+      val connOpts = Option(spec.get("connection_options"))
+      val fileDir = connOpts.flatMap(c => Option(c.get("FileDirectory")))
+      arr(spec, "data_sources").map { s =>
+        val name = s.get("name").asText()
+        val srcFileOpts = Option(s.get("source_options"))
+          .flatMap(o => Option(o.get("FileDirectory")))
+        val fileSource = (fileDir, srcFileOpts) match {
+          case (Some(_), Some(so)) =>
+            val fmt = textOpt(so, "file_type").getOrElse("parquet").toLowerCase
+            textOpt(so, "prefix").map(p => FileSource(fmt, p))
+          case _ => None
+        }
+        val fields = arr(s, "fields")
+          .map(f => f.get("name").asText() -> f.get("path").asText()).toMap
+        val perm = Option(s.get("default_permission"))
+          .map(parsePermission)
+          .getOrElse(SourcePermission(fields.values.toSet, "true"))
+        (connName, name) -> RawSource(
+          connName, name, s.get("source_sql").asText(), fields, perm, fileSource)
+      }
+    }.toMap
+
+    // 3. LocalMapping: entity -> DataSources with field mappings
+    val localSources: Map[String, Seq[DataSource]] = ofKind("LocalMapping").map { spec =>
+      val entityName = spec.get("entity_name").asText()
+      val sources = arr(spec, "mappings").flatMap { m =>
+        val connName = m.get("data_con_name").asText()
+        arr(m, "source_mappings").flatMap { sm =>
+          val srcName = sm.get("data_source_name").asText()
+          rawSources.get((connName, srcName)).map { raw =>
+            val mappings = arr(sm, "field_mappings").map { fm =>
+              // `field` names the DataField; its `path` is the physical column
+              val fieldName = fm.get("field").asText()
+              FieldMapping(
+                fm.get("info").asText(),
+                raw.fields.getOrElse(fieldName, fieldName),
+                parseTransformation(fm))
+            }
+            DataSource(
+              id = s"$connName.$srcName",
+              sourceSql = raw.sourceSql,
+              mappings = mappings,
+              defaultPermission = raw.defaultPermission,
+              fileSource = raw.fileSource,
+              viewName = Some(srcName))
+          }
+        }
+      }
+      entityName -> sources
+    }.toMap
+
+    // 4. PeerRelay names (endpoints ignored single-process)
+    val peers = ofKind("PeerRelay").map(_.get("name").asText())
+
+    // 5. RemoteMapping
+    val remoteMappings: Map[String, Seq[RemoteEntityMapping]] =
+      ofKind("RemoteMapping").map { spec =>
+        val entityName = spec.get("entity_name").asText()
+        val rms = arr(spec, "mappings").map { m =>
+          val relayName = m.get("relay_name").asText()
+          val remoteEntity = m.get("remote_entity_name").asText()
+          val infoMappings = arr(m, "relay_mappings").map { rm =>
+            // reference direction (`rest_server/src/admin/utils.rs:208-212`):
+            // local_info names the LOCAL Information, info_mapped_name the
+            // remote field it maps from
+            RemoteInfoMapping(
+              rm.get("local_info").asText(),
+              rm.get("info_mapped_name").asText(),
+              parseTransformation(rm))
+          }
+          RemoteEntityMapping(
+            peer = peerNameToSite.getOrElse(relayName, relayName),
+            remoteEntity = remoteEntity,
+            sqlTemplate = textOpt(m, "sql").getOrElse(remoteEntity),
+            infoMappings = infoMappings)
+        }
+        entityName -> rms
+      }.toMap
+
+    // 6. Users: per-(conn, source) permissions keyed by cert basename
+    val userPerms: Seq[(String, String, String, SourcePermission)] =
+      ofKind("User").flatMap { spec =>
+        val userId = textOpt(spec, "x509_cert_file")
+          .map(p => Paths.get(p).getFileName.toString.stripSuffix(".pem"))
+          .getOrElse("anonymous")
+        arr(spec, "permissions").flatMap { p =>
+          val connName = p.get("data_con_name").asText()
+          arr(p, "source_permissions").map { sp =>
+            (userId, connName, sp.get("data_source_name").asText(),
+              parsePermission(sp))
+          }
+        }
+      }
+
+    val withUserPerms = localSources.map { case (entity, sources) =>
+      entity -> sources.map { ds =>
+        val perms = userPerms.collect {
+          case (user, conn, src, perm) if s"$conn.$src" == ds.id => user -> perm
+        }.toMap
+        ds.copy(userPermissions = perms)
+      }
+    }
+
+    val _ = peers // peer links are declared by RemoteMappings
+    Site(siteName, entities, withUserPerms, remoteMappings)
+  }
+
+  /** Assemble a Mesh from per-site config dirs. `sites` maps the mesh site
+    * name -> config dir; `relayNames` maps reference relay names (used in
+    * RemoteMapping/PeerRelay docs) -> mesh site names. */
+  def loadMesh(
+      sites: Map[String, Path],
+      relayNames: Map[String, String] = Map.empty): Mesh =
+    Mesh(sites.map { case (name, dir) => name -> loadSite(name, dir, relayNames) })
+}

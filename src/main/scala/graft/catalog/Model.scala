@@ -86,16 +86,27 @@ final case class FieldMapping(
     fieldPath: String,
     transform: Transformation = Transformation.identity)
 
+/** Physical file-backed dataset (the FileDirectory connection type,
+  * `core/src/execute/data_stores/file_directory.rs:57-141`): read with the
+  * Spark reader and registered as `viewName` for the source SQL. */
+final case class FileSource(
+    format: String, // parquet | csv | json
+    path: String,
+    options: Map[String, String] = Map.empty)
+
 /** One queryable dataset within a physical connection
   * (`core/src/model/data_stores/mod.rs:39-45`). `sourceSql` is a SQL snippet
-  * over the raw physical temp views, substituted as a derived table. */
+  * over `viewName` (registered from `fileSource` if present, otherwise a
+  * pre-registered physical temp view), substituted as a derived table. */
 final case class DataSource(
     id: String,
     sourceSql: String,
     mappings: Seq[FieldMapping],
     defaultPermission: SourcePermission,
     userPermissions: Map[String, SourcePermission] = Map.empty,
-    relayPermissions: Map[String, SourcePermission] = Map.empty)
+    relayPermissions: Map[String, SourcePermission] = Map.empty,
+    fileSource: Option[FileSource] = None,
+    viewName: Option[String] = None)
 
 /** Local Information -> remote field name + transformation
   * (`core/src/model/mappings.rs:106-111`). */
@@ -105,14 +116,25 @@ final case class RemoteInfoMapping(
     transform: Transformation = Transformation.identity)
 
 /** SQL template translating a remote site's entity into the local entity
-  * (`core/src/model/mappings.rs:53-62`). `{remote}` is substituted with the
-  * resolved remote entity relation; the reference's default template is the
-  * bare remote entity name (`rest_server/src/admin/utils.rs:191-197`). */
+  * (`core/src/model/mappings.rs:53-62`). The template references the remote
+  * entity by name (reference style, e.g.
+  * `select *, tax*extendedprice as tax_amount from lineitem`) or via the
+  * `{remote}` placeholder; either is substituted with the resolved remote
+  * relation. Default = bare remote entity name
+  * (`rest_server/src/admin/utils.rs:191-197`). */
 final case class RemoteEntityMapping(
     peer: String,
     remoteEntity: String,
     sqlTemplate: String = "SELECT * FROM {remote}",
-    infoMappings: Seq[RemoteInfoMapping])
+    infoMappings: Seq[RemoteInfoMapping]) {
+  /** Substitute the resolved remote relation name into the template. */
+  def renderSql(remoteRelation: String): String =
+    if (sqlTemplate.contains("{remote}"))
+      sqlTemplate.replace("{remote}", remoteRelation)
+    else
+      sqlTemplate.replaceAll(s"\\b${java.util.regex.Pattern.quote(remoteEntity)}\\b",
+        java.util.regex.Matcher.quoteReplacement(remoteRelation))
+}
 
 /** A Relay node: catalog of entities + local sources + peered remotes. */
 final case class Site(

@@ -114,6 +114,20 @@ object EntityResolver {
       user.flatMap(ds.userPermissions.get),
       None) // single-process: requests are user-direct (Requester::User)
 
+    // file-backed sources (FileDirectory runner, S1): read + register the
+    // physical relation the source SQL refers to
+    ds.fileSource.foreach { fs =>
+      val reader = spark.read.format(fs.format).options(fs.options)
+      val withDefaults =
+        if (fs.format == "csv")
+          reader.option("header",
+            fs.options.getOrElse("header", "true")).option("inferSchema",
+            fs.options.getOrElse("inferSchema", "true"))
+        else reader
+      withDefaults.load(fs.path)
+        .createOrReplaceTempView(ds.viewName.getOrElse(ds.id))
+    }
+
     val src = spark.sql(ds.sourceSql).where(expr(perm.allowedRows))
 
     val projected = entity.informations.map { info =>
@@ -146,7 +160,7 @@ object EntityResolver {
       withProvenance: Boolean): DataFrame = {
     val viewName = s"__graft_remote_${rm.peer}_${rm.remoteEntity}_${viewCounter.incrementAndGet()}"
     remoteDF.createOrReplaceTempView(viewName)
-    val templated = spark.sql(rm.sqlTemplate.replace("{remote}", viewName))
+    val templated = spark.sql(rm.renderSql(viewName))
 
     val available = templated.columns.toSet
     val projected = entity.informations.map { info =>
