@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over two float-vector columns.
+  *
+  * Spark's lambda higher-order functions (`aggregate`/`zip_with`) are
+  * interpreted per element — for 64-dim embeddings that is ~200 closure
+  * invocations per pair, which dominates similarity/near-dup plans. This
+  * expression compiles to a tight Java loop inside whole-stage codegen and
+  * computes the exact same value as
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, (acc,x) -> acc+x)`:
+  * per-index float->double widening, products summed in index order — so
+  * results stay bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(...))`.
+  */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** Column-API surface (Spark 4 classic Column<->Expression bridge). */
+  def vec_dot(a: Column, b: Column): Column =
+    column(VectorDot(expression(a), expression(b)))
+
+  def vec_cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+  }
+
+  /** Register `vec_dot` for SQL use on this session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+}

@@ -36,9 +36,9 @@ object PipelineQueries {
   // summation (bit-identical across Spark and DuckDB). Norms are
   // precomputed once per vector — higher-order functions are interpreted
   // (not codegen'd), so per-pair work must be a single lambda aggregate.
-  private def sparkDot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |          CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+  // vec_dot is the native codegen'd VectorDot expression — bit-identical to
+  // aggregate(zip_with(...)) but a compiled loop (graft.functions)
+  private def sparkDot(a: String, b: String): String = s"vec_dot($a, $b)"
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
   // normed-vector CTE: vec_id, embedding, nrm
@@ -410,6 +410,7 @@ object PipelineQueries {
     defs.map { q =>
       q.name -> ((s: SparkSession, dir: String) => {
         Fixtures.registerRaw(s, dir)
+        graft.functions.VectorFunctions.register(s)
         s.sql(q.sparkSql)
       })
     }.toMap

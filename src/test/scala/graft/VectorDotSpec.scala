@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Native VectorDot expression: codegen path must equal the interpreted
+  * lambda computation bit-for-bit, nulls propagate, Column API works. */
+class VectorDotSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+
+  test("vec_dot equals the lambda aggregate bit-for-bit on real embeddings") {
+    val e = spark.read.parquet(s"${TestSessions.sfDir}/embeddings.parquet")
+    VectorFunctions.register(spark)
+    e.createOrReplaceTempView("emb")
+    val diff = spark.sql(
+      """SELECT vec_id,
+        |  vec_dot(embedding, embedding) AS fast,
+        |  aggregate(zip_with(embedding, embedding,
+        |            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS slow
+        |FROM emb""".stripMargin)
+      .where(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("null vectors propagate null; Column API cosine is 1.0 on self") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS d")
+      .head()
+    assert(r.isNullAt(0))
+    val e = spark.read.parquet(s"${TestSessions.sfDir}/embeddings.parquet").limit(5)
+    val self = e.select(
+      VectorFunctions.vec_cosine(col("embedding"), col("embedding")).as("c"))
+      .collect()
+    self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("whole-stage codegen stays enabled around vec_dot") {
+    VectorFunctions.register(spark)
+    val e = spark.read.parquet(s"${TestSessions.sfDir}/embeddings.parquet")
+    e.createOrReplaceTempView("emb")
+    val df = spark.sql("SELECT sum(vec_dot(embedding, embedding)) FROM emb")
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages; the aggregate over
+    // vec_dot must be inside one (a CodegenFallback would break the star)
+    assert(plan.contains("*(1) HashAggregate"), plan)
+  }
+}
