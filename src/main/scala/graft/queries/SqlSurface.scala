@@ -203,6 +203,59 @@ object SqlSurface {
           |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // predicates: IS [NOT] DISTINCT FROM, ILIKE, IN-list, array construct +
+    // index access, GROUP BY ALL (validation.rs:109-130, :152-163, :348-363,
+    // :491-498)
+    Q("q24_predicates_arrays",
+      """SELECT mktsegment,
+        |       count(*) AS n,
+        |       count(*) FILTER (WHERE customername ILIKE '%eR#%1') AS n_ilike,
+        |       count(*) FILTER (WHERE nationkey IS DISTINCT FROM 3) AS n_not3,
+        |       count(*) FILTER (WHERE nationkey IS NOT DISTINCT FROM 3) AS n_is3,
+        |       count(*) FILTER (WHERE mktsegment IN ('BUILDING', 'MACHINERY')) AS n_inlist,
+        |       count(*) FILTER (WHERE element_at(array(mktsegment, 'X'), 1) = 'BUILDING') AS n_arr
+        |FROM customer_entity
+        |GROUP BY ALL ORDER BY mktsegment""".stripMargin,
+      oracleOverride = Some(
+        s"""$prelude
+           |SELECT mktsegment,
+           |       count(*) AS n,
+           |       count(*) FILTER (WHERE customername ILIKE '%eR#%1') AS n_ilike,
+           |       count(*) FILTER (WHERE nationkey IS DISTINCT FROM 3) AS n_not3,
+           |       count(*) FILTER (WHERE nationkey IS NOT DISTINCT FROM 3) AS n_is3,
+           |       count(*) FILTER (WHERE mktsegment IN ('BUILDING', 'MACHINERY')) AS n_inlist,
+           |       count(*) FILTER (WHERE (ARRAY[mktsegment, 'X'])[1] = 'BUILDING') AS n_arr
+           |FROM customer_entity
+           |GROUP BY ALL ORDER BY mktsegment""".stripMargin)),
+
+    // GROUPING SETS + CUBE (validation.rs:327-347)
+    Q("q25_grouping_sets_cube",
+      """SELECT 'gs' AS src, coalesce(returnflag, '-') AS rf, coalesce(linestatus, '-') AS ls,
+        |       count(*) AS n
+        |FROM lineitem_entity
+        |GROUP BY GROUPING SETS ((returnflag), (linestatus), ())
+        |UNION ALL
+        |SELECT 'cube' AS src, coalesce(returnflag, '-') AS rf, coalesce(linestatus, '-') AS ls,
+        |       count(*) AS n
+        |FROM lineitem_entity
+        |GROUP BY CUBE (returnflag, linestatus)
+        |ORDER BY src, rf, ls, n""".stripMargin),
+
+    // string-function battery: lpad/rpad/translate/repeat/reverse/replace/
+    // split_part/left/right (validation.rs scalar surface)
+    Q("q26_string_funcs",
+      """SELECT custkey,
+        |       lpad(customername, 25, '.') AS padded,
+        |       rpad(mktsegment, 12, '_') AS rpadded,
+        |       translate(mktsegment, 'AEIOU', 'aeiou') AS translated,
+        |       repeat(left(mktsegment, 2), 3) AS repeated,
+        |       reverse(customername) AS reversed,
+        |       replace(customername, 'Customer', 'C') AS replaced,
+        |       split_part(customername, '#', 2) AS num_part,
+        |       right(customername, 4) AS tail4
+        |FROM customer_entity
+        |WHERE custkey <= 200 ORDER BY custkey""".stripMargin),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations
