@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions.{vec_dot => dot}
+
+/** Composable similarity-search operators over embedding DataFrames, built
+  * on the native codegen'd VectorDot expression. Norms are computed once
+  * per vector; candidate generation (sign-LSH buckets, IVF cells) bounds
+  * pairwise work so the shapes survive 100 TB.
+  */
+object Similarity {
+
+  /** (id, vec, nrm): precomputed L2 norms. */
+  def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+
+  /** Exact top-k neighbours for each query id (brute force — the baseline
+    * ANN variants are judged against). Ranking on round(cos, 6) with id
+    * tiebreak keeps results independent of float summation order. */
+  def bruteForceTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val q = v.where(col("__id").isin(queryIds: _*))
+      .select(col("__id").as("qid"), col("__v").as("qv"), col("nrm").as("qn"))
+    val scored = q.join(v, col("__id") =!= col("qid"))
+      .select(col("qid"), col("__id").as("vec_id"),
+        round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of the seed
+    * centroids, probe the `nprobe` nearest cells per query. */
+  def ivfTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], centroidIds: Seq[Long],
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val cent = v.where(col("__id").isin(centroidIds: _*))
+      .select(col("__id").as("cid"), col("__v").as("cv"), col("nrm").as("cn"))
+    def nearest(points: DataFrame, pid: String, pv: String, pn: String, take: Int) = {
+      val scored = points.crossJoin(cent)
+        .select(col(pid), col("cid"),
+          round(dot(col(pv), col("cv")) / (col(pn) * col("cn")), 6).as("cc"))
+      val w = Window.partitionBy(col(pid)).orderBy(col("cc").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= take)
+        .select(col(pid), col("cid"))
+    }
+    val assign = nearest(v, "__id", "__v", "nrm", 1)
+    val q = v.where(col("__id").isin(queryIds: _*))
+      .select(col("__id").as("qid"), col("__v").as("qv"), col("nrm").as("qn"))
+    val probe = nearest(q, "qid", "qv", "qn", nprobe)
+    val scored = q.join(probe, "qid")
+      .join(assign.withColumnRenamed("__id", "vec_id"), "cid")
+      .join(v.withColumnRenamed("__id", "vec_id"), Seq("vec_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
+  /** Near-duplicate pairs: sign-LSH bucket on `nBits` deterministic rational
+    * hyperplanes, exact cosine >= tau within buckets. */
+  def cosineNearDupPairs(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 4, tau: Double = 0.4): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val buck = v.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, ${nBits - 1}), CAST(0 AS BIGINT), (acc, k) -> acc +
+         |  CASE WHEN aggregate(
+         |    zip_with(__v, transform(sequence(0, 63),
+         |                  d -> CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE) / 48.0),
+         |             (x, y) -> CAST(x AS DOUBLE) * y),
+         |    CAST(0 AS DOUBLE), (a, x) -> a + x) >= 0
+         |  THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+    val a = buck.as("a"); val b = buck.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),
+        (dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm"))).as("c"))
+      .where(col("c") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Composable text-analysis operators: language ID, quality scoring, token
+  * counting, fingerprinting. All built-in-function plans (codegen'd), no
+  * UDFs. */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"))
+
+  private def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  private def stopCount(textCol: Column, lang: String): Column =
+    size(filter(tokens(textCol),
+      t => t.isin(stopwords(lang).map(x => x: Any): _*))).cast("long")
+
+  /** Per-row language scores + deterministic argmax prediction. */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scored = docs
+      .withColumn("en_score", stopCount(t, "en"))
+      .withColumn("de_score", stopCount(t, "de"))
+      .withColumn("fr_score", stopCount(t, "fr"))
+      .withColumn("es_score", stopCount(t, "es"))
+    scored.withColumn("predicted",
+      when(col("en_score") >= greatest(col("de_score"), col("fr_score"), col("es_score")), "en")
+        .when(col("de_score") >= greatest(col("fr_score"), col("es_score")), "de")
+        .when(col("fr_score") >= col("es_score"), "fr")
+        .otherwise("es"))
+  }
+
+  /** Length/stopword/avg-token-length quality features. */
+  def quality(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = size(split(t, " ")).cast("double")
+    docs
+      .withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("avg_token_len", round(length(regexp_replace(t, " ", "")) / nTok, 4))
+      .withColumn("stopword_ratio", round(stopCount(t, "en").cast("double") / nTok, 4))
+      .withColumn("length_score", round(least(lit(1.0), nTok / 100.0), 4))
+  }
+
+  /** Whitespace + regex ("BPE-ish") token counts. */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val re = size(regexp_extract_all(t, lit("[a-z]+|[0-9]+"), lit(0))).cast("double")
+    docs
+      .withColumn("ws_tokens", size(split(t, " ")).cast("long"))
+      .withColumn("re_tokens", re.cast("long"))
+      .withColumn("chars_per_token", round(length(t) / re, 4))
+  }
+
+  /** Exact md5 fingerprint + min-shingle (winnowing-style) fingerprint. */
+  def fingerprints(docs: DataFrame, textCol: String, shingleLen: Int = 5): DataFrame =
+    docs
+      .withColumn("fp_exact", md5(lower(col(textCol))))
+      .withColumn("fp_min_shingle", expr(
+        s"""array_min(transform(sequence(0, greatest(size(split($textCol, ' ')) - $shingleLen, 0)),
+           |  i -> md5(concat_ws(' ', slice(split($textCol, ' '), i + 1, $shingleLen)))))""".stripMargin))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mesh.Fixtures
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** The composable library API must produce exactly the same results as the
+  * oracle-validated SQL queries (same algorithms, DataFrame-API surface). */
+class LibraryApiSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+  private def sfDir = TestSessions.sfDir
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.columns.toSeq == b.columns.toSeq)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("Dedup.minhashLshPairs == dd2 oracle query") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val lib = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    assertSame(lib, q("dd2_minhash_lsh"))
+  }
+
+  test("Dedup.exact == dd1 oracle query") {
+    Fixtures.registerRaw(spark, sfDir)
+    val lib = Dedup.exact(spark.table("documents"), "doc_id", "text")
+      .orderBy("sig")
+    assertSame(lib, q("dd1_exact_dedup"))
+  }
+
+  test("Dedup.simhash == dd4 oracle query") {
+    Fixtures.registerRaw(spark, sfDir)
+    val lib = Dedup.simhash(spark.table("documents"), "doc_id", "text")
+      .orderBy("doc_id")
+    assertSame(lib, q("dd4_simhash"))
+  }
+
+  test("Similarity.bruteForceTopK == ss1; ivfTopK == ss2; nearDup == dd5") {
+    Fixtures.registerRaw(spark, sfDir)
+    val e = spark.table("embeddings")
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L))
+      .withColumnRenamed("qid", "qid")
+    assertSame(brute.select(col("qid"), col("vec_id"), col("cos")), q("ss1_bruteforce_topk"))
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L, 4L), (0L until 16L).toSeq)
+    assertSame(ivf.select(col("qid"), col("vec_id"), col("cos")), q("ss2_ivf_topk"))
+    val nd = Similarity.cosineNearDupPairs(e, "vec_id", "embedding")
+    assertSame(nd, q("dd5_embedding_neardup"))
+  }
+
+  test("TextAnalysis matches tx1/tx2/tx3/tx4 oracle queries") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    assertSame(
+      TextAnalysis.langId(docs, "text")
+        .select("doc_id", "lang", "en_score", "de_score", "fr_score", "es_score", "predicted")
+        .orderBy("doc_id"),
+      q("tx1_langid"))
+    assertSame(
+      TextAnalysis.quality(docs, "text")
+        .select("doc_id", "n_chars", "n_tokens", "avg_token_len", "stopword_ratio", "length_score")
+        .orderBy("doc_id"),
+      q("tx2_quality"))
+    assertSame(
+      TextAnalysis.tokenCounts(docs, "text")
+        .select("doc_id", "ws_tokens", "re_tokens", "chars_per_token")
+        .orderBy("doc_id"),
+      q("tx3_token_count"))
+    assertSame(
+      TextAnalysis.fingerprints(docs, "text")
+        .select("doc_id", "fp_exact", "fp_min_shingle")
+        .orderBy("doc_id"),
+      q("tx4_fingerprint"))
+  }
+}
