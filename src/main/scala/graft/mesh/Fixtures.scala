@@ -44,6 +44,10 @@ object Fixtures {
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
         else df
       fixed.createOrReplaceTempView(t)
+      // `raw_`-prefixed alias: source SQL reads these so that a MeshSession
+      // registering an entity view under the bare table name (required for
+      // user SQL) can never shadow the physical relation on a later resolve
+      fixed.createOrReplaceTempView(s"raw_$t")
     }
   }
 
@@ -112,7 +116,7 @@ object Fixtures {
       sourceSql =
         s"""SELECT *, l_tax * l_extendedprice AS tax_amount_phys,
            |       l_extendedprice / l_quantity AS unitprice_phys
-           |FROM lineitem WHERE l_orderkey % 3 = $mod""".stripMargin,
+           |FROM raw_lineitem WHERE l_orderkey % 3 = $mod""".stripMargin,
       mappings = lineitemMappings(qt),
       defaultPermission = defaultAccess,
       userPermissions = Map("admin" -> allAccess))
@@ -148,7 +152,7 @@ object Fixtures {
 
     val customerSource = DataSource(
       id = "global_customer_parquet",
-      sourceSql = "SELECT * FROM customer",
+      sourceSql = "SELECT * FROM raw_customer",
       mappings = Seq(
         FieldMapping("custkey", "c_custkey"),
         FieldMapping("customername", "c_name"),
@@ -160,7 +164,7 @@ object Fixtures {
 
     val ordersSource = DataSource(
       id = "global_orders_parquet",
-      sourceSql = "SELECT * FROM orders",
+      sourceSql = "SELECT * FROM raw_orders",
       mappings = Seq(
         FieldMapping("orderkey", "o_orderkey"),
         FieldMapping("custkey", "o_custkey"),

@@ -29,7 +29,7 @@ class MeshSession(
     val entityDF =
       EntityResolver.resolve(spark, mesh, siteName, entity, user, withProvenance)
     entityDF.createOrReplaceTempView(entity)
-    spark.sql(sqlText)
+    spark.sql(SqlValidator.preprocess(sqlText))
   }
 }
 
@@ -93,7 +93,7 @@ class QueryService(session: MeshSession, resultDir: String) {
         .where(col(SourceRelayCol) === relay && col(SourceIdCol) === srcId)
         .drop(SourceRelayCol, SourceIdCol)
         .createOrReplaceTempView(entity)
-      spark.sql(sqlText)
+      spark.sql(SqlValidator.preprocess(sqlText))
         .withColumn(SourceRelayCol, lit(relay))
         .withColumn(SourceIdCol, lit(srcId))
     }

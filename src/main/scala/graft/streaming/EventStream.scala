@@ -56,4 +56,39 @@ object EventStream {
       .start()
     q
   }
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(nEvents: Long, sumValue: Double)
+
+  /** Custom-state streaming: running per-user event counts/sums maintained
+    * in `GroupState` across micro-batches via `mapGroupsWithState` — the
+    * KeyValueGroupedDataset stateful path the north star requires. State is
+    * partitioned by user key, so a 1000-executor cluster shards it
+    * naturally. */
+  def runningUserStats(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (uid, evs, state) =>
+        val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+        var n = prev.nEvents
+        var s = prev.sumValue
+        evs.foreach { e => n += 1; s += e.value }
+        state.update(UserState(n, s))
+        (uid, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Run the stateful per-user stats to completion via the memory sink. */
+  def runUserStatsToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    runningUserStats(spark, readEvents(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
 }

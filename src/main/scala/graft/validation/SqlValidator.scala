@@ -24,8 +24,34 @@ object SqlValidator {
   final case class InvalidQuery(msg: String)
       extends Exception(s"invalid query: $msg")
 
+  /** `SIMILAR TO` -> `RLIKE` translation (SURVEY §2.2): the reference's
+    * sqlparser accepts SIMILAR TO (`validation.rs:152-163`) but Spark's
+    * grammar has no such predicate. SQL:2016 SIMILAR TO patterns are
+    * regex-like already (| * + ? () [] {} pass through); `%` -> `.*`,
+    * `_` -> `.` (unescaped occurrences), anchored both ends. */
+  private[validation] def translateSimilarTo(sql: String): String = {
+    val p = java.util.regex.Pattern.compile(
+      "(?i)\\b(NOT\\s+)?SIMILAR\\s+TO\\s+'([^']*)'")
+    val m = p.matcher(sql)
+    val out = new StringBuffer
+    while (m.find()) {
+      val neg = Option(m.group(1)).map(_ => "NOT ").getOrElse("")
+      val pat = m.group(2)
+        .replaceAll("(?<!\\\\)%", ".*")
+        .replaceAll("(?<!\\\\)_", ".")
+      m.appendReplacement(out,
+        java.util.regex.Matcher.quoteReplacement(s"${neg}RLIKE '^(?:$pat)$$'"))
+    }
+    m.appendTail(out)
+    out.toString
+  }
+
+  /** Preprocess dialect bridges before parsing (currently SIMILAR TO). */
+  def preprocess(sql: String): String = translateSimilarTo(sql)
+
   /** Validate `sql`; returns the single referenced entity name.
-    * Mirrors `validate_sql` (`validation.rs:24-59`). */
+    * Mirrors `validate_sql` (`validation.rs:24-59`). Callers executing the
+    * SQL should run `preprocess(sql)` and execute the result. */
   def validate(sql: String, spark: SparkSession): String = {
     if (sql.length > MaxQueryLength)
       throw InvalidQuery(
@@ -38,7 +64,7 @@ object SqlValidator {
         s"Each query must contain exactly one statement. Found: ${statements.size}")
 
     val plan =
-      try spark.sessionState.sqlParser.parsePlan(statements.head)
+      try spark.sessionState.sqlParser.parsePlan(preprocess(statements.head))
       catch {
         case e: ParseException =>
           throw InvalidQuery(s"sqlparser syntax error: ${e.getMessage}")

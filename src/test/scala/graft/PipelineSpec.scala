@@ -72,6 +72,42 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful mapGroupsWithState accumulates per-user stats across micro-batches") {
+    // two files -> two micro-batches with maxFilesPerTrigger=1 semantics is
+    // not guaranteed; splitting still exercises state merge when batches split
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_state").toString
+    Fixtures.registerRaw(spark, sfDir)
+    val ev = spark.table("events")
+    // stage as two parquet files so the source can form multiple batches
+    ev.where(col("event_id") % 2 === 0).write.parquet(s"$dir/part_a")
+    ev.where(col("event_id") % 2 === 1).write.parquet(s"$dir/part_b")
+    val stagedDir = java.nio.file.Files.createTempDirectory("graft_events_staged").toString
+    Seq("part_a", "part_b").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p")).forEach { f =>
+        if (f.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f,
+            java.nio.file.Paths.get(s"$stagedDir/${p}_${f.getFileName}"))
+      }
+    }
+    // the staged files carry TimestampType (already converted), so stream
+    // them with the post-conversion schema and skip the nanos conversion
+    val streamed = spark.readStream
+      .schema(ev.schema)
+      .parquet(stagedDir)
+    val q = EventStream.runningUserStats(spark, streamed)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("user_stats_test").start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per user must equal the batch totals
+    val finalStats = spark.table("user_stats_test")
+      .groupBy("user_id").agg(max(col("n_events")).as("n"))
+    val batch = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finalStats.join(batch, Seq("user_id"))
+      .where(finalStats("n") =!= batch("n")).count() == 0)
+    assert(finalStats.count() == batch.count())
+  }
+
   test("streaming hourly agg agrees with the batch query") {
     // stream source needs a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString

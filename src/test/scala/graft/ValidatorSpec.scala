@@ -65,6 +65,28 @@ class ValidatorSpec extends AnyFunSuite {
       "invalid query: Distribute by clause is not allowed!")
   }
 
+  test("SIMILAR TO translates to anchored RLIKE and validates/executes") {
+    assert(SqlValidator.preprocess(
+      "select * from t where name SIMILAR TO 'Cust%r#_1'") ==
+      "select * from t where name RLIKE '^(?:Cust.*r#.1)$'")
+    assert(SqlValidator.preprocess(
+      "select * from t where name NOT SIMILAR TO '(a|b)%'") ==
+      "select * from t where name NOT RLIKE '^(?:(a|b).*)$'")
+    assert(SqlValidator.validate(
+      "select custkey from customer where customername similar to 'Customer#%1'",
+      spark) == "customer")
+    // end-to-end: SIMILAR TO == equivalent LIKE
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
+    val viaSimilar = session.sql(
+      "select custkey from customer where customername SIMILAR TO 'Customer#%1'")
+    val viaLike = session.sql(
+      "select custkey from customer where customername LIKE 'Customer#%1'")
+    assert(viaSimilar.exceptAll(viaLike).count() == 0)
+    assert(viaLike.exceptAll(viaSimilar).count() == 0)
+    assert(viaLike.count() > 0)
+  }
+
   test("syntax errors surface as sqlparser syntax error") {
     assert(errOf("selec * from t").startsWith("invalid query: sqlparser syntax error:"))
   }
