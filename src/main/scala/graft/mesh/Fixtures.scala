@@ -35,6 +35,9 @@ object Fixtures {
     * vectorized reader rejects; read it as nanos-long and truncate to
     * microsecond TimestampType (matching DuckDB's ns->us semantics). */
   def registerRaw(spark: SparkSession, sfDir: String): Unit = {
+    // memoize per (session, sfDir): every driver query calls this, and the
+    // 10 parquet-footer reads + view analyses otherwise repeat per query
+    if (spark.conf.getOption("graft.raw.registered").contains(sfDir)) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     RawTables.foreach { t =>
       val df = spark.read.parquet(s"$sfDir/$t.parquet")
@@ -49,6 +52,7 @@ object Fixtures {
       // user SQL) can never shadow the physical relation on a later resolve
       fixed.createOrReplaceTempView(s"raw_$t")
     }
+    spark.conf.set("graft.raw.registered", sfDir)
   }
 
   val lineitemEntity: Entity = Entity("lineitem", Seq(

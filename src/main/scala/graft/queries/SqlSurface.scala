@@ -256,6 +256,24 @@ object SqlSurface {
         |FROM customer_entity
         |WHERE custkey <= 200 ORDER BY custkey""".stripMargin),
 
+    // bag-semantics set ops + TRY_CAST (validation.rs:173-175, :537-540)
+    Q("q27_setops_all_trycast",
+      """SELECT 'except_all' AS op, k, count(*) AS n FROM (
+        |    SELECT nationkey AS k FROM customer_entity
+        |    EXCEPT ALL
+        |    SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation) ea GROUP BY k
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+        |    SELECT nationkey AS k FROM customer_entity
+        |    INTERSECT ALL
+        |    SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation) ia GROUP BY k
+        |UNION ALL
+        |SELECT 'try_cast' AS op,
+        |       TRY_CAST(split_part(customername, '#', 2) AS BIGINT) AS k,
+        |       count(*) + count(TRY_CAST(customername AS BIGINT)) AS n
+        |FROM customer_entity WHERE custkey <= 20 GROUP BY 2
+        |ORDER BY op, k, n""".stripMargin),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations
