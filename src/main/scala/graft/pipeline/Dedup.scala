@@ -17,9 +17,11 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("sig"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle). Documents
+    * are hash-repartitioned first — a small input file otherwise yields one
+    * partition and the explode+hash work runs on a single core. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("__id"),
+    docs.repartition(col(idCol)).select(col(idCol).as("__id"),
         split(col(textCol), " ").as("__w"))
       .select(col("__id"), explode(expr(
         s"transform(sequence(0, greatest(size(__w) - $n, 0)), i -> concat_ws(' ', slice(__w, i + 1, $n)))"))
@@ -72,12 +74,21 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash+LSH near-duplicate pairs end-to-end. */
+  /** MinHash+LSH near-duplicate pairs end-to-end.
+    *
+    * @param persistShingles cache the exploded shingle set — it is consumed
+    *   four times (signatures, both sides of the verification join, counts)
+    *   and Catalyst inlines CTEs, so without caching the explode runs 4x.
+    */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      persistShingles: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sh = shingles(docs, idCol, textCol)
+    val sh0 = shingles(docs, idCol, textCol)
+    val sh = if (persistShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val cand = lshCandidates(bandSignatures(minhashSignatures(sh, k), bands, k / bands))
     jaccardVerify(sh, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
@@ -86,7 +97,7 @@ object Dedup {
 
   /** 32-bit SimHash per document from md5 token hashes. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("__id"),
+    val tok = docs.repartition(col(idCol)).select(col(idCol).as("__id"),
       explode(split(col(textCol), " ")).as("token"))
     val th = tok.withColumn("h8", substring(md5(col("token")), 1, 8))
     val bits = th

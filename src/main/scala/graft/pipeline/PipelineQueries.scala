@@ -23,7 +23,7 @@ object PipelineQueries {
   // --- shared fragments -------------------------------------------------
   // trigram word shingles per doc (distinct), Spark + DuckDB dialects
   private val sparkShingles =
-    """tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+    """tok AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM tok
       |       LATERAL VIEW explode(transform(sequence(0, greatest(size(w) - 3, 0)),
       |                            i -> concat_ws(' ', slice(w, i + 1, 3)))) t AS shingle)""".stripMargin
@@ -154,7 +154,7 @@ object PipelineQueries {
     // contribution of a token is the b-th bit of the first 8 hex chars of
     // its md5; weighted by token multiplicity; per-doc = one groupBy.
     Q("dd4_simhash",
-      """WITH tok AS (SELECT doc_id, token FROM documents
+      """WITH tok AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, token FROM documents
         |             LATERAL VIEW explode(split(text, ' ')) t AS token),
         |th AS (SELECT doc_id, token, substring(md5(token), 1, 8) AS h8 FROM tok),
         |bits AS (SELECT doc_id, b,
@@ -406,9 +406,18 @@ object PipelineQueries {
         |  CAST(n_chars % 16 AS BIGINT) AS frame_count_stub
         |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Scala-side implementations that supersede the SQL text (same results —
+    * LibraryApiSpec proves byte-equality — but with caching Catalyst's
+    * CTE-inlining can't express: dd2's shingle set is consumed 4x). */
+  private val overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd2_minhash_lsh" -> ((s: SparkSession, dir: String) => {
+      Fixtures.registerRaw(s, dir)
+      Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
+    }))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { q =>
-      q.name -> ((s: SparkSession, dir: String) => {
+      q.name -> overrides.getOrElse(q.name, (s: SparkSession, dir: String) => {
         Fixtures.registerRaw(s, dir)
         graft.functions.VectorFunctions.register(s)
         s.sql(q.sparkSql)
@@ -416,4 +425,9 @@ object PipelineQueries {
     }.toMap
 
   def oracleSql: Map[String, String] = defs.map(q => q.name -> q.duckSql).toMap
+
+  /** Spark-dialect SQL text of a query (for specs comparing the SQL form
+    * against the library API even where `overrides` supersedes it). */
+  private[graft] def sparkSqlFor(name: String): String =
+    defs.find(_.name == name).get.sparkSql
 }

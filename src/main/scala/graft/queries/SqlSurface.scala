@@ -274,6 +274,16 @@ object SqlSurface {
         |FROM customer_entity WHERE custkey <= 20 GROUP BY 2
         |ORDER BY op, k, n""".stripMargin),
 
+    // RANGE window frame with value-based bounds (validation.rs:381-410:
+    // PRECEDING/FOLLOWING bounds incl. RANGE frames)
+    Q("q28_range_frame",
+      """SELECT custkey, acctbal,
+        |       round(sum(acctbal) OVER (ORDER BY acctbal
+        |             RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING), 2) AS nearby_sum,
+        |       count(*) OVER (ORDER BY acctbal
+        |             RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS nearby_n
+        |FROM customer_entity ORDER BY custkey""".stripMargin),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations

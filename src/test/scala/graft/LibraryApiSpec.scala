@@ -21,10 +21,15 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
-  test("Dedup.minhashLshPairs == dd2 oracle query") {
+  test("Dedup.minhashLshPairs == dd2 SQL form (which the query overrides)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
     val lib = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    // the dd2 driver query routes through the library; compare against the
+    // raw SQL form to keep this a real two-implementation check
+    val sqlForm = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("dd2_minhash_lsh"))
+    assertSame(lib, sqlForm)
     assertSame(lib, q("dd2_minhash_lsh"))
   }
 
