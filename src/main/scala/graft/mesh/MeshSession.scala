@@ -45,8 +45,13 @@ class QueryService(session: MeshSession, resultDir: String) {
   import QueryService._
 
   private val tasks = new java.util.concurrent.ConcurrentHashMap[String, TaskState]()
+  private val branchTasks =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), TaskState]]()
 
-  /** Submit a query; executes on a background thread. Returns the task id. */
+  /** Submit a query; executes on a background thread, one sub-task per leaf
+    * (relay, source) branch — mirroring the reference's per-DataSource
+    * `QueryTask` rows with individual statuses
+    * (`core/src/model/query.rs:79-167`). Returns the request id. */
   def submit(sqlText: String, user: Option[String] = None): String = {
     val id = java.util.UUID.randomUUID().toString
     tasks.put(id, TaskState(Queued, None))
@@ -54,9 +59,28 @@ class QueryService(session: MeshSession, resultDir: String) {
       override def run(): Unit = {
         tasks.put(id, TaskState(InProgress, None))
         try {
-          val df = executePerBranch(sqlText, user)
-          df.write.mode("overwrite").parquet(s"$resultDir/task_$id/result.parquet")
-          tasks.put(id, TaskState(Complete, None))
+          val branches = perBranchFrames(sqlText, user)
+          branchTasks.put(id,
+            branches.map { case (b, _) => b -> TaskState(Queued, None) }.toMap)
+          var anyFailed = false
+          branches.zipWithIndex.foreach { case ((branch, df), i) =>
+            branchTasks.compute(id, (_, m) => m + (branch -> TaskState(InProgress, None)))
+            try {
+              // per-task spill: task_<id>/result.parquet/branch=<n>, so
+              // completed branches are readable even if a later one fails
+              df.write.mode("overwrite")
+                .parquet(s"$resultDir/task_$id/result.parquet/branch=$i")
+              branchTasks.compute(id, (_, m) => m + (branch -> TaskState(Complete, None)))
+            } catch {
+              case e: Throwable =>
+                anyFailed = true
+                branchTasks.compute(id,
+                  (_, m) => m + (branch -> TaskState(Failed, Some(e.getMessage))))
+            }
+          }
+          tasks.put(id,
+            if (anyFailed) TaskState(Failed, Some("one or more branch tasks failed"))
+            else TaskState(Complete, None))
         } catch {
           case e: Throwable => tasks.put(id, TaskState(Failed, Some(e.getMessage)))
         }
@@ -68,6 +92,10 @@ class QueryService(session: MeshSession, resultDir: String) {
     id
   }
 
+  /** Per-branch task statuses, keyed by (relay, sourceId). */
+  def branchStatus(id: String): Map[(String, String), TaskState] =
+    Option(branchTasks.get(id)).getOrElse(Map.empty)
+
   /** Execute the full user query once per leaf (relay, source) branch and
     * union the per-branch results with provenance — the reference's async
     * semantics: every relay runs the query over its own slice and streams
@@ -77,8 +105,8 @@ class QueryService(session: MeshSession, resultDir: String) {
     * reference's 53-rows-from-limit-10 query1 oracle. Catalyst constant-
     * folds the provenance filter, pruning all other branches from each
     * per-branch plan. */
-  private def executePerBranch(
-      sqlText: String, user: Option[String]): DataFrame = {
+  private def perBranchFrames(
+      sqlText: String, user: Option[String]): Seq[((String, String), DataFrame)] = {
     import EntityResolver.{SourceIdCol, SourceRelayCol}
     val spark = session.spark
     val entity = SqlValidator.validate(sqlText, spark)
@@ -88,16 +116,15 @@ class QueryService(session: MeshSession, resultDir: String) {
     val full = EntityResolver.resolve(
       spark, session.mesh, session.siteName, entity, user, withProvenance = true)
     val branches = EntityResolver.leafBranches(session.mesh, session.siteName, entity)
-    val parts = branches.map { case (relay, srcId) =>
+    branches.map { case (relay, srcId) =>
       full
         .where(col(SourceRelayCol) === relay && col(SourceIdCol) === srcId)
         .drop(SourceRelayCol, SourceIdCol)
         .createOrReplaceTempView(entity)
-      spark.sql(SqlValidator.preprocess(sqlText))
+      (relay, srcId) -> spark.sql(SqlValidator.preprocess(sqlText))
         .withColumn(SourceRelayCol, lit(relay))
         .withColumn(SourceIdCol, lit(srcId))
     }
-    parts.reduce(_.unionByName(_))
   }
 
   def status(id: String): TaskState =
@@ -115,9 +142,21 @@ class QueryService(session: MeshSession, resultDir: String) {
     st
   }
 
-  /** Read a completed task's spilled result (S7). */
-  def results(id: String): DataFrame =
-    session.spark.read.parquet(s"$resultDir/task_$id/result.parquet")
+  /** Read a task's spilled result (S7). Reference semantics
+    * (`rest_server/src/query/route.rs:108-137`): unless `allowPartial`, a
+    * request with failed/in-progress tasks raises instead of returning a
+    * subset; with `allowPartial`, whatever branch results completed are
+    * streamed. */
+  def results(id: String, allowPartial: Boolean = false): DataFrame = {
+    val st = status(id)
+    if (!allowPartial && st.status != Complete)
+      throw new IllegalStateException(
+        s"query $id not complete: ${st.status}${st.error.map(e => s" ($e)").getOrElse("")}")
+    session.spark.read
+      .option("basePath", s"$resultDir/task_$id/result.parquet")
+      .parquet(s"$resultDir/task_$id/result.parquet")
+      .drop("branch")
+  }
 
   /** NDJSON export with nested `_relay_metadata_` provenance (S8). The
     * reference drops all-NULL columns in JSON output

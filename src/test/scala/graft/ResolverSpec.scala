@@ -83,4 +83,28 @@ class ResolverSpec extends AnyFunSuite {
     val bad = svc.submit("insert into x values (1)", Some("admin"))
     assert(svc.await(bad).status == QueryService.Failed)
   }
+
+  test("allow_partial: failed branch tasks don't hide completed ones") {
+    Fixtures.registerRaw(spark, sfDir)
+    val session = new MeshSession(spark, Fixtures.mesh, "global")
+    val dir = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    val svc = new QueryService(session, dir)
+    // ANSI division by zero only on the emea slice (orderkey % 3 = 1):
+    // that branch task fails at runtime, the other two complete
+    val id = svc.submit(
+      """select orderkey,
+        |       quantity / (case when orderkey % 3 = 1 then 0 else 1 end) as q
+        |from lineitem""".stripMargin, Some("admin"))
+    val st = svc.await(id)
+    assert(st.status == QueryService.Failed)
+    val perBranch = svc.branchStatus(id).map { case ((relay, _), s) => relay -> s.status }
+    assert(perBranch("emea") == QueryService.Failed)
+    assert(perBranch("na_us") == QueryService.Complete)
+    assert(perBranch("apac") == QueryService.Complete)
+    // strict read refuses; allow_partial returns the two completed slices
+    intercept[IllegalStateException] { svc.results(id) }
+    val partial = svc.results(id, allowPartial = true)
+    assert(partial.select(graft.mesh.EntityResolver.SourceRelayCol)
+      .distinct().collect().map(_.getString(0)).toSet == Set("na_us", "apac"))
+  }
 }
