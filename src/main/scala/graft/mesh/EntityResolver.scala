@@ -117,6 +117,9 @@ object EntityResolver {
     // file-backed sources (FileDirectory runner, S1): read + register the
     // physical relation the source SQL refers to
     ds.fileSource.foreach { fs =>
+      // TIMESTAMP(NANOS) parquet columns surface as nanos-longs (mapping
+      // transforms convert), matching the DSv2 connector's raw view
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val reader = spark.read.format(fs.format).options(fs.options)
       val withDefaults =
         if (fs.format == "csv")
