@@ -201,13 +201,20 @@ object Fixtures {
       "emea" -> emea, "apac" -> apac))
   }
 
-  /** Convenience: the fully-resolved lineitem view from `global` for `user`. */
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Option[String], Boolean), DataFrame]
+
+  /** Convenience: the fully-resolved lineitem view from `global` for `user`.
+    * Memoized per (session, sfDir, user, provenance) — resolution is pure
+    * plan construction. */
   def lineitemView(
       spark: SparkSession, sfDir: String,
       user: Option[String] = Some("admin"),
       withProvenance: Boolean = false): DataFrame = {
     registerRaw(spark, sfDir)
-    EntityResolver.resolve(spark, mesh, "global", "lineitem", user, withProvenance)
+    viewCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, user, withProvenance),
+      EntityResolver.resolve(spark, mesh, "global", "lineitem", user, withProvenance))
   }
 
   def entityView(

@@ -46,8 +46,11 @@ object Views {
       |       o_orderpriority AS orderpriority FROM orders""".stripMargin
 
   /** Register lineitem/customer/orders entity views (admin access) + raw
-    * physical tables as temp views on `spark`. */
+    * physical tables as temp views on `spark`. Memoized per (session,
+    * sfDir) — entity resolution is pure plan construction, so the cached
+    * views stay valid for the whole session. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    if (spark.conf.getOption("graft.views.registered").contains(sfDir)) return
     Fixtures.registerRaw(spark, sfDir)
     val mesh = Fixtures.mesh
     val admin = Some("admin")
@@ -57,5 +60,6 @@ object Views {
       .createOrReplaceTempView("customer_entity")
     EntityResolver.resolve(spark, mesh, "global", "orders", admin)
       .createOrReplaceTempView("orders_entity")
+    spark.conf.set("graft.views.registered", sfDir)
   }
 }
