@@ -413,18 +413,66 @@ object PipelineQueries {
     "dd2_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
+    }),
+
+    // as-of join (graft.operators.AsOfJoin): for each purchase event, the
+    // most recent click at-or-before it per user. Oracle = DuckDB's native
+    // ASOF LEFT JOIN; our implementation is the union-sort-carry pattern
+    // (one shuffle, no range explosion).
+    "ao1_asof_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val ev = s.table("events")
+      // dedupe right to one row per (user, ts) for deterministic payloads
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("pvalue"))
+      graft.operators.AsOfJoin.asofLast(
+          purch, clicks, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", payload = Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("pvalue"), col("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // approximate aggregates (HLL++ count-distinct, quantile sketch) — no
+    // DuckDB oracle (different sketch algorithms can't hash-match); the
+    // driver records a rows-only check and ApproxSpec bounds the error.
+    "ap1_approx_agg" -> ((s: SparkSession, dir: String) => {
+      Fixtures.registerRaw(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |       approx_count_distinct(l_partkey) AS approx_parts,
+          |       count(DISTINCT l_partkey) AS exact_parts,
+          |       CAST(approx_percentile(l_extendedprice, 0.5) AS DOUBLE) AS p50_price
+          |FROM raw_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { q =>
-      q.name -> overrides.getOrElse(q.name, (s: SparkSession, dir: String) => {
+      q.name -> ((s: SparkSession, dir: String) => {
         Fixtures.registerRaw(s, dir)
         graft.functions.VectorFunctions.register(s)
         s.sql(q.sparkSql)
       })
-    }.toMap
+    }.toMap ++ overrides // overrides supersede SQL forms and add Scala-only ops
 
-  def oracleSql: Map[String, String] = defs.map(q => q.name -> q.duckSql).toMap
+  def oracleSql: Map[String, String] =
+    defs.map(q => q.name -> q.duckSql).toMap ++ Map(
+      "ao1_asof_join" ->
+        """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |                       max(event_id) AS click_id
+          |                FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          |purch AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |                 round(value, 2) AS pvalue
+          |          FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id, p.pvalue, c.click_id
+          |FROM purch p ASOF LEFT JOIN clicks c
+          |  ON p.user_id = c.user_id AND c.ts <= p.ts
+          |ORDER BY p.event_id""".stripMargin)
 
   /** Spark-dialect SQL text of a query (for specs comparing the SQL form
     * against the library API even where `overrides` supersedes it). */

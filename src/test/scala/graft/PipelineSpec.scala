@@ -58,6 +58,33 @@ class PipelineSpec extends AnyFunSuite {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("approximate aggregates stay within sketch error bounds") {
+    val rows = run("ap1_approx_agg").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx_count_distinct off by >10%: $approx vs $exact")
+    }
+  }
+
+  test("as-of join carries the latest preceding click per user") {
+    val joined = run("ao1_asof_join")
+    Fixtures.registerRaw(spark, sfDir)
+    val ev = spark.table("events")
+    assert(joined.count() == ev.where(col("event_type") === "purchase").count())
+    // every matched click must exist, be a click, and precede the purchase
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id").as("cuid"))
+    val checked = joined.where(col("click_id").isNotNull)
+      .join(clicks, "click_id")
+      .join(ev.select(col("event_id"), col("ts").as("purchase_ts")), "event_id")
+    assert(checked.where(col("click_ts") > col("purchase_ts")).count() == 0)
+    assert(checked.where(col("cuid") =!= col("user_id")).count() == 0)
+  }
+
   test("multimodal: mapPartitions feature extraction preserves rows and shapes") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
