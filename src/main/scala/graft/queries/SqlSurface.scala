@@ -151,11 +151,20 @@ object SqlSurface {
       """SELECT orderkey, totalprice FROM orders_entity
         |ORDER BY totalprice DESC, orderkey LIMIT 20 OFFSET 10""".stripMargin),
 
-    // events: time-bucketed aggregation (date_trunc parity)
+    // events: time-bucketed aggregation (date_trunc parity). The bucket is
+    // exported as epoch seconds: Spark writes UTC-adjusted parquet
+    // timestamps while DuckDB produces naive ones — a BIGINT sidesteps the
+    // tz-annotation mismatch in value comparison.
     Q("q20_events_hourly",
-      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+      """SELECT CAST(unix_timestamp(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr_epoch,
+        |       event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      oracleOverride = Some(
+        """SELECT CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr_epoch,
+          |       event_type,
+          |       count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // events: gap-based sessionization via lag + running sum windows
     Q("q21_events_sessionize",

@@ -145,8 +145,9 @@ class PipelineSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("hourly_test")
-      .select(col("hr"), col("event_type"), col("n"))
-    val batch = run("q20_events_hourly").select(col("hr"), col("event_type"), col("n"))
+      .select(unix_timestamp(col("hr")).as("hr_epoch"), col("event_type"), col("n"))
+    val batch = run("q20_events_hourly")
+      .select(col("hr_epoch"), col("event_type"), col("n"))
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
   }

@@ -13,6 +13,10 @@ class ResolverSpec extends AnyFunSuite {
   lazy val spark = TestSessions.spark
   private def sfDir = TestSessions.sfDir
 
+  test("entry flagship query returns rows (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("resolved entity covers all slices exactly once (cycle guard)") {
     val df = Fixtures.lineitemView(spark, sfDir)
     val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
