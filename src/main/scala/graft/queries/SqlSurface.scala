@@ -293,6 +293,36 @@ object SqlSurface {
         |             RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS nearby_n
         |FROM customer_entity ORDER BY custkey""".stripMargin),
 
+    // Spark-native gap-based session windows, cross-validated against an
+    // independent manual sessionization in the oracle (new session iff the
+    // microsecond gap >= 30 min, matching session_window's [start, end)
+    // semantics)
+    Q("q29_session_window",
+      """SELECT user_id,
+        |       CAST(unix_timestamp(session_window.start) AS BIGINT) AS sess_start_epoch,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) e
+        |GROUP BY user_id, session_window(ts, '30 minutes')
+        |ORDER BY user_id, sess_start_epoch""".stripMargin,
+      oracleOverride = Some(
+        """WITH ordered AS (
+          |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+          |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          |  FROM events),
+          |flagged AS (
+          |  SELECT *, CASE WHEN prev_us IS NULL
+          |                   OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+          |  FROM ordered),
+          |sess AS (
+          |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM flagged)
+          |SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS sess_start_epoch,
+          |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |FROM sess GROUP BY user_id, sid
+          |ORDER BY user_id, sess_start_epoch""".stripMargin)),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations
