@@ -438,6 +438,25 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // mm2: the multimodal batch "decode" path end-to-end — mapPartitions
+    // feature extraction (stub codec = normalized byte histogram). The
+    // oracle recomputes the histogram bins character-wise (the corpus is
+    // ASCII, so bytes == chars).
+    "mm2_multimodal_features" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val feats = Multimodal.extractFeatures(
+        Multimodal.toMediaRecords(s, s.table("documents")))
+      feats.toDF()
+        .select(col("doc_id"),
+          col("nBytes").cast("long").as("n_bytes"),
+          round(element_at(col("histogram"), 3), 6).as("bin2"),
+          round(element_at(col("histogram"), 7), 6).as("bin6"),
+          round(element_at(col("histogram"), 8), 6).as("bin7"),
+          size(col("frameOffsets")).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // approximate aggregates (HLL++ count-distinct, quantile sketch) — no
     // DuckDB oracle (different sketch algorithms can't hash-match); the
     // driver records a rows-only check and ApproxSpec bounds the error.
@@ -472,7 +491,23 @@ object PipelineQueries {
           |SELECT p.event_id, p.user_id, p.pvalue, c.click_id
           |FROM purch p ASOF LEFT JOIN clicks c
           |  ON p.user_id = c.user_id AND c.ts <= p.ts
-          |ORDER BY p.event_id""".stripMargin)
+          |ORDER BY p.event_id""".stripMargin,
+
+      "mm2_multimodal_features" ->
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  round(len(list_filter(range(1, length(text) + 1),
+          |        i -> ord(substr(text, i, 1)) // 16 = 2))
+          |        / CAST(length(text) AS DOUBLE), 6) AS bin2,
+          |  round(len(list_filter(range(1, length(text) + 1),
+          |        i -> ord(substr(text, i, 1)) // 16 = 6))
+          |        / CAST(length(text) AS DOUBLE), 6) AS bin6,
+          |  round(len(list_filter(range(1, length(text) + 1),
+          |        i -> ord(substr(text, i, 1)) // 16 = 7))
+          |        / CAST(length(text) AS DOUBLE), 6) AS bin7,
+          |  CAST(CASE WHEN n_chars % 16 = 0 OR length(text) = 0 THEN 0
+          |            ELSE n_chars % 16 END AS BIGINT) AS n_frames
+          |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** Spark-dialect SQL text of a query (for specs comparing the SQL form
     * against the library API even where `overrides` supersedes it). */
