@@ -89,8 +89,18 @@ object Dedup {
     val sh = if (persistShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
+    // candidates are tiny but expensive to derive — persist so the id
+    // broadcast below doesn't recompute the whole LSH chain
     val cand = lshCandidates(bandSignatures(minhashSignatures(sh, k), bands, k / bands))
-    jaccardVerify(sh, cand, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verification touches only the candidate docs' shingles: semi-filter
+    // the shingle set by the (tiny, broadcast) candidate id list before the
+    // pair-join — at scale this is the difference between shuffling the
+    // whole corpus's shingles three times and shuffling ~|candidates| docs
+    val candIds = cand.select(col("da").as("__id"))
+      .union(cand.select(col("db").as("__id"))).distinct()
+    val shCand = sh.join(broadcast(candIds), Seq("__id"), "left_semi")
+    jaccardVerify(shCand, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
   }
