@@ -105,6 +105,36 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SimHash near-dup pairs within `maxHamming` via pigeonhole banding:
+    * split the 32-bit simhash into `bands` equal bands; any pair with
+    * hamming <= bands-1 must share at least one band, so a band-equality
+    * hash-join is an EXHAUSTIVE candidate generator for small distances —
+    * no O(n^2) pass at scale. Verification is one xor+popcount per
+    * candidate. */
+  def simhashPairs(
+      sim: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "pigeonhole exhaustiveness needs maxHamming < bands")
+    val width = 32 / bands
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"shiftright(simhash, ${b * width}) & ${(1 << width) - 1}").as("bv"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    val a = banded.as("a"); val b = banded.as("b")
+    // filter on hamming BEFORE deduplicating: a pair can appear once per
+    // shared band, but deduping the full candidate stream shuffles the
+    // pre-filter join output — popcount first, then distinct the survivors
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 32-bit SimHash per document from md5 token hashes. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.repartition(col(idCol)).select(col(idCol).as("__id"),

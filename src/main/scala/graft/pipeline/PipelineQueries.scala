@@ -438,6 +438,16 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // dd6: simhash near-dup pairs via pigeonhole banding (4 byte-bands
+    // exhaustively catch hamming <= 3; 256-value bands keep join buckets
+    // small). The oracle brute-
+    // forces the same result — two independent algorithms, one answer.
+    "dd6_simhash_pairs" -> ((s: SparkSession, dir: String) => {
+      Fixtures.registerRaw(s, dir)
+      Dedup.simhashPairs(
+        Dedup.simhash(s.table("documents"), "doc_id", "text"))
+    }),
+
     // mm2: the multimodal batch "decode" path end-to-end — mapPartitions
     // feature extraction (stub codec = normalized byte histogram). The
     // oracle recomputes the histogram bins character-wise (the corpus is
@@ -492,6 +502,25 @@ object PipelineQueries {
           |FROM purch p ASOF LEFT JOIN clicks c
           |  ON p.user_id = c.user_id AND c.ts <= p.ts
           |ORDER BY p.event_id""".stripMargin,
+
+      "dd6_simhash_pairs" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |th AS (SELECT doc_id, token, substring(md5(token), 1, 8) AS h8 FROM tok),
+          |bits AS (SELECT doc_id, b,
+          |         sum(CASE WHEN ((CAST(position(substring(h8, (b // 4) + 1, 1)
+          |                        IN '0123456789abcdef') AS INT) - 1)
+          |                        >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |         FROM th, unnest(range(0, 32)) AS tb(b)
+          |         GROUP BY doc_id, b),
+          |sim AS (SELECT doc_id,
+          |        sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+          |                 ELSE CAST(0 AS BIGINT) END) AS simhash
+          |        FROM bits GROUP BY doc_id)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "mm2_multimodal_features" ->
         """SELECT doc_id,
