@@ -19,12 +19,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: register views + run one small end-to-end query (JIT, codegen
-    // cache, parquet footers); not counted.
-    try SparkEntry.entry(spark).count()
-    catch { case _: Throwable => }
-
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // steady-state methodology: one untimed warmup pass over every query
+    // (JIT, codegen cache, parquet footers, broadcast reuse), then the
+    // timed pass.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

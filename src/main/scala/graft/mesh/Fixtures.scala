@@ -79,6 +79,16 @@ object Fixtures {
     Information("acctbal", DoubleType),
     Information("mktsegment", StringType)))
 
+  /** Documents as a mesh entity: the default policy hides the synthetic
+    * 'zh' slice and denies the source column — so pipeline operators
+    * running over the entity view are automatically ACL-scoped. */
+  val documentsEntity: Entity = Entity("documents", Seq(
+    Information("doc_id", LongType),
+    Information("text", StringType),
+    Information("lang", StringType),
+    Information("source", StringType),
+    Information("n_chars", LongType)))
+
   val ordersEntity: Entity = Entity("orders", Seq(
     Information("orderkey", LongType),
     Information("custkey", LongType),
@@ -180,14 +190,30 @@ object Fixtures {
         Set("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority"), "true"))
 
+    val documentsSource = DataSource(
+      id = "global_documents_parquet",
+      sourceSql = "SELECT * FROM raw_documents",
+      mappings = Seq(
+        FieldMapping("doc_id", "doc_id"),
+        FieldMapping("text", "text"),
+        FieldMapping("lang", "lang"),
+        FieldMapping("source", "source"),
+        FieldMapping("n_chars", "n_chars")),
+      defaultPermission = SourcePermission(
+        Set("doc_id", "text", "lang", "n_chars"), "lang <> 'zh'"),
+      userPermissions = Map("admin" -> SourcePermission(
+        Set("doc_id", "text", "lang", "source", "n_chars"), "true")))
+
     val global = Site("global",
       entities = Map(
         "lineitem" -> lineitemEntity,
         "customer" -> customerEntity,
-        "orders" -> ordersEntity),
+        "orders" -> ordersEntity,
+        "documents" -> documentsEntity),
       localSources = Map(
         "customer" -> Seq(customerSource),
-        "orders" -> Seq(ordersSource)),
+        "orders" -> Seq(ordersSource),
+        "documents" -> Seq(documentsSource)),
       remoteMappings = Map("lineitem" -> Seq(
         RemoteEntityMapping(peer = "na", remoteEntity = "lineitem",
           infoMappings = identityInfoMappings),

@@ -438,6 +438,20 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // dm1: pipeline x mesh composition — exact dedup running over the
+    // ACL-scoped documents ENTITY view (default policy hides the 'zh'
+    // slice and denies `source`), not the raw table: governance applies
+    // to data-pipeline operators for free.
+    "dm1_dedup_on_entity" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val entityView = graft.mesh.EntityResolver.resolve(
+        s, Fixtures.mesh, "global", "documents", user = None)
+      Dedup.exact(entityView, "doc_id", "text")
+        .withColumn("keeper", col("keeper").cast("long"))
+        .orderBy(col("sig"))
+    }),
+
     // dd6: simhash near-dup pairs via pigeonhole banding (4 byte-bands
     // exhaustively catch hamming <= 3; 256-value bands keep join buckets
     // small). The oracle brute-
@@ -502,6 +516,11 @@ object PipelineQueries {
           |FROM purch p ASOF LEFT JOIN clicks c
           |  ON p.user_id = c.user_id AND c.ts <= p.ts
           |ORDER BY p.event_id""".stripMargin,
+
+      "dm1_dedup_on_entity" ->
+        """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
+          |FROM documents WHERE lang <> 'zh'
+          |GROUP BY md5(text) ORDER BY sig""".stripMargin,
 
       "dd6_simhash_pairs" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -90,4 +90,11 @@ class ValidatorSpec extends AnyFunSuite {
   test("syntax errors surface as sqlparser syntax error") {
     assert(errOf("selec * from t").startsWith("invalid query: sqlparser syntax error:"))
   }
+
+  test("lateral views and table-valued functions rejected") {
+    assert(errOf("select * from t lateral view explode(xs) e as x") ==
+      "invalid query: Lateral views are not allowed!")
+    assert(errOf("select * from range(10)") ==
+      "invalid query: Table valued functions are not allowed!")
+  }
 }
