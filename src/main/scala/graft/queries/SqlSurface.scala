@@ -323,6 +323,19 @@ object SqlSurface {
           |FROM sess GROUP BY user_id, sid
           |ORDER BY user_id, sess_start_epoch""".stripMargin)),
 
+    // named WINDOW clauses (validation.rs:381-410) + IS [NOT] TRUE/FALSE
+    // boolean predicates (validation.rs:109-116)
+    Q("q30_named_windows",
+      """SELECT custkey, acctbal,
+        |  CAST(rank() OVER w AS BIGINT) AS seg_rank,
+        |  round(avg(acctbal) OVER w2, 2) AS seg_avg,
+        |  (acctbal > 5000) IS TRUE AS rich,
+        |  (acctbal > 5000) IS NOT FALSE AS rich_or_unknown
+        |FROM customer_entity
+        |WINDOW w AS (PARTITION BY mktsegment ORDER BY acctbal DESC, custkey),
+        |       w2 AS (PARTITION BY mktsegment)
+        |ORDER BY custkey""".stripMargin),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations
