@@ -325,12 +325,16 @@ object SqlSurface {
 
     // named WINDOW clauses (validation.rs:381-410) + IS [NOT] TRUE/FALSE
     // boolean predicates (validation.rs:109-116)
+    // seg_cents sums exact integer cents (an unordered double avg over the
+    // partition frame would be summation-order-sensitive at the rounding
+    // boundary); the IS TRUE/IS NOT FALSE operand is NULL on BUILDING rows
+    // via nullif, so the two predicates genuinely diverge (3-valued logic)
     Q("q30_named_windows",
       """SELECT custkey, acctbal,
         |  CAST(rank() OVER w AS BIGINT) AS seg_rank,
-        |  round(avg(acctbal) OVER w2, 2) AS seg_avg,
-        |  (acctbal > 5000) IS TRUE AS rich,
-        |  (acctbal > 5000) IS NOT FALSE AS rich_or_unknown
+        |  CAST(sum(CAST(round(acctbal * 100) AS BIGINT)) OVER w2 AS BIGINT) AS seg_cents,
+        |  (nullif(mktsegment, 'BUILDING') = mktsegment) IS TRUE AS not_building,
+        |  (nullif(mktsegment, 'BUILDING') = mktsegment) IS NOT FALSE AS not_building_or_unknown
         |FROM customer_entity
         |WINDOW w AS (PARTITION BY mktsegment ORDER BY acctbal DESC, custkey),
         |       w2 AS (PARTITION BY mktsegment)
