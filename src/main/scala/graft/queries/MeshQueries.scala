@@ -31,8 +31,8 @@ object MeshQueries {
     "q3_tpch_q1_mesh" -> ((s, dir) => meshSql(Some("admin"),
       """SELECT returnflag, linestatus,
         |       round(sum(quantity), 2) AS sum_qty,
-        |       round(sum(extendedprice), 2) AS sum_base_price,
-        |       round(sum(extendedprice * (1 - discount_percent / 100)), 2) AS sum_disc_price,
+        |       round(sum(CAST(round(extendedprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_base_price,
+        |       round(sum(CAST(round(extendedprice * (1 - discount_percent / 100) * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_disc_price,
         |       round(avg(quantity), 4) AS avg_qty,
         |       count(*) AS count_order
         |FROM lineitem_entity
@@ -54,7 +54,7 @@ object MeshQueries {
         .createOrReplaceTempView("lineitem_entity_prov")
       s.sql(
         """SELECT _source_relay_, _source_id_, count(*) AS n,
-          |       round(sum(tax_amount), 2) AS sum_tax
+          |       round(sum(CAST(round(tax_amount * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_tax
           |FROM lineitem_entity_prov
           |GROUP BY _source_relay_, _source_id_
           |ORDER BY _source_relay_, _source_id_""".stripMargin)
@@ -101,8 +101,8 @@ object MeshQueries {
     "q3_tpch_q1_mesh" ->
       s"""SELECT returnflag, linestatus,
          |       round(sum(quantity), 2) AS sum_qty,
-         |       round(sum(extendedprice), 2) AS sum_base_price,
-         |       round(sum(extendedprice * (1 - discount_percent / 100)), 2) AS sum_disc_price,
+         |       round(sum(CAST(round(extendedprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_base_price,
+         |       round(sum(CAST(round(extendedprice * (1 - discount_percent / 100) * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_disc_price,
          |       round(avg(quantity), 4) AS avg_qty,
          |       count(*) AS count_order
          |FROM (${Views.lineitemOracle})
@@ -123,7 +123,7 @@ object MeshQueries {
       """SELECT CASE l_orderkey % 3 WHEN 0 THEN 'na_us' WHEN 1 THEN 'emea' ELSE 'apac' END AS _source_relay_,
         |       CASE l_orderkey % 3 WHEN 0 THEN 'na_us_lineitem_parquet'
         |            WHEN 1 THEN 'emea_lineitem_parquet' ELSE 'apac_lineitem_parquet' END AS _source_id_,
-        |       count(*) AS n, round(sum(l_tax * l_extendedprice), 2) AS sum_tax
+        |       count(*) AS n, round(sum(CAST(round(l_tax * l_extendedprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_tax
         |FROM lineitem
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
