@@ -166,7 +166,10 @@ object ConfigLoader {
           RemoteEntityMapping(
             peer = peerNameToSite.getOrElse(relayName, relayName),
             remoteEntity = remoteEntity,
-            sqlTemplate = textOpt(m, "sql").getOrElse(remoteEntity),
+            // reference default = bare remote entity name
+            // (`rest_server/src/admin/utils.rs:191-197`), i.e. an identity
+            // scan — expressed as executable SQL over the placeholder
+            sqlTemplate = textOpt(m, "sql").getOrElse("SELECT * FROM {remote}"),
             infoMappings = infoMappings)
         }
         entityName -> rms

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.ConfigLoader
+import graft.mesh.{EntityResolver, Fixtures}
+
+/** Config-fidelity closure: the full 5-site fixture mesh expressed as
+  * relayctl-format YAML must load into a Mesh whose resolution is
+  * row-identical to the code-built Fixtures mesh — including remote hops,
+  * transformation composition, ACL defaults and the admin user override. */
+class YamlMeshSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+
+  private def entityYaml: String =
+    """api_version: v1alpha1
+      |kind: Entity
+      |spec:
+      |  name: lineitem
+      |  information:
+      |    - {name: orderkey, arrow_dtype: Int64}
+      |    - {name: partkey, arrow_dtype: Int64}
+      |    - {name: suppkey, arrow_dtype: Int64}
+      |    - {name: linenumber, arrow_dtype: Int64}
+      |    - {name: quantity, arrow_dtype: Float64}
+      |    - {name: extendedprice, arrow_dtype: Float64}
+      |    - {name: discount_percent, arrow_dtype: Float64}
+      |    - {name: tax_percent, arrow_dtype: Float64}
+      |    - {name: tax_amount, arrow_dtype: Float64}
+      |    - {name: unitprice, arrow_dtype: Float64}
+      |    - {name: returnflag, arrow_dtype: Utf8}
+      |    - {name: linestatus, arrow_dtype: Utf8}
+      |    - {name: shipdate, arrow_dtype: Date32}
+      |    - {name: commitdate, arrow_dtype: Date32}
+      |    - {name: receiptdate, arrow_dtype: Date32}
+      |""".stripMargin
+
+  private def leafYaml(conn: String, mod: Int, quantityTransform: String): String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate", "tax_amount_phys", "unitprice_phys")
+    val allowedDefault = (cols.toSet - "l_suppkey").toSeq.sorted.map(c => s"          - $c").mkString("\n")
+    val allowedAll = cols.sorted.map(c => s"            - $c").mkString("\n")
+    s"""$entityYaml---
+       |api_version: v1alpha1
+       |kind: LocalData
+       |spec:
+       |  name: $conn
+       |  connection_options:
+       |    FileDirectory:
+       |      object_store_type: LocalFileSystem
+       |      url: local://
+       |  data_sources:
+       |    - name: slice
+       |      source_sql: |
+       |        SELECT *, l_tax * l_extendedprice AS tax_amount_phys,
+       |               l_extendedprice / l_quantity AS unitprice_phys
+       |        FROM raw_lineitem WHERE l_orderkey % 3 = $mod
+       |      fields:
+       |${cols.map(c => s"        - {name: $c, path: $c}").mkString("\n")}
+       |      default_permission:
+       |        allowed_columns:
+       |$allowedDefault
+       |        allowed_rows: l_returnflag = 'N'
+       |---
+       |api_version: v1alpha1
+       |kind: LocalMapping
+       |spec:
+       |  entity_name: lineitem
+       |  mappings:
+       |    - data_con_name: $conn
+       |      source_mappings:
+       |        - data_source_name: slice
+       |          field_mappings:
+       |            - {field: l_orderkey, info: orderkey}
+       |            - {field: l_partkey, info: partkey}
+       |            - {field: l_suppkey, info: suppkey}
+       |            - {field: l_linenumber, info: linenumber}
+       |            - field: l_quantity
+       |              info: quantity
+       |              transformation:
+       |                other_to_local_info: "$quantityTransform"
+       |                replace_from: "{v}"
+       |            - {field: l_extendedprice, info: extendedprice}
+       |            - field: l_discount
+       |              info: discount_percent
+       |              transformation: {other_to_local_info: "{v} * 100", replace_from: "{v}"}
+       |            - field: l_tax
+       |              info: tax_percent
+       |              transformation: {other_to_local_info: "{v} * 100", replace_from: "{v}"}
+       |            - {field: tax_amount_phys, info: tax_amount}
+       |            - {field: unitprice_phys, info: unitprice}
+       |            - {field: l_returnflag, info: returnflag}
+       |            - {field: l_linestatus, info: linestatus}
+       |            - field: l_shipdate
+       |              info: shipdate
+       |              transformation: {other_to_local_info: "CAST({v} AS DATE)", replace_from: "{v}"}
+       |---
+       |api_version: v1alpha1
+       |kind: User
+       |spec:
+       |  x509_cert_file: certs/admin.pem
+       |  permissions:
+       |    - data_con_name: $conn
+       |      source_permissions:
+       |        - data_source_name: slice
+       |          allowed_columns:
+       |$allowedAll
+       |          allowed_rows: "true"
+       |""".stripMargin
+  }
+
+  private def identityRelayMappings: String =
+    Seq("orderkey", "partkey", "suppkey", "linenumber", "extendedprice",
+      "discount_percent", "tax_percent", "tax_amount", "unitprice",
+      "returnflag", "linestatus", "shipdate", "commitdate", "receiptdate")
+      .map(i => s"        - {local_info: $i, info_mapped_name: $i}").mkString("\n")
+
+  private def hubYaml(peers: Seq[(String, String)]): String =
+    s"""$entityYaml---
+       |api_version: v1alpha1
+       |kind: RemoteMapping
+       |spec:
+       |  entity_name: lineitem
+       |  mappings:
+       |${peers.map { case (relay, qt) =>
+          s"""    - relay_name: $relay
+             |      remote_entity_name: lineitem
+             |      relay_mappings:
+             |$identityRelayMappings
+             |        - local_info: quantity
+             |          info_mapped_name: quantity
+             |          transformation: {other_to_local_info: "$qt", replace_from: "{v}"}""".stripMargin
+        }.mkString("\n")}
+       |""".stripMargin
+
+  test("YAML-loaded 5-site mesh resolves identically to the code-built mesh") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val root = Files.createTempDirectory("graft_yaml_mesh")
+    def site(name: String, yaml: String): (String, Path) = {
+      val d = Files.createDirectory(root.resolve(name))
+      Files.writeString(d.resolve("config.yaml"), yaml)
+      name -> d
+    }
+    val mesh = ConfigLoader.loadMesh(Map(
+      site("na_us", leafYaml("na_us_conn", 0, "{v} * 2")),
+      site("emea", leafYaml("emea_conn", 1, "{v}")),
+      site("apac", leafYaml("apac_conn", 2, "{v}")),
+      site("na", hubYaml(Seq("na_us" -> "{v} / 2"))),
+      site("global", hubYaml(Seq("na" -> "{v}", "emea" -> "{v}", "apac" -> "{v}")))))
+
+    for (user <- Seq(Some("admin"), None)) {
+      val fromYaml = EntityResolver.resolve(spark, mesh, "global", "lineitem", user)
+      val fromCode = Fixtures.lineitemView(spark, TestSessions.sfDir, user)
+      assert(fromYaml.columns.toSeq == fromCode.columns.toSeq)
+      assert(fromYaml.exceptAll(fromCode).count() == 0, s"yaml extra rows ($user)")
+      assert(fromCode.exceptAll(fromYaml).count() == 0, s"yaml missing rows ($user)")
+    }
+  }
+}
