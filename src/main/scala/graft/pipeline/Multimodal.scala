@@ -59,6 +59,15 @@ object Multimodal {
     if (nFrames <= 0 || len == 0) Array.empty
     else (0 until nFrames).map(i => (i.toLong * len / nFrames).toInt).toArray
 
+  /** STUB resize — deterministic nearest-neighbour downsample of the raw
+    * payload to `targetLen` bytes (a real implementation would decode and
+    * rescale pixels; the sampling geometry is identical). */
+  def resizeStub(payload: Array[Byte], targetLen: Int): Array[Byte] =
+    if (payload.isEmpty || targetLen <= 0) Array.empty
+    else if (payload.length <= targetLen) payload
+    else (0 until targetLen)
+      .map(i => payload((i.toLong * payload.length / targetLen).toInt)).toArray
+
   /** Batch feature extraction — partition-preserving mapPartitions, the
     * shape a 100 TB media pipeline needs: no shuffle, codec state
     * initialized once per partition, rows streamed through. */

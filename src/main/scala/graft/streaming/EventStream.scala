@@ -91,4 +91,12 @@ object EventStream {
       .format("memory")
       .queryName(name)
       .start()
+
+  /** Streaming deduplication: drop replayed events by id with state bounded
+    * by the event-time watermark (`dropDuplicatesWithinWatermark`) — the
+    * streaming twin of dd1 for at-least-once ingestion pipelines. */
+  def dedupped(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 }

@@ -148,6 +148,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(finalStats.count() == batch.count())
   }
 
+  test("multimodal resize stub: deterministic downsample geometry") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val small = graft.pipeline.Multimodal.resizeStub(payload, 10)
+    assert(small.length == 10)
+    assert(small.toSeq == Seq(0, 10, 20, 30, 40, 50, 60, 70, 80, 90).map(_.toByte))
+    assert(graft.pipeline.Multimodal.resizeStub(payload, 200).toSeq == payload.toSeq)
+    assert(graft.pipeline.Multimodal.resizeStub(Array.empty, 10).isEmpty)
+  }
+
+  test("streaming dedup drops replayed events across micro-batches") {
+    Fixtures.registerRaw(spark, sfDir)
+    val ev = spark.table("events").limit(200)
+    // stage the same 200 events twice (two files -> replay across batches)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    ev.coalesce(1).write.parquet(s"$dir/a")
+    ev.coalesce(1).write.parquet(s"$dir/b")
+    val staged = java.nio.file.Files.createTempDirectory("graft_dedup_staged").toString
+    Seq("a", "b").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p")).forEach { f =>
+        if (f.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f,
+            java.nio.file.Paths.get(s"$staged/${p}_${f.getFileName}"))
+      }
+    }
+    val stream = spark.readStream.schema(ev.schema).parquet(staged)
+    val q = EventStream.dedupped(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_stream_test")
+    assert(out.count() == 200) // 400 staged rows -> 200 unique event_ids
+    assert(out.select("event_id").distinct().count() == 200)
+  }
+
   test("streaming hourly agg agrees with the batch query") {
     // stream source needs a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
