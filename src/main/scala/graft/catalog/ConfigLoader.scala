@@ -115,7 +115,10 @@ object ConfigLoader {
       }
     }.toMap
 
-    // 3. LocalMapping: entity -> DataSources with field mappings
+    // 3. LocalMapping: entity -> DataSources with field mappings. Multiple
+    // docs for the same entity (e.g. one per connection, across files)
+    // MERGE cumulatively like the reference's apply loop — a last-wins
+    // toMap would silently drop whole sources.
     val localSources: Map[String, Seq[DataSource]] = ofKind("LocalMapping").map { spec =>
       val entityName = spec.get("entity_name").asText()
       val sources = arr(spec, "mappings").flatMap { m =>
@@ -142,7 +145,7 @@ object ConfigLoader {
         }
       }
       entityName -> sources
-    }.toMap
+    }.groupMapReduce(_._1)(_._2)(_ ++ _)
 
     // 4. PeerRelay names (endpoints ignored single-process)
     val peers = ofKind("PeerRelay").map(_.get("name").asText())
@@ -173,7 +176,7 @@ object ConfigLoader {
             infoMappings = infoMappings)
         }
         entityName -> rms
-      }.toMap
+      }.groupMapReduce(_._1)(_._2)(_ ++ _) // merge docs per entity, don't last-win
 
     // 6. Users: per-(conn, source) permissions keyed by cert basename
     val userPerms: Seq[(String, String, String, SourcePermission)] =

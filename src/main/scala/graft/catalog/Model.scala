@@ -166,10 +166,12 @@ object ArrowLikeType {
     case "date32" | "date64"         => DateType
     case "binary" | "largebinary"    => BinaryType
     case t if t.startsWith("timestamp") => TimestampType
-    case t if t.startsWith("decimal")   =>
-      val Array(p, sc) = t.stripPrefix("decimal128").stripPrefix("decimal")
-        .stripPrefix("(").stripSuffix(")").split(",").map(_.trim.toInt)
-      DecimalType(p, sc)
+    case t if t.startsWith("decimal") =>
+      "^decimal(?:128|256)?\\((\\d+)\\s*,\\s*(\\d+)\\)$".r.findFirstMatchIn(t) match {
+        case Some(m) => DecimalType(m.group(1).toInt, m.group(2).toInt)
+        case None =>
+          throw new IllegalArgumentException(s"unsupported arrow dtype: $t")
+      }
     case t if t.startsWith("list<") =>
       ArrayType(toSpark(t.stripPrefix("list<").stripSuffix(">")))
     case other => throw new IllegalArgumentException(s"unsupported arrow dtype: $other")

@@ -161,9 +161,13 @@ object EntityResolver {
       rm: RemoteEntityMapping,
       remoteDF: DataFrame,
       withProvenance: Boolean): DataFrame = {
-    val viewName = s"__graft_remote_${rm.peer}_${rm.remoteEntity}_${viewCounter.incrementAndGet()}"
+    val viewName = (s"__graft_remote_${rm.peer}_${rm.remoteEntity}_" +
+      viewCounter.incrementAndGet()).replaceAll("[^A-Za-z0-9_]", "_")
     remoteDF.createOrReplaceTempView(viewName)
+    // spark.sql analyzes eagerly, so the captured plan no longer needs the
+    // view — drop it to keep a long-running session's catalog bounded
     val templated = spark.sql(rm.renderSql(viewName))
+    spark.catalog.dropTempView(viewName)
 
     val available = templated.columns.toSet
     val projected = entity.informations.map { info =>

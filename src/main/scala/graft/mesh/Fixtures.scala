@@ -227,8 +227,10 @@ object Fixtures {
       "emea" -> emea, "apac" -> apac))
   }
 
+  // keyed by the session object itself (an identityHashCode can collide
+  // across sessions and would hand back a DataFrame bound to the wrong one)
   private val viewCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Option[String], Boolean), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Option[String], Boolean), DataFrame]
 
   /** Convenience: the fully-resolved lineitem view from `global` for `user`.
     * Memoized per (session, sfDir, user, provenance) — resolution is pure
@@ -239,7 +241,7 @@ object Fixtures {
       withProvenance: Boolean = false): DataFrame = {
     registerRaw(spark, sfDir)
     viewCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, user, withProvenance),
+      (spark, sfDir, user, withProvenance),
       EntityResolver.resolve(spark, mesh, "global", "lineitem", user, withProvenance))
   }
 

@@ -28,8 +28,12 @@ class MeshSession(
       throw SqlValidator.InvalidQuery(s"Entity $entity not found on relay $siteName")
     val entityDF =
       EntityResolver.resolve(spark, mesh, siteName, entity, user, withProvenance)
-    entityDF.createOrReplaceTempView(entity)
-    spark.sql(SqlValidator.preprocess(sqlText))
+    // register + analyze atomically w.r.t. concurrent async submits that
+    // use the same shared-name view
+    QueryService.planLock.synchronized {
+      entityDF.createOrReplaceTempView(entity)
+      spark.sql(SqlValidator.preprocess(sqlText))
+    }
   }
 }
 
@@ -66,10 +70,11 @@ class QueryService(session: MeshSession, resultDir: String) {
           branches.zipWithIndex.foreach { case ((branch, df), i) =>
             branchTasks.compute(id, (_, m) => m + (branch -> TaskState(InProgress, None)))
             try {
-              // per-task spill: task_<id>/result.parquet/branch=<n>, so
+              // per-task spill under a collision-proof partition name, so
               // completed branches are readable even if a later one fails
               df.write.mode("overwrite")
-                .parquet(s"$resultDir/task_$id/result.parquet/branch=$i")
+                .parquet(s"$resultDir/task_$id/result.parquet/" +
+                  s"${QueryService.BranchPartitionCol}=$i")
               branchTasks.compute(id, (_, m) => m + (branch -> TaskState(Complete, None)))
             } catch {
               case e: Throwable =>
@@ -115,15 +120,29 @@ class QueryService(session: MeshSession, resultDir: String) {
         s"Entity $entity not found on relay ${session.siteName}")
     val full = EntityResolver.resolve(
       spark, session.mesh, session.siteName, entity, user, withProvenance = true)
-    val branches = EntityResolver.leafBranches(session.mesh, session.siteName, entity)
-    branches.map { case (relay, srcId) =>
-      full
-        .where(col(SourceRelayCol) === relay && col(SourceIdCol) === srcId)
-        .drop(SourceRelayCol, SourceIdCol)
-        .createOrReplaceTempView(entity)
-      (relay, srcId) -> spark.sql(SqlValidator.preprocess(sqlText))
-        .withColumn(SourceRelayCol, lit(relay))
-        .withColumn(SourceIdCol, lit(srcId))
+    // enumerate branches from the DATA, not the static catalog: a remote
+    // sql template without SELECT * degrades provenance to NULL, and a
+    // static-branch equality filter would silently drop those rows. The
+    // distinct is tiny (one row per contributing source).
+    val branches = full.select(col(SourceRelayCol), col(SourceIdCol)).distinct()
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))))
+      .sortBy { case (a, b) => (a.getOrElse(""), b.getOrElse("")) }
+    // plan construction registers a shared-name temp view; serialize it
+    // across concurrently-submitted queries (execution stays concurrent)
+    QueryService.planLock.synchronized {
+      branches.toSeq.map { case (relay, srcId) =>
+        full
+          .where(col(SourceRelayCol) <=> relay.map(lit(_)).getOrElse(lit(null)) &&
+            col(SourceIdCol) <=> srcId.map(lit(_)).getOrElse(lit(null)))
+          .drop(SourceRelayCol, SourceIdCol)
+          .createOrReplaceTempView(entity)
+        val relayName = relay.getOrElse("(unattributed)")
+        val srcName = srcId.getOrElse("(unattributed)")
+        (relayName, srcName) -> spark.sql(SqlValidator.preprocess(sqlText))
+          .withColumn(SourceRelayCol, lit(relayName))
+          .withColumn(SourceIdCol, lit(srcName))
+      }
     }
   }
 
@@ -152,10 +171,15 @@ class QueryService(session: MeshSession, resultDir: String) {
     if (!allowPartial && st.status != Complete)
       throw new IllegalStateException(
         s"query $id not complete: ${st.status}${st.error.map(e => s" ($e)").getOrElse("")}")
+    val path = s"$resultDir/task_$id/result.parquet"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      throw new IllegalStateException(
+        s"no branch results available for query $id" +
+          st.error.map(e => s" ($e)").getOrElse(""))
     session.spark.read
-      .option("basePath", s"$resultDir/task_$id/result.parquet")
-      .parquet(s"$resultDir/task_$id/result.parquet")
-      .drop("branch")
+      .option("basePath", path)
+      .parquet(path)
+      .drop(QueryService.BranchPartitionCol)
   }
 
   /** NDJSON export with nested `_relay_metadata_` provenance (S8). The
@@ -177,6 +201,13 @@ class QueryService(session: MeshSession, resultDir: String) {
 }
 
 object QueryService {
+  /** Serializes shared-name temp-view registration during plan building
+    * across concurrent submits (and MeshSession.sql callers). */
+  private[mesh] val planLock = new Object
+  /** Partition directory name for per-branch spill — prefixed so a user
+    * query column named "branch" can't collide. */
+  val BranchPartitionCol = "_graft_branch_"
+
   sealed trait Status
   case object Queued extends Status
   case object InProgress extends Status

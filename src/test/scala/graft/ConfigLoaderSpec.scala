@@ -48,6 +48,43 @@ class ConfigLoaderSpec extends AnyFunSuite {
       .exists(_.userPermissions.nonEmpty))
   }
 
+  test("multiple LocalMapping docs for one entity merge cumulatively") {
+    val dir = Files.createTempDirectory("graft_cfg_merge")
+    def localData(conn: String) =
+      s"""api_version: v1alpha1
+         |kind: LocalData
+         |spec:
+         |  name: $conn
+         |  data_sources:
+         |    - name: src
+         |      source_sql: select * from raw_nation
+         |      fields:
+         |        - {name: k, path: n_nationkey}
+         |      default_permission:
+         |        allowed_columns: [n_nationkey]
+         |        allowed_rows: "true"
+         |""".stripMargin
+    def mapping(conn: String) =
+      s"""api_version: v1alpha1
+         |kind: LocalMapping
+         |spec:
+         |  entity_name: nations
+         |  mappings:
+         |    - data_con_name: $conn
+         |      source_mappings:
+         |        - data_source_name: src
+         |          field_mappings:
+         |            - {field: k, info: key}
+         |""".stripMargin
+    Files.writeString(dir.resolve("a.yaml"),
+      "api_version: v1alpha1\nkind: Entity\nspec:\n  name: nations\n  information:\n" +
+        "    - {name: key, arrow_dtype: Int64}\n---\n" + localData("conn_a") + "---\n" + mapping("conn_a"))
+    Files.writeString(dir.resolve("b.yaml"), localData("conn_b") + "---\n" + mapping("conn_b"))
+    val site = ConfigLoader.loadSite("merge", dir)
+    // a last-wins toMap would keep only conn_b's source
+    assert(site.localSources("nations").map(_.id).toSet == Set("conn_a.src", "conn_b.src"))
+  }
+
   test("generated YAML site executes end-to-end over a CSV source") {
     val dir = Files.createTempDirectory("graft_cfg")
     // physical CSV derived from the parquet fixture
