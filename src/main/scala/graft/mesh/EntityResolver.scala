@@ -131,6 +131,20 @@ object EntityResolver {
         .createOrReplaceTempView(ds.viewName.getOrElse(ds.id))
     }
 
+    // view-backed sources whose SQL references a relation named like the
+    // entity would silently read a previously-registered entity view after
+    // a MeshSession query (ACL/transforms applied twice, possibly under
+    // another user) — refuse loudly and point at the raw_-prefix convention
+    if (ds.fileSource.isEmpty) {
+      val rels = graft.validation.SqlValidator.relationNamesOf(ds.sourceSql, spark)
+      if (rels.contains(entity.name))
+        throw new IllegalStateException(
+          s"source ${ds.id} reads relation '${entity.name}', which collides with " +
+            s"the entity name and would be shadowed by a registered entity view; " +
+            "register the physical relation under a distinct name (e.g. " +
+            s"'raw_${entity.name}') and reference that in source_sql")
+    }
+
     val src = spark.sql(ds.sourceSql).where(expr(perm.allowedRows))
 
     val projected = entity.informations.map { info =>
