@@ -69,6 +69,56 @@ object EntityResolver {
     local ++ remote
   }
 
+  /** Catalog-driven enumeration of the provenance branch keys a resolved
+    * entity will carry — `leafBranches` refined by which remote hops actually
+    * keep the provenance columns flowing. No data is scanned: a hop whose
+    * `sqlTemplate` drops `_source_relay_`/`_source_id_` (no `SELECT *`) is
+    * detected by analyzing the rendered template against a schema-only probe
+    * view, exactly mirroring `remoteMappedDF`'s runtime column check; its
+    * whole subtree degrades to one unattributed `(None, None)` branch.
+    * Mirrors the reference, which lists endpoints from the catalog rather
+    * than the data (`flight_server/src/flight.rs:194-309`). */
+  def provenanceBranches(
+      spark: SparkSession,
+      mesh: Mesh,
+      siteName: String,
+      entityName: String): Seq[(Option[String], Option[String])] = {
+    def walk(site: String, entity: String,
+        visited: Set[String]): Seq[(Option[String], Option[String])] = {
+      val s = mesh.site(site)
+      val local = s.localSources.getOrElse(entity, Nil)
+        .map(ds => (Option(site), Option(ds.id)))
+      val remote = s.remoteMappings.getOrElse(entity, Nil)
+        .filterNot(rm => visited.contains(rm.peer))
+        .flatMap { rm =>
+          val sub = walk(rm.peer, rm.remoteEntity, visited + rm.peer)
+          if (sub.isEmpty) Nil
+          else if (templatePreservesProvenance(spark, mesh, rm)) sub
+          else Seq((None, None))
+        }
+      local ++ remote
+    }
+    walk(siteName, entityName, Set(siteName)).distinct
+  }
+
+  /** Plan-only check: does `rm.sqlTemplate` keep the provenance columns?
+    * Analyzes the rendered template over an empty probe view carrying the
+    * remote entity schema + provenance columns — Catalyst analysis only,
+    * no job runs. */
+  private def templatePreservesProvenance(
+      spark: SparkSession, mesh: Mesh, rm: RemoteEntityMapping): Boolean = {
+    val remoteSchema = mesh.site(rm.peer).entities(rm.remoteEntity).schema
+    val probeSchema = StructType(remoteSchema.fields ++ Seq(
+      StructField(SourceRelayCol, StringType), StructField(SourceIdCol, StringType)))
+    val probeName = s"__graft_probe_${viewCounter.incrementAndGet()}"
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], probeSchema)
+      .createOrReplaceTempView(probeName)
+    try {
+      val cols = spark.sql(rm.renderSql(probeName)).columns.toSet
+      cols.contains(SourceRelayCol) && cols.contains(SourceIdCol)
+    } finally spark.catalog.dropTempView(probeName)
+  }
+
   private def resolveRec(
       spark: SparkSession,
       mesh: Mesh,

@@ -120,13 +120,15 @@ class QueryService(session: MeshSession, resultDir: String) {
         s"Entity $entity not found on relay ${session.siteName}")
     val full = EntityResolver.resolve(
       spark, session.mesh, session.siteName, entity, user, withProvenance = true)
-    // enumerate branches from the DATA, not the static catalog: a remote
-    // sql template without SELECT * degrades provenance to NULL, and a
-    // static-branch equality filter would silently drop those rows. The
-    // distinct is tiny (one row per contributing source).
-    val branches = full.select(col(SourceRelayCol), col(SourceIdCol)).distinct()
-      .collect()
-      .map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    // enumerate branches from the CATALOG (get_flight_info semantics,
+    // `flight_server/src/flight.rs:194-309`) — no data scan runs before the
+    // first branch task. Remote sql templates without SELECT * degrade
+    // provenance to NULL; provenanceBranches detects that statically (plan
+    // analysis over a schema-only probe) and surfaces those subtrees as one
+    // (unattributed) branch, so the null-safe filters below still keep
+    // every row.
+    val branches = EntityResolver
+      .provenanceBranches(spark, session.mesh, session.siteName, entity)
       .sortBy { case (a, b) => (a.getOrElse(""), b.getOrElse("")) }
     // plan construction registers a shared-name temp view; serialize it
     // across concurrently-submitted queries (execution stays concurrent)

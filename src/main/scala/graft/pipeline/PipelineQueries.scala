@@ -177,8 +177,8 @@ object PipelineQueries {
         |         FROM th, unnest(range(0, 32)) AS tb(b)
         |         GROUP BY doc_id, b)
         |SELECT doc_id,
-        |       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-        |                ELSE CAST(0 AS BIGINT) END) AS simhash
+        |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------

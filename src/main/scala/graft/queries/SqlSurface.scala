@@ -193,8 +193,8 @@ object SqlSurface {
           |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_sess
           |  FROM ordered),
           |sess AS (
-          |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |  FROM flagged)
           |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
           |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),

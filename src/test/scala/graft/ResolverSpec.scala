@@ -88,6 +88,53 @@ class ResolverSpec extends AnyFunSuite {
     assert(svc.await(bad).status == QueryService.Failed)
   }
 
+  test("catalog branch enumeration matches the data's provenance (no scan)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val static = EntityResolver
+      .provenanceBranches(spark, Fixtures.mesh, "global", "lineitem").toSet
+    val fromData = Fixtures.lineitemView(spark, sfDir, Some("admin"), withProvenance = true)
+      .select(col(EntityResolver.SourceRelayCol), col(EntityResolver.SourceIdCol))
+      .distinct().collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(static == fromData)
+    assert(static.map(_._1) == Set(Some("na_us"), Some("emea"), Some("apac")))
+  }
+
+  test("provenance-dropping remote template surfaces as one (unattributed) branch") {
+    Fixtures.registerRaw(spark, sfDir)
+    // same 5-site mesh, but global's hop to apac projects explicit columns
+    // (no SELECT *), which drops provenance for that subtree at runtime
+    val base = Fixtures.mesh
+    val global = base.site("global")
+    val patched = base.copy(sites = base.sites + ("global" -> global.copy(
+      remoteMappings = Map("lineitem" -> global.remoteMappings("lineitem").map {
+        case rm if rm.peer == "apac" =>
+          rm.copy(sqlTemplate =
+            "SELECT orderkey, quantity, tax_amount, returnflag FROM {remote}")
+        case rm => rm
+      }))))
+
+    val static = EntityResolver
+      .provenanceBranches(spark, patched, "global", "lineitem").toSet
+    assert(static.contains((None, None)))
+    assert(static.map(_._1).intersect(Set(Option("apac"))).isEmpty)
+    assert(static.size == 3) // na_us, emea, (unattributed)
+
+    // async path: the unattributed branch still carries apac's rows
+    val session = new MeshSession(spark, patched, "global")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullprov").toString
+    val svc = new QueryService(session, dir)
+    val id = svc.submit("select orderkey, tax_amount from lineitem", Some("admin"))
+    assert(svc.await(id).status == QueryService.Complete)
+    assert(svc.branchStatus(id).keySet.map(_._1) ==
+      Set("na_us", "emea", "(unattributed)"))
+    val got = svc.results(id)
+    val expected = Fixtures.lineitemView(spark, sfDir, Some("admin")).count()
+    assert(got.count() == expected) // no rows silently dropped
+    assert(got.where(col(EntityResolver.SourceRelayCol) === "(unattributed)")
+      .count() > 0)
+  }
+
   test("allow_partial: failed branch tasks don't hide completed ones") {
     Fixtures.registerRaw(spark, sfDir)
     val session = new MeshSession(spark, Fixtures.mesh, "global")
