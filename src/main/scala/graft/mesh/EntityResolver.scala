@@ -52,61 +52,58 @@ object EntityResolver {
       withProvenance: Boolean = false): DataFrame =
     resolveRec(spark, mesh, siteName, entityName, user, withProvenance, Set(siteName))
 
-  /** Enumerate the leaf (relay, sourceId) branches contributing to an
-    * entity as seen from `siteName` — the endpoints a `get_flight_info`
-    * response would list (`flight_server/src/flight.rs:194-309`). */
-  def leafBranches(
-      mesh: Mesh,
-      siteName: String,
-      entityName: String,
-      visited: Set[String] = Set.empty): Seq[(String, String)] = {
-    val site = mesh.site(siteName)
-    val local = site.localSources.getOrElse(entityName, Nil).map(ds => (siteName, ds.id))
-    val remote = site.remoteMappings.getOrElse(entityName, Nil)
-      .filterNot(rm => (visited + siteName).contains(rm.peer))
-      .flatMap(rm =>
-        leafBranches(mesh, rm.peer, rm.remoteEntity, visited + siteName + rm.peer))
-    local ++ remote
-  }
-
   /** Catalog-driven enumeration of the provenance branch keys a resolved
-    * entity will carry — `leafBranches` refined by which remote hops actually
-    * keep the provenance columns flowing. No data is scanned: a hop whose
-    * `sqlTemplate` drops `_source_relay_`/`_source_id_` (no `SELECT *`) is
-    * detected by analyzing the rendered template against a schema-only probe
-    * view, exactly mirroring `remoteMappedDF`'s runtime column check; its
-    * whole subtree degrades to one unattributed `(None, None)` branch.
-    * Mirrors the reference, which lists endpoints from the catalog rather
-    * than the data (`flight_server/src/flight.rs:194-309`). */
+    * entity will carry for `user` — the leaf (relay, sourceId) endpoints a
+    * `get_flight_info` response would list
+    * (`flight_server/src/flight.rs:194-309`), refined by which remote hops
+    * actually keep each provenance column flowing. No data is scanned: a hop
+    * whose `sqlTemplate` drops `_source_relay_` and/or `_source_id_` (no
+    * `SELECT *`) is detected by analyzing the rendered template against a
+    * schema-only probe view, exactly mirroring `remoteMappedDF`'s per-column
+    * runtime check; each dropped column degrades to `None` independently, so
+    * a template keeping only the relay yields `(Some(relay), None)` branches
+    * and one dropping both collapses its subtree to `(None, None)`. Sources
+    * whose ACL row filter for `user` folds to constant FALSE contribute no
+    * rows and are omitted, matching the data's observable provenance. */
   def provenanceBranches(
       spark: SparkSession,
       mesh: Mesh,
       siteName: String,
-      entityName: String): Seq[(Option[String], Option[String])] = {
+      entityName: String,
+      user: Option[String] = None): Seq[(Option[String], Option[String])] = {
     def walk(site: String, entity: String,
         visited: Set[String]): Seq[(Option[String], Option[String])] = {
       val s = mesh.site(site)
       val local = s.localSources.getOrElse(entity, Nil)
+        .filterNot { ds =>
+          val perm = SourcePermission.evaluate(
+            ds.defaultPermission, user.flatMap(ds.userPermissions.get), None)
+          constantFalseFilter(spark, perm.allowedRows)
+        }
         .map(ds => (Option(site), Option(ds.id)))
       val remote = s.remoteMappings.getOrElse(entity, Nil)
         .filterNot(rm => visited.contains(rm.peer))
         .flatMap { rm =>
           val sub = walk(rm.peer, rm.remoteEntity, visited + rm.peer)
           if (sub.isEmpty) Nil
-          else if (templatePreservesProvenance(spark, mesh, rm)) sub
-          else Seq((None, None))
+          else {
+            val (keepsRelay, keepsId) = templateProvenance(spark, mesh, rm)
+            sub.map { case (relay, id) =>
+              (if (keepsRelay) relay else None, if (keepsId) id else None)
+            }.distinct
+          }
         }
       local ++ remote
     }
     walk(siteName, entityName, Set(siteName)).distinct
   }
 
-  /** Plan-only check: does `rm.sqlTemplate` keep the provenance columns?
+  /** Plan-only check: which provenance columns does `rm.sqlTemplate` keep?
     * Analyzes the rendered template over an empty probe view carrying the
     * remote entity schema + provenance columns — Catalyst analysis only,
-    * no job runs. */
-  private def templatePreservesProvenance(
-      spark: SparkSession, mesh: Mesh, rm: RemoteEntityMapping): Boolean = {
+    * no job runs. Returns (keeps `_source_relay_`, keeps `_source_id_`). */
+  private def templateProvenance(
+      spark: SparkSession, mesh: Mesh, rm: RemoteEntityMapping): (Boolean, Boolean) = {
     val remoteSchema = mesh.site(rm.peer).entities(rm.remoteEntity).schema
     val probeSchema = StructType(remoteSchema.fields ++ Seq(
       StructField(SourceRelayCol, StringType), StructField(SourceIdCol, StringType)))
@@ -115,9 +112,25 @@ object EntityResolver {
       .createOrReplaceTempView(probeName)
     try {
       val cols = spark.sql(rm.renderSql(probeName)).columns.toSet
-      cols.contains(SourceRelayCol) && cols.contains(SourceIdCol)
+      (cols.contains(SourceRelayCol), cols.contains(SourceIdCol))
     } finally spark.catalog.dropTempView(probeName)
   }
+
+  /** Plan-only check: does `rowFilter` fold to constant FALSE (the
+    * reference's deny-all `1 = 0` policy shape)? Evaluated by optimizing a
+    * filter over a one-row, zero-column local relation — a filter that
+    * references source columns fails analysis on the probe and
+    * conservatively counts as non-constant. */
+  private def constantFalseFilter(spark: SparkSession, rowFilter: String): Boolean =
+    try {
+      val probe = spark.createDataFrame(
+        java.util.Collections.singletonList(Row()), StructType(Nil))
+      probe.where(expr(rowFilter)).queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.isEmpty
+        case _ => false
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   private def resolveRec(
       spark: SparkSession,

@@ -123,12 +123,13 @@ class QueryService(session: MeshSession, resultDir: String) {
     // enumerate branches from the CATALOG (get_flight_info semantics,
     // `flight_server/src/flight.rs:194-309`) — no data scan runs before the
     // first branch task. Remote sql templates without SELECT * degrade
-    // provenance to NULL; provenanceBranches detects that statically (plan
-    // analysis over a schema-only probe) and surfaces those subtrees as one
-    // (unattributed) branch, so the null-safe filters below still keep
-    // every row.
+    // provenance columns to NULL independently; provenanceBranches detects
+    // that statically (plan analysis over a schema-only probe) and degrades
+    // each dropped column to (unattributed) per branch, so the null-safe
+    // filters below still keep every row. Sources deny-all'd for this user
+    // are omitted.
     val branches = EntityResolver
-      .provenanceBranches(spark, session.mesh, session.siteName, entity)
+      .provenanceBranches(spark, session.mesh, session.siteName, entity, user)
       .sortBy { case (a, b) => (a.getOrElse(""), b.getOrElse("")) }
     // plan construction registers a shared-name temp view; serialize it
     // across concurrently-submitted queries (execution stays concurrent)

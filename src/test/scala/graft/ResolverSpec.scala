@@ -135,6 +135,55 @@ class ResolverSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("template preserving only _source_relay_ degrades per column, drops no rows") {
+    Fixtures.registerRaw(spark, sfDir)
+    // global's hop to apac keeps _source_relay_ but not _source_id_: the
+    // runtime rows carry (apac, NULL), so the static enumeration must emit
+    // (Some(apac), None) — not (None, None), which would silently drop them
+    val base = Fixtures.mesh
+    val global = base.site("global")
+    val patched = base.copy(sites = base.sites + ("global" -> global.copy(
+      remoteMappings = Map("lineitem" -> global.remoteMappings("lineitem").map {
+        case rm if rm.peer == "apac" =>
+          rm.copy(sqlTemplate =
+            "SELECT orderkey, quantity, tax_amount, returnflag, _source_relay_ FROM {remote}")
+        case rm => rm
+      }))))
+
+    val static = EntityResolver
+      .provenanceBranches(spark, patched, "global", "lineitem").toSet
+    assert(static.contains((Some("apac"), None)))
+    assert(!static.contains((None, None)))
+
+    val session = new MeshSession(spark, patched, "global")
+    val dir = java.nio.file.Files.createTempDirectory("graft_partialprov").toString
+    val svc = new QueryService(session, dir)
+    val id = svc.submit("select orderkey, tax_amount from lineitem", Some("admin"))
+    assert(svc.await(id).status == QueryService.Complete, svc.status(id).error.getOrElse(""))
+    assert(svc.branchStatus(id).keySet.contains(("apac", "(unattributed)")))
+    val got = svc.results(id)
+    val expected = Fixtures.lineitemView(spark, sfDir, Some("admin")).count()
+    assert(got.count() == expected) // no rows silently dropped
+  }
+
+  test("deny-all ACL'd source is omitted from branch enumeration for that user") {
+    Fixtures.registerRaw(spark, sfDir)
+    // apac's source denies everyone by default (reference 1=0 policy shape);
+    // only admin's override reaches it
+    val base = Fixtures.mesh
+    val apac = base.site("apac")
+    val patched = base.copy(sites = base.sites + ("apac" -> apac.copy(
+      localSources = Map("lineitem" -> apac.localSources("lineitem").map(ds =>
+        ds.copy(defaultPermission = ds.defaultPermission.copy(allowedRows = "1 = 0")))))))
+
+    val anon = EntityResolver
+      .provenanceBranches(spark, patched, "global", "lineitem", None).toSet
+    assert(!anon.map(_._1).contains(Some("apac")))
+    val admin = EntityResolver
+      .provenanceBranches(spark, patched, "global", "lineitem", Some("admin")).toSet
+    assert(admin.map(_._1).contains(Some("apac")))
+  }
+
   test("allow_partial: failed branch tasks don't hide completed ones") {
     Fixtures.registerRaw(spark, sfDir)
     val session = new MeshSession(spark, Fixtures.mesh, "global")
