@@ -105,26 +105,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash near-dup pairs within `maxHamming` via pigeonhole banding:
-    * split the 32-bit simhash into `bands` equal bands; any pair with
-    * hamming <= bands-1 must share at least one band, so a band-equality
-    * hash-join is an EXHAUSTIVE candidate generator for small distances —
-    * no O(n^2) pass at scale. Verification is one xor+popcount per
-    * candidate. */
+  /** SimHash near-dup pairs within `maxHamming` via block-combination
+    * banding (the simhash-dedup design from Manku/Jain/Sarma, WWW'07
+    * "Detecting Near-Duplicates for Web Crawling"): split the 64-bit simhash
+    * into `blocks` equal blocks; a pair within hamming <= blocks-2 has at
+    * least two entirely-clean blocks, so an equality hash-join on every
+    * 2-block combination's concatenated value is an EXHAUSTIVE candidate
+    * generator — no O(n^2) pass at scale. Join-key cardinality per
+    * combination is 2^(2*width) (vs 2^width for single-block banding), so
+    * candidates shrink from ~n^2/2^width per band to
+    * ~C(blocks,2)*n^2/2^(2*width) total: the shape that survives a corpus
+    * 10^6x larger. Verification is one xor+popcount per candidate. */
   def simhashPairs(
-      sim: DataFrame, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < bands, "pigeonhole exhaustiveness needs maxHamming < bands")
-    val width = 32 / bands
-    val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          expr(s"shiftright(simhash, ${b * width}) & ${(1 << width) - 1}").as("bv"))): _*))
-        .as("bb"))
+      sim: DataFrame, blocks: Int = 8, maxHamming: Int = 6,
+      persistSignatures: Boolean = true): DataFrame = {
+    require(maxHamming <= blocks - 2,
+      "pigeonhole exhaustiveness needs maxHamming <= blocks - 2")
+    require(64 % blocks == 0, "blocks must divide 64")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val combos = for { i <- 0 until blocks; j <- (i + 1) until blocks } yield (i, j)
+    // (doc_id, simhash) is 16 bytes/doc; caching it stops the whole upstream
+    // signature computation (tokenize + md5 + 64 bit-sums) from running once
+    // per self-join side — the explode below re-derives band keys from the
+    // cached rows instead
+    val simIn = if (persistSignatures)
+      sim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sim
+    val banded = simIn.select(col("doc_id"), col("simhash"),
+      explode(array(combos.zipWithIndex.map { case ((i, j), ci) =>
+        struct(lit(ci).as("band"),
+          expr(s"(shiftright(simhash, ${i * width}) & $mask) | " +
+            s"shiftleft(shiftright(simhash, ${j * width}) & $mask, $width)").as("bv"))
+      }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
     val a = banded.as("a"); val b = banded.as("b")
     // filter on hamming BEFORE deduplicating: a pair can appear once per
-    // shared band, but deduping the full candidate stream shuffles the
-    // pre-filter join output — popcount first, then distinct the survivors
+    // shared combination, but deduping the full candidate stream shuffles
+    // the pre-filter join output — popcount first, then distinct survivors
     a.join(b,
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -135,20 +153,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit SimHash per document from md5 token hashes. */
+  /** 64-bit SimHash per document from md5 token hashes: bit b of a token's
+    * contribution is bit (3 - b%4) of hex char (b div 4) of its md5 — the
+    * top 64 bits of the digest, nibble-MSB-first (the low 32 bits coincide
+    * with the former 32-bit variant). Computed WITHOUT a per-bit row
+    * explosion: the two 32-bit halves are decoded once per token (`conv`)
+    * and 64 codegen'd bit-count sums run in a single per-doc groupBy —
+    * |tokens| aggregated rows vs |tokens|*64 in the naive explode shape.
+    * Majority vote: bit b set iff 2*count_ones(b) > n_tokens. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.repartition(col(idCol)).select(col(idCol).as("__id"),
       explode(split(col(textCol), " ")).as("token"))
-    val th = tok.withColumn("h8", substring(md5(col("token")), 1, 8))
-    val bits = th
-      .select(col("__id"), col("h8"), explode(expr("sequence(0, 31)")).as("b"))
-      .withColumn("bit", expr(
-        "shiftright(CAST(position(substring(h8, CAST(b div 4 AS INT) + 1, 1) IN '0123456789abcdef') AS INT) - 1, 3 - CAST(b % 4 AS INT)) % 2"))
-      .groupBy(col("__id"), col("b"))
-      .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("s"))
-    bits.groupBy(col("__id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(lit(0L))).as("simhash"))
-      .withColumnRenamed("__id", "doc_id")
+    val halves = tok.select(col("__id"),
+      expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)").as("h1"),
+      expr("CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)").as("h2"))
+    // hex char i holds bits (31-4i)..(28-4i) of its half, so logical bit b
+    // (char b div 4, in-char bit 3 - b%4) is physical bit 31-b / 63-b
+    val bitSums = (0 until 64).map { b =>
+      val h = if (b < 32) s"shiftright(h1, ${31 - b})" else s"shiftright(h2, ${63 - b})"
+      sum(expr(s"$h & 1")).as(s"s$b")
+    }
+    val agg = halves.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val simExpr = (0 until 64)
+      .map(b => when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("__id").as("doc_id"), simExpr.as("simhash"))
   }
 }

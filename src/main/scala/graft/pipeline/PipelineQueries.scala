@@ -41,6 +41,15 @@ object PipelineQueries {
   private def sparkDot(a: String, b: String): String = s"vec_dot($a, $b)"
   private def duckDot(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+  // sign-LSH hyperplanes: integer-valued weights w[k][d] = (k*73 + d*179) % 97 - 48.
+  // sign(dot) is invariant under a positive scale, and float * small-int
+  // products are exact in double — so the constant-array codegen'd vec_dot
+  // form stays bit-identical to DuckDB's double arithmetic, with no
+  // interpreted higher-order functions in the bucketing hot path.
+  private def planeWeights(k: Int): Seq[Int] =
+    (0 until 64).map(d => (k * 73 + d * 179) % 97 - 48)
+  private def sparkPlane(k: Int): String =
+    planeWeights(k).map(w => s"CAST($w AS FLOAT)").mkString("array(", ", ", ")")
   // normed-vector CTE: vec_id, embedding, nrm
   private val sparkVecs =
     s"""v AS (SELECT vec_id, embedding, sqrt(${sparkDot("embedding", "embedding")}) AS nrm
@@ -183,21 +192,17 @@ object PipelineQueries {
 
     // ------------------------------------------------------------------
     // dd5: embedding near-dup via 4-bit sign-LSH bucketing (deterministic
-    // rational hyperplanes r[k][d] = ((k*73 + d*179) % 97 - 48)/48) then
-    // exact cosine >= 0.4 within bucket. Bucket join replaces the O(n^2)
-    // cross join — the 100 TB path.
+    // integer hyperplanes w[k][d] = (k*73 + d*179) % 97 - 48, constant
+    // arrays through the codegen'd vec_dot) then exact cosine >= 0.4 within
+    // bucket. Bucket join replaces the O(n^2) cross join — the 100 TB path.
     Q("dd5_embedding_neardup",
       s"""WITH $sparkVecs,
          |buck AS (
          |  SELECT vec_id, embedding, nrm,
-         |    aggregate(sequence(0, 3), CAST(0 AS BIGINT), (acc, k) -> acc +
-         |      CASE WHEN aggregate(
-         |             zip_with(embedding,
-         |                      transform(sequence(0, 63),
-         |                                d -> CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE) / 48.0),
-         |                      (x, y) -> CAST(x AS DOUBLE) * y),
-         |             CAST(0 AS DOUBLE), (a, x) -> a + x) >= 0
-         |      THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END) AS bucket
+         |    ${(0 until 4).map(k =>
+               s"(CASE WHEN vec_dot(embedding, ${sparkPlane(k)}) >= 0 " +
+                 s"THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+               .mkString("\n         |    + ")} AS bucket
          |  FROM v)
          |SELECT vec_a, vec_b, round(c, 4) AS cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -211,7 +216,7 @@ object PipelineQueries {
          |    list_sum(list_transform(range(0, 4), k ->
          |      CASE WHEN list_sum(list_transform(range(0, 64),
          |             d -> CAST(embedding[d + 1] AS DOUBLE)
-         |                  * (CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE) / 48.0))) >= 0
+         |                  * CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE))) >= 0
          |      THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS bucket
          |  FROM v)
          |SELECT vec_a, vec_b, round(c, 4) AS cos FROM (
@@ -452,9 +457,9 @@ object PipelineQueries {
         .orderBy(col("sig"))
     }),
 
-    // dd6: simhash near-dup pairs via pigeonhole banding (4 byte-bands
-    // exhaustively catch hamming <= 3; 256-value bands keep join buckets
-    // small). The oracle brute-
+    // dd6: 64-bit simhash near-dup pairs via 2-of-8 block-combination
+    // banding (exhaustive for hamming <= 6; 2^16-value join keys keep
+    // buckets tiny at corpus scale). The oracle brute-
     // forces the same result — two independent algorithms, one answer.
     "dd6_simhash_pairs" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
@@ -524,21 +529,23 @@ object PipelineQueries {
 
       "dd6_simhash_pairs" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-          |th AS (SELECT doc_id, token, substring(md5(token), 1, 8) AS h8 FROM tok),
+          |th AS (SELECT doc_id, token, substring(md5(token), 1, 16) AS h8 FROM tok),
           |bits AS (SELECT doc_id, b,
           |         sum(CASE WHEN ((CAST(position(substring(h8, (b // 4) + 1, 1)
           |                        IN '0123456789abcdef') AS INT) - 1)
           |                        >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
-          |         FROM th, unnest(range(0, 32)) AS tb(b)
+          |         FROM th, unnest(range(0, 64)) AS tb(b)
           |         GROUP BY doc_id, b),
           |sim AS (SELECT doc_id,
-          |        sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-          |                 ELSE CAST(0 AS BIGINT) END) AS simhash
+          |        CAST(sum(CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+          |                 WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+          |                 ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)
+          |             AS BIGINT) AS simhash
           |        FROM bits GROUP BY doc_id)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
           |ORDER BY doc_a, doc_b""".stripMargin,
 
       "mm2_multimodal_features" ->

@@ -67,20 +67,23 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
-  /** Near-duplicate pairs: sign-LSH bucket on `nBits` deterministic rational
-    * hyperplanes, exact cosine >= tau within buckets. */
+  /** Near-duplicate pairs: sign-LSH bucket on `nBits` deterministic
+    * integer-valued hyperplanes (w[k][d] = (k*73 + d*179) % 97 - 48),
+    * exact cosine >= tau within buckets. The hyperplanes are constant
+    * float arrays evaluated with the codegen'd vec_dot — no interpreted
+    * higher-order functions in the bucketing pass; sign is scale-invariant
+    * and float * small-int products are exact in double, so buckets match
+    * the DuckDB double-arithmetic oracle bit-for-bit. */
   def cosineNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 4, tau: Double = 0.4): DataFrame = {
     val v = withNorm(vecs, idCol, vecCol)
-    val buck = v.withColumn("bucket", expr(
-      s"""aggregate(sequence(0, ${nBits - 1}), CAST(0 AS BIGINT), (acc, k) -> acc +
-         |  CASE WHEN aggregate(
-         |    zip_with(__v, transform(sequence(0, 63),
-         |                  d -> CAST((k * 73 + d * 179) % 97 - 48 AS DOUBLE) / 48.0),
-         |             (x, y) -> CAST(x AS DOUBLE) * y),
-         |    CAST(0 AS DOUBLE), (a, x) -> a + x) >= 0
-         |  THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+    val bucketExpr = (0 until nBits).map { k =>
+      val plane = array((0 until 64).map(d =>
+        lit(((k * 73 + d * 179) % 97 - 48).toFloat)): _*)
+      when(dot(col("__v"), plane) >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val buck = v.withColumn("bucket", bucketExpr)
     val a = buck.as("a"); val b = buck.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),

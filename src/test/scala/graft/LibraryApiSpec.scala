@@ -40,9 +40,13 @@ class LibraryApiSpec extends AnyFunSuite {
     assertSame(lib, q("dd1_exact_dedup"))
   }
 
-  test("Dedup.simhash == dd4 oracle query") {
+  test("Dedup.simhash low 32 bits == dd4 oracle query (independent bit extraction)") {
     Fixtures.registerRaw(spark, sfDir)
+    // dd4 computes the 32-bit simhash char-wise in SQL; the library's 64-bit
+    // conv-based variant must agree on the shared low half
     val lib = Dedup.simhash(spark.table("documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        col("simhash").bitwiseAND(lit(0xFFFFFFFFL)).as("simhash"))
       .orderBy("doc_id")
     assertSame(lib, q("dd4_simhash"))
   }

@@ -42,16 +42,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(rand.count(_ > 8) > rand.size / 2)
   }
 
-  test("simhash banding finds every pair the planted dups imply at h<=3") {
+  test("simhash block-combination banding finds every pair at h<=6") {
     val pairs = run("dd6_simhash_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.nonEmpty)
-    val sim = run("dd4_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // exhaustiveness: every planted minhash-dup pair with hamming <= 3 must
-    // have been caught by the band join
+    val sim = graft.pipeline.Dedup
+      .simhash(spark.table("documents"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exhaustiveness: every planted minhash-dup pair within 64-bit hamming 6
+    // must have been caught by the 2-of-8 block-combination join
     val expected = run("dd2_minhash_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-      .filter { case (a, b) => java.lang.Long.bitCount(sim(a) ^ sim(b)) <= 3 }
+      .filter { case (a, b) => java.lang.Long.bitCount(sim(a) ^ sim(b)) <= 6 }
+    assert(expected.nonEmpty)
     expected.foreach(p => assert(pairs.contains(p), s"missing $p"))
   }
 
