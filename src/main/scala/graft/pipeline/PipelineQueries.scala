@@ -467,10 +467,11 @@ object PipelineQueries {
         Dedup.simhash(s.table("documents"), "doc_id", "text"))
     }),
 
-    // mm2: the multimodal batch "decode" path end-to-end — mapPartitions
-    // feature extraction (stub codec = normalized byte histogram). The
-    // oracle recomputes the histogram bins character-wise (the corpus is
-    // ASCII, so bytes == chars).
+    // mm2: the multimodal batch decode path end-to-end — texts are encoded
+    // as REAL 1-row grayscale PNGs on executors, decoded back through
+    // javax.imageio, and features derive from the decoded pixels. PNG is
+    // lossless, so the oracle recomputes the same histogram bins
+    // character-wise (the corpus is ASCII, so bytes == chars == pixels).
     "mm2_multimodal_features" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)

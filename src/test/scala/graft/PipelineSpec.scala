@@ -151,13 +151,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(finalStats.count() == batch.count())
   }
 
-  test("multimodal resize stub: deterministic downsample geometry") {
+  test("real PNG codec: encode/decode round-trips bytes; resize keeps geometry") {
     val payload = (0 until 100).map(_.toByte).toArray
-    val small = graft.pipeline.Multimodal.resizeStub(payload, 10)
-    assert(small.length == 10)
-    assert(small.toSeq == Seq(0, 10, 20, 30, 40, 50, 60, 70, 80, 90).map(_.toByte))
-    assert(graft.pipeline.Multimodal.resizeStub(payload, 200).toSeq == payload.toSeq)
-    assert(graft.pipeline.Multimodal.resizeStub(Array.empty, 10).isEmpty)
+    val png = Multimodal.encodePng(payload)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte) // real PNG container
+    val (w, h, gray) = Multimodal.decodeImage(png)
+    assert(w == 100 && h == 1)
+    assert(gray.toSeq == payload.toSeq) // lossless round-trip through ImageIO
+    val (rw, rh, rgray) = Multimodal.decodeImage(Multimodal.resizeImage(png, 10))
+    assert(rw == 10 && rh == 1)
+    assert(rgray.toSeq == Seq(0, 10, 20, 30, 40, 50, 60, 70, 80, 90).map(_.toByte))
+    val (pw, _, pgray) = Multimodal.decodeImage(Multimodal.resizeImage(png, 200))
+    assert(pw == 100 && pgray.toSeq == payload.toSeq) // pass-through under target
   }
 
   test("streaming dedup drops replayed events across micro-batches") {
