@@ -212,8 +212,9 @@ object EntityResolver {
 
     val projected = entity.informations.map { info =>
       ds.mappings.find(_.info == info.name) match {
-        case Some(m) if perm.allowedColumns.contains(m.fieldPath) =>
-          expr(m.transform.render(m.fieldPath)).cast(info.dtype).as(info.name)
+        case Some(m) if fieldPathAllowed(perm, m.fieldPath) =>
+          expr(m.transform.render(renderFieldPath(m.fieldPath)))
+            .cast(info.dtype).as(info.name)
         case _ =>
           // unmapped or ACL-denied -> NULL literal, never an error
           // (`core/src/execute/parse_utils.rs:211-216`)
@@ -273,6 +274,35 @@ object EntityResolver {
       else entity.schema
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
+
+  /** Render a DataField path as a SQL expression: plain column names pass
+    * through; nested JSON paths (`$.props.k`, `$.arr.[1].f` — the
+    * reference's DataField.path contract,
+    * `core/src/model/data_stores/mod.rs:55-62`) address their first segment
+    * as the physical column and the remainder with `get_json_object`. */
+  private[graft] def renderFieldPath(path: String): String =
+    if (!path.startsWith("$.")) path
+    else {
+      val rest = path.replace(".[", "[").drop(2) // reference writes `.[1].`
+      val cut = rest.indexWhere(c => c == '.' || c == '[')
+      if (cut < 0) s"`$rest`" // `$.col` = a top-level field
+      else s"get_json_object(`${rest.substring(0, cut)}`, '$$${rest.substring(cut)}')"
+    }
+
+  /** For `$.`-prefixed paths, the root physical column the path reads. */
+  private def jsonPathRoot(path: String): Option[String] =
+    if (!path.startsWith("$.")) None
+    else {
+      val rest = path.replace(".[", "[").drop(2)
+      val cut = rest.indexWhere(c => c == '.' || c == '[')
+      Some(if (cut < 0) rest else rest.substring(0, cut))
+    }
+
+  /** A DataField path is ACL-admissible if the path itself or (for JSON
+    * paths) its root physical column is in the allowed column set. */
+  private def fieldPathAllowed(perm: SourcePermission, path: String): Boolean =
+    perm.allowedColumns.contains(path) ||
+      jsonPathRoot(path).exists(perm.allowedColumns.contains)
 
   /** Column-wise cast of `df` to the declared `schema` (R13 — the reference
     * casts every output stream to the requested return schema,

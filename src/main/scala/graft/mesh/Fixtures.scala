@@ -89,6 +89,14 @@ object Fixtures {
     Information("source", StringType),
     Information("n_chars", LongType)))
 
+  /** Telemetry as a mesh entity whose `k` information maps from a nested
+    * JSON path into the events `props` column — the reference's
+    * DataField.path contract (`core/src/model/data_stores/mod.rs:55-62`). */
+  val telemetryEntity: Entity = Entity("telemetry", Seq(
+    Information("event_id", LongType),
+    Information("event_type", StringType),
+    Information("k", LongType)))
+
   val ordersEntity: Entity = Entity("orders", Seq(
     Information("orderkey", LongType),
     Information("custkey", LongType),
@@ -204,16 +212,28 @@ object Fixtures {
       userPermissions = Map("admin" -> SourcePermission(
         Set("doc_id", "text", "lang", "source", "n_chars"), "true")))
 
+    val telemetrySource = DataSource(
+      id = "global_telemetry_parquet",
+      sourceSql = "SELECT * FROM raw_events",
+      mappings = Seq(
+        FieldMapping("event_id", "event_id"),
+        FieldMapping("event_type", "event_type"),
+        FieldMapping("k", "$.props.k")), // nested JSON DataField path
+      defaultPermission = SourcePermission(
+        Set("event_id", "event_type", "props"), "true"))
+
     val global = Site("global",
       entities = Map(
         "lineitem" -> lineitemEntity,
         "customer" -> customerEntity,
         "orders" -> ordersEntity,
-        "documents" -> documentsEntity),
+        "documents" -> documentsEntity,
+        "telemetry" -> telemetryEntity),
       localSources = Map(
         "customer" -> Seq(customerSource),
         "orders" -> Seq(ordersSource),
-        "documents" -> Seq(documentsSource)),
+        "documents" -> Seq(documentsSource),
+        "telemetry" -> Seq(telemetrySource)),
       remoteMappings = Map("lineitem" -> Seq(
         RemoteEntityMapping(peer = "na", remoteEntity = "lineitem",
           infoMappings = identityInfoMappings),

@@ -86,7 +86,21 @@ object MeshQueries {
     "q7_transform_compose" -> ((s, dir) => meshSql(Some("admin"),
       """SELECT orderkey, linenumber, quantity FROM lineitem_entity
         |WHERE orderkey % 30 = 0
-        |ORDER BY orderkey, linenumber, quantity, extendedprice""".stripMargin)(s, dir)))
+        |ORDER BY orderkey, linenumber, quantity, extendedprice""".stripMargin)(s, dir)),
+
+    // Nested JSON DataField path: the telemetry entity's `k` maps from
+    // `$.props.k` (rendered as get_json_object over the physical column;
+    // `core/src/model/data_stores/mod.rs:55-62`).
+    "q8_jsonpath_field" -> { (s, dir) =>
+      Fixtures.registerRaw(s, dir)
+      graft.mesh.EntityResolver
+        .resolve(s, Fixtures.mesh, "global", "telemetry", Some("admin"))
+        .createOrReplaceTempView("telemetry_entity")
+      s.sql(
+        """SELECT event_type, count(*) AS n, sum(k) AS sum_k
+          |FROM telemetry_entity
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    })
 
   def oracleSql: Map[String, String] = Map(
     "q1_proj_filter_limit" ->
@@ -138,5 +152,11 @@ object MeshQueries {
       """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
         |       l_quantity AS quantity
         |FROM lineitem WHERE l_orderkey % 30 = 0
-        |ORDER BY orderkey, linenumber, quantity, l_extendedprice""".stripMargin)
+        |ORDER BY orderkey, linenumber, quantity, l_extendedprice""".stripMargin,
+
+    "q8_jsonpath_field" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -85,6 +85,55 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(site.localSources("nations").map(_.id).toSet == Set("conn_a.src", "conn_b.src"))
   }
 
+  test("JSON-path DataField renders as get_json_object (nested path contract)") {
+    import org.apache.spark.sql.functions._
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val dir = Files.createTempDirectory("graft_cfg_json")
+    Files.writeString(dir.resolve("site.yaml"),
+      s"""api_version: v1alpha1
+         |kind: Entity
+         |spec:
+         |  name: telemetry
+         |  information:
+         |    - {name: event_id, arrow_dtype: Int64}
+         |    - {name: k, arrow_dtype: Int64}
+         |---
+         |api_version: v1alpha1
+         |kind: LocalData
+         |spec:
+         |  name: ev_conn
+         |  data_sources:
+         |    - name: ev
+         |      source_sql: select * from raw_events
+         |      fields:
+         |        - {name: event_id, path: event_id}
+         |        - {name: k, path: "$$.props.k"}
+         |      default_permission:
+         |        allowed_columns: [event_id, props]
+         |        allowed_rows: "true"
+         |---
+         |api_version: v1alpha1
+         |kind: LocalMapping
+         |spec:
+         |  entity_name: telemetry
+         |  mappings:
+         |    - data_con_name: ev_conn
+         |      source_mappings:
+         |        - data_source_name: ev
+         |          field_mappings:
+         |            - {field: event_id, info: event_id}
+         |            - {field: k, info: k}
+         |""".stripMargin)
+    val site = ConfigLoader.loadSite("solo_json", dir)
+    val mesh = Mesh(Map("solo_json" -> site))
+    val df = EntityResolver.resolve(spark, mesh, "solo_json", "telemetry")
+    val viaSql = spark.sql(
+      "SELECT event_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS k FROM raw_events")
+    assert(df.count() == viaSql.count())
+    assert(df.where(col("k").isNotNull).count() > 0)
+    assert(df.agg(sum("k")).head.getLong(0) == viaSql.agg(sum("k")).head.getLong(0))
+  }
+
   test("generated YAML site executes end-to-end over a CSV source") {
     val dir = Files.createTempDirectory("graft_cfg")
     // physical CSV derived from the parquet fixture
