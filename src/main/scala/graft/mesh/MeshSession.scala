@@ -2,6 +2,7 @@ package graft.mesh
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.validation.SqlValidator
 
@@ -20,9 +21,15 @@ class MeshSession(
     val mesh: graft.catalog.Mesh,
     val siteName: String) {
 
-  /** Validate + execute `sqlText` as `user` against this site's catalog. */
+  /** Validate + execute `sqlText` as `user` against this site's catalog.
+    *
+    * @param returnSchema caller-declared result schema; the output is cast
+    *   to it column-by-column, mirroring the reference's client-passed
+    *   `return_schema` (`flight_server/src/flight.rs:565-567`).
+    */
   def sql(sqlText: String, user: Option[String] = None,
-      withProvenance: Boolean = false): DataFrame = {
+      withProvenance: Boolean = false,
+      returnSchema: Option[StructType] = None): DataFrame = {
     val entity = SqlValidator.validate(sqlText, spark)
     if (!mesh.site(siteName).entities.contains(entity))
       throw SqlValidator.InvalidQuery(s"Entity $entity not found on relay $siteName")
@@ -30,10 +37,11 @@ class MeshSession(
       EntityResolver.resolve(spark, mesh, siteName, entity, user, withProvenance)
     // register + analyze atomically w.r.t. concurrent async submits that
     // use the same shared-name view
-    QueryService.planLock.synchronized {
+    val out = QueryService.planLock.synchronized {
       entityDF.createOrReplaceTempView(entity)
       spark.sql(SqlValidator.preprocess(sqlText))
     }
+    returnSchema.map(EntityResolver.castToSchema(out, _)).getOrElse(out)
   }
 }
 
@@ -55,15 +63,25 @@ class QueryService(session: MeshSession, resultDir: String) {
   /** Submit a query; executes on a background thread, one sub-task per leaf
     * (relay, source) branch — mirroring the reference's per-DataSource
     * `QueryTask` rows with individual statuses
-    * (`core/src/model/query.rs:79-167`). Returns the request id. */
-  def submit(sqlText: String, user: Option[String] = None): String = {
-    val id = java.util.UUID.randomUUID().toString
-    tasks.put(id, TaskState(Queued, None))
+    * (`core/src/model/query.rs:79-167`). Returns the request id.
+    *
+    * @param requestId caller-supplied request uuid; a replayed id returns
+    *   the already-tracked request without executing again — the
+    *   reference's DB-side request dedup (`core/src/crud/query.rs:21-60`,
+    *   `flight_server/src/flight.rs:543-555`).
+    * @param returnSchema caller-declared result schema, applied per branch
+    *   before provenance tagging (`flight_server/src/flight.rs:565-567`).
+    */
+  def submit(sqlText: String, user: Option[String] = None,
+      requestId: Option[String] = None,
+      returnSchema: Option[StructType] = None): String = {
+    val id = requestId.getOrElse(java.util.UUID.randomUUID().toString)
+    if (tasks.putIfAbsent(id, TaskState(Queued, None)) != null) return id
     val runnable = new Runnable {
       override def run(): Unit = {
         tasks.put(id, TaskState(InProgress, None))
         try {
-          val branches = perBranchFrames(sqlText, user)
+          val branches = perBranchFrames(sqlText, user, returnSchema)
           branchTasks.put(id,
             branches.map { case (b, _) => b -> TaskState(Queued, None) }.toMap)
           var anyFailed = false
@@ -111,7 +129,8 @@ class QueryService(session: MeshSession, resultDir: String) {
     * folds the provenance filter, pruning all other branches from each
     * per-branch plan. */
   private def perBranchFrames(
-      sqlText: String, user: Option[String]): Seq[((String, String), DataFrame)] = {
+      sqlText: String, user: Option[String],
+      returnSchema: Option[StructType] = None): Seq[((String, String), DataFrame)] = {
     import EntityResolver.{SourceIdCol, SourceRelayCol}
     val spark = session.spark
     val entity = SqlValidator.validate(sqlText, spark)
@@ -142,7 +161,10 @@ class QueryService(session: MeshSession, resultDir: String) {
           .createOrReplaceTempView(entity)
         val relayName = relay.getOrElse("(unattributed)")
         val srcName = srcId.getOrElse("(unattributed)")
-        (relayName, srcName) -> spark.sql(SqlValidator.preprocess(sqlText))
+        val base = spark.sql(SqlValidator.preprocess(sqlText))
+        val cast = returnSchema
+          .map(EntityResolver.castToSchema(base, _)).getOrElse(base)
+        (relayName, srcName) -> cast
           .withColumn(SourceRelayCol, lit(relayName))
           .withColumn(SourceIdCol, lit(srcName))
       }

@@ -184,6 +184,40 @@ class ResolverSpec extends AnyFunSuite {
     assert(admin.map(_._1).contains(Some("apac")))
   }
 
+  test("replayed request id executes once; declared return_schema is applied") {
+    import org.apache.spark.sql.types._
+    Fixtures.registerRaw(spark, sfDir)
+    val session = new MeshSession(spark, Fixtures.mesh, "global")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val svc = new QueryService(session, dir)
+    val rid = java.util.UUID.randomUUID().toString
+    val id1 = svc.submit("select orderkey, tax_amount from lineitem limit 10",
+      Some("admin"), requestId = Some(rid))
+    assert(id1 == rid)
+    assert(svc.await(rid).status == QueryService.Complete)
+    val n1 = svc.results(rid).count()
+    // replay with a DIFFERENT query text: the tracked request wins
+    val id2 = svc.submit("select orderkey from lineitem limit 99",
+      Some("admin"), requestId = Some(rid))
+    assert(id2 == rid)
+    assert(svc.await(rid).status == QueryService.Complete)
+    assert(svc.results(rid).count() == n1)
+
+    // declared return schema casts the sync result column-by-column
+    val schema = StructType(Seq(
+      StructField("orderkey", IntegerType), StructField("tax_amount", StringType)))
+    val df = session.sql("select orderkey, tax_amount from lineitem limit 5",
+      Some("admin"), returnSchema = Some(schema))
+    assert(df.schema("orderkey").dataType == IntegerType)
+    assert(df.schema("tax_amount").dataType == StringType)
+    // and the async path applies it per branch before provenance tagging
+    val id3 = svc.submit("select orderkey, tax_amount from lineitem limit 5",
+      Some("admin"), returnSchema = Some(schema))
+    assert(svc.await(id3).status == QueryService.Complete)
+    assert(svc.results(id3).schema("orderkey").dataType == IntegerType)
+    assert(svc.results(id3).schema("tax_amount").dataType == StringType)
+  }
+
   test("allow_partial: failed branch tasks don't hide completed ones") {
     Fixtures.registerRaw(spark, sfDir)
     val session = new MeshSession(spark, Fixtures.mesh, "global")
