@@ -16,9 +16,12 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   *
   * Single-process notes:
   *  - FileDirectory connections map to Spark readers (csv/json/parquet);
-  *    Trino/FlightSQL connections are parsed but their sources execute
-  *    against pre-registered temp views of the same name (the in-process
-  *    stand-in for a delegated engine);
+  *  - Trino/FlightSQL connections are parsed and execute through the
+  *    generic JDBC runner ([[JdbcSource]]) when `jdbcOverrides` supplies a
+  *    reachable JDBC endpoint for the connection name (in production that
+  *    is the engine's own JDBC driver, e.g. `jdbc:trino://host:port`);
+  *    without an override they fall back to pre-registered temp views of
+  *    the same name (the in-process stand-in for the zero-egress harness);
   *  - PeerRelay endpoints/certs are parsed and ignored; the peer name links
   *    RemoteMappings to the peer Site in the Mesh;
   *  - User identity is the x509 file's basename (stand-in for the cert
@@ -71,7 +74,8 @@ object ConfigLoader {
   def loadSite(
       siteName: String,
       dir: Path,
-      peerNameToSite: Map[String, String] = Map.empty): Site = {
+      peerNameToSite: Map[String, String] = Map.empty,
+      jdbcOverrides: Map[String, JdbcSource] = Map.empty): Site = {
     val docs = parseTree(dir)
     def ofKind(k: String) = docs.filter(_.kind == k).map(_.spec)
 
@@ -90,11 +94,22 @@ object ConfigLoader {
         connName: String, name: String, sourceSql: String,
         fields: Map[String, String], // field name -> physical path
         defaultPermission: SourcePermission,
-        fileSource: Option[FileSource])
+        fileSource: Option[FileSource],
+        jdbcSource: Option[JdbcSource])
     val rawSources: Map[(String, String), RawSource] = ofKind("LocalData").flatMap { spec =>
       val connName = spec.get("name").asText()
       val connOpts = Option(spec.get("connection_options"))
       val fileDir = connOpts.flatMap(c => Option(c.get("FileDirectory")))
+      // delegated-engine connection kinds route through the JDBC runner
+      // when an override gives them a reachable endpoint; the engine `user`
+      // from the config carries over as the JDBC user option
+      val engineUser = Seq("Trino", "FlightSQL")
+        .flatMap(k => connOpts.flatMap(c => Option(c.get(k))))
+        .headOption.flatMap(textOpt(_, "user"))
+      val jdbc = jdbcOverrides.get(connName).map(js =>
+        engineUser.filterNot(_ => js.options.contains("user"))
+          .map(u => js.copy(options = js.options + ("user" -> u)))
+          .getOrElse(js))
       arr(spec, "data_sources").map { s =>
         val name = s.get("name").asText()
         val srcFileOpts = Option(s.get("source_options"))
@@ -111,7 +126,8 @@ object ConfigLoader {
           .map(parsePermission)
           .getOrElse(SourcePermission(fields.values.toSet, "true"))
         (connName, name) -> RawSource(
-          connName, name, s.get("source_sql").asText(), fields, perm, fileSource)
+          connName, name, s.get("source_sql").asText(), fields, perm,
+          fileSource, if (fileSource.isEmpty) jdbc else None)
       }
     }.toMap
 
@@ -140,7 +156,8 @@ object ConfigLoader {
               mappings = mappings,
               defaultPermission = raw.defaultPermission,
               fileSource = raw.fileSource,
-              viewName = Some(srcName))
+              viewName = Some(srcName),
+              jdbcSource = raw.jdbcSource)
           }
         }
       }
@@ -211,6 +228,9 @@ object ConfigLoader {
     * RemoteMapping/PeerRelay docs) -> mesh site names. */
   def loadMesh(
       sites: Map[String, Path],
-      relayNames: Map[String, String] = Map.empty): Mesh =
-    Mesh(sites.map { case (name, dir) => name -> loadSite(name, dir, relayNames) })
+      relayNames: Map[String, String] = Map.empty,
+      jdbcOverrides: Map[String, JdbcSource] = Map.empty): Mesh =
+    Mesh(sites.map { case (name, dir) =>
+      name -> loadSite(name, dir, relayNames, jdbcOverrides)
+    })
 }

@@ -94,6 +94,19 @@ final case class FileSource(
     path: String,
     options: Map[String, String] = Map.empty)
 
+/** Physical JDBC-backed dataset — the generic delegated-engine runner
+  * behind the reference's Trino/FlightSQL connection kinds
+  * (`core/src/execute/data_stores/trino.rs:103-200`, `flight_sql.rs:47-163`):
+  * the DataSource's `sourceSql` executes ON the external engine as a JDBC
+  * derived table, and Spark composes its own column list and WHERE clause
+  * over it, so Catalyst projection/filter pushdown flows through the seam
+  * into the engine. `options` are Spark JDBC reader options (driver,
+  * user, fetchsize, partitionColumn/numPartitions for parallel reads, ...).
+  */
+final case class JdbcSource(
+    url: String,
+    options: Map[String, String] = Map.empty)
+
 /** One queryable dataset within a physical connection
   * (`core/src/model/data_stores/mod.rs:39-45`). `sourceSql` is a SQL snippet
   * over `viewName` (registered from `fileSource` if present, otherwise a
@@ -106,7 +119,8 @@ final case class DataSource(
     userPermissions: Map[String, SourcePermission] = Map.empty,
     relayPermissions: Map[String, SourcePermission] = Map.empty,
     fileSource: Option[FileSource] = None,
-    viewName: Option[String] = None)
+    viewName: Option[String] = None,
+    jdbcSource: Option[JdbcSource] = None)
 
 /** Local Information -> remote field name + transformation
   * (`core/src/model/mappings.rs:106-111`). */

@@ -198,7 +198,7 @@ object EntityResolver {
     // entity would silently read a previously-registered entity view after
     // a MeshSession query (ACL/transforms applied twice, possibly under
     // another user) — refuse loudly and point at the raw_-prefix convention
-    if (ds.fileSource.isEmpty) {
+    if (ds.fileSource.isEmpty && ds.jdbcSource.isEmpty) {
       val rels = graft.validation.SqlValidator.relationNamesOf(ds.sourceSql, spark)
       if (rels.contains(entity.name))
         throw new IllegalStateException(
@@ -208,7 +208,25 @@ object EntityResolver {
             s"'raw_${entity.name}') and reference that in source_sql")
     }
 
-    val src = spark.sql(ds.sourceSql).where(expr(perm.allowedRows))
+    // delegated-engine seam (S3/S4): `sourceSql` executes ON the external
+    // engine as a JDBC derived table; the ACL row filter and any user
+    // predicates Catalyst pushes into this scan are serialized into the
+    // engine-side WHERE clause by Spark's JDBC source — the reference's
+    // TrinoRunner shape (`core/src/execute/data_stores/trino.rs:103-200`),
+    // with per-source SQL pushdown intact across the seam
+    val src = ds.jdbcSource match {
+      case Some(js) =>
+        spark.read.format("jdbc")
+          .options(js.options)
+          .option("url", js.url)
+          // alias must be a plain identifier — engines like Derby reject a
+          // leading underscore
+          .option("dbtable", s"(${ds.sourceSql}) AS graft_delegated")
+          .load()
+          .where(expr(perm.allowedRows))
+      case None =>
+        spark.sql(ds.sourceSql).where(expr(perm.allowedRows))
+    }
 
     val projected = entity.informations.map { info =>
       ds.mappings.find(_.info == info.name) match {
