@@ -318,7 +318,7 @@ object EntityResolver {
 
   /** A DataField path is ACL-admissible if the path itself or (for JSON
     * paths) its root physical column is in the allowed column set. */
-  private def fieldPathAllowed(perm: SourcePermission, path: String): Boolean =
+  private[graft] def fieldPathAllowed(perm: SourcePermission, path: String): Boolean =
     perm.allowedColumns.contains(path) ||
       jsonPathRoot(path).exists(perm.allowedColumns.contains)
 

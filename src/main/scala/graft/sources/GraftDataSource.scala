@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -25,6 +25,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.catalog._
+import graft.mesh.EntityResolver
 
 /** DataSource V2 connector for the federated entity scan (SURVEY §7.2.7 /
   * §2.5): `spark.read.format("graft").option("mesh", ...).option("site", ...)
@@ -42,10 +43,11 @@ import graft.catalog._
   *    reference appends `limit l` to each scan template);
   *  - S5 partitioning: one `InputPartition` per leaf (site, source) branch.
   *
-  * Scope (documented): branches must be local file-backed parquet sources
-  * (`DataSource.fileSource`) with single-column mapping transforms; ACL rows
-  * and pushed filters are evaluated inside the reader against the file
-  * schema. Remote-hop composition is served by the DataFrame resolver path.
+  * Scope (documented): branches must be local file-backed parquet or CSV
+  * sources (`DataSource.fileSource`); the source SQL may be any
+  * Project/Filter chain over the physical relation (derived columns and
+  * WHERE clauses compose into the per-row scan expressions). Remote-hop and
+  * view/JDBC-backed branches are served by the DataFrame resolver path.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -143,10 +145,11 @@ class GraftScanBuilder(
 }
 
 /** One partition per leaf (site, source) branch with everything the
-  * executor-side reader needs: file path, bound row-filter, bound
+  * executor-side reader needs: file path + format, bound row-filter, bound
   * projections, optional per-branch limit. */
 case class GraftInputPartition(
     path: String,
+    format: String,            // parquet | csv
     fileSchema: StructType,
     rowFilter: Expression,     // bound to file schema
     projections: Seq[Expression], // bound, one per required entity column
@@ -171,10 +174,14 @@ class GraftScan(
     site.localSources.getOrElse(entity.name, Nil).map { ds =>
       val fs = ds.fileSource.getOrElse(throw new IllegalArgumentException(
         s"graft DSv2 scan requires file-backed sources; ${ds.id} has none " +
-          "(use the DataFrame resolver path for view/remote-backed branches)"))
-      require(fs.format == "parquet", s"graft DSv2 scan supports parquet, got ${fs.format}")
+          "(use the DataFrame resolver path for view/remote/JDBC-backed branches)"))
 
-      val fileSchema = parquetFileSchema(fs.path)
+      val fileSchema: Seq[StructField] = fs.format match {
+        case "parquet" => parquetFileSchema(fs.path)
+        case "csv"     => GraftScan.csvFileSchema(spark, fs).fields.toSeq
+        case other => throw new IllegalArgumentException(
+          s"graft DSv2 scan supports parquet/csv, got $other")
+      }
       val fileAttrs = fileSchema.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
 
@@ -184,17 +191,34 @@ class GraftScan(
       def parse(sql: String): Expression =
         spark.sessionState.sqlParser.parseExpression(sql)
 
-      // entity column -> mapping expression over file columns (or NULL)
+      // the branch's source SQL as a logical plan over the physical file
+      // relation: parse, substitute the referenced view with a
+      // LocalRelation of the file schema (plan-only, no data), and let the
+      // analyzer resolve star-expansion/derived columns/coercions — so
+      // `SELECT *, a/b AS derived FROM v WHERE p` branches compose into the
+      // scan exactly like the resolver path
+      val viewName = ds.viewName.getOrElse(ds.id)
+      val srcPlan = spark.sessionState.sqlParser.parsePlan(ds.sourceSql)
+        .transformUp {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if u.multipartIdentifier.map(_.toLowerCase) == Seq(viewName.toLowerCase) =>
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              viewName, LocalRelation(fileAttrs))
+        }
+
+      // entity column -> mapping expression over the source SQL's output
+      // columns (or NULL); JSON-path DataFields render via get_json_object
       val mappingExpr: Map[String, Expression] = entity.informations.map { info =>
         val e = ds.mappings.find(_.info == info.name) match {
-          case Some(m) if perm.allowedColumns.contains(m.fieldPath) =>
-            Cast(parse(m.transform.render(m.fieldPath)), info.dtype)
+          case Some(m) if EntityResolver.fieldPathAllowed(perm, m.fieldPath) =>
+            Cast(parse(m.transform.render(
+              EntityResolver.renderFieldPath(m.fieldPath))), info.dtype)
           case _ => Cast(Literal(null), info.dtype)
         }
         info.name -> e
       }.toMap
 
-      // pushed entity-level filters -> file-level by substituting mappings
+      // pushed entity-level filters -> source-level by substituting mappings
       def toExpr(f: sources.Filter): Expression = f match {
         case sources.EqualTo(a, v)            => EqualTo(mappingExpr(a), Literal(v))
         case sources.GreaterThan(a, v)        => GreaterThan(mappingExpr(a), Literal(v))
@@ -212,19 +236,19 @@ class GraftScan(
 
       val projExprs = required.fields.map(f => mappingExpr(f.name)).toSeq
 
-      // analyze (type-coerce/resolve) + bind against the file schema via a
-      // throwaway Project over a LocalRelation — reusing Spark's analyzer
-      // instead of re-implementing coercion
+      // analyze (resolve/coerce) the mapping layer OVER the source SQL plan,
+      // then flatten the whole Project/Filter chain to expressions over the
+      // file attributes and bind ordinally for the executor-side reader
       val all = projExprs :+ filterExpr
       val aliased = all.zipWithIndex.map { case (e, i) => Alias(e, s"c$i")() }
-      val analyzed = spark.sessionState.analyzer.execute(
-        Project(aliased, LocalRelation(fileAttrs)))
-      val resolved = analyzed.asInstanceOf[Project].projectList
-        .map(_.asInstanceOf[Alias].child)
-      val bound = resolved.map(BindReferences.bindReference(_, fileAttrs.toIndexedSeq))
+      val analyzed = spark.sessionState.analyzer.execute(Project(aliased, srcPlan))
+      val (exprById, srcFilter) = GraftScan.flattenToRelation(analyzed)
+      val flat = analyzed.output.map(a => exprById(a.exprId))
+      val combined = flat.dropRight(1) :+ And(srcFilter, flat.last)
+      val bound = combined.map(BindReferences.bindReference(_, fileAttrs.toIndexedSeq))
 
       GraftInputPartition(
-        fs.path, StructType(fileSchema), bound.last,
+        fs.path, fs.format, StructType(fileSchema), bound.last,
         bound.dropRight(1), limit): InputPartition
     }.toArray
   }
@@ -258,44 +282,116 @@ class GraftScan(
     new GraftReaderFactory()
 }
 
+object GraftScan {
+  /** CSV physical schemas, inferred once per (path, options) with the SAME
+    * reader options as the resolver path so both paths see identical types.
+    * Inference is one driver-side pass at plan time (cached); a production
+    * deployment at scale declares the schema in the source config instead. */
+  private val csvSchemaCache =
+    TrieMap.empty[(String, Map[String, String]), StructType]
+
+  private[sources] def csvFileSchema(spark: SparkSession, fs: FileSource): StructType =
+    csvSchemaCache.getOrElseUpdate((fs.path, fs.options), {
+      spark.read.format("csv").options(fs.options)
+        .option("header", fs.options.getOrElse("header", "true"))
+        .option("inferSchema", fs.options.getOrElse("inferSchema", "true"))
+        .load(fs.path).schema
+    })
+
+  /** Flatten an analyzed Project/Filter/SubqueryAlias chain over a single
+    * LocalRelation into (output-attr exprId -> expression over the
+    * relation's attributes, conjoined Filter condition). Any other operator
+    * (join, aggregate, distinct, ...) in the source SQL is out of the
+    * connector's scope and raises — those branches run on the resolver
+    * path. */
+  private[sources] def flattenToRelation(
+      plan: LogicalPlan): (Map[ExprId, Expression], Expression) = plan match {
+    case l: LocalRelation =>
+      (l.output.map(a => a.exprId -> (a: Expression)).toMap, Literal.TrueLiteral)
+    case p: Project =>
+      val (m, f) = flattenToRelation(p.child)
+      def subst(e: Expression): Expression = e.transform {
+        case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+      }
+      val entries = p.projectList.map {
+        case al @ Alias(child, _)  => al.exprId -> subst(child)
+        case a: AttributeReference => a.exprId -> m(a.exprId)
+        case other => throw new IllegalArgumentException(
+          s"unexpected project element $other")
+      }
+      (entries.toMap, f)
+    case fl: Filter =>
+      val (m, f) = flattenToRelation(fl.child)
+      val cond = fl.condition.transform {
+        case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+      }
+      (m, And(f, cond))
+    case s: SubqueryAlias => flattenToRelation(s.child)
+    case other => throw new IllegalArgumentException(
+      s"graft DSv2 scan supports Project/Filter source SQL over the file " +
+        s"relation; got ${other.nodeName} (use the DataFrame resolver path)")
+  }
+}
+
 class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
 }
 
-/** Executor-side reader: parquet Group records -> file-schema InternalRow ->
-  * filter -> projection. No nested Spark jobs; per-branch limit applied
-  * here (per-source limit semantics, P4). */
+/** Executor-side reader: file records -> file-schema InternalRow -> filter
+  * -> projection. No nested Spark jobs; per-branch limit applied here
+  * (per-source limit semantics, P4). Record iteration is format-specific
+  * (parquet Groups or CSV lines); everything above it is shared. */
 class GraftPartitionReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new Path(p.path)).build()
+  private val records: GraftRecordIterator = p.format match {
+    case "parquet" => new ParquetRecordIterator(p.path, p.fileSchema)
+    case "csv"     => new CsvRecordIterator(p.path, p.fileSchema)
+    case other     => throw new IllegalStateException(s"unsupported format $other")
+  }
   private val projection = UnsafeProjection.create(p.projections.toArray)
-  private val fileRow = new GenericInternalRow(p.fileSchema.length)
   private var current: InternalRow = _
   private var emitted = 0
 
   override def next(): Boolean = {
     if (p.limit.exists(emitted >= _)) return false
-    var g = reader.read()
-    while (g != null) {
-      fillRow(g)
-      val keep = p.rowFilter.eval(fileRow)
+    var row = records.nextRow()
+    while (row != null) {
+      val keep = p.rowFilter.eval(row)
       if (keep != null && keep.asInstanceOf[Boolean]) {
-        current = projection(fileRow)
+        current = projection(row)
         emitted += 1
         return true
       }
-      g = reader.read()
+      row = records.nextRow()
     }
     false
   }
 
-  private def fillRow(g: Group): Unit = {
+  override def get(): InternalRow = current
+  override def close(): Unit = records.close()
+}
+
+/** Format-specific record cursor: returns the next file-schema InternalRow
+  * or null at end of input. */
+trait GraftRecordIterator {
+  def nextRow(): InternalRow
+  def close(): Unit
+}
+
+class ParquetRecordIterator(path: String, fileSchema: StructType)
+    extends GraftRecordIterator {
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(path)).build()
+  private val fileRow = new GenericInternalRow(fileSchema.length)
+
+  override def nextRow(): InternalRow = {
+    val g = reader.read()
+    if (g == null) return null
     var i = 0
-    while (i < p.fileSchema.length) {
-      val f = p.fileSchema(i)
+    while (i < fileSchema.length) {
+      val f = fileSchema(i)
       if (g.getFieldRepetitionCount(i) == 0) fileRow.update(i, null)
       else f.dataType match {
         case IntegerType => fileRow.setInt(i, g.getInteger(i, 0))
@@ -308,8 +404,97 @@ class GraftPartitionReader(p: GraftInputPartition)
       }
       i += 1
     }
+    fileRow
   }
 
-  override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** Minimal RFC4180 CSV cursor over a file or a directory of part files
+  * (each with its own header line when present): quoted fields, embedded
+  * separators/quotes, empty string -> NULL, values converted to the
+  * inferred file schema. Local-filesystem paths (the connector's documented
+  * scope; distributed stores go through the resolver path). */
+class CsvRecordIterator(path: String, fileSchema: StructType)
+    extends GraftRecordIterator {
+  private val files: Iterator[java.io.File] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory)
+      f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".") &&
+        !x.getName.startsWith("_")).sortBy(_.getName).iterator
+    else Iterator(f)
+  }
+  private var reader: java.io.BufferedReader = _
+  private val fileRow = new GenericInternalRow(fileSchema.length)
+
+  private def advanceFile(): Boolean = {
+    if (reader != null) reader.close()
+    if (!files.hasNext) { reader = null; return false }
+    reader = new java.io.BufferedReader(new java.io.FileReader(files.next()))
+    reader.readLine() // header (inference path always reads header=true)
+    true
+  }
+  advanceFile()
+
+  override def nextRow(): InternalRow = {
+    if (reader == null) return null
+    var line = reader.readLine()
+    while (line == null) {
+      if (!advanceFile()) return null
+      line = reader.readLine()
+    }
+    val cells = splitCsv(line)
+    var i = 0
+    while (i < fileSchema.length) {
+      val raw = if (i < cells.length) cells(i) else null
+      if (raw == null || raw.isEmpty) fileRow.update(i, null)
+      else fileSchema(i).dataType match {
+        case IntegerType => fileRow.setInt(i, raw.toInt)
+        case LongType    => fileRow.setLong(i, raw.toLong)
+        case DoubleType  => fileRow.setDouble(i, raw.toDouble)
+        case BooleanType => fileRow.setBoolean(i, raw.toBoolean)
+        case StringType  => fileRow.update(i, UTF8String.fromString(raw))
+        // Spark's own parsers, so date/timestamp semantics (formats, session
+        // timezone) match the resolver's CSV reader exactly
+        case DateType => fileRow.update(i,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToDate(UTF8String.fromString(raw))
+            .map(Integer.valueOf).orNull)
+        case TimestampType => fileRow.update(i,
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToTimestamp(UTF8String.fromString(raw),
+              java.time.ZoneId.systemDefault())
+            .map(java.lang.Long.valueOf).orNull)
+        case other => throw new IllegalStateException(s"unsupported csv type $other")
+      }
+      i += 1
+    }
+    fileRow
+  }
+
+  /** One CSV record -> cells; `""` escaping inside quoted fields. */
+  private def splitCsv(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuotes = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.toString; cur.setLength(0)
+        case _   => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
 }

@@ -82,6 +82,78 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("derived-column source SQL composes into the scan (resolver equality)") {
+    val entity = Entity("li", Seq(
+      Information("orderkey", LongType),
+      Information("qty", DoubleType),
+      Information("unitprice", DoubleType)))
+    val src = DataSource(
+      id = "li_parquet",
+      // derived column + WHERE: both must fold into the per-row scan exprs
+      sourceSql = "SELECT *, l_extendedprice / l_quantity AS unitprice_phys " +
+        "FROM li_raw WHERE l_orderkey % 3 = 0",
+      mappings = Seq(
+        FieldMapping("orderkey", "l_orderkey"),
+        FieldMapping("qty", "l_quantity", Transformation("{v} * 2")),
+        FieldMapping("unitprice", "unitprice_phys")),
+      defaultPermission = SourcePermission(
+        Set("l_orderkey", "l_quantity", "unitprice_phys"), "l_returnflag = 'N'"),
+      fileSource = Some(FileSource("parquet", s"${TestSessions.sfDir}/lineitem.parquet")),
+      viewName = Some("li_raw"))
+    val mesh = Mesh(Map("edge" -> Site("edge",
+      entities = Map("li" -> entity),
+      localSources = Map("li" -> Seq(src)))))
+    GraftDataSource.registry.put("test_derived", mesh)
+    val viaDsv2 = spark.read.format("graft")
+      .option("mesh", "test_derived").option("site", "edge").option("entity", "li")
+      .load()
+    val viaResolver = EntityResolver.resolve(spark, mesh, "edge", "li", None)
+    assert(viaDsv2.count() > 0)
+    assert(viaDsv2.exceptAll(viaResolver).count() == 0)
+    assert(viaResolver.exceptAll(viaDsv2).count() == 0)
+    // pushed predicate composes THROUGH the derived column
+    val filtered = viaDsv2.where(col("unitprice") > 1000.0)
+    val expect = viaResolver.where(col("unitprice") > 1000.0)
+    assert(filtered.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(filtered).count() == 0)
+  }
+
+  test("CSV branches serve through the connector (resolver equality)") {
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_dsv2_csv").toString
+    spark.read.parquet(s"${TestSessions.sfDir}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_shipdate"))
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    val entity = Entity("licsv", Seq(
+      Information("orderkey", LongType),
+      Information("qty", DoubleType),
+      Information("flag", StringType),
+      Information("shipped", DateType)))
+    val src = DataSource(
+      id = "li_csv",
+      sourceSql = "SELECT *, l_quantity * 2 AS q2 FROM li_csv_raw",
+      mappings = Seq(
+        FieldMapping("orderkey", "l_orderkey"),
+        FieldMapping("qty", "q2"),
+        FieldMapping("flag", "l_returnflag"),
+        FieldMapping("shipped", "l_shipdate", Transformation("CAST({v} AS DATE)"))),
+      defaultPermission = SourcePermission(
+        Set("l_orderkey", "q2", "l_returnflag", "l_shipdate"), "l_quantity > 10"),
+      fileSource = Some(FileSource("csv", csvDir)),
+      viewName = Some("li_csv_raw"))
+    val mesh = Mesh(Map("edge" -> Site("edge",
+      entities = Map("licsv" -> entity),
+      localSources = Map("licsv" -> Seq(src)))))
+    GraftDataSource.registry.put("test_csv", mesh)
+    val viaDsv2 = spark.read.format("graft")
+      .option("mesh", "test_csv").option("site", "edge").option("entity", "licsv")
+      .load()
+    val viaResolver = EntityResolver.resolve(spark, mesh, "edge", "licsv", None)
+    assert(viaDsv2.count() > 0)
+    assert(viaDsv2.exceptAll(viaResolver).count() == 0)
+    assert(viaResolver.exceptAll(viaDsv2).count() == 0)
+  }
+
   test("ACL row policies partition the branches") {
     val prov = dsv2().where(col("etype") === "click")
     // 'click' rows can only come from the edge_clicks source's policy
