@@ -184,6 +184,25 @@ class ResolverSpec extends AnyFunSuite {
     assert(admin.map(_._1).contains(Some("apac")))
   }
 
+  test("brace literals in user SQL survive the mapping pipeline (query4 golden)") {
+    // the reference's query4 (`test/queries.py:17-21`): `{...}` placeholders
+    // inside string literals are LITERALS to the engine — template capture
+    // is a client-side concern — and must not be confused with the `{v}` /
+    // `{remote}` replace tokens used by Transformation/RemoteEntityMapping
+    Fixtures.registerRaw(spark, sfDir)
+    val session = new MeshSession(spark, Fixtures.mesh, "global")
+    val braced = session.sql(
+      "select linenumber, tax_percent from lineitem " +
+        "where tax_percent > 3 and '{tax_val}'='{tax_val}' order by linenumber, tax_percent",
+      Some("admin")).collect()
+    val plain = session.sql(
+      "select linenumber, tax_percent from lineitem " +
+        "where tax_percent > 3 order by linenumber, tax_percent",
+      Some("admin")).collect()
+    assert(braced.nonEmpty)
+    assert(braced.toSeq == plain.toSeq)
+  }
+
   test("replayed request id executes once; declared return_schema is applied") {
     import org.apache.spark.sql.types._
     Fixtures.registerRaw(spark, sfDir)
