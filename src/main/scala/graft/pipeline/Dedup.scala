@@ -21,12 +21,18 @@ object Dedup {
     * are hash-repartitioned first — a small input file otherwise yields one
     * partition and the explode+hash work runs on a single core. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shinglesRaw(docs, idCol, textCol, n).distinct()
+
+  /** Shingles WITHOUT the per-document dedup (and its corpus-wide shuffle).
+    * Correct wherever duplicates are harmless — minhash signatures take a
+    * min, which duplicate shingles cannot change. */
+  private def shinglesRaw(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.repartition(col(idCol)).select(col(idCol).as("__id"),
         split(col(textCol), " ").as("__w"))
       .select(col("__id"), explode(expr(
         s"transform(sequence(0, greatest(size(__w) - $n, 0)), i -> concat_ws(' ', slice(__w, i + 1, $n)))"))
         .as("shingle"))
-      .distinct()
 
   /** MinHash signature columns mh0..mh{k-1} per id — one groupBy pass,
     * min(md5('j:' || shingle)) per permutation j. */
@@ -76,30 +82,39 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs end-to-end.
     *
-    * @param persistShingles cache the exploded shingle set — it is consumed
-    *   four times (signatures, both sides of the verification join, counts)
-    *   and Catalyst inlines CTEs, so without caching the explode runs 4x.
+    * Signature derivation streams the RAW (duplicate-bearing) shingle
+    * explosion straight into the per-document partial aggregation — min is
+    * duplicate-insensitive, so the corpus-wide `distinct` shuffle (and the
+    * full-corpus shingle cache it fed) is unnecessary. Distinct shingles
+    * are materialized only for the candidate documents the verification
+    * join actually touches.
+    *
+    * @param persistShingles cache the candidate docs' shingle set — it is
+    *   consumed three times by the verification (both join sides + counts)
+    *   and Catalyst inlines CTEs, so without caching the explode runs 3x.
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
       persistShingles: Boolean = true): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val sh0 = shingles(docs, idCol, textCol)
-    val sh = if (persistShingles)
-      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sh0
     // candidates are tiny but expensive to derive — persist so the id
     // broadcast below doesn't recompute the whole LSH chain
-    val cand = lshCandidates(bandSignatures(minhashSignatures(sh, k), bands, k / bands))
+    val cand = lshCandidates(bandSignatures(
+        minhashSignatures(shinglesRaw(docs, idCol, textCol), k), bands, k / bands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verification touches only the candidate docs' shingles: semi-filter
-    // the shingle set by the (tiny, broadcast) candidate id list before the
-    // pair-join — at scale this is the difference between shuffling the
-    // whole corpus's shingles three times and shuffling ~|candidates| docs
-    val candIds = cand.select(col("da").as("__id"))
-      .union(cand.select(col("db").as("__id"))).distinct()
-    val shCand = sh.join(broadcast(candIds), Seq("__id"), "left_semi")
+    // the documents by the (tiny, broadcast) candidate id list and
+    // re-shingle just those — at scale this is the difference between
+    // shuffling the whole corpus's shingles and shuffling ~|candidates| docs
+    val candIds = cand.select(col("da").as("__cid"))
+      .union(cand.select(col("db").as("__cid"))).distinct()
+    val candDocs = docs.join(
+      broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
+    val shCand0 = shingles(candDocs, idCol, textCol)
+    val shCand = if (persistShingles)
+      shCand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shCand0
     jaccardVerify(shCand, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -67,6 +67,88 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** Spherical k-means (cosine geometry) over an embedding column — the
+    * "learned centroids" path an IVF index needs at corpus scale. Lloyd
+    * iterations where:
+    *  - ASSIGNMENT is a pure projection: the k current centroids are
+    *    constant float-array literals evaluated with the codegen'd
+    *    `vec_dot` (argmax of k dots) — no cross join, no window, no
+    *    shuffle of the corpus;
+    *  - the UPDATE is one map-side-combinable groupBy with `dim`
+    *    avg columns (sum of unit vectors per cell, re-normalized
+    *    driver-side);
+    *  - the only data collected per iteration is the k x dim model state
+    *    (a few KB), never corpus rows.
+    * Cosine argmax is scale-invariant, so raw vectors score against
+    * unit-normalized centroids without normalizing the data column.
+    * Empty cells retain their previous centroid. */
+  def sphericalKMeans(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int = 3, dim: Int = 64): Seq[Seq[Double]] = {
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
+    var cents: Seq[Seq[Double]] = v.where(col("__id").isin(seedIds: _*))
+      .orderBy(col("__id"))
+      .select(col("__v")).collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = v.withColumn("cid", assignExpr(cents, "__v"))
+      val sums = assigned.groupBy(col("cid"))
+        .agg(avg(element_at(col("__v"), 1) / col("nrm")).as("d0"),
+          (2 to dim).map(j =>
+            avg(element_at(col("__v"), j) / col("nrm")).as(s"d${j - 1}")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(j => r.getDouble(j + 1)))
+        .toMap
+      cents = cents.indices.map(c =>
+        sums.get(c).map(normalize).getOrElse(cents(c)))
+    }
+    cents
+  }
+
+  /** Argmax-of-dots assignment against constant centroids: returns the
+    * 0-based index of the nearest (cosine) centroid as a column over
+    * `vecCol`. First-max wins on ties (deterministic). */
+  private def assignExpr(cents: Seq[Seq[Double]], vecCol: String): org.apache.spark.sql.Column = {
+    val dots = array(cents.map(c =>
+      dot(col(vecCol), array(c.map(x => lit(x.toFloat)): _*))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** IVF top-k with LEARNED centroids (from [[sphericalKMeans]]): corpus
+    * assignment and query probing are both constant-centroid projections;
+    * the search then joins only the probed cells' vectors. */
+  def ivfTopKLearned(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], centroids: Seq[Seq[Double]],
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val assign = v.select(col("__id").as("vec_id"),
+      assignExpr(centroids, "__v").as("cid"))
+    val q = v.where(col("__id").isin(queryIds: _*))
+      .select(col("__id").as("qid"), col("__v").as("qv"), col("nrm").as("qn"))
+    // nprobe nearest cells per query: explode the (tiny) per-query dot
+    // array — queries are few, so the window touches |queries| * k rows
+    val qDots = q.withColumn("dots", array(centroids.map(c =>
+      dot(col("qv"), array(c.map(x => lit(x.toFloat)): _*))): _*))
+    val probe = qDots.select(col("qid"), posexplode(col("dots")).as(Seq("cid", "cc")))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("cc").desc, col("cid"))
+    val probed = probe.withColumn("rnk", row_number().over(w0))
+      .where(col("rnk") <= nprobe).select(col("qid"), col("cid"))
+    val scored = q.join(probed, "qid")
+      .join(assign, "cid")
+      .join(v.withColumnRenamed("__id", "vec_id"), Seq("vec_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
   /** Near-duplicate pairs: sign-LSH bucket on `nBits` deterministic
     * integer-valued hyperplanes (w[k][d] = (k*73 + d*179) % 97 - 48),
     * exact cosine >= tau within buckets. The hyperplanes are constant
