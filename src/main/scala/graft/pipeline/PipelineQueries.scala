@@ -409,7 +409,47 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CASE WHEN lang = 'en' THEN 'image/png' ELSE 'image/jpeg' END AS mime,
         |  CAST(n_chars % 16 AS BIGINT) AS frame_count_stub
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // sp1: deterministic stratified sampling for dataset builds — keep
+    // rate varies per language stratum (en 128/256, de 64/256, zh 16/256,
+    // rest 32/256), selection = md5-hex threshold so the SAME rows are
+    // kept on any cluster size, retry, or engine (rand() is none of
+    // those). Library form: graft.pipeline.Sampling.stratifiedSample.
+    Q("sp1_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(concat('sp1:', CAST(doc_id AS STRING))), 1, 2) <
+        |      CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+        |                WHEN 'zh' THEN '10' ELSE '20' END
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(concat('sp1:', CAST(doc_id AS VARCHAR))), 1, 2) <
+        |      CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+        |                WHEN 'zh' THEN '10' ELSE '20' END
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // sp2: deterministic shard assignment for training-shard export —
+    // hash-derived shard in [0,8), stable across runs/retries, balanced.
+    // Library form: Sampling.withShard (+ repartition/partitionBy write).
+    Q("sp2_shard_assign",
+      """SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        |       min(doc_id) AS first_doc, sum(doc_id) AS sum_ids
+        |FROM (SELECT doc_id,
+        |        CAST(conv(substring(md5(concat('sp2:', CAST(doc_id AS STRING))), 1, 2),
+        |             16, 10) AS INT) % 8 AS shard
+        |      FROM documents) s
+        |GROUP BY shard ORDER BY shard""".stripMargin,
+      """SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM (SELECT doc_id,
+        |        (16 * (position(substring(md5(concat('sp2:', CAST(doc_id AS VARCHAR))), 1, 1)
+        |               IN '0123456789abcdef') - 1)
+        |         + (position(substring(md5(concat('sp2:', CAST(doc_id AS VARCHAR))), 2, 1)
+        |               IN '0123456789abcdef') - 1)) % 8 AS shard
+        |      FROM documents) s
+        |GROUP BY shard ORDER BY shard""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. */
   private val mediaCache = scala.collection.concurrent.TrieMap

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mesh.Fixtures
+import graft.pipeline.Sampling
+
+/** Deterministic sampling/sharding: library forms equal the SQL query
+  * forms byte-for-byte, strata are sampled near their configured rates,
+  * and shards are balanced — all without RNG state. */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+  private def docs = {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    spark.table("documents")
+  }
+
+  test("stratifiedSample equals the sp1 SQL form; rates are honored") {
+    val lib = Sampling.stratifiedSample(
+        docs, "doc_id", "lang",
+        rates = Map("en" -> 128, "de" -> 64, "zh" -> 16), defaultRate = 32)
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    val sql = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("sp1_stratified_sample"))
+    assert(lib.collect().toSeq == sql.collect().toSeq)
+
+    // per-stratum keep fraction tracks rate/256 (binomial tolerance on the
+    // small fixture: lang counts are ~100+ per stratum)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = lib.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enFrac = kept.getOrElse("en", 0L).toDouble / total("en")
+    assert(math.abs(enFrac - 0.5) < 0.15, s"en keep fraction $enFrac")
+    // zh (16/256 = 6%) must be sampled far below en (50%)
+    val zhFrac = kept.getOrElse("zh", 0L).toDouble / total("zh")
+    assert(zhFrac < enFrac / 2, s"zh=$zhFrac en=$enFrac")
+    // determinism: a second evaluation selects the identical rows
+    assert(lib.collect().toSeq == sql.collect().toSeq)
+  }
+
+  test("withShard matches the sp2 SQL aggregation; shards are balanced") {
+    val sharded = Sampling.withShard(docs, "doc_id", nShards = 8)
+    val libAgg = sharded.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("shard"))
+    val sqlAgg = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("sp2_shard_assign"))
+    assert(libAgg.collect().toSeq == sqlAgg.collect().toSeq)
+
+    val counts = libAgg.select(col("n_docs")).collect().map(_.getLong(0))
+    assert(counts.length == 8, s"expected 8 non-empty shards, got ${counts.length}")
+    // hash sharding keeps shards within a sane balance envelope
+    assert(counts.max.toDouble / counts.min < 2.0,
+      s"shard skew ${counts.mkString(",")}")
+  }
+}
