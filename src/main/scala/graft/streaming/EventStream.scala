@@ -99,4 +99,28 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: every purchase joined to the same user's
+    * clicks in the preceding hour (the streaming shape of ao1's
+    * click-attribution as-of join — Structured Streaming expresses the
+    * bounded-interval variant). Watermarks on BOTH sides plus the time
+    * bound let Spark evict join state continuously: each side retains at
+    * most watermark + interval of rows per user key, so state stays
+    * bounded on a 1000-executor cluster regardless of stream length. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"), col("value"))
+  }
 }

@@ -191,6 +191,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == 200)
   }
 
+  test("stream-stream interval join agrees with the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = EventStream.purchaseClickJoin(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_test")
+      .select(col("purchase_id"), col("click_id"))
+    Fixtures.registerRaw(spark, sfDir)
+    val ev = spark.table("events")
+    val batch = ev.where(col("event_type") === "purchase").as("p")
+      .join(ev.where(col("event_type") === "click").as("c"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.ts") <= col("p.ts") &&
+          col("c.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming hourly agg agrees with the batch query") {
     // stream source needs a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
