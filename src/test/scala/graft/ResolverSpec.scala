@@ -184,6 +184,37 @@ class ResolverSpec extends AnyFunSuite {
     assert(admin.map(_._1).contains(Some("apac")))
   }
 
+  test("JSON FileDirectory sources resolve like parquet/CSV (S1)") {
+    import graft.catalog._
+    import org.apache.spark.sql.types._
+    Fixtures.registerRaw(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_src").toString
+    spark.table("raw_orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").json(dir)
+    val entity = Entity("jorders", Seq(
+      Information("okey", LongType),
+      Information("total_cents", LongType)))
+    val ds = DataSource(
+      id = "orders_json",
+      sourceSql = "SELECT * FROM raw_orders_json WHERE o_orderstatus = 'O'",
+      mappings = Seq(
+        FieldMapping("okey", "o_orderkey"),
+        FieldMapping("total_cents", "o_totalprice",
+          Transformation("CAST(round({v} * 100) AS BIGINT)"))),
+      defaultPermission = SourcePermission(
+        Set("o_orderkey", "o_totalprice", "o_orderstatus"), "true"),
+      fileSource = Some(FileSource("json", dir)),
+      viewName = Some("raw_orders_json"))
+    val mesh = Mesh(Map("site" -> Site("site",
+      Map("jorders" -> entity), Map("jorders" -> Seq(ds)))))
+    val df = EntityResolver.resolve(spark, mesh, "site", "jorders")
+    val expect = spark.table("raw_orders").where(col("o_orderstatus") === "O")
+    assert(df.count() == expect.count())
+    assert(df.agg(sum(col("total_cents"))).head.getLong(0) ==
+      expect.agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))).head.getLong(0))
+  }
+
   test("brace literals in user SQL survive the mapping pipeline (query4 golden)") {
     // the reference's query4 (`test/queries.py:17-21`): `{...}` placeholders
     // inside string literals are LITERALS to the engine — template capture
