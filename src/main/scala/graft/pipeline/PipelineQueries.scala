@@ -540,6 +540,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // rj1: range join (graft.operators.RangeJoin) — clicks within the hour
+    // before each purchase by the same user, via bin bucketing (pure hash
+    // equi-join on (user, bin) + exact filter; no nested-loop shape).
+    // Oracle = DuckDB's native inequality join: two independent
+    // algorithms, one answer. Bounds compare as epoch micros on both
+    // sides (DuckDB CAST(ts NS -> TIMESTAMP) truncates the same way).
+    "rj1_range_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val ev = s.table("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (unix_micros(col("ts")) - 3600000000L).as("w_start"),
+          unix_micros(col("ts")).as("w_end"))
+      graft.operators.RangeJoin.pointInRange(
+          clicks, purch, Seq("user_id"), "c_us", "w_start", "w_end",
+          binWidth = 3600000000L)
+        .select(col("purchase_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // ss3: IVF with LEARNED centroids — spherical k-means refines the 16
     // seeds (2 Lloyd iterations), then the same probe-2-cells search as
     // ss2 runs against the learned cells. No DuckDB oracle (iterative
@@ -599,6 +623,18 @@ object PipelineQueries {
         """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
           |FROM documents WHERE lang <> 'zh'
           |GROUP BY md5(text) ORDER BY sig""".stripMargin,
+
+      "rj1_range_join" ->
+        """WITH clicks AS (SELECT user_id, event_id AS click_id,
+          |                       CAST(ts AS TIMESTAMP) AS ts
+          |                FROM events WHERE event_type = 'click'),
+          |purch AS (SELECT user_id, event_id AS purchase_id,
+          |                 CAST(ts AS TIMESTAMP) AS ts
+          |          FROM events WHERE event_type = 'purchase')
+          |SELECT p.purchase_id, c.click_id
+          |FROM purch p JOIN clicks c ON p.user_id = c.user_id
+          |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+          |ORDER BY purchase_id, click_id""".stripMargin,
 
       "dd6_simhash_pairs" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
