@@ -177,10 +177,10 @@ class GraftScan(
           "(use the DataFrame resolver path for view/remote/JDBC-backed branches)"))
 
       val fileSchema: Seq[StructField] = fs.format match {
-        case "parquet" => parquetFileSchema(fs.path)
-        case "csv"     => GraftScan.csvFileSchema(spark, fs).fields.toSeq
+        case "parquet"      => parquetFileSchema(fs.path)
+        case "csv" | "json" => GraftScan.inferredFileSchema(spark, fs).fields.toSeq
         case other => throw new IllegalArgumentException(
-          s"graft DSv2 scan supports parquet/csv, got $other")
+          s"graft DSv2 scan supports parquet/csv/json, got $other")
       }
       val fileAttrs = fileSchema.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)()).toSeq
@@ -283,19 +283,23 @@ class GraftScan(
 }
 
 object GraftScan {
-  /** CSV physical schemas, inferred once per (path, options) with the SAME
-    * reader options as the resolver path so both paths see identical types.
-    * Inference is one driver-side pass at plan time (cached); a production
-    * deployment at scale declares the schema in the source config instead. */
-  private val csvSchemaCache =
-    TrieMap.empty[(String, Map[String, String]), StructType]
+  /** CSV/JSON physical schemas, inferred once per (format, path, options)
+    * with the SAME reader options as the resolver path so both paths see
+    * identical types. Inference is one driver-side pass at plan time
+    * (cached); a production deployment at scale declares the schema in the
+    * source config instead. */
+  private val inferredSchemaCache =
+    TrieMap.empty[(String, String, Map[String, String]), StructType]
 
-  private[sources] def csvFileSchema(spark: SparkSession, fs: FileSource): StructType =
-    csvSchemaCache.getOrElseUpdate((fs.path, fs.options), {
-      spark.read.format("csv").options(fs.options)
-        .option("header", fs.options.getOrElse("header", "true"))
-        .option("inferSchema", fs.options.getOrElse("inferSchema", "true"))
-        .load(fs.path).schema
+  private[sources] def inferredFileSchema(spark: SparkSession, fs: FileSource): StructType =
+    inferredSchemaCache.getOrElseUpdate((fs.format, fs.path, fs.options), {
+      val reader = spark.read.format(fs.format).options(fs.options)
+      val withDefaults =
+        if (fs.format == "csv")
+          reader.option("header", fs.options.getOrElse("header", "true"))
+            .option("inferSchema", fs.options.getOrElse("inferSchema", "true"))
+        else reader
+      withDefaults.load(fs.path).schema
     })
 
   /** Flatten an analyzed Project/Filter/SubqueryAlias chain over a single
@@ -348,6 +352,7 @@ class GraftPartitionReader(p: GraftInputPartition)
   private val records: GraftRecordIterator = p.format match {
     case "parquet" => new ParquetRecordIterator(p.path, p.fileSchema)
     case "csv"     => new CsvRecordIterator(p.path, p.fileSchema)
+    case "json"    => new JsonRecordIterator(p.path, p.fileSchema)
     case other     => throw new IllegalStateException(s"unsupported format $other")
   }
   private val projection = UnsafeProjection.create(p.projections.toArray)
@@ -410,12 +415,12 @@ class ParquetRecordIterator(path: String, fileSchema: StructType)
   override def close(): Unit = reader.close()
 }
 
-/** Minimal RFC4180 CSV cursor over a file or a directory of part files
-  * (each with its own header line when present): quoted fields, embedded
-  * separators/quotes, empty string -> NULL, values converted to the
-  * inferred file schema. Local-filesystem paths (the connector's documented
-  * scope; distributed stores go through the resolver path). */
-class CsvRecordIterator(path: String, fileSchema: StructType)
+/** Line-record cursor over a file or a directory of part files —
+  * local-filesystem paths (the connector's documented scope; distributed
+  * stores go through the resolver path). Subclasses parse one line into
+  * the shared file-schema row. */
+abstract class LineRecordIterator(
+    path: String, fileSchema: StructType, skipHeaderLine: Boolean)
     extends GraftRecordIterator {
   private val files: Iterator[java.io.File] = {
     val f = new java.io.File(path)
@@ -425,16 +430,18 @@ class CsvRecordIterator(path: String, fileSchema: StructType)
     else Iterator(f)
   }
   private var reader: java.io.BufferedReader = _
-  private val fileRow = new GenericInternalRow(fileSchema.length)
+  protected val fileRow = new GenericInternalRow(fileSchema.length)
 
   private def advanceFile(): Boolean = {
     if (reader != null) reader.close()
     if (!files.hasNext) { reader = null; return false }
     reader = new java.io.BufferedReader(new java.io.FileReader(files.next()))
-    reader.readLine() // header (inference path always reads header=true)
+    if (skipHeaderLine) reader.readLine()
     true
   }
   advanceFile()
+
+  protected def parseLine(line: String): Unit
 
   override def nextRow(): InternalRow = {
     if (reader == null) return null
@@ -443,6 +450,19 @@ class CsvRecordIterator(path: String, fileSchema: StructType)
       if (!advanceFile()) return null
       line = reader.readLine()
     }
+    parseLine(line)
+    fileRow
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Minimal RFC4180 CSV parsing: quoted fields, embedded separators/quotes,
+  * empty string -> NULL, values converted to the inferred file schema. */
+class CsvRecordIterator(path: String, fileSchema: StructType)
+    extends LineRecordIterator(path, fileSchema, skipHeaderLine = true) {
+
+  override protected def parseLine(line: String): Unit = {
     val cells = splitCsv(line)
     var i = 0
     while (i < fileSchema.length) {
@@ -469,7 +489,6 @@ class CsvRecordIterator(path: String, fileSchema: StructType)
       }
       i += 1
     }
-    fileRow
   }
 
   /** One CSV record -> cells; `""` escaping inside quoted fields. */
@@ -495,6 +514,32 @@ class CsvRecordIterator(path: String, fileSchema: StructType)
     out += cur.toString
     out.toArray
   }
+}
 
-  override def close(): Unit = if (reader != null) reader.close()
+/** JSON-lines parsing via Jackson to the inferred flat file schema (the
+  * same top-level scalar shape Spark's JSON inference yields for the
+  * FileDirectory sources in scope; nested structs are served by the
+  * resolver path). Missing/null fields -> NULL. */
+class JsonRecordIterator(path: String, fileSchema: StructType)
+    extends LineRecordIterator(path, fileSchema, skipHeaderLine = false) {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override protected def parseLine(line: String): Unit = {
+    val node = mapper.readTree(line)
+    var i = 0
+    while (i < fileSchema.length) {
+      val f = fileSchema(i)
+      val v = node.get(f.name)
+      if (v == null || v.isNull) fileRow.update(i, null)
+      else f.dataType match {
+        case LongType    => fileRow.setLong(i, v.asLong())
+        case IntegerType => fileRow.setInt(i, v.asInt())
+        case DoubleType  => fileRow.setDouble(i, v.asDouble())
+        case BooleanType => fileRow.setBoolean(i, v.asBoolean())
+        case StringType  => fileRow.update(i, UTF8String.fromString(v.asText()))
+        case other => throw new IllegalStateException(s"unsupported json type $other")
+      }
+      i += 1
+    }
+  }
 }

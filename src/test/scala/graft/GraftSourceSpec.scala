@@ -154,6 +154,40 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(viaResolver.exceptAll(viaDsv2).count() == 0)
   }
 
+  test("JSON branches serve through the connector (resolver equality)") {
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_dsv2_json").toString
+    spark.read.parquet(s"${TestSessions.sfDir}/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").json(jsonDir)
+    val entity = Entity("jord", Seq(
+      Information("okey", LongType),
+      Information("total_cents", LongType),
+      Information("status", StringType)))
+    val src = DataSource(
+      id = "orders_json",
+      sourceSql = "SELECT * FROM ord_json_raw WHERE o_orderstatus <> 'F'",
+      mappings = Seq(
+        FieldMapping("okey", "o_orderkey"),
+        FieldMapping("total_cents", "o_totalprice",
+          Transformation("CAST(round({v} * 100) AS BIGINT)")),
+        FieldMapping("status", "o_orderstatus")),
+      defaultPermission = SourcePermission(
+        Set("o_orderkey", "o_totalprice", "o_orderstatus"), "true"),
+      fileSource = Some(FileSource("json", jsonDir)),
+      viewName = Some("ord_json_raw"))
+    val mesh = Mesh(Map("edge" -> Site("edge",
+      entities = Map("jord" -> entity),
+      localSources = Map("jord" -> Seq(src)))))
+    GraftDataSource.registry.put("test_json", mesh)
+    val viaDsv2 = spark.read.format("graft")
+      .option("mesh", "test_json").option("site", "edge").option("entity", "jord")
+      .load()
+    val viaResolver = EntityResolver.resolve(spark, mesh, "edge", "jord", None)
+    assert(viaDsv2.count() > 0)
+    assert(viaDsv2.exceptAll(viaResolver).count() == 0)
+    assert(viaResolver.exceptAll(viaDsv2).count() == 0)
+  }
+
   test("ACL row policies partition the branches") {
     val prov = dsv2().where(col("etype") === "click")
     // 'click' rows can only come from the edge_clicks source's policy
