@@ -100,6 +100,26 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once parquet sink: `foreachBatch` writes every micro-batch to
+    * a batch-id-keyed partition directory with overwrite semantics. After
+    * a failure, Structured Streaming replays the last uncommitted batch
+    * with the SAME batch id, so the rewrite lands in the same directory —
+    * at-least-once delivery + idempotent write = exactly-once output for
+    * downstream readers, with progress tracked in the checkpoint. This is
+    * the file-sink discipline a long-running 1000-executor ingestion job
+    * needs (the built-in file sink keeps a driver-side manifest; the
+    * batch-id layout also works for object stores + external catalogs). */
+  def writeBatch(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  def exactlyOnceSink(
+      events: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => writeBatch(outDir)(batch.toDF(), batchId))
+      .start()
+
   /** Stream-stream interval join: every purchase joined to the same user's
     * clicks in the preceding hour (the streaming shape of ao1's
     * click-attribution as-of join — Structured Streaming expresses the

@@ -191,6 +191,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == 200)
   }
 
+  test("exactly-once sink: checkpoint resume adds only new data; replays are idempotent") {
+    Fixtures.registerRaw(spark, sfDir)
+    val ev = spark.table("events").limit(400)
+    val a = ev.where(col("event_id") % 2 === 0)
+    val b = ev.where(col("event_id") % 2 === 1)
+    val staged = java.nio.file.Files.createTempDirectory("graft_eo_staged").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_eo_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_eo_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).forEach { f =>
+        if (f.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f, java.nio.file.Paths.get(s"$staged/$name.parquet"))
+      }
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(a.schema).parquet(staged)
+      val q = EventStream.exactlyOnceSink(stream, out, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    stage(a, "a"); runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == a.count())
+    // resume from the same checkpoint with one more staged file: only the
+    // new file is processed, nothing is re-emitted
+    stage(b, "b"); runOnce()
+    val all = spark.read.parquet(out)
+    assert(all.count() == ev.count())
+    assert(all.select("event_id").distinct().count() == ev.count())
+    // a replayed batch id rewrites its own directory, not a duplicate
+    val batchIds = all.select(col("batch_id")).distinct()
+      .collect().map(_.get(0).toString.toLong).sorted
+    EventStream.writeBatch(out)(b, batchIds.last)
+    assert(spark.read.parquet(out).count() == ev.count())
+  }
+
   test("stream-stream interval join agrees with the batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
     java.nio.file.Files.copy(
