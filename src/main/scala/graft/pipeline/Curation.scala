@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data build runs
+  * over raw documents — language filter -> quality gate -> exact dedup ->
+  * deterministic downsample -> shard assignment.
+  *
+  * Every stage is a declarative, deterministic plan (quality features are
+  * codegen'd built-ins, dedup keeps the min-id row per content hash,
+  * sampling/sharding are md5-threshold projections): a retried or
+  * re-partitioned 100 TB build emits byte-identical shards, and an
+  * independent engine can reproduce the whole chain (the cp1 oracle does,
+  * in DuckDB SQL). Stage order matters at scale: cheap row-local filters
+  * run before the one shuffle (dedup's partition-by-hash), and the sample
+  * runs before shard materialization.
+  */
+object Curation {
+
+  /** Curate `docs` down to a sharded training subset. Returns the curated
+    * rows with a `shard` column; aggregate or
+    * `repartition(col("shard")).write.partitionBy("shard")` downstream.
+    *
+    * @param sampleRate keep probability numerator out of 256 (128 = 50%)
+    */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      keepLang: String = "en", minTokens: Long = 5,
+      minStopwordRatio: Double = 0.05, sampleRate: Int = 128,
+      nShards: Int = 4): DataFrame = {
+    val filtered = docs.where(col(langCol) === keepLang)
+    val gated = TextAnalysis.quality(filtered, textCol)
+      .where(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= minStopwordRatio)
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val deduped = gated.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val sampled = Sampling.stratifiedSample(
+      deduped, idCol, langCol, rates = Map.empty,
+      defaultRate = sampleRate, salt = "cp1")
+    Sampling.withShard(sampled, idCol, nShards, salt = "cp1s")
+  }
+}

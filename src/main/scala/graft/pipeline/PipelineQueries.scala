@@ -540,6 +540,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // cp1: the full corpus-curation composition (graft.pipeline.Curation):
+    // language filter -> quality gate -> exact dedup (min-id keeper) ->
+    // 50% deterministic sample -> 4-way shard. The oracle reproduces the
+    // ENTIRE chain in DuckDB SQL — every stage is md5/threshold
+    // deterministic, which is the point: a retried 100 TB build emits the
+    // same shards.
+    "cp1_curation" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Curation.curate(s.table("documents"), "doc_id", "text", "lang")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("shard"))
+    }),
+
     // rj1: range join (graft.operators.RangeJoin) — clicks within the hour
     // before each purchase by the same user, via bin bucketing (pure hash
     // equi-join on (user, bin) + exact filter; no nested-loop shape).
@@ -623,6 +639,29 @@ object PipelineQueries {
         """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
           |FROM documents WHERE lang <> 'zh'
           |GROUP BY md5(text) ORDER BY sig""".stripMargin,
+
+      "cp1_curation" ->
+        """WITH gated AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE lang = 'en'
+          |    AND len(string_split(text, ' ')) >= 5
+          |    AND round(CAST(len(list_filter(string_split(lower(text), ' '),
+          |          t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+          |          / len(string_split(text, ' ')), 4) >= 0.05),
+          |dedup AS (SELECT doc_id FROM (
+          |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM gated) d WHERE rn = 1),
+          |sampled AS (SELECT doc_id FROM dedup
+          |  WHERE substring(md5(concat('cp1:', CAST(doc_id AS VARCHAR))), 1, 2) < '80'),
+          |sharded AS (SELECT doc_id,
+          |  (16 * (position(substring(md5(concat('cp1s:', CAST(doc_id AS VARCHAR))), 1, 1)
+          |         IN '0123456789abcdef') - 1)
+          |   + (position(substring(md5(concat('cp1s:', CAST(doc_id AS VARCHAR))), 2, 1)
+          |         IN '0123456789abcdef') - 1)) % 4 AS shard
+          |  FROM sampled)
+          |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |       min(doc_id) AS first_doc, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin,
 
       "rj1_range_join" ->
         """WITH clicks AS (SELECT user_id, event_id AS click_id,

@@ -41,6 +41,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(lib.collect().toSeq == sql.collect().toSeq)
   }
 
+  test("curation chain filters monotonically and is repeatable") {
+    import graft.pipeline.{Curation, TextAnalysis}
+    val all = docs.count()
+    val en = docs.where(col("lang") === "en")
+    val gated = TextAnalysis.quality(en, "text")
+      .where(col("n_tokens") >= 5 && col("stopword_ratio") >= 0.05)
+    val curated = Curation.curate(docs, "doc_id", "text", "lang")
+    assert(en.count() < all)
+    assert(gated.count() > 0 && gated.count() <= en.count())
+    assert(curated.count() > 0 && curated.count() <= gated.count())
+    // repeatability: same rows, same shards, twice
+    val once = curated.select("doc_id", "shard").collect().toSeq.sortBy(_.getLong(0))
+    val twice = Curation.curate(docs, "doc_id", "text", "lang")
+      .select("doc_id", "shard").collect().toSeq.sortBy(_.getLong(0))
+    assert(once == twice)
+    assert(curated.select("shard").distinct().count() <= 4)
+  }
+
   test("withShard matches the sp2 SQL aggregation; shards are balanced") {
     val sharded = Sampling.withShard(docs, "doc_id", nShards = 8)
     val libAgg = sharded.groupBy(col("shard").cast("long").as("shard"))
