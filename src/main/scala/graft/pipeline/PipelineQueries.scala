@@ -599,6 +599,30 @@ object PipelineQueries {
         centroids = cents, k = 5, nprobe = 2)
     }),
 
+    // ap2: heavy hitters via count-min sketch — the vocabulary/hot-key
+    // detection a corpus pipeline runs before building token statistics.
+    // The sketch is built in one distributed pass (partition sketches
+    // merge additively, so the result is order-independent and
+    // deterministic under a fixed seed); the top-20 exact tokens are then
+    // scored against it. CMS never under-counts, which ApproxSpec pins
+    // along with the epsilon over-count bound. Rows-only driver check
+    // (no engine-neutral sketch to oracle).
+    "ap2_heavy_hitters" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val tok = s.table("documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      val sketch = tok.stat.countMinSketch(
+        "token", eps = 0.001, confidence = 0.99, seed = 42)
+      val top = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("token")).limit(20).collect()
+      import s.implicits._
+      top.map(r => (r.getString(0), r.getLong(1),
+          sketch.estimateCount(r.getString(0))))
+        .toSeq.toDF("token", "exact_count", "cms_estimate")
+        .orderBy(col("exact_count").desc, col("token"))
+    }),
+
     // approximate aggregates (HLL++ count-distinct, quantile sketch) — no
     // DuckDB oracle (different sketch algorithms can't hash-match); the
     // driver records a rows-only check and ApproxSpec bounds the error.

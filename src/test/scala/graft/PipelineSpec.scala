@@ -85,6 +85,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min heavy hitters never under-count; over-count within epsilon") {
+    val rows = run("ap2_heavy_hitters").collect()
+    assert(rows.length == 20)
+    Fixtures.registerRaw(spark, sfDir)
+    val totalTokens = spark.table("documents")
+      .select(explode(split(lower(col("text")), " ")).as("t")).count()
+    rows.foreach { r =>
+      val exact = r.getLong(1); val est = r.getLong(2)
+      assert(est >= exact, s"CMS under-counted ${r.getString(0)}: $est < $exact")
+      assert(est - exact <= (0.001 * totalTokens).ceil.toLong,
+        s"CMS over-count beyond eps*N for ${r.getString(0)}: $est vs $exact")
+    }
+  }
+
   test("as-of join carries the latest preceding click per user") {
     val joined = run("ao1_asof_join")
     Fixtures.registerRaw(spark, sfDir)
