@@ -20,6 +20,40 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true in final plan)") {
+    // one hot key carries ~99% of the left side; with broadcast disabled
+    // the SMJ's hot partition crosses the (lowered) skew threshold and
+    // AQE's OptimizeSkewedJoin must split it — the runtime complement to
+    // the manual salting helpers for ad-hoc queries.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val left = spark.range(0, 300000).select(
+        when(col("id") % 100 === 0, col("id")).otherwise(lit(0L)).as("k"),
+        concat(lit("payload_payload_payload_"), col("id")).as("p"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("d"))
+      // keep the payload in the output: pruning it shrinks the hot
+      // partition's (compressed) shuffle bytes below any sane threshold
+      val joined = left.join(right, "k")
+      // execute THIS queryExecution so the adaptive plan is finalized
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin == plain join (inner and left)") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     val li = spark.table("raw_lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
