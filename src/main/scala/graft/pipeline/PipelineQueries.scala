@@ -451,11 +451,23 @@ object PipelineQueries {
         |      FROM documents) s
         |GROUP BY shard ORDER BY shard""".stripMargin))
 
-  /** Encoded multimodal corpus per (session, sf): see mm2 note. */
+  /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
+    * switching a session to a new sf dir unpersists and drops its previous
+    * entry, so a long-lived process pins at most one corpus per session. */
   private val mediaCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[Multimodal.MediaRecord]]
 
-  /** Learned IVF centroids per (session, sf): see ss3 note. */
+  private def cachedMedia(s: SparkSession, dir: String) =
+    mediaCache.getOrElseUpdate((s, dir), {
+      mediaCache.filterKeys(_._1 eq s).foreach { case (k, ds) =>
+        ds.unpersist(); mediaCache.remove(k)
+      }
+      Multimodal.toMediaRecords(s, s.table("documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Learned IVF centroids per (session, sf): see ss3 note. Driver-side
+    * model state only (k x dim doubles), same one-entry-per-session bound. */
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[Seq[Double]]]
 
@@ -526,10 +538,7 @@ object PipelineQueries {
     "mm2_multimodal_features" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
-      val records = mediaCache.getOrElseUpdate((s, dir),
-        Multimodal.toMediaRecords(s, s.table("documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val feats = Multimodal.extractFeatures(records)
+      val feats = Multimodal.extractFeatures(cachedMedia(s, dir))
       feats.toDF()
         .select(col("doc_id"),
           col("nBytes").cast("long").as("n_bytes"),
@@ -591,9 +600,11 @@ object PipelineQueries {
       val emb = s.table("embeddings")
       // centroid learning is INDEX BUILD — offline, once per corpus (like
       // any IVF index); memoized so the measured work is the serving path
-      val cents = centroidCache.getOrElseUpdate((s, dir),
+      val cents = centroidCache.getOrElseUpdate((s, dir), {
+        centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
         Similarity.sphericalKMeans(
-          emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2))
+          emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
+      })
       Similarity.ivfTopKLearned(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, k = 5, nprobe = 2)

@@ -27,7 +27,11 @@ object Sampling {
       df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Int], defaultRate: Int = 0,
       salt: String = "sp1"): DataFrame = {
-    def hexByte(n: Int): String = f"${math.min(math.max(n, 0), 256)}%02x"
+    // 256 = keep-all: every 2-hex-char draw must beat the threshold, but
+    // f"100" would LOSE lexicographically to "11".."ff" — use "g", which
+    // sorts after every hex digit
+    def hexByte(n: Int): String =
+      if (n >= 256) "g" else f"${math.max(n, 0)}%02x"
     val threshold = rates.foldLeft(lit(hexByte(defaultRate))) {
       case (acc, (stratum, rate)) =>
         when(col(strataCol) === stratum, lit(hexByte(rate))).otherwise(acc)

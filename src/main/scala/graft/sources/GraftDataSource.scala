@@ -149,11 +149,14 @@ class GraftScanBuilder(
   * projections, optional per-branch limit. */
 case class GraftInputPartition(
     path: String,
-    format: String,            // parquet | csv
+    format: String,            // parquet | csv | json
     fileSchema: StructType,
     rowFilter: Expression,     // bound to file schema
     projections: Seq[Expression], // bound, one per required entity column
-    limit: Option[Int]) extends InputPartition
+    limit: Option[Int],
+    readerOptions: Map[String, String], // FileSource options (csv header/sep/quote)
+    sessionTimeZone: String)   // session tz for timestamp parsing parity
+    extends InputPartition
 
 class GraftScan(
     mesh: Mesh, siteName: String, entity: Entity, user: Option[String],
@@ -249,7 +252,8 @@ class GraftScan(
 
       GraftInputPartition(
         fs.path, fs.format, StructType(fileSchema), bound.last,
-        bound.dropRight(1), limit): InputPartition
+        bound.dropRight(1), limit, fs.options,
+        spark.sessionState.conf.sessionLocalTimeZone): InputPartition
     }.toArray
   }
 
@@ -351,7 +355,8 @@ class GraftPartitionReader(p: GraftInputPartition)
 
   private val records: GraftRecordIterator = p.format match {
     case "parquet" => new ParquetRecordIterator(p.path, p.fileSchema)
-    case "csv"     => new CsvRecordIterator(p.path, p.fileSchema)
+    case "csv" =>
+      new CsvRecordIterator(p.path, p.fileSchema, p.readerOptions, p.sessionTimeZone)
     case "json"    => new JsonRecordIterator(p.path, p.fileSchema)
     case other     => throw new IllegalStateException(s"unsupported format $other")
   }
@@ -435,7 +440,10 @@ abstract class LineRecordIterator(
   private def advanceFile(): Boolean = {
     if (reader != null) reader.close()
     if (!files.hasNext) { reader = null; return false }
-    reader = new java.io.BufferedReader(new java.io.FileReader(files.next()))
+    // Spark's text readers decode UTF-8 regardless of platform charset
+    reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(files.next()),
+      java.nio.charset.StandardCharsets.UTF_8))
     if (skipHeaderLine) reader.readLine()
     true
   }
@@ -457,10 +465,22 @@ abstract class LineRecordIterator(
   override def close(): Unit = if (reader != null) reader.close()
 }
 
-/** Minimal RFC4180 CSV parsing: quoted fields, embedded separators/quotes,
-  * empty string -> NULL, values converted to the inferred file schema. */
-class CsvRecordIterator(path: String, fileSchema: StructType)
-    extends LineRecordIterator(path, fileSchema, skipHeaderLine = true) {
+/** Minimal RFC4180 CSV parsing honoring the same reader options the
+  * plan-time schema inference honors (`header`, `sep`/`delimiter`,
+  * `quote`): quoted fields, embedded separators/quotes, empty string ->
+  * NULL. Malformed cells yield NULL like Spark's PERMISSIVE mode;
+  * timestamps parse in the SESSION timezone via Spark's own parsers for
+  * resolver parity. */
+class CsvRecordIterator(
+    path: String, fileSchema: StructType,
+    options: Map[String, String], sessionTimeZone: String)
+    extends LineRecordIterator(path, fileSchema,
+      skipHeaderLine = options.getOrElse("header", "true").toBoolean) {
+
+  private val sep = options.getOrElse("sep",
+    options.getOrElse("delimiter", ",")).charAt(0)
+  private val quote = options.getOrElse("quote", "\"").charAt(0)
+  private val zone = java.time.ZoneId.of(sessionTimeZone)
 
   override protected def parseLine(line: String): Unit = {
     val cells = splitCsv(line)
@@ -468,30 +488,36 @@ class CsvRecordIterator(path: String, fileSchema: StructType)
     while (i < fileSchema.length) {
       val raw = if (i < cells.length) cells(i) else null
       if (raw == null || raw.isEmpty) fileRow.update(i, null)
-      else fileSchema(i).dataType match {
-        case IntegerType => fileRow.setInt(i, raw.toInt)
-        case LongType    => fileRow.setLong(i, raw.toLong)
-        case DoubleType  => fileRow.setDouble(i, raw.toDouble)
-        case BooleanType => fileRow.setBoolean(i, raw.toBoolean)
-        case StringType  => fileRow.update(i, UTF8String.fromString(raw))
-        // Spark's own parsers, so date/timestamp semantics (formats, session
-        // timezone) match the resolver's CSV reader exactly
-        case DateType => fileRow.update(i,
-          org.apache.spark.sql.catalyst.util.DateTimeUtils
-            .stringToDate(UTF8String.fromString(raw))
-            .map(Integer.valueOf).orNull)
-        case TimestampType => fileRow.update(i,
-          org.apache.spark.sql.catalyst.util.DateTimeUtils
-            .stringToTimestamp(UTF8String.fromString(raw),
-              java.time.ZoneId.systemDefault())
-            .map(java.lang.Long.valueOf).orNull)
-        case other => throw new IllegalStateException(s"unsupported csv type $other")
-      }
+      else fileRow.update(i, convert(raw, fileSchema(i).dataType))
       i += 1
     }
   }
 
-  /** One CSV record -> cells; `""` escaping inside quoted fields. */
+  /** PERMISSIVE-mode conversion: a malformed cell becomes NULL, never an
+    * exception — matching the resolver path's Spark CSV reader. */
+  private def convert(raw: String, dt: DataType): Any =
+    try dt match {
+      case IntegerType => Integer.valueOf(raw.trim.toInt)
+      case LongType    => java.lang.Long.valueOf(raw.trim.toLong)
+      case DoubleType  => java.lang.Double.valueOf(raw.trim.toDouble)
+      case BooleanType => java.lang.Boolean.valueOf(raw.trim.toBoolean)
+      case StringType  => UTF8String.fromString(raw)
+      // Spark's own parsers, so date/timestamp semantics (formats, session
+      // timezone) match the resolver's CSV reader exactly
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToDate(UTF8String.fromString(raw))
+          .map(Integer.valueOf).orNull
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(UTF8String.fromString(raw), zone)
+          .map(java.lang.Long.valueOf).orNull
+      case other => throw new IllegalStateException(s"unsupported csv type $other")
+    } catch {
+      case _: NumberFormatException | _: IllegalArgumentException => null
+    }
+
+  /** One CSV record -> cells; quote-pair escaping inside quoted fields. */
   private def splitCsv(line: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new java.lang.StringBuilder
@@ -500,15 +526,13 @@ class CsvRecordIterator(path: String, fileSchema: StructType)
     while (i < line.length) {
       val c = line.charAt(i)
       if (inQuotes) {
-        if (c == '"') {
-          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+        if (c == quote) {
+          if (i + 1 < line.length && line.charAt(i + 1) == quote) { cur.append(quote); i += 1 }
           else inQuotes = false
         } else cur.append(c)
-      } else c match {
-        case '"' => inQuotes = true
-        case ',' => out += cur.toString; cur.setLength(0)
-        case _   => cur.append(c)
-      }
+      } else if (c == quote) inQuotes = true
+      else if (c == sep) { out += cur.toString; cur.setLength(0) }
+      else cur.append(c)
       i += 1
     }
     out += cur.toString

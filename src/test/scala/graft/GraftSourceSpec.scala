@@ -154,6 +154,39 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(viaResolver.exceptAll(viaDsv2).count() == 0)
   }
 
+  test("CSV reader honors header/sep options like the inference path") {
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_dsv2_csvopt").toString
+    spark.read.parquet(s"${TestSessions.sfDir}/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .option("header", "false").option("sep", ";").csv(csvDir)
+    val opts = Map("header" -> "false", "sep" -> ";")
+    val entity = Entity("linoh", Seq(
+      Information("orderkey", LongType),
+      Information("qty", DoubleType)))
+    val src = DataSource(
+      id = "li_csv_noheader",
+      sourceSql = "SELECT * FROM linoh_raw",
+      // headerless inference names columns _c0, _c1
+      mappings = Seq(
+        FieldMapping("orderkey", "_c0"), FieldMapping("qty", "_c1")),
+      defaultPermission = SourcePermission(Set("_c0", "_c1"), "true"),
+      fileSource = Some(FileSource("csv", csvDir, opts)),
+      viewName = Some("linoh_raw"))
+    val mesh = Mesh(Map("edge" -> Site("edge",
+      entities = Map("linoh" -> entity),
+      localSources = Map("linoh" -> Seq(src)))))
+    GraftDataSource.registry.put("test_csvopt", mesh)
+    val viaDsv2 = spark.read.format("graft")
+      .option("mesh", "test_csvopt").option("site", "edge").option("entity", "linoh")
+      .load()
+    val viaResolver = EntityResolver.resolve(spark, mesh, "edge", "linoh", None)
+    assert(viaDsv2.count() ==
+      spark.read.parquet(s"${TestSessions.sfDir}/lineitem.parquet").count())
+    assert(viaDsv2.exceptAll(viaResolver).count() == 0)
+    assert(viaResolver.exceptAll(viaDsv2).count() == 0)
+  }
+
   test("JSON branches serve through the connector (resolver equality)") {
     val jsonDir = java.nio.file.Files.createTempDirectory("graft_dsv2_json").toString
     spark.read.parquet(s"${TestSessions.sfDir}/orders.parquet")

@@ -41,6 +41,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(lib.collect().toSeq == sql.collect().toSeq)
   }
 
+  test("rate 256 keeps every row of the stratum (keep-all threshold)") {
+    val en = docs.where(col("lang") === "en")
+    val kept = Sampling.stratifiedSample(
+      docs, "doc_id", "lang", rates = Map("en" -> 256), defaultRate = 0)
+    assert(kept.count() == en.count())
+    assert(kept.where(col("lang") =!= "en").count() == 0)
+  }
+
   test("curation chain filters monotonically and is repeatable") {
     import graft.pipeline.{Curation, TextAnalysis}
     val all = docs.count()
