@@ -60,6 +60,17 @@ class QueryService(session: MeshSession, resultDir: String) {
   private val branchTasks =
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), TaskState]]()
 
+  // bounded worker pool, not a thread per request: a submit flood queues
+  // instead of exhausting driver threads (the reference's query_runner
+  // drains a work queue the same way)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(8, Runtime.getRuntime.availableProcessors()),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-query-worker")
+      t.setDaemon(true)
+      t
+    })
+
   /** Submit a query; executes on a background thread, one sub-task per leaf
     * (relay, source) branch — mirroring the reference's per-DataSource
     * `QueryTask` rows with individual statuses
@@ -109,9 +120,7 @@ class QueryService(session: MeshSession, resultDir: String) {
         }
       }
     }
-    val t = new Thread(runnable, s"graft-query-$id")
-    t.setDaemon(true)
-    t.start()
+    pool.submit(runnable)
     id
   }
 
