@@ -71,20 +71,22 @@ object EntityResolver {
       siteName: String,
       entityName: String,
       user: Option[String] = None): Seq[(Option[String], Option[String])] = {
-    def walk(site: String, entity: String,
-        visited: Set[String]): Seq[(Option[String], Option[String])] = {
+    def walk(site: String, entity: String, visited: Set[String],
+        viaRelay: Option[String]): Seq[(Option[String], Option[String])] = {
       val s = mesh.site(site)
       val local = s.localSources.getOrElse(entity, Nil)
         .filterNot { ds =>
+          // same requester model as resolveRec: hops carry Requester::Relay
           val perm = SourcePermission.evaluate(
-            ds.defaultPermission, user.flatMap(ds.userPermissions.get), None)
+            ds.defaultPermission, user.flatMap(ds.userPermissions.get),
+            viaRelay.flatMap(ds.relayPermissions.get))
           constantFalseFilter(spark, perm.allowedRows)
         }
         .map(ds => (Option(site), Option(ds.id)))
       val remote = s.remoteMappings.getOrElse(entity, Nil)
         .filterNot(rm => visited.contains(rm.peer))
         .flatMap { rm =>
-          val sub = walk(rm.peer, rm.remoteEntity, visited + rm.peer)
+          val sub = walk(rm.peer, rm.remoteEntity, visited + rm.peer, Some(site))
           if (sub.isEmpty) Nil
           else {
             val (keepsRelay, keepsId) = templateProvenance(spark, mesh, rm)
@@ -95,7 +97,7 @@ object EntityResolver {
         }
       local ++ remote
     }
-    walk(siteName, entityName, Set(siteName)).distinct
+    walk(siteName, entityName, Set(siteName), viaRelay = None).distinct
   }
 
   /** Plan-only check: which provenance columns does `rm.sqlTemplate` keep?
@@ -139,22 +141,27 @@ object EntityResolver {
       entityName: String,
       user: Option[String],
       withProvenance: Boolean,
-      visited: Set[String]): DataFrame = {
+      visited: Set[String],
+      viaRelay: Option[String] = None): DataFrame = {
     val site = mesh.site(siteName)
     val entity = site.entities(entityName)
 
     val localParts: Seq[DataFrame] =
       site.localSources.getOrElse(entityName, Nil).map { ds =>
-        localSourceDF(spark, site, entity, ds, user, withProvenance)
+        localSourceDF(spark, site, entity, ds, user, viaRelay, withProvenance)
       }
 
     val remoteParts: Seq[DataFrame] =
       site.remoteMappings.getOrElse(entityName, Nil)
         .filterNot(rm => visited.contains(rm.peer))
         .map { rm =>
+          // the peer sees THIS site as the direct requester
+          // (Requester::Relay), while the originating user's identity
+          // still flows for the user∩relay policy term
+          // (`core/src/execute/mod.rs:150-191`)
           val remoteDF = resolveRec(
             spark, mesh, rm.peer, rm.remoteEntity, user, withProvenance,
-            visited + rm.peer)
+            visited + rm.peer, viaRelay = Some(siteName))
           remoteMappedDF(spark, entity, rm, remoteDF, withProvenance)
         }
 
@@ -171,11 +178,15 @@ object EntityResolver {
       entity: Entity,
       ds: DataSource,
       user: Option[String],
+      viaRelay: Option[String],
       withProvenance: Boolean): DataFrame = {
     val perm = SourcePermission.evaluate(
       ds.defaultPermission,
       user.flatMap(ds.userPermissions.get),
-      None) // single-process: requests are user-direct (Requester::User)
+      // a hop-forwarded request is Requester::Relay(peer): the peer's
+      // relay policy intersects the user grant (default ∪ (user ∩ relay),
+      // `core/src/execute/mod.rs:150-191`); a direct request has none
+      viaRelay.flatMap(ds.relayPermissions.get))
 
     // file-backed sources (FileDirectory runner, S1): read + register the
     // physical relation the source SQL refers to

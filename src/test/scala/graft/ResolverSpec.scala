@@ -184,6 +184,55 @@ class ResolverSpec extends AnyFunSuite {
     assert(admin.map(_._1).contains(Some("apac")))
   }
 
+  test("relay policies gate hop-forwarded requests (Requester::Relay)") {
+    import graft.catalog._
+    import org.apache.spark.sql.types._
+    Fixtures.registerRaw(spark, sfDir)
+    val entity = Entity("li", Seq(
+      Information("okey", LongType), Information("qty", DoubleType)))
+    val grant = SourcePermission(
+      Set("l_orderkey", "l_quantity"), "l_orderkey % 2 = 0")
+    // deny-by-default source: only the relay policy for requesting peer
+    // "hub" (∪'d with the empty default) grants anything
+    val ds = DataSource(
+      id = "b_lineitem",
+      sourceSql = "SELECT * FROM raw_lineitem",
+      mappings = Seq(
+        FieldMapping("okey", "l_orderkey"), FieldMapping("qty", "l_quantity")),
+      defaultPermission = SourcePermission(Set.empty, "false"),
+      relayPermissions = Map("hub" -> grant))
+    val owner = Site("owner",
+      entities = Map("li" -> entity), localSources = Map("li" -> Seq(ds)))
+    val hub = Site("hub",
+      entities = Map("li" -> entity),
+      remoteMappings = Map("li" -> Seq(RemoteEntityMapping(
+        peer = "owner", remoteEntity = "li",
+        infoMappings = entity.informations.map(i => RemoteInfoMapping(i.name, i.name))))))
+    // a second peer with NO relay grant sees only the deny-all default
+    val stranger = Site("stranger",
+      entities = Map("li" -> entity),
+      remoteMappings = Map("li" -> Seq(RemoteEntityMapping(
+        peer = "owner", remoteEntity = "li",
+        infoMappings = entity.informations.map(i => RemoteInfoMapping(i.name, i.name))))))
+    val mesh = Mesh(Map("owner" -> owner, "hub" -> hub, "stranger" -> stranger))
+
+    // direct (user-direct) request on the owner: deny-all default only
+    assert(EntityResolver.resolve(spark, mesh, "owner", "li").count() == 0)
+    // via the granted relay: even-orderkey rows, both columns mapped
+    val viaHub = EntityResolver.resolve(spark, mesh, "hub", "li")
+    assert(viaHub.count() > 0)
+    assert(viaHub.where(col("okey") % 2 =!= 0).count() == 0)
+    assert(viaHub.where(col("qty").isNull).count() == 0)
+    // via an ungranted relay: nothing
+    assert(EntityResolver.resolve(spark, mesh, "stranger", "li").count() == 0)
+    // branch enumeration prunes exactly the same way
+    val hubBranches = EntityResolver.provenanceBranches(spark, mesh, "hub", "li")
+    val strangerBranches =
+      EntityResolver.provenanceBranches(spark, mesh, "stranger", "li")
+    assert(hubBranches.nonEmpty)
+    assert(strangerBranches.isEmpty)
+  }
+
   test("JSON FileDirectory sources resolve like parquet/CSV (S1)") {
     import graft.catalog._
     import org.apache.spark.sql.types._
