@@ -94,6 +94,17 @@ final case class FileSource(
     path: String,
     options: Map[String, String] = Map.empty)
 
+object FileSource {
+  /** Effective CSV reader options: keys lower-cased (Spark reader options
+    * are case-insensitive) and graft's header/inferSchema=true defaults
+    * applied. The ONE definition the resolver path, the DSv2 schema
+    * inference, and the DSv2 executor reader all share — parity between
+    * the three depends on them agreeing. */
+  def csvEffectiveOptions(options: Map[String, String]): Map[String, String] =
+    Map("header" -> "true", "inferschema" -> "true") ++
+      options.map { case (k, v) => k.toLowerCase -> v }
+}
+
 /** Physical JDBC-backed dataset — the generic delegated-engine runner
   * behind the reference's Trino/FlightSQL connection kinds
   * (`core/src/execute/data_stores/trino.rs:103-200`, `flight_sql.rs:47-163`):

@@ -194,14 +194,10 @@ object EntityResolver {
       // TIMESTAMP(NANOS) parquet columns surface as nanos-longs (mapping
       // transforms convert), matching the DSv2 connector's raw view
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val reader = spark.read.format(fs.format).options(fs.options)
-      val withDefaults =
-        if (fs.format == "csv")
-          reader.option("header",
-            fs.options.getOrElse("header", "true")).option("inferSchema",
-            fs.options.getOrElse("inferSchema", "true"))
-        else reader
-      withDefaults.load(fs.path)
+      val effective =
+        if (fs.format == "csv") FileSource.csvEffectiveOptions(fs.options)
+        else fs.options
+      spark.read.format(fs.format).options(effective).load(fs.path)
         .createOrReplaceTempView(ds.viewName.getOrElse(ds.id))
     }
 

@@ -60,16 +60,7 @@ class QueryService(session: MeshSession, resultDir: String) {
   private val branchTasks =
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), TaskState]]()
 
-  // bounded worker pool, not a thread per request: a submit flood queues
-  // instead of exhausting driver threads (the reference's query_runner
-  // drains a work queue the same way)
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-    math.min(8, Runtime.getRuntime.availableProcessors()),
-    (r: Runnable) => {
-      val t = new Thread(r, "graft-query-worker")
-      t.setDaemon(true)
-      t
-    })
+  import QueryService.pool
 
   /** Submit a query; executes on a background thread, one sub-task per leaf
     * (relay, source) branch — mirroring the reference's per-DataSource
@@ -238,6 +229,20 @@ object QueryService {
   /** Serializes shared-name temp-view registration during plan building
     * across concurrent submits (and MeshSession.sql callers). */
   private[mesh] val planLock = new Object
+
+  /** PROCESS-WIDE bounded worker pool shared by every QueryService: a
+    * submit flood queues instead of exhausting driver threads (the
+    * reference's query_runner drains a work queue the same way), and
+    * constructing services per tenant/request doesn't accumulate idle
+    * pools. Daemon threads; lives for the process like Spark's own
+    * driver pools. */
+  private[mesh] lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.min(8, Runtime.getRuntime.availableProcessors()),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-query-worker")
+      t.setDaemon(true)
+      t
+    })
   /** Partition directory name for per-branch spill — prefixed so a user
     * query column named "branch" can't collide. */
   val BranchPartitionCol = "_graft_branch_"

@@ -457,14 +457,23 @@ object PipelineQueries {
   private val mediaCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[Multimodal.MediaRecord]]
 
+  private val cacheLock = new Object
+
   private def cachedMedia(s: SparkSession, dir: String) =
-    mediaCache.getOrElseUpdate((s, dir), {
-      mediaCache.filterKeys(_._1 eq s).foreach { case (k, ds) =>
-        ds.unpersist(); mediaCache.remove(k)
-      }
-      Multimodal.toMediaRecords(s, s.table("documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    // plain lock, not getOrElseUpdate: concurrent first calls must not
+    // each persist a corpus (the loser's would stay pinned unreachably),
+    // and eviction + insert must be atomic for the one-per-session bound
+    cacheLock.synchronized {
+      mediaCache.getOrElse((s, dir), {
+        mediaCache.filterKeys(_._1 eq s).foreach { case (k, ds) =>
+          ds.unpersist(); mediaCache.remove(k)
+        }
+        val ds = Multimodal.toMediaRecords(s, s.table("documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mediaCache.put((s, dir), ds)
+        ds
+      })
+    }
 
   /** Learned IVF centroids per (session, sf): see ss3 note. Driver-side
     * model state only (k x dim doubles), same one-entry-per-session bound. */
@@ -600,11 +609,15 @@ object PipelineQueries {
       val emb = s.table("embeddings")
       // centroid learning is INDEX BUILD — offline, once per corpus (like
       // any IVF index); memoized so the measured work is the serving path
-      val cents = centroidCache.getOrElseUpdate((s, dir), {
-        centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
-        Similarity.sphericalKMeans(
-          emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
-      })
+      val cents = cacheLock.synchronized {
+        centroidCache.getOrElse((s, dir), {
+          centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
+          val c = Similarity.sphericalKMeans(
+            emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
+          centroidCache.put((s, dir), c)
+          c
+        })
+      }
       Similarity.ivfTopKLearned(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, k = 5, nprobe = 2)

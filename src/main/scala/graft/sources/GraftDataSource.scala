@@ -179,6 +179,10 @@ class GraftScan(
         s"graft DSv2 scan requires file-backed sources; ${ds.id} has none " +
           "(use the DataFrame resolver path for view/remote/JDBC-backed branches)"))
 
+      // validate BEFORE inference/analysis: an unsupported reader option
+      // must fail with the scope message, not a downstream analysis error
+      val readerOpts = GraftScan.validatedReaderOptions(fs)
+
       val fileSchema: Seq[StructField] = fs.format match {
         case "parquet"      => parquetFileSchema(fs.path)
         case "csv" | "json" => GraftScan.inferredFileSchema(spark, fs).fields.toSeq
@@ -252,7 +256,7 @@ class GraftScan(
 
       GraftInputPartition(
         fs.path, fs.format, StructType(fileSchema), bound.last,
-        bound.dropRight(1), limit, fs.options,
+        bound.dropRight(1), limit, readerOpts,
         spark.sessionState.conf.sessionLocalTimeZone): InputPartition
     }.toArray
   }
@@ -297,14 +301,43 @@ object GraftScan {
 
   private[sources] def inferredFileSchema(spark: SparkSession, fs: FileSource): StructType =
     inferredSchemaCache.getOrElseUpdate((fs.format, fs.path, fs.options), {
-      val reader = spark.read.format(fs.format).options(fs.options)
-      val withDefaults =
-        if (fs.format == "csv")
-          reader.option("header", fs.options.getOrElse("header", "true"))
-            .option("inferSchema", fs.options.getOrElse("inferSchema", "true"))
-        else reader
-      withDefaults.load(fs.path).schema
+      val effective =
+        if (fs.format == "csv") FileSource.csvEffectiveOptions(fs.options)
+        else fs.options
+      spark.read.format(fs.format).options(effective).load(fs.path).schema
     })
+
+  /** Fail at PLAN time on any reader option the executor-side cursor does
+    * not implement — a plan that succeeds must never serve data that
+    * diverges from the resolver path. Unsupported-option branches belong
+    * on the resolver path (Spark's own readers). Returns the validated
+    * effective options to ship in the partition. */
+  private[sources] def validatedReaderOptions(fs: FileSource): Map[String, String] =
+    fs.format match {
+      case "csv" =>
+        val eff = FileSource.csvEffectiveOptions(fs.options)
+        val supported = Set("header", "inferschema", "sep", "delimiter", "quote", "escape")
+        val unknown = eff.keySet.diff(supported)
+        require(unknown.isEmpty,
+          s"graft DSv2 CSV reader does not implement options $unknown " +
+            "(use the DataFrame resolver path for this source)")
+        Seq("sep", "delimiter", "quote", "escape").foreach { k =>
+          eff.get(k).foreach(v => require(v.length == 1,
+            s"graft DSv2 CSV reader supports only single-character '$k', got '$v' " +
+              "(use the DataFrame resolver path)"))
+        }
+        eff
+      case "json" =>
+        val eff = fs.options.map { case (k, v) => k.toLowerCase -> v }
+        val unsupported = eff.filterNot { case (k, v) =>
+          k == "multiline" && v.equalsIgnoreCase("false")
+        }
+        require(unsupported.isEmpty,
+          s"graft DSv2 JSON reader does not implement options ${unsupported.keySet} " +
+            "(use the DataFrame resolver path for this source)")
+        eff
+      case _ => fs.options
+    }
 
   /** Flatten an analyzed Project/Filter/SubqueryAlias chain over a single
     * LocalRelation into (output-attr exprId -> expression over the
@@ -475,11 +508,15 @@ class CsvRecordIterator(
     path: String, fileSchema: StructType,
     options: Map[String, String], sessionTimeZone: String)
     extends LineRecordIterator(path, fileSchema,
+      // options arrive validated + lower-cased (validatedReaderOptions)
       skipHeaderLine = options.getOrElse("header", "true").toBoolean) {
 
   private val sep = options.getOrElse("sep",
     options.getOrElse("delimiter", ",")).charAt(0)
   private val quote = options.getOrElse("quote", "\"").charAt(0)
+  // Spark's CSV writer escapes embedded quotes with `escape` (default \),
+  // not only quote-doubling — both forms must read back
+  private val esc = options.getOrElse("escape", "\\").charAt(0)
   private val zone = java.time.ZoneId.of(sessionTimeZone)
 
   override protected def parseLine(line: String): Unit = {
@@ -526,7 +563,10 @@ class CsvRecordIterator(
     while (i < line.length) {
       val c = line.charAt(i)
       if (inQuotes) {
-        if (c == quote) {
+        if (c == esc && esc != quote && i + 1 < line.length &&
+            (line.charAt(i + 1) == quote || line.charAt(i + 1) == esc)) {
+          cur.append(line.charAt(i + 1)); i += 1
+        } else if (c == quote) {
           if (i + 1 < line.length && line.charAt(i + 1) == quote) { cur.append(quote); i += 1 }
           else inQuotes = false
         } else cur.append(c)

@@ -187,6 +187,61 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(viaResolver.exceptAll(viaDsv2).count() == 0)
   }
 
+  test("CSV quoting/escaping from Spark's own writer reads back exactly") {
+    import spark.implicits._
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_dsv2_csvq").toString
+    Seq(
+      (1L, """plain text"""),
+      (2L, """comma, inside"""),
+      (3L, """has "quoted" words"""),
+      (4L, """mix, of "both", even"""),
+      (5L, """trailing backslash \""")).toDF("id", "txt")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(csvDir)
+    val entity = Entity("qcsv", Seq(
+      Information("id", LongType), Information("txt", StringType)))
+    val src = DataSource(
+      id = "quoted_csv",
+      sourceSql = "SELECT * FROM qcsv_raw",
+      mappings = Seq(FieldMapping("id", "id"), FieldMapping("txt", "txt")),
+      defaultPermission = SourcePermission(Set("id", "txt"), "true"),
+      fileSource = Some(FileSource("csv", csvDir)),
+      viewName = Some("qcsv_raw"))
+    val mesh = Mesh(Map("edge" -> Site("edge",
+      entities = Map("qcsv" -> entity),
+      localSources = Map("qcsv" -> Seq(src)))))
+    GraftDataSource.registry.put("test_csvq", mesh)
+    val viaDsv2 = spark.read.format("graft")
+      .option("mesh", "test_csvq").option("site", "edge").option("entity", "qcsv")
+      .load()
+    val viaResolver = EntityResolver.resolve(spark, mesh, "edge", "qcsv", None)
+    assert(viaDsv2.count() == 5)
+    assert(viaDsv2.exceptAll(viaResolver).count() == 0)
+    assert(viaResolver.exceptAll(viaDsv2).count() == 0)
+  }
+
+  test("unsupported reader options fail at plan time, not with wrong data") {
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_dsv2_badopt").toString
+    spark.read.parquet(s"${TestSessions.sfDir}/nation.parquet")
+      .write.mode("overwrite").option("header", "true").csv(csvDir)
+    val entity = Entity("bad", Seq(Information("k", LongType)))
+    def meshWith(opts: Map[String, String]) = Mesh(Map("edge" -> Site("edge",
+      entities = Map("bad" -> entity),
+      localSources = Map("bad" -> Seq(DataSource(
+        id = "bad_src", sourceSql = "SELECT * FROM bad_raw",
+        mappings = Seq(FieldMapping("k", "n_nationkey")),
+        defaultPermission = SourcePermission(Set("n_nationkey"), "true"),
+        fileSource = Some(FileSource("csv", csvDir, opts)),
+        viewName = Some("bad_raw")))))))
+    // multi-char sep: silently-wrong parses are forbidden — loud failure
+    GraftDataSource.registry.put("test_badopt", meshWith(Map("sep" -> "||")))
+    val err = intercept[Exception] {
+      spark.read.format("graft")
+        .option("mesh", "test_badopt").option("site", "edge").option("entity", "bad")
+        .load().collect()
+    }
+    assert(err.getMessage.contains("resolver path"), err.getMessage)
+  }
+
   test("JSON branches serve through the connector (resolver equality)") {
     val jsonDir = java.nio.file.Files.createTempDirectory("graft_dsv2_json").toString
     spark.read.parquet(s"${TestSessions.sfDir}/orders.parquet")
