@@ -120,6 +120,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * step that turns pairwise matches into dedup decisions (cluster id =
+    * min doc id in the component; keep that doc, drop the rest).
+    * Iterative one-hop min-label propagation: each round is one
+    * edges⋈labels hash join + per-node min aggregation, so rounds =
+    * component diameter (near-dup clusters are shallow; `maxIters` guards
+    * pathological chains and the method THROWS rather than return
+    * unconverged labels). No driver-side graph state — labels live as a
+    * persisted DataFrame, the convergence check is an isEmpty probe. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (eager), NOT persist: persist caches the data but the
+    // logical plan still nests per round, and Catalyst re-analyzes the
+    // whole growing lineage on every action — iteration cost inflates even
+    // on tiny label sets. Checkpointing truncates the lineage so each
+    // round plans against a flat scan. (On a fault-tolerant production
+    // run, swap for checkpoint(dir) — localCheckpoint trades lineage
+    // recovery for speed.)
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters iterations")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup pairs within `maxHamming` via block-combination
     * banding (the simhash-dedup design from Manku/Jain/Sarma, WWW'07
     * "Detecting Near-Duplicates for Web Crawling"): split the 64-bit simhash

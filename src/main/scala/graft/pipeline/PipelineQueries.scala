@@ -558,6 +558,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dd7: near-dup pairs -> dedup CLUSTERS via iterative min-label
+    // connected components (cluster id = min doc id; the keep/drop
+    // decision a dedup pipeline actually ships). Oracle recomputes the
+    // same minhash pair chain + a recursive-CTE reachability closure in
+    // DuckDB — two different CC algorithms, one answer.
+    "dd7_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Dedup.connectedComponents(
+          Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // cp1: the full corpus-curation composition (graft.pipeline.Curation):
     // language filter -> quality gate -> exact dedup (min-id keeper) ->
     // 50% deterministic sample -> 4-way shard. The oracle reproduces the
@@ -687,6 +700,37 @@ object PipelineQueries {
         """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
           |FROM documents WHERE lang <> 'zh'
           |GROUP BY md5(text) ORDER BY sig""".stripMargin,
+
+      "dd7_dedup_clusters" ->
+        s"""WITH RECURSIVE $duckShingles,
+           |sig AS (SELECT doc_id, ${(0 until 12).map(j =>
+                      s"min(md5('$j:' || shingle)) AS mh$j").mkString(", ")}
+           |        FROM sh GROUP BY doc_id),
+           |bands AS (SELECT doc_id, band,
+           |    CASE band ${(0 until 4).map(b =>
+                    s"WHEN $b THEN md5('$b:' || mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2})")
+                    .mkString(" ")} END AS bsig
+           |    FROM sig, unnest(range(0, 4)) AS t(band)),
+           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+           |inter AS (SELECT c.da, c.db, count(*) AS i
+           |          FROM cand c
+           |          JOIN sh s1 ON s1.doc_id = c.da
+           |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+           |          GROUP BY c.da, c.db),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT da, db FROM inter
+           |          JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+           |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+           |edges AS (SELECT da AS a, db AS b FROM pairs
+           |          UNION ALL SELECT db, da FROM pairs),
+           |reach(node, label) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
+           |SELECT node AS doc_id, min(label) AS cluster_id
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
       "cp1_curation" ->
         """WITH gated AS (

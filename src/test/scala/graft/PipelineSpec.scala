@@ -25,6 +25,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("connected components label chains and singleton pairs correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), separate pair 10-11, pair 6-2 merging in
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (2L, 6L))
+      .toDF("doc_a", "doc_b")
+    val cc = graft.pipeline.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash of near-dup pairs has small hamming distance") {
     val sim = run("dd4_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dups = run("dd2_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
