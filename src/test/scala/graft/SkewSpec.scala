@@ -54,6 +54,37 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter from a selective dim lands on the fact side") {
+    // the row-level runtime-filtering complement to DPP: a selective
+    // filter on the creation side injects bloom_filter_might_contain
+    // into the application-side scan, cutting shuffle input at 100 TB
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      Fixtures.registerRaw(spark, TestSessions.sfDir)
+      val fact = spark.table("raw_lineitem")
+      val dim = spark.table("raw_orders").where(col("o_totalprice") > 400000.0)
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_totalprice"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+        optimized.contains("bloom_filter_agg"), optimized.take(1500))
+      // correctness unchanged by the runtime filter
+      val expect = fact.select(col("l_orderkey"))
+        .join(dim.select(col("o_orderkey"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin == plain join (inner and left)") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     val li = spark.table("raw_lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
