@@ -449,7 +449,73 @@ object PipelineQueries {
         |         + (position(substring(md5(concat('sp2:', CAST(doc_id AS VARCHAR))), 2, 1)
         |               IN '0123456789abcdef') - 1)) % 8 AS shard
         |      FROM documents) s
-        |GROUP BY shard ORDER BY shard""".stripMargin))
+        |GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // dc1: train/eval DECONTAMINATION — the n-gram-overlap check every
+    // training-data build runs before shipping (GPT-3 appx C / PaLM style):
+    // any training document sharing an 8-gram with the held-out eval split
+    // is flagged with its overlap count. Shape at scale: the eval side is
+    // benchmark suites (tiny vs the corpus), so its distinct gram set
+    // broadcasts; the training side streams explode -> broadcast-hash-join
+    // -> per-doc partial count. No all-pairs work, one corpus pass.
+    // Eval split here = doc_id % 10 = 7 (deterministic stand-in).
+    Q("dc1_decontamination",
+      """WITH tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(w, i + 1, 8)) AS gram
+        |      FROM tok LATERAL VIEW explode(sequence(0, greatest(size(w) - 8, 0))) t AS i),
+        |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(e.gram) AS BIGINT) AS n_contaminated,
+        |       round(count(e.gram) / CAST(count(*) AS DOUBLE), 4) AS contamination
+        |FROM (SELECT * FROM g WHERE doc_id % 10 <> 7) t
+        |LEFT JOIN eval_g e ON t.gram = e.gram
+        |GROUP BY t.doc_id HAVING count(e.gram) > 0
+        |ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i + 1, i + 8), ' ') AS gram
+        |      FROM tok, unnest(range(0, greatest(len(w) - 7, 1))) AS u(i)),
+        |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(e.gram) AS BIGINT) AS n_contaminated,
+        |       round(count(e.gram) / CAST(count(*) AS DOUBLE), 4) AS contamination
+        |FROM (SELECT * FROM g WHERE doc_id % 10 <> 7) t
+        |LEFT JOIN eval_g e ON t.gram = e.gram
+        |GROUP BY t.doc_id HAVING count(e.gram) > 0
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tx5: repetition-based quality filter (Gopher / RefinedWeb rules):
+    // duplicate-word fraction + top-bigram mass per document, with the
+    // keep/drop verdict a curation pipeline applies. One explode + one
+    // two-level groupBy per doc — partial-aggregable, no joins.
+    Q("tx5_repetition",
+      """WITH tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, concat_ws(' ', slice(w, i + 1, 2)) AS gram
+        |       FROM tok LATERAL VIEW explode(sequence(0, greatest(size(w) - 2, 0))) t AS i),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM cnt GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  round(CAST(1.0 AS DOUBLE) - size(array_distinct(w)) / CAST(size(w) AS DOUBLE), 4)
+        |    AS dup_word_frac,
+        |  round(agg.top_c / CAST(agg.total AS DOUBLE), 4) AS top_bigram_frac,
+        |  (size(array_distinct(w)) / CAST(size(w) AS DOUBLE) >= CAST(0.3 AS DOUBLE)
+        |   AND agg.top_c / CAST(agg.total AS DOUBLE) <= CAST(0.2 AS DOUBLE)) AS keep
+        |FROM tok JOIN agg ON tok.doc_id = agg.doc_id
+        |ORDER BY tok.doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, array_to_string(list_slice(w, i + 1, i + 2), ' ') AS gram
+        |       FROM tok, unnest(range(0, greatest(len(w) - 1, 1))) AS u(i)),
+        |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+        |agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM cnt GROUP BY doc_id)
+        |SELECT tok.doc_id,
+        |  round(CAST(1.0 AS DOUBLE) - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+        |    AS dup_word_frac,
+        |  round(agg.top_c / CAST(agg.total AS DOUBLE), 4) AS top_bigram_frac,
+        |  (len(list_distinct(w)) / CAST(len(w) AS DOUBLE) >= CAST(0.3 AS DOUBLE)
+        |   AND agg.top_c / CAST(agg.total AS DOUBLE) <= CAST(0.2 AS DOUBLE)) AS keep
+        |FROM tok JOIN agg ON tok.doc_id = agg.doc_id
+        |ORDER BY tok.doc_id""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous
