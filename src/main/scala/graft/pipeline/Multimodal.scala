@@ -135,6 +135,185 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Video: an MJPEG-style container — length-prefixed PNG frames — with
+  // stride-based frame sampling. The container and every frame are REAL
+  // (ImageIO encodes/decodes each frame); only the source of the pixel
+  // bytes (corpus text) is synthetic, which keeps the oracle independent.
+
+  final case class VideoRecord(doc_id: Long, payload: Array[Byte], nFrames: Int)
+  final case class VideoFrameStats(
+      doc_id: Long,
+      nFrames: Int,
+      nSampled: Int,
+      // decoded pixel count and sum across the SAMPLED frames only
+      sampledBytes: Long,
+      sampledSum: Long)
+
+  /** Frame width (pixels per 1-row frame) used by the corpus videos. */
+  val FrameWidth = 16
+
+  /** Pack `bytes` into a length-prefixed-PNG container: frame f holds
+    * bytes [f*FrameWidth, (f+1)*FrameWidth) as a 1-row grayscale PNG
+    * (the last frame may be narrower). Empty input yields one frame. */
+  def encodeVideo(bytes: Array[Byte]): (Array[Byte], Int) = {
+    val n = math.max((bytes.length + FrameWidth - 1) / FrameWidth, 1)
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < n) {
+      val from = f * FrameWidth
+      val until = math.min(from + FrameWidth, bytes.length)
+      val png = encodePng(java.util.Arrays.copyOfRange(bytes, from, math.max(until, from)))
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    (bos.toByteArray, n)
+  }
+
+  /** Decode every `stride`-th frame of a container (frame 0, stride,
+    * 2*stride, ...) through the REAL ImageIO path; skipped frames are not
+    * decoded (the point of frame sampling — at 100 TB the codec work is
+    * the cost, so it must scale with frames KEPT, not frames stored). */
+  def decodeSampledFrames(payload: Array[Byte], stride: Int): Seq[Array[Byte]] = {
+    require(stride > 0, "stride must be positive")
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+    val frames = Seq.newBuilder[Array[Byte]]
+    var f = 0
+    while (in.available() >= 4) {
+      val len = in.readInt()
+      val png = new Array[Byte](len)
+      in.readFully(png)
+      if (f % stride == 0) frames += decodeImage(png)._3
+      f += 1
+    }
+    frames.result()
+  }
+
+  /** Corpus videos: text bytes chunked into FrameWidth-pixel PNG frames.
+    * Encoding runs per-partition on executors, like an ingest transcode. */
+  def toVideoRecords(spark: SparkSession, documents: DataFrame): Dataset[VideoRecord] = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long").as("_1"), encode(col("text"), "utf-8").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (payload, n) = encodeVideo(bytes)
+          VideoRecord(id, payload, n)
+        }
+      }
+  }
+
+  /** Frame-sampled decode stats — partition-preserving mapPartitions, one
+    * container parsed per row, only sampled frames hit the decoder. */
+  def sampleVideoStats(records: Dataset[VideoRecord], stride: Int): Dataset[VideoFrameStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val frames = decodeSampledFrames(r.payload, stride)
+        var bytes = 0L
+        var sum = 0L
+        frames.foreach { g =>
+          bytes += g.length
+          var i = 0
+          while (i < g.length) { sum += g(i) & 0xff; i += 1 }
+        }
+        VideoFrameStats(r.doc_id, r.nFrames, frames.length, bytes, sum)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Audio: REAL WAV (RIFF/PCM16) via javax.sound.sampled — a stock-JVM
+  // audio codec, so encode -> AudioSystem decode exercises an actual
+  // container parser. Sample i = (byte i of the text - 100) << 8: full
+  // 16-bit dynamic range, sign flips between letters and spaces, and —
+  // because PCM is lossless — the oracle re-derives every feature from
+  // the characters.
+
+  final case class AudioRecord(doc_id: Long, payload: Array[Byte], sampleRate: Int)
+  final case class AudioFeatures(
+      doc_id: Long,
+      nSamples: Long,
+      sumAmp: Long, // exact integer sum of samples
+      peak: Long, // max |sample|
+      zeroCross: Long, // strict sign changes between consecutive samples
+      sumSq: Long) // exact integer sum of sample^2 (for RMS)
+
+  /** Sample value for one corpus byte (ASCII: letters ≈ smallish positive,
+    * space strongly negative — guaranteed sign structure). */
+  @inline def sampleOf(b: Byte): Int = ((b & 0xff) - 100) << 8
+
+  /** Encode bytes as a real mono 16-bit little-endian PCM WAV container. */
+  def encodeWav(bytes: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val s = sampleOf(bytes(i))
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode via AudioSystem: parse the WAV container, return the
+    * int16 samples. Format is validated, not assumed. */
+  def decodeWav(payload: Array[Byte]): Array[Int] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected WAV format: $fmt")
+    val raw = in.readAllBytes()
+    val out = new Array[Int](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** Corpus audio: text bytes as PCM16 WAVs, encoded on executors. */
+  def toAudioRecords(spark: SparkSession, documents: DataFrame): Dataset[AudioRecord] = {
+    import spark.implicits._
+    documents
+      .select(col("doc_id").cast("long").as("_1"), encode(col("text"), "utf-8").as("_2"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => AudioRecord(id, encodeWav(bytes), 8000) })
+  }
+
+  /** Signal features off the REAL decode path — mapPartitions, exact
+    * integer accumulators so results are engine-reproducible. */
+  def extractAudioFeatures(records: Dataset[AudioRecord]): Dataset[AudioFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val s = decodeWav(r.payload)
+        var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i)
+          sum += v
+          sumSq += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && ((s(i - 1) < 0 && v > 0) || (s(i - 1) > 0 && v < 0))) zc += 1
+          i += 1
+        }
+        AudioFeatures(r.doc_id, s.length.toLong, sum, peak, zc, sumSq)
+      }
+    }
+  }
+
   /** Batch feature extraction — partition-preserving mapPartitions over a
     * REAL ImageIO decode: no shuffle, codec state per partition, rows
     * streamed through. Features are derived from the decoded pixels. */

@@ -525,21 +525,38 @@ object PipelineQueries {
 
   private val cacheLock = new Object
 
-  private def cachedMedia(s: SparkSession, dir: String) =
-    // plain lock, not getOrElseUpdate: concurrent first calls must not
-    // each persist a corpus (the loser's would stay pinned unreachably),
-    // and eviction + insert must be atomic for the one-per-session bound
+  /** Encoded video / audio corpora (mm3/mm4): fixture synthesis like the
+    * mm2 media table — memoized so the measured work is the decode path. */
+  private val videoCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[Multimodal.VideoRecord]]
+  private val audioCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[Multimodal.AudioRecord]]
+
+  // plain lock, not getOrElseUpdate: concurrent first calls must not
+  // each persist a corpus (the loser's would stay pinned unreachably),
+  // and eviction + insert must be atomic for the one-per-session bound
+  private def cachedDataset[T](
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), org.apache.spark.sql.Dataset[T]],
+      s: SparkSession, dir: String)(build: => org.apache.spark.sql.Dataset[T]) =
     cacheLock.synchronized {
-      mediaCache.getOrElse((s, dir), {
-        mediaCache.filterKeys(_._1 eq s).foreach { case (k, ds) =>
-          ds.unpersist(); mediaCache.remove(k)
+      cache.getOrElse((s, dir), {
+        cache.filterKeys(_._1 eq s).foreach { case (k, ds) =>
+          ds.unpersist(); cache.remove(k)
         }
-        val ds = Multimodal.toMediaRecords(s, s.table("documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        mediaCache.put((s, dir), ds)
+        val ds = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cache.put((s, dir), ds)
         ds
       })
     }
+
+  private def cachedMedia(s: SparkSession, dir: String) =
+    cachedDataset(mediaCache, s, dir)(Multimodal.toMediaRecords(s, s.table("documents")))
+
+  private def cachedVideo(s: SparkSession, dir: String) =
+    cachedDataset(videoCache, s, dir)(Multimodal.toVideoRecords(s, s.table("documents")))
+
+  private def cachedAudio(s: SparkSession, dir: String) =
+    cachedDataset(audioCache, s, dir)(Multimodal.toAudioRecords(s, s.table("documents")))
 
   /** Learned IVF centroids per (session, sf): see ss3 note. Driver-side
     * model state only (k x dim doubles), same one-entry-per-session bound. */
@@ -625,6 +642,47 @@ object PipelineQueries {
           round(element_at(col("histogram"), 7), 6).as("bin6"),
           round(element_at(col("histogram"), 8), 6).as("bin7"),
           size(col("frameOffsets")).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // mm3: VIDEO frame sampling — corpus texts packed into an MJPEG-style
+    // container (length-prefixed 1-row PNG frames, 16 pixels per frame),
+    // then every 2nd frame decoded through the REAL ImageIO path and
+    // reduced to pixel stats. Decode cost scales with frames KEPT, not
+    // frames stored — the property that matters when the corpus is 100 TB
+    // of video and the pipeline needs 1 fps of it. PNG frames are
+    // lossless, so the oracle re-derives the sampled-pixel stats from the
+    // characters: two independent routes, one answer.
+    "mm3_video_framesample" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Multimodal.sampleVideoStats(cachedVideo(s, dir), stride = 2).toDF()
+        .select(col("doc_id"),
+          col("nFrames").cast("long").as("n_frames"),
+          col("nSampled").cast("long").as("n_sampled"),
+          col("sampledBytes").as("sampled_bytes"),
+          col("sampledSum").as("sampled_sum"),
+          round(col("sampledSum") / col("sampledBytes").cast("double"), 4)
+            .as("mean_gray"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // mm4: AUDIO decode — corpus texts as real RIFF/PCM16 WAV payloads
+    // (sample i = (byte i - 100) << 8), decoded back through
+    // javax.sound.sampled.AudioSystem and reduced to signal features with
+    // exact integer accumulators (sum, peak, zero crossings, energy). PCM
+    // is lossless, so the DuckDB oracle recomputes the same features from
+    // the characters.
+    "mm4_audio_features" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Multimodal.extractAudioFeatures(cachedAudio(s, dir)).toDF()
+        .select(col("doc_id"),
+          col("nSamples").as("n_samples"),
+          col("sumAmp").as("sum_amp"),
+          col("peak"),
+          col("zeroCross").as("zero_cross"),
+          round(sqrt(col("sumSq") / col("nSamples").cast("double")), 4).as("rms"))
         .orderBy(col("doc_id"))
     }),
 
@@ -780,6 +838,39 @@ object PipelineQueries {
         """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
           |FROM documents WHERE lang <> 'zh'
           |GROUP BY md5(text) ORDER BY sig""".stripMargin,
+
+      // character-wise re-derivation of the frame-sampled decode: frame f
+      // covers bytes [f*16, (f+1)*16); sampled frames are f = 0, 2, 4, ...
+      "mm3_video_framesample" ->
+        """SELECT doc_id, n_frames, n_sampled, sampled_bytes, sampled_sum,
+          |       round(sampled_sum / CAST(sampled_bytes AS DOUBLE), 4) AS mean_gray
+          |FROM (SELECT doc_id,
+          |        CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
+          |        CAST(((length(text) + 15) // 16 + 1) // 2 AS BIGINT) AS n_sampled,
+          |        CAST(len(list_filter(range(0, length(text)), i -> (i // 16) % 2 = 0)) AS BIGINT)
+          |          AS sampled_bytes,
+          |        CAST(list_sum(list_transform(
+          |               list_filter(range(0, length(text)), i -> (i // 16) % 2 = 0),
+          |               i -> ord(substr(text, CAST(i + 1 AS INT), 1)))) AS BIGINT) AS sampled_sum
+          |      FROM documents) s
+          |ORDER BY doc_id""".stripMargin,
+
+      // character-wise re-derivation of the WAV decode: sample i =
+      // (byte i - 100) * 256; strict sign changes between consecutive
+      "mm4_audio_features" ->
+        """SELECT doc_id,
+          |  CAST(len(sm) AS BIGINT) AS n_samples,
+          |  CAST(list_sum(sm) AS BIGINT) AS sum_amp,
+          |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
+          |  CAST(len(list_filter(range(2, len(sm) + 1),
+          |       i -> (sm[i - 1] < 0 AND sm[i] > 0) OR (sm[i - 1] > 0 AND sm[i] < 0))) AS BIGINT)
+          |    AS zero_cross,
+          |  round(sqrt(list_sum(list_transform(sm, x -> CAST(x AS DOUBLE) * x)) / len(sm)), 4) AS rms
+          |FROM (SELECT doc_id,
+          |        list_transform(range(1, length(text) + 1),
+          |          i -> (ord(substr(text, CAST(i AS INT), 1)) - 100) * 256) AS sm
+          |      FROM documents) s
+          |ORDER BY doc_id""".stripMargin,
 
       "dd7_dedup_clusters" ->
         s"""WITH RECURSIVE $duckShingles,

@@ -190,6 +190,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(pw == 100 && pgray.toSeq == payload.toSeq) // pass-through under target
   }
 
+  test("video container: frame packing round-trips; stride skips frames") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val (container, n) = Multimodal.encodeVideo(payload)
+    assert(n == 7) // ceil(100 / 16)
+    // stride 1 decodes every frame and reassembles the original bytes
+    val all = Multimodal.decodeSampledFrames(container, stride = 1)
+    assert(all.length == 7)
+    assert(all.flatten.toSeq == payload.toSeq) // lossless through ImageIO
+    assert(all.take(6).forall(_.length == Multimodal.FrameWidth))
+    assert(all.last.length == 100 - 6 * Multimodal.FrameWidth)
+    // stride 2 keeps frames 0, 2, 4, 6 only
+    val sampled = Multimodal.decodeSampledFrames(container, stride = 2)
+    assert(sampled.length == 4)
+    assert(sampled.flatten.toSeq ==
+      Seq(0, 2, 4, 6).flatMap(f => payload.slice(f * 16, (f + 1) * 16)).map(identity))
+  }
+
+  test("WAV codec: AudioSystem encode/decode round-trips PCM16 samples") {
+    val bytes = "the quick brown fox".getBytes("utf-8")
+    val wav = Multimodal.encodeWav(bytes)
+    assert(new String(wav.take(4), "ascii") == "RIFF") // real WAV container
+    assert(new String(wav.slice(8, 12), "ascii") == "WAVE")
+    val samples = Multimodal.decodeWav(wav)
+    assert(samples.toSeq == bytes.toSeq.map(b => Multimodal.sampleOf(b)))
+    // sign structure: spaces are strongly negative, letters mostly positive
+    assert(samples(3) == (' '.toByte & 0xff) - 100 << 8 && samples(3) < 0)
+  }
+
+  test("audio features: zero crossings and peak match a direct computation") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents").limit(50)
+    val feats = Multimodal.extractAudioFeatures(
+      Multimodal.toAudioRecords(spark, docs)).collect()
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      val s = texts(f.doc_id).getBytes("utf-8").map(Multimodal.sampleOf)
+      assert(f.nSamples == s.length)
+      assert(f.sumAmp == s.map(_.toLong).sum)
+      assert(f.peak == s.map(v => math.abs(v).toLong).max)
+      assert(f.zeroCross == s.sliding(2).count(p =>
+        (p(0) < 0 && p(1) > 0) || (p(0) > 0 && p(1) < 0)))
+      assert(f.sumSq == s.map(v => v.toLong * v).sum)
+    }
+  }
+
   test("streaming dedup drops replayed events across micro-batches") {
     Fixtures.registerRaw(spark, sfDir)
     val ev = spark.table("events").limit(200)
