@@ -253,6 +253,68 @@ object PipelineQueries {
          |WHERE rnk <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // ss4: int8 SCALAR-QUANTIZED search + exact rerank — the memory-
+    // compression serving pattern: per-vector symmetric quantization
+    // q_i = floor(v_i * 127 / max|v| + 0.5) shrinks the candidate scan 4x
+    // (int8 vs float32 — at 100 TB of embeddings that is the difference
+    // between an in-memory and a spilling shuffle), candidates rank by
+    // quantized cosine (exact integer dot products), and the final page
+    // reranks with the full-precision cosine. Quantization is one
+    // per-vector pass (O(n)); the pairwise work runs on the codegen'd
+    // vec_dot against the compact vectors. The oracle reproduces the
+    // identical integer arithmetic — quantized ranks match bit-for-bit.
+    Q("ss4_quantized_topk",
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(vec_dot(embedding, embedding)) AS nrm,
+        |         greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |                  CAST(1e-30 AS DOUBLE)) AS ma
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |              transform(embedding, x ->
+        |                CAST(floor(CAST(x AS DOUBLE) * 127 / ma + CAST(0.5 AS DOUBLE)) AS FLOAT)) AS qv
+        |       FROM base),
+        |qn AS (SELECT vec_id, qv, sqrt(vec_dot(qv, qv)) AS qnrm FROM qz),
+        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |                vec_dot(q.qv, c.qv) / (q.qnrm * c.qnrm) AS qcos
+        |         FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+        |         WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+        |top AS (SELECT qid, vid, qcos,
+        |               row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vid) AS rnk
+        |        FROM cand)
+        |SELECT t.qid, t.vid AS vec_id, round(t.qcos, 6) AS qcos,
+        |       round(vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 6) AS exact_cos
+        |FROM top t JOIN base a ON a.vec_id = t.qid JOIN base b ON b.vec_id = t.vid
+        |WHERE t.rnk <= 5
+        |ORDER BY t.qid, t.rnk""".stripMargin,
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+         |         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+         |                  CAST(1e-30 AS DOUBLE)) AS ma
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |              list_transform(embedding, x ->
+         |                floor(CAST(x AS DOUBLE) * 127 / ma + CAST(0.5 AS DOUBLE))) AS qv
+         |       FROM base),
+         |qn AS (SELECT vec_id, qv,
+         |              sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))) AS qnrm
+         |       FROM qz),
+         |cand AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+         |                list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]))
+         |                  / (q.qnrm * c.qnrm) AS qcos
+         |         FROM qn q JOIN qn c ON c.vec_id <> q.vec_id
+         |         WHERE q.vec_id IN (0, 1, 2, 3, 4)),
+         |top AS (SELECT qid, vid, qcos,
+         |               row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vid) AS rnk
+         |        FROM cand)
+         |SELECT t.qid, t.vid AS vec_id, round(t.qcos, 6) AS qcos,
+         |       round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS exact_cos
+         |FROM top t JOIN base a ON a.vec_id = t.qid JOIN base b ON b.vec_id = t.vid
+         |WHERE t.rnk <= 5
+         |ORDER BY t.qid, t.rnk""".stripMargin),
+
+    // ------------------------------------------------------------------
     // ss2: IVF-style ANN — 16 deterministic seed centroids (vec_id < 16),
     // every vector assigned to its nearest centroid, queries probe the 2
     // nearest centroid cells only. The partition-prune shape of a 100 TB

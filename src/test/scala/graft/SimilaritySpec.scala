@@ -65,4 +65,21 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = approx.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.2, s"recall@5 = $recall")
   }
+
+  test("int8-quantized ranking keeps high recall vs exact cosine top-5") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    graft.functions.VectorFunctions.register(spark)
+    val quant = graft.pipeline.PipelineQueries
+      .queries("ss4_quantized_topk")(spark, TestSessions.sfDir)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 symmetric quantization perturbs each coordinate by <0.5%, so
+    // the quantized ordering nearly reproduces the exact one
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@5 = $recall")
+  }
 }
