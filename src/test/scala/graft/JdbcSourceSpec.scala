@@ -91,6 +91,67 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  private lazy val derbyOrdersReady: Unit = {
+    derbyReady // derby.system.home must be set before any connection
+    val conn = DriverManager.getConnection(derbyUrl)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE app.raw_orders (okey BIGINT, total DECIMAL(12,2), odate DATE)")
+      val ps = conn.prepareStatement("INSERT INTO app.raw_orders VALUES (?, ?, ?)")
+      (1 to 40).foreach { i =>
+        ps.setLong(1, i.toLong)
+        ps.setBigDecimal(2, new java.math.BigDecimal(s"${i * 100}.25"))
+        ps.setDate(3, java.sql.Date.valueOf(f"2026-01-${i % 28 + 1}%02d"))
+        ps.addBatch()
+      }
+      ps.executeBatch(); st.close(); ps.close()
+    } finally conn.close()
+  }
+
+  test("decimal and date predicates push through the JDBC seam") {
+    derbyOrdersReady
+    val entity = Entity("jo", Seq(
+      Information("okey", org.apache.spark.sql.types.LongType),
+      Information("total", org.apache.spark.sql.types.DecimalType(12, 2)),
+      Information("odate", org.apache.spark.sql.types.DateType)))
+    val ds = DataSource(
+      id = "derby.orders",
+      sourceSql = "SELECT okey, total, odate FROM app.raw_orders",
+      mappings = Seq(
+        FieldMapping("okey", "okey"),
+        FieldMapping("total", "total"),
+        FieldMapping("odate", "odate")),
+      defaultPermission = SourcePermission(Set("okey", "total", "odate"), "okey > 0"),
+      jdbcSource = Some(JdbcSource(derbyUrl, driverOpt)))
+    val m = Mesh(Map("site" -> Site("site",
+      Map("jo" -> entity), Map("jo" -> Seq(ds)))))
+    val df = EntityResolver.resolve(spark, m, "site", "jo")
+      .where(col("odate") >= lit(java.sql.Date.valueOf("2026-01-15")) &&
+        col("total") > new java.math.BigDecimal("1000.00"))
+    // the default 100-char metadata truncation would cut PushedFilters off
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val plan =
+      try {
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        df.queryExecution.executedPlan.toString.toUpperCase
+      } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    // date and decimal comparisons must serialize into the engine query,
+    // not fall back to a full scan + Spark-side filter
+    assert(plan.contains("PUSHEDFILTERS"), plan)
+    assert(plan.contains("GREATERTHANOREQUAL(ODATE,2026-01-15"), plan)
+    assert(plan.contains("GREATERTHAN(TOTAL,1000.00"), plan)
+    val want = (1 to 40)
+      .map(i => (i.toLong, new java.math.BigDecimal(s"${i * 100}.25"),
+        java.sql.Date.valueOf(f"2026-01-${i % 28 + 1}%02d")))
+      .filter { case (_, t, d) =>
+        !d.before(java.sql.Date.valueOf("2026-01-15")) &&
+          t.compareTo(new java.math.BigDecimal("1000.00")) > 0
+      }
+      .map(_._1).sorted
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == want)
+  }
+
   test("Trino-kind YAML connection executes through a JDBC override e2e") {
     derbyReady
     val dir = Files.createTempDirectory("graft_cfg_jdbc")
