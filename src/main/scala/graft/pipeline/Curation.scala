@@ -42,4 +42,32 @@ object Curation {
       defaultRate = sampleRate, salt = "cp1")
     Sampling.withShard(sampled, idCol, nShards, salt = "cp1s")
   }
+
+  /** Train/eval decontamination (library form of dc1): flag every training
+    * document sharing an `n`-gram with the eval corpus, with overlap
+    * counts. The eval side is benchmark-sized, so its distinct gram set is
+    * broadcast explicitly — the training side is one explode streamed into
+    * a broadcast hash join plus a per-doc partial count; no all-pairs
+    * work, one corpus pass (GPT-3 appendix-C shape). */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("gram"))
+        .distinct()
+    val evalGrams = grams(eval).select(col("gram")).distinct()
+      .withColumn("__hit", lit(1))
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"),
+        round(count(col("__hit")) / count(lit(1)).cast("double"), 4)
+          .as("contamination"))
+      .where(col("n_contaminated") > 0)
+  }
 }

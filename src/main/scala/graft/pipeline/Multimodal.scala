@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream factories spill through a TEMP FILE per
+  // image; at many-small-frames scale the filesystem round-trip dwarfs
+  // the actual codec work. Memory-cache streams everywhere.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(mime: String, width: Int, height: Int, nFrames: Int)
   final case class MediaRecord(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(
@@ -172,11 +177,50 @@ object Multimodal {
     (bos.toByteArray, n)
   }
 
+  /** A reusable PNG ImageReader — `ImageIO.read` searches the codec
+    * registry and allocates a fresh reader per call, which dominates at
+    * many-small-frames scale; a per-partition reader is the real
+    * "codec init once per partition" pattern. */
+  def newPngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  /** Decode one PNG with a reusable reader: gray pixels row-major.
+    * The input stream is a direct memory-cache stream — the ImageIO
+    * factory default is a FILE-cache stream (a temp file per frame). */
+  private def decodeGrayWith(
+      reader: javax.imageio.ImageReader, png: Array[Byte]): Array[Byte] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(png))
+    try {
+      reader.setInput(iis, true, true)
+      val img = reader.read(0)
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
+      }
+      out
+    } finally iis.close()
+  }
+
   /** Decode every `stride`-th frame of a container (frame 0, stride,
     * 2*stride, ...) through the REAL ImageIO path; skipped frames are not
     * decoded (the point of frame sampling — at 100 TB the codec work is
     * the cost, so it must scale with frames KEPT, not frames stored). */
   def decodeSampledFrames(payload: Array[Byte], stride: Int): Seq[Array[Byte]] = {
+    val reader = newPngReader()
+    try decodeSampledFrames(payload, stride, reader)
+    finally reader.dispose()
+  }
+
+  /** Reader-reusing variant for per-partition batch decode. */
+  def decodeSampledFrames(
+      payload: Array[Byte], stride: Int,
+      reader: javax.imageio.ImageReader): Seq[Array[Byte]] = {
     require(stride > 0, "stride must be positive")
     val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
     val frames = Seq.newBuilder[Array[Byte]]
@@ -185,7 +229,7 @@ object Multimodal {
       val len = in.readInt()
       val png = new Array[Byte](len)
       in.readFully(png)
-      if (f % stride == 0) frames += decodeImage(png)._3
+      if (f % stride == 0) frames += decodeGrayWith(reader, png)
       f += 1
     }
     frames.result()
@@ -211,8 +255,12 @@ object Multimodal {
   def sampleVideoStats(records: Dataset[VideoRecord], stride: Int): Dataset[VideoFrameStats] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      // codec init once per partition; rows stream through the one reader
+      val reader = newPngReader()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.dispose())
       it.map { r =>
-        val frames = decodeSampledFrames(r.payload, stride)
+        val frames = decodeSampledFrames(r.payload, stride, reader)
         var bytes = 0L
         var sum = 0L
         frames.foreach { g =>

@@ -57,6 +57,28 @@ object TextAnalysis {
       .withColumn("chars_per_token", round(length(t) / re, 4))
   }
 
+  /** Gopher/RefinedWeb-style repetition features + keep/drop verdict
+    * (library form of tx5): duplicate-word fraction and the mass of the
+    * most frequent bigram. Two partial-aggregable groupBys on doc-local
+    * keys — no joins against the corpus, no UDFs. */
+  def repetition(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxTopBigramFrac: Double = 0.2, minDistinctWordFrac: Double = 0.3): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+    val bg = tok.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, greatest(size(w) - 2, 0)), i -> concat_ws(' ', slice(w, i + 1, 2)))")).as("gram"))
+    val cnt = bg.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val agg = cnt.groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))
+    val distinctFrac = size(array_distinct(col("w"))) / size(col("w")).cast("double")
+    val topFrac = col("top_c") / col("total").cast("double")
+    tok.join(agg, "doc_id")
+      .select(col("doc_id"),
+        round(lit(1.0) - distinctFrac, 4).as("dup_word_frac"),
+        round(topFrac, 4).as("top_bigram_frac"),
+        (distinctFrac >= minDistinctWordFrac && topFrac <= maxTopBigramFrac).as("keep"))
+  }
+
   /** Exact md5 fingerprint + min-shingle (winnowing-style) fingerprint. */
   def fingerprints(docs: DataFrame, textCol: String, shingleLen: Int = 5): DataFrame =
     docs

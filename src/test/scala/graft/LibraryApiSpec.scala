@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.mesh.Fixtures
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** The composable library API must produce exactly the same results as the
   * oracle-validated SQL queries (same algorithms, DataFrame-API surface). */
@@ -87,5 +87,23 @@ class LibraryApiSpec extends AnyFunSuite {
         .select("doc_id", "fp_exact", "fp_min_shingle")
         .orderBy("doc_id"),
       q("tx4_fingerprint"))
+  }
+
+  test("TextAnalysis.repetition == tx5; Curation.decontaminate == dc1") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    assertSame(
+      TextAnalysis.repetition(docs, "doc_id", "text")
+        .select("doc_id", "dup_word_frac", "top_bigram_frac", "keep")
+        .orderBy("doc_id"),
+      q("tx5_repetition"))
+    assertSame(
+      Curation.decontaminate(
+          docs.where(col("doc_id") % 10 =!= 7),
+          docs.where(col("doc_id") % 10 === 7),
+          "doc_id", "text")
+        .select("doc_id", "n_grams", "n_contaminated", "contamination")
+        .orderBy("doc_id"),
+      q("dc1_decontamination"))
   }
 }
