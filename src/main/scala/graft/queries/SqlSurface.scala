@@ -340,6 +340,30 @@ object SqlSurface {
         |       w2 AS (PARTITION BY mktsegment)
         |ORDER BY custkey""".stripMargin),
 
+    // OVERLAY / typed DATE literal / INTERVAL arithmetic / POSITION(IN) /
+    // TRIM(BOTH..FROM) — the remaining §2.2 scalar-expr constructs
+    // (validation.rs:176-221, :364-366). DuckDB has no OVERLAY, so the
+    // oracle rewrites it as concat(substr..) — two spellings, one answer.
+    Q("q31_scalar_extras",
+      """SELECT orderkey,
+        |  CAST(orderdate + INTERVAL 1 MONTH AS DATE) AS due_date,
+        |  overlay(orderpriority PLACING 'XX' FROM 3) AS pri_masked,
+        |  (orderdate >= DATE '1996-01-01') AS in_window,
+        |  CAST(position('U' IN orderpriority) AS BIGINT) AS u_pos,
+        |  trim(BOTH '1' FROM orderpriority) AS pri_trim
+        |FROM orders_entity WHERE orderkey <= 400
+        |ORDER BY orderkey""".stripMargin,
+      oracleOverride = Some(
+        s"""$prelude
+           |SELECT orderkey,
+           |  CAST(orderdate + INTERVAL 1 MONTH AS DATE) AS due_date,
+           |  concat(substr(orderpriority, 1, 2), 'XX', substr(orderpriority, 5)) AS pri_masked,
+           |  (orderdate >= DATE '1996-01-01') AS in_window,
+           |  CAST(position('U' IN orderpriority) AS BIGINT) AS u_pos,
+           |  trim(BOTH '1' FROM orderpriority) AS pri_trim
+           |FROM orders_entity WHERE orderkey <= 400
+           |ORDER BY orderkey""".stripMargin)),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations

@@ -106,4 +106,18 @@ class LibraryApiSpec extends AnyFunSuite {
         .orderBy("doc_id"),
       q("dc1_decontamination"))
   }
+
+  test("decontamination joins the eval gram set by broadcast (plan shape)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val plan = Curation.decontaminate(
+        docs.where(col("doc_id") % 10 =!= 7),
+        docs.where(col("doc_id") % 10 === 7),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the training corpus must never shuffle for the overlap probe — the
+    // benchmark-sized eval gram set ships to it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
