@@ -83,6 +83,49 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
   }
 
+  /** Spark-4 arbitrary-state processor: the same running per-user stats as
+    * `runningUserStats`, expressed through `transformWithState` — typed
+    * state handles (`ValueState`) acquired in `init`, per-key input in
+    * `handleInputRows`. This is the successor API to `mapGroupsWithState`
+    * (composable multi-state, timers, TTL) and requires the RocksDB state
+    * store provider, which changelog-checkpoints at cluster scale. */
+  private class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+
+    @transient private var stats: ValueState[UserState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stats = getHandle.getValueState[UserState](
+        "stats", org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val prev = if (stats.exists()) stats.get() else UserState(0L, 0.0)
+      var n = prev.nEvents
+      var s = prev.sumValue
+      rows.foreach { e => n += 1; s += e.value }
+      stats.update(UserState(n, s))
+      Iterator.single((key, n, s))
+    }
+  }
+
+  /** `runningUserStats` on the transformWithState API. The session must run
+    * the RocksDB state store provider (the API requires it). */
+  def runningUserStatsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   /** Run the stateful per-user stats to completion via the memory sink. */
   def runUserStatsToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery =
     runningUserStats(spark, readEvents(spark, dir))

@@ -176,6 +176,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(finalStats.count() == batch.count())
   }
 
+  test("transformWithState accumulates per-user stats (Spark 4 state API)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val ev = spark.table("events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_tws").toString
+    ev.where(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/part_a")
+    ev.where(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/part_b")
+    val staged = java.nio.file.Files.createTempDirectory("graft_events_tws_staged").toString
+    Seq("part_a", "part_b").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p")).forEach { f =>
+        if (f.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f,
+            java.nio.file.Paths.get(s"$staged/${p}_${f.getFileName}"))
+      }
+    }
+    // the transformWithState operator requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = spark.readStream.schema(ev.schema).parquet(staged)
+      val q = EventStream.runningUserStatsTws(spark, streamed)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("user_stats_tws").start()
+      q.processAllAvailable()
+      q.stop()
+      val finalStats = spark.table("user_stats_tws")
+        .groupBy("user_id").agg(max(col("n_events")).as("n"))
+      val batch = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(finalStats.join(batch, Seq("user_id"))
+        .where(finalStats("n") =!= batch("n")).count() == 0)
+      assert(finalStats.count() == batch.count())
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("real PNG codec: encode/decode round-trips bytes; resize keeps geometry") {
     val payload = (0 until 100).map(_.toByte).toArray
     val png = Multimodal.encodePng(payload)
