@@ -160,9 +160,10 @@ object Multimodal {
 
   /** Pack `bytes` into a length-prefixed-PNG container: frame f holds
     * bytes [f*FrameWidth, (f+1)*FrameWidth) as a 1-row grayscale PNG
-    * (the last frame may be narrower). Empty input yields one frame. */
+    * (the last frame may be narrower). Empty input yields an empty
+    * container (zero frames) — matching the oracle's ceil(len/16). */
   def encodeVideo(bytes: Array[Byte]): (Array[Byte], Int) = {
-    val n = math.max((bytes.length + FrameWidth - 1) / FrameWidth, 1)
+    val n = (bytes.length + FrameWidth - 1) / FrameWidth
     val bos = new ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     var f = 0
@@ -227,9 +228,15 @@ object Multimodal {
     var f = 0
     while (in.available() >= 4) {
       val len = in.readInt()
-      val png = new Array[Byte](len)
-      in.readFully(png)
-      if (f % stride == 0) frames += decodeGrayWith(reader, png)
+      if (f % stride == 0) {
+        val png = new Array[Byte](len)
+        in.readFully(png)
+        frames += decodeGrayWith(reader, png)
+      } else {
+        // skipped frames are not copied either — container-parse cost
+        // scales with frames kept (skipBytes is O(1) on a byte stream)
+        in.skipBytes(len)
+      }
       f += 1
     }
     frames.result()

@@ -549,8 +549,11 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // tx5: repetition-based quality filter (Gopher / RefinedWeb rules):
     // duplicate-word fraction + top-bigram mass per document, with the
-    // keep/drop verdict a curation pipeline applies. One explode + one
-    // two-level groupBy per doc — partial-aggregable, no joins.
+    // keep/drop verdict a curation pipeline applies. One explode into a
+    // two-level partial-aggregable groupBy, then a doc_id equi-join back
+    // to the tokens (both sides hash-partitioned on doc_id — co-located,
+    // doc-local keys, no corpus-wide hot key). The groupBy shape — not a
+    // per-row nested loop — is what keeps 100k-token documents O(m).
     Q("tx5_repetition",
       """WITH tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id, concat_ws(' ', slice(w, i + 1, 2)) AS gram
@@ -724,7 +727,9 @@ object PipelineQueries {
           col("nSampled").cast("long").as("n_sampled"),
           col("sampledBytes").as("sampled_bytes"),
           col("sampledSum").as("sampled_sum"),
-          round(col("sampledSum") / col("sampledBytes").cast("double"), 4)
+          // nullif: an empty doc (0 sampled bytes) must yield NULL in both
+          // engines, not a NaN-vs-NULL divergence
+          round(col("sampledSum") / nullif(col("sampledBytes"), lit(0L)).cast("double"), 4)
             .as("mean_gray"))
         .orderBy(col("doc_id"))
     }),
@@ -744,7 +749,8 @@ object PipelineQueries {
           col("sumAmp").as("sum_amp"),
           col("peak"),
           col("zeroCross").as("zero_cross"),
-          round(sqrt(col("sumSq") / col("nSamples").cast("double")), 4).as("rms"))
+          round(sqrt(col("sumSq") / nullif(col("nSamples"), lit(0L)).cast("double")), 4)
+            .as("rms"))
         .orderBy(col("doc_id"))
     }),
 
@@ -905,15 +911,15 @@ object PipelineQueries {
       // covers bytes [f*16, (f+1)*16); sampled frames are f = 0, 2, 4, ...
       "mm3_video_framesample" ->
         """SELECT doc_id, n_frames, n_sampled, sampled_bytes, sampled_sum,
-          |       round(sampled_sum / CAST(sampled_bytes AS DOUBLE), 4) AS mean_gray
+          |       round(sampled_sum / CAST(nullif(sampled_bytes, 0) AS DOUBLE), 4) AS mean_gray
           |FROM (SELECT doc_id,
           |        CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames,
           |        CAST(((length(text) + 15) // 16 + 1) // 2 AS BIGINT) AS n_sampled,
           |        CAST(len(list_filter(range(0, length(text)), i -> (i // 16) % 2 = 0)) AS BIGINT)
           |          AS sampled_bytes,
-          |        CAST(list_sum(list_transform(
+          |        CAST(coalesce(list_sum(list_transform(
           |               list_filter(range(0, length(text)), i -> (i // 16) % 2 = 0),
-          |               i -> ord(substr(text, CAST(i + 1 AS INT), 1)))) AS BIGINT) AS sampled_sum
+          |               i -> ord(substr(text, CAST(i + 1 AS INT), 1)))), 0) AS BIGINT) AS sampled_sum
           |      FROM documents) s
           |ORDER BY doc_id""".stripMargin,
 
@@ -922,12 +928,13 @@ object PipelineQueries {
       "mm4_audio_features" ->
         """SELECT doc_id,
           |  CAST(len(sm) AS BIGINT) AS n_samples,
-          |  CAST(list_sum(sm) AS BIGINT) AS sum_amp,
-          |  CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak,
+          |  CAST(coalesce(list_sum(sm), 0) AS BIGINT) AS sum_amp,
+          |  CAST(coalesce(list_max(list_transform(sm, x -> abs(x))), 0) AS BIGINT) AS peak,
           |  CAST(len(list_filter(range(2, len(sm) + 1),
           |       i -> (sm[i - 1] < 0 AND sm[i] > 0) OR (sm[i - 1] > 0 AND sm[i] < 0))) AS BIGINT)
           |    AS zero_cross,
-          |  round(sqrt(list_sum(list_transform(sm, x -> CAST(x AS DOUBLE) * x)) / len(sm)), 4) AS rms
+          |  round(sqrt(list_sum(list_transform(sm, x -> CAST(x AS DOUBLE) * x)) / nullif(len(sm), 0)), 4)
+          |    AS rms
           |FROM (SELECT doc_id,
           |        list_transform(range(1, length(text) + 1),
           |          i -> (ord(substr(text, CAST(i AS INT), 1)) - 100) * 256) AS sm

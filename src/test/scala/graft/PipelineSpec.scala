@@ -254,12 +254,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("audio features: zero crossings and peak match a direct computation") {
     Fixtures.registerRaw(spark, sfDir)
-    val docs = spark.table("documents").limit(50)
+    // deterministic subset: LIMIT without ORDER BY could pick different
+    // rows on the two separate evaluations below
+    val docs = spark.table("documents").where(col("doc_id") < 50)
     val feats = Multimodal.extractAudioFeatures(
       Multimodal.toAudioRecords(spark, docs)).collect()
     val texts = docs.select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(feats.length == 50)
+    assert(feats.length == texts.size && feats.nonEmpty)
     feats.foreach { f =>
       val s = texts(f.doc_id).getBytes("utf-8").map(Multimodal.sampleOf)
       assert(f.nSamples == s.length)
