@@ -514,6 +514,68 @@ object PipelineQueries {
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
     // ------------------------------------------------------------------
+    // ev1: retention cohorts — users grouped by first-seen week, activity
+    // counted per week offset: the standard product-analytics triangle.
+    // Two partial-aggregable groupBys + one equi-join on user_id; the
+    // cohort table is |users|, not |events|, so the join side that ships
+    // is the small one. All date arithmetic is integer (week floors).
+    Q("ev1_retention_cohorts",
+      """WITH ue AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |            FROM events),
+        |fc AS (SELECT user_id, min(wk) AS cohort FROM ue GROUP BY user_id)
+        |SELECT fc.cohort, CAST(datediff(ue.wk, fc.cohort) div 7 AS BIGINT) AS week_offset,
+        |       count(DISTINCT ue.user_id) AS n_users
+        |FROM ue JOIN fc ON ue.user_id = fc.user_id
+        |GROUP BY fc.cohort, week_offset
+        |ORDER BY fc.cohort, week_offset""".stripMargin,
+      """WITH ue AS (SELECT DISTINCT user_id,
+        |                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |            FROM events),
+        |fc AS (SELECT user_id, min(wk) AS cohort FROM ue GROUP BY user_id)
+        |SELECT fc.cohort, CAST(date_diff('day', fc.cohort, ue.wk) // 7 AS BIGINT) AS week_offset,
+        |       CAST(count(DISTINCT ue.user_id) AS BIGINT) AS n_users
+        |FROM ue JOIN fc ON ue.user_id = fc.user_id
+        |GROUP BY fc.cohort, week_offset
+        |ORDER BY fc.cohort, week_offset""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ev2: funnel analysis — per-user earliest view -> click-after-view ->
+    // purchase-after-click, counted per stage. One groupBy pivots the
+    // per-user stage times (map-side combinable min); the funnel itself is
+    // a single projection over |users| rows. No self-joins over events.
+    Q("ev2_funnel",
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id, t_view,
+        |             CASE WHEN t_click > t_view THEN t_click END AS t_c2,
+        |             CASE WHEN t_click > t_view AND t_purchase > t_click
+        |                  THEN t_purchase END AS t_p3
+        |      FROM f)
+        |SELECT count(t_view) AS n_viewed,
+        |       count(t_c2) AS n_clicked_after_view,
+        |       count(t_p3) AS n_purchased_after_click
+        |FROM s""".stripMargin,
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id, t_view,
+        |             CASE WHEN t_click > t_view THEN t_click END AS t_c2,
+        |             CASE WHEN t_click > t_view AND t_purchase > t_click
+        |                  THEN t_purchase END AS t_p3
+        |      FROM f)
+        |SELECT CAST(count(t_view) AS BIGINT) AS n_viewed,
+        |       CAST(count(t_c2) AS BIGINT) AS n_clicked_after_view,
+        |       CAST(count(t_p3) AS BIGINT) AS n_purchased_after_click
+        |FROM s""".stripMargin),
+
+    // ------------------------------------------------------------------
     // dc1: train/eval DECONTAMINATION — the n-gram-overlap check every
     // training-data build runs before shipping (GPT-3 appx C / PaLM style):
     // any training document sharing an 8-gram with the held-out eval split
