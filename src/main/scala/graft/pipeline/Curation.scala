@@ -43,24 +43,27 @@ object Curation {
     Sampling.withShard(sampled, idCol, nShards, salt = "cp1s")
   }
 
-  /** Train/eval decontamination (library form of dc1): flag every training
-    * document sharing an `n`-gram with the eval corpus, with overlap
-    * counts. The eval side is benchmark-sized, so its distinct gram set is
-    * broadcast explicitly — the training side is one explode streamed into
-    * a broadcast hash join plus a per-doc partial count; no all-pairs
-    * work, one corpus pass (GPT-3 appendix-C shape). */
-  def decontaminate(
-      train: DataFrame, eval: DataFrame,
+  /** Per-doc distinct word `n`-grams. Deduplication is ROW-LOCAL
+    * (`array_distinct` before the explode): no corpus-wide distinct
+    * shuffle, and the op stays valid on an unbounded stream. */
+  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $n)))"))).as("gram"))
+
+  /** Per-doc contamination counts against a static eval corpus. `docs` may
+    * be a BATCH or a STREAMING DataFrame — the identical declarative plan
+    * serves both (streaming: a stream-static broadcast join + an update-
+    * mode aggregation keyed by doc_id). The eval side is benchmark-sized,
+    * so its distinct gram set broadcasts; no all-pairs work, one pass. */
+  def contaminationCounts(
+      docs: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
-            s"i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("gram"))
-        .distinct()
-    val evalGrams = grams(eval).select(col("gram")).distinct()
+    val evalGrams = ngrams(eval, idCol, textCol, n)
+      .select(col("gram")).distinct()
       .withColumn("__hit", lit(1))
-    grams(train)
+    ngrams(docs, idCol, textCol, n)
       .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(
@@ -68,6 +71,14 @@ object Curation {
         count(col("__hit")).as("n_contaminated"),
         round(count(col("__hit")) / count(lit(1)).cast("double"), 4)
           .as("contamination"))
-      .where(col("n_contaminated") > 0)
   }
+
+  /** Train/eval decontamination (library form of dc1): flag every training
+    * document sharing an `n`-gram with the eval corpus, with overlap
+    * counts (GPT-3 appendix-C shape). */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame =
+    contaminationCounts(train, eval, idCol, textCol, n)
+      .where(col("n_contaminated") > 0)
 }

@@ -176,6 +176,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(finalStats.count() == batch.count())
   }
 
+  test("contamination op serves batch and streaming with one plan (stream-static join)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val eval = docs.where(col("doc_id") % 10 === 7)
+    val train = docs.where(col("doc_id") % 10 =!= 7)
+    // stage the training docs as two files -> at least two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc_stream").toString
+    train.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/a")
+    train.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/b")
+    val staged = java.nio.file.Files.createTempDirectory("graft_dc_staged").toString
+    Seq("a", "b").foreach { p =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$p")).forEach { f =>
+        if (f.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f,
+            java.nio.file.Paths.get(s"$staged/${p}_${f.getFileName}"))
+      }
+    }
+    val streamed = spark.readStream.schema(train.schema).parquet(staged)
+    val q = graft.pipeline.Curation
+      .contaminationCounts(streamed, eval, "doc_id", "text")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dc_stream_test").start()
+    q.processAllAvailable()
+    q.stop()
+    // last update per doc == the batch op's answer (docs aren't split
+    // across files, so each doc's final row is its complete count)
+    val streamFinal = spark.table("dc_stream_test")
+      .groupBy("doc_id")
+      .agg(max(col("n_contaminated")).as("n_contaminated"))
+      .where(col("n_contaminated") > 0)
+    val batch = graft.pipeline.Curation
+      .decontaminate(train, eval, "doc_id", "text")
+      .select(col("doc_id"), col("n_contaminated"))
+    assert(streamFinal.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamFinal).count() == 0)
+  }
+
   test("transformWithState accumulates per-user stats (Spark 4 state API)") {
     Fixtures.registerRaw(spark, sfDir)
     val ev = spark.table("events")
