@@ -690,6 +690,11 @@ object PipelineQueries {
   private val centroidCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[Seq[Double]]]
 
+  /** Learned PQ codebooks per (session, sf): see ss5 note. Driver-side
+    * model state only (nSub x k x subDim doubles). */
+  private val pqBookCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[Seq[Double]]]]
+
   /** Materialized near-dup pair index per (session, sf): see dd7 note. */
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -902,6 +907,31 @@ object PipelineQueries {
       Similarity.ivfTopKLearned(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, k = 5, nprobe = 2)
+    }),
+
+    // ss5: PRODUCT-QUANTIZED ANN — per-subspace learned codebooks encode
+    // each 256-byte vector into ONE BIGINT (32x compression); search is
+    // asymmetric distance computation (per-query LUT over the packed
+    // codes — the scan never touches a float vector) with a full-precision
+    // rerank of the top candidates. Codebook learning is INDEX BUILD
+    // (memoized like ss3's centroids); the measured work is the serving
+    // path. No DuckDB oracle (iterative float means aren't reproducible
+    // cross-engine) — rows-only driver check + SimilaritySpec recall
+    // against the exact brute force.
+    "ss5_pq_topk" -> ((s: SparkSession, dir: String) => {
+      Fixtures.registerRaw(s, dir)
+      val emb = s.table("embeddings")
+      val books = cacheLock.synchronized {
+        pqBookCache.getOrElse((s, dir), {
+          pqBookCache.filterKeys(_._1 eq s).keys.foreach(pqBookCache.remove)
+          val b = Similarity.pqTrain(emb, "vec_id", "embedding")
+          pqBookCache.put((s, dir), b)
+          b
+        })
+      }
+      Similarity.pqTopK(
+        emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        books = books, k = 5, rerank = 20)
     }),
 
     // ap2: heavy hitters via count-min sketch — the vocabulary/hot-key

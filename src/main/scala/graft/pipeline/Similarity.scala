@@ -149,6 +149,112 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ): the industry-standard ANN compression.
+  // dim is split into nSub subspaces; each subspace gets a small learned
+  // codebook; a vector encodes to nSub 4-bit codes — here 64 float32
+  // dims (256 bytes) pack into ONE BIGINT (8 bytes, 32x). Search is
+  // asymmetric distance computation: the query stays full-precision and
+  // scores codes through a per-query lookup table, so the scan reads
+  // only the packed codes + the stored true norm.
+
+  /** Argmax-of-(dot - |c|^2/2) assignment — equivalent to nearest-L2
+    * centroid for the subvector; first-max wins ties. */
+  private def pqAssignExpr(
+      book: Seq[Seq[Double]], svCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scores = array(book.map { c =>
+      val c2 = c.map(x => x * x).sum / 2.0
+      dot(svCol, array(c.map(x => lit(x.toFloat)): _*)) - lit(c2)
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("long")
+  }
+
+  /** Train per-subspace codebooks by Lloyd k-means (L2 in each subspace).
+    * Assignment is a constant-codebook projection; each update is one
+    * map-side-combinable groupBy per subspace; only the nSub x k x subDim
+    * model state reaches the driver. */
+  def pqTrain(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, seedIds: Seq[Long] = 0L until 16L,
+      iters: Int = 1, dim: Int = 64): Seq[Seq[Seq[Double]]] = {
+    val subDim = dim / nSub
+    val v = vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val seedRows = v.where(col("__id").isin(seedIds: _*)).orderBy(col("__id"))
+      .select(col("__v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+    var books: Seq[Seq[Seq[Double]]] = (0 until nSub).map(s =>
+      seedRows.map(r => r.slice(s * subDim, (s + 1) * subDim): Seq[Double]).toSeq)
+    for (_ <- 1 to iters) {
+      books = (0 until nSub).map { s =>
+        val sub = v.select(expr(s"slice(__v, ${s * subDim + 1}, $subDim)").as("sv"))
+        val assigned = sub.withColumn("cid", pqAssignExpr(books(s), col("sv")))
+        val sums = assigned.groupBy(col("cid"))
+          .agg(avg(element_at(col("sv"), 1)).as("d0"),
+            (2 to subDim).map(j => avg(element_at(col("sv"), j)).as(s"d${j - 1}")): _*)
+          .collect()
+          .map(r => r.getLong(0).toInt -> (0 until subDim).map(j => r.getDouble(j + 1)))
+          .toMap
+        books(s).indices.map(c => sums.getOrElse(c, books(s)(c)): Seq[Double])
+      }
+    }
+    books
+  }
+
+  /** Pack the nSub 4-bit codes into one BIGINT column. */
+  private def pqCodesExpr(
+      books: Seq[Seq[Seq[Double]]], vecCol: String, subDim: Int): org.apache.spark.sql.Column =
+    books.zipWithIndex.map { case (book, s) =>
+      pqAssignExpr(book, expr(s"slice($vecCol, ${s * subDim + 1}, $subDim)")) *
+        lit(1L << (4 * s))
+    }.reduce(_ + _)
+
+  /** PQ top-k by ADC with exact rerank: encode the corpus to packed codes
+    * (+ stored true norm), score each query against the codes via its
+    * lookup table (sum of nSub element_at's — no float-vector reads in the
+    * scan), take the top `rerank` candidates, rerank them full-precision,
+    * emit the top `k`. */
+  def pqTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], books: Seq[Seq[Seq[Double]]],
+      k: Int = 5, rerank: Int = 20, dim: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val nSub = books.length
+    val subDim = dim / nSub
+    val v = withNorm(vecs, idCol, vecCol)
+    val encoded = v.withColumn("codes", pqCodesExpr(books, "__v", subDim))
+    // per-query LUT: lut[s*16 + c] = dot(query_sub_s, books(s)(c));
+    // queries are a literal handful, so LUT construction is driver-side
+    // model state (like any ANN serving layer), not a corpus operation
+    val qRows = v.where(col("__id").isin(queryIds: _*))
+      .select(col("__id"), col("__v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
+        r.getDouble(2)))
+    val luts = qRows.map { case (qid, qv, qn) =>
+      val lut = for (s <- 0 until nSub; c <- books(s).indices) yield
+        (0 until subDim).map(d => qv(s * subDim + d) * books(s)(c)(d)).sum
+      (qid, qn, qv.map(_.toFloat), lut)
+    }.toSeq
+    val lutDF = luts.toDF("qid", "qn", "qv", "lut")
+    val adc = books.indices.map { s =>
+      element_at(col("lut"),
+        (shiftright(col("codes"), 4 * s) % 16).cast("int") + lit(s * 16) + 1)
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(lutDF))
+      .where(col("__id") =!= col("qid"))
+      .select(col("qid"), col("qn"), col("qv"), col("__id").as("vec_id"),
+        col("__v"), col("nrm"),
+        (adc / (col("qn") * col("nrm"))).as("approx"))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
+    val cand = scored.withColumn("rnk", row_number().over(w0))
+      .where(col("rnk") <= rerank)
+      .select(col("qid"), col("vec_id"), round(col("approx"), 6).as("approx_cos"),
+        round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("exact_cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("exact_cos").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .drop("rnk").orderBy(col("qid"), col("exact_cos").desc, col("vec_id"))
+  }
+
   /** Near-duplicate pairs: sign-LSH bucket on `nBits` deterministic
     * integer-valued hyperplanes (w[k][d] = (k*73 + d*179) % 97 - 48),
     * exact cosine >= tau within buckets. The hyperplanes are constant

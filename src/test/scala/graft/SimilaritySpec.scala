@@ -82,4 +82,25 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = quant.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"quantized recall@5 = $recall")
   }
+
+  test("PQ/ADC with rerank keeps recall vs exact top-5; codes pack to one long") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding")
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", queries, books)
+    val got = pq.collect()
+    // a full page per query, rerank column is the true cosine
+    queries.foreach(q => assert(got.count(_.getLong(0) == q) == 5))
+    val pqSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 32x-compressed codes + top-20 rerank still recover a usable share
+    // of the true neighbours on a near-random corpus
+    val recall = pqSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"pq recall@5 = $recall")
+  }
 }
