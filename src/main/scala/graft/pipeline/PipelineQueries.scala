@@ -731,6 +731,21 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // dc1 routes through the library operator (LibraryApiSpec proves it
+    // equals the SQL form): row-local gram dedup (array_distinct before
+    // the explode — no corpus-wide distinct shuffle) and an explicit
+    // broadcast of the eval gram set.
+    "dc1_decontamination" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      Curation.decontaminate(
+          docs.where(col("doc_id") % 10 =!= 7),
+          docs.where(col("doc_id") % 10 === 7),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // dm1: pipeline x mesh composition — exact dedup running over the
     // ACL-scoped documents ENTITY view (default policy hides the 'zh'
     // slice and denies `source`), not the raw table: governance applies
