@@ -514,6 +514,77 @@ object PipelineQueries {
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
     // ------------------------------------------------------------------
+    // q32: TPC-H Q5-shape — a 6-table star join (fact lineitem against 5
+    // dims) with a selective region filter and a date window. Catalyst
+    // broadcasts every dim side, so the fact table never shuffles for the
+    // join; revenue sums exact integer (cents x discount-percent) to stay
+    // engine-reproducible under unordered summation.
+    Q("q32_tpch_q5_join",
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // q33: TPC-H Q18-shape — large-order detection: an IN-subquery over a
+    // grouped HAVING (planned as a semi-join against the partial agg), a
+    // 3-way join, and a deterministic top-100. Quantities are integer-
+    // valued, so sums compare exactly.
+    Q("q33_tpch_q18_join",
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 160)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 160)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin),
+
+    // ------------------------------------------------------------------
     // ev1: retention cohorts — users grouped by first-seen week, activity
     // counted per week offset: the standard product-analytics triangle.
     // Two partial-aggregable groupBys + one equi-join on user_id; the
