@@ -34,25 +34,42 @@ object Fixtures {
     * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects; read it as nanos-long and truncate to
     * microsecond TimestampType (matching DuckDB's ns->us semantics). */
+  private val rawDfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, org.apache.spark.sql.DataFrame)]]
+  private val rawDfLock = new Object
+
   def registerRaw(spark: SparkSession, sfDir: String): Unit = {
-    // memoize per (session, sfDir): every driver query calls this, and the
-    // 10 parquet-footer reads + view analyses otherwise repeat per query
-    if (spark.conf.getOption("graft.raw.registered").contains(sfDir)) return
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    RawTables.foreach { t =>
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
-      val fixed =
-        if (t == "events")
-          df.withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else df
-      fixed.createOrReplaceTempView(t)
-      // `raw_`-prefixed alias: source SQL reads these so that a MeshSession
-      // registering an entity view under the bare table name (required for
-      // user SQL) can never shadow the physical relation on a later resolve
-      fixed.createOrReplaceTempView(s"raw_$t")
+    // DataFrame construction (parquet-footer reads) memoizes per
+    // (session, sfDir), but the temp-view registrations re-assert on EVERY
+    // call: a MeshSession query legitimately registers an entity view
+    // under a bare table name ('lineitem', 'documents' — the reference
+    // requires user SQL to address the entity name), and without the
+    // re-assert that ACL-scoped view would shadow the physical table for
+    // every later driver query in the session (order-dependence bug class
+    // caught by ViewIsolationSpec).
+    val dfs = rawDfLock.synchronized {
+      rawDfCache.getOrElse((spark, sfDir), {
+        rawDfCache.filterKeys(_._1 eq spark).keys.foreach(rawDfCache.remove)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val built = RawTables.map { t =>
+          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          val fixed =
+            if (t == "events")
+              df.withColumn("ts",
+                org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+            else df
+          t -> fixed
+        }
+        rawDfCache.put((spark, sfDir), built)
+        built
+      })
     }
-    spark.conf.set("graft.raw.registered", sfDir)
+    dfs.foreach { case (t, df) =>
+      df.createOrReplaceTempView(t)
+      // `raw_`-prefixed alias: source SQL reads these so a bare-named
+      // entity view can never sit between source_sql and the physical data
+      df.createOrReplaceTempView(s"raw_$t")
+    }
   }
 
   val lineitemEntity: Entity = Entity("lineitem", Seq(

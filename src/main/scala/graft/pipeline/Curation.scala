@@ -56,21 +56,38 @@ object Curation {
     * be a BATCH or a STREAMING DataFrame — the identical declarative plan
     * serves both (streaming: a stream-static broadcast join + an update-
     * mode aggregation keyed by doc_id). The eval side is benchmark-sized,
-    * so its distinct gram set broadcasts; no all-pairs work, one pass. */
+    * so its distinct gram set broadcasts; no all-pairs work, one pass.
+    *
+    * On an UNBOUNDED stream the per-doc aggregation state must be bounded:
+    * pass `watermark = Some((ingestTimeCol, delay))` so doc state is
+    * evicted once the watermark passes (each doc's grams arrive inside one
+    * micro-batch, so any delay covering batch skew is enough). Without it,
+    * streaming use is only safe for bounded replays (as in the spec). */
   def contaminationCounts(
       docs: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+      idCol: String, textCol: String, n: Int = 8,
+      watermark: Option[(String, String)] = None): DataFrame = {
     val evalGrams = ngrams(eval, idCol, textCol, n)
       .select(col("gram")).distinct()
       .withColumn("__hit", lit(1))
-    ngrams(docs, idCol, textCol, n)
-      .join(broadcast(evalGrams), Seq("gram"), "left")
-      .groupBy(col("doc_id"))
+    val marked = watermark match {
+      case Some((tsCol, delay)) => docs.withWatermark(tsCol, delay)
+      case None => docs
+    }
+    val withTs = watermark.map(_._1).toSeq
+    val g = marked.select((col(idCol).as("doc_id") +: withTs.map(col) :+
+        split(col(textCol), " ").as("w")): _*)
+      .select((col("doc_id") +: withTs.map(col) :+ explode(array_distinct(expr(
+        s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $n)))"))).as("gram")): _*)
+    g.join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id") +: withTs.map(col): _*)
       .agg(
         count(lit(1)).as("n_grams"),
         count(col("__hit")).as("n_contaminated"),
         round(count(col("__hit")) / count(lit(1)).cast("double"), 4)
           .as("contamination"))
+      .drop(withTs: _*)
   }
 
   /** Train/eval decontamination (library form of dc1): flag every training

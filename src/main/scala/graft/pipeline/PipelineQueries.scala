@@ -610,41 +610,47 @@ object PipelineQueries {
         |ORDER BY fc.cohort, week_offset""".stripMargin),
 
     // ------------------------------------------------------------------
-    // ev2: funnel analysis — per-user earliest view -> click-after-view ->
-    // purchase-after-click, counted per stage. One groupBy pivots the
-    // per-user stage times (map-side combinable min); the funnel itself is
-    // a single projection over |users| rows. No self-joins over events.
+    // ev2: funnel analysis — per-user earliest view, then the earliest
+    // click AFTER that view, then the earliest purchase AFTER that click:
+    // each stage's clock starts at the previous stage's completion (the
+    // correct ordered-funnel semantics — a user who clicks before their
+    // first view still converts via a later click). Three per-user
+    // map-side-combinable aggregations chained by user_id equi-joins;
+    // no event self-joins, state is |users| not |events|.
     Q("ev2_funnel",
-      """WITH f AS (
-        |  SELECT user_id,
-        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-        |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-        |  FROM events GROUP BY user_id),
-        |s AS (SELECT user_id, t_view,
-        |             CASE WHEN t_click > t_view THEN t_click END AS t_c2,
-        |             CASE WHEN t_click > t_view AND t_purchase > t_click
-        |                  THEN t_purchase END AS t_p3
-        |      FROM f)
-        |SELECT count(t_view) AS n_viewed,
-        |       count(t_c2) AS n_clicked_after_view,
-        |       count(t_p3) AS n_purchased_after_click
-        |FROM s""".stripMargin,
-      """WITH f AS (
-        |  SELECT user_id,
-        |         min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
-        |         min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
-        |         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
-        |  FROM events GROUP BY user_id),
-        |s AS (SELECT user_id, t_view,
-        |             CASE WHEN t_click > t_view THEN t_click END AS t_c2,
-        |             CASE WHEN t_click > t_view AND t_purchase > t_click
-        |                  THEN t_purchase END AS t_p3
-        |      FROM f)
-        |SELECT CAST(count(t_view) AS BIGINT) AS n_viewed,
-        |       CAST(count(t_c2) AS BIGINT) AS n_clicked_after_view,
-        |       CAST(count(t_p3) AS BIGINT) AS n_purchased_after_click
-        |FROM s""".stripMargin),
+      """WITH v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |           FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT count(v.t_view) AS n_viewed,
+        |       count(c.t_click) AS n_clicked_after_view,
+        |       count(p.t_purchase) AS n_purchased_after_click
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+      """WITH v AS (SELECT user_id,
+        |                  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view
+        |           FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT CAST(count(v.t_view) AS BIGINT) AS n_viewed,
+        |       CAST(count(c.t_click) AS BIGINT) AS n_clicked_after_view,
+        |       CAST(count(p.t_purchase) AS BIGINT) AS n_purchased_after_click
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
 
     // ------------------------------------------------------------------
     // dc1: train/eval DECONTAMINATION — the n-gram-overlap check every

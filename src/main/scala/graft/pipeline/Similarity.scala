@@ -109,14 +109,22 @@ object Similarity {
     cents
   }
 
-  /** Argmax-of-dots assignment against constant centroids: returns the
-    * 0-based index of the nearest (cosine) centroid as a column over
-    * `vecCol`. First-max wins on ties (deterministic). */
-  private def assignExpr(cents: Seq[Seq[Double]], vecCol: String): org.apache.spark.sql.Column = {
-    val dots = array(cents.map(c =>
-      dot(col(vecCol), array(c.map(x => lit(x.toFloat)): _*))): _*)
-    (array_position(dots, array_max(dots)) - 1).cast("int")
+  /** Argmax-of-(dot + bias) assignment against constant centroids:
+    * returns the 0-based index of the best-scoring centroid as a column.
+    * bias = 0 per centroid gives the cosine argmax (scale-invariant);
+    * bias = -|c|^2/2 gives the nearest-L2 centroid (PQ subspaces).
+    * First-max wins on ties (deterministic). */
+  private def assignScoredExpr(
+      cents: Seq[Seq[Double]], v: org.apache.spark.sql.Column,
+      bias: Seq[Double]): org.apache.spark.sql.Column = {
+    val scores = array(cents.zip(bias).map { case (c, b) =>
+      dot(v, array(c.map(x => lit(x.toFloat)): _*)) + lit(b)
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
   }
+
+  private def assignExpr(cents: Seq[Seq[Double]], vecCol: String): org.apache.spark.sql.Column =
+    assignScoredExpr(cents, col(vecCol), cents.map(_ => 0.0))
 
   /** IVF top-k with LEARNED centroids (from [[sphericalKMeans]]): corpus
     * assignment and query probing are both constant-centroid projections;
@@ -159,15 +167,12 @@ object Similarity {
   // only the packed codes + the stored true norm.
 
   /** Argmax-of-(dot - |c|^2/2) assignment — equivalent to nearest-L2
-    * centroid for the subvector; first-max wins ties. */
+    * centroid for the subvector; shares the argmax skeleton with the
+    * cosine assignment (one tie-break/NaN behavior to maintain). */
   private def pqAssignExpr(
-      book: Seq[Seq[Double]], svCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scores = array(book.map { c =>
-      val c2 = c.map(x => x * x).sum / 2.0
-      dot(svCol, array(c.map(x => lit(x.toFloat)): _*)) - lit(c2)
-    }: _*)
-    (array_position(scores, array_max(scores)) - 1).cast("long")
-  }
+      book: Seq[Seq[Double]], svCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    assignScoredExpr(book, svCol, book.map(c => -c.map(x => x * x).sum / 2.0))
+      .cast("long")
 
   /** Train per-subspace codebooks by Lloyd k-means (L2 in each subspace).
     * Assignment is a constant-codebook projection; each update is one
@@ -221,9 +226,15 @@ object Similarity {
     import spark.implicits._
     val nSub = books.length
     val subDim = dim / nSub
+    val kPer = books.head.length
+    // 4-bit nibble packing bounds the codebook size; the LUT stride is the
+    // actual codebook size, so smaller books stay correctly indexed
+    require(books.forall(_.length == kPer) && kPer >= 2 && kPer <= 16,
+      s"per-subspace codebook size must be uniform and in [2,16], got $kPer")
+    require(nSub * subDim == dim, s"dim $dim must split evenly into $nSub subspaces")
     val v = withNorm(vecs, idCol, vecCol)
     val encoded = v.withColumn("codes", pqCodesExpr(books, "__v", subDim))
-    // per-query LUT: lut[s*16 + c] = dot(query_sub_s, books(s)(c));
+    // per-query LUT: lut[s*kPer + c] = dot(query_sub_s, books(s)(c));
     // queries are a literal handful, so LUT construction is driver-side
     // model state (like any ANN serving layer), not a corpus operation
     val qRows = v.where(col("__id").isin(queryIds: _*))
@@ -238,17 +249,25 @@ object Similarity {
     val lutDF = luts.toDF("qid", "qn", "qv", "lut")
     val adc = books.indices.map { s =>
       element_at(col("lut"),
-        (shiftright(col("codes"), 4 * s) % 16).cast("int") + lit(s * 16) + 1)
+        (shiftright(col("codes"), 4 * s) % 16).cast("int") + lit(s * kPer) + 1)
     }.reduce(_ + _)
-    val scored = encoded.crossJoin(broadcast(lutDF))
+    // the ADC scan and the per-query ranking carry ONLY (qid, vec_id,
+    // approx) — codes and norms, never the float vectors; the window
+    // exchange ships 24 bytes per candidate, which is the point of PQ
+    val scored = encoded.crossJoin(broadcast(lutDF.select(col("qid"), col("qn"), col("lut"))))
       .where(col("__id") =!= col("qid"))
-      .select(col("qid"), col("qn"), col("qv"), col("__id").as("vec_id"),
-        col("__v"), col("nrm"),
+      .select(col("qid"), col("__id").as("vec_id"),
         (adc / (col("qn") * col("nrm"))).as("approx"))
     val w0 = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
-    val cand = scored.withColumn("rnk", row_number().over(w0))
+    val page = scored.withColumn("rnk", row_number().over(w0))
       .where(col("rnk") <= rerank)
-      .select(col("qid"), col("vec_id"), round(col("approx"), 6).as("approx_cos"),
+      .select(col("qid"), col("vec_id"), round(col("approx"), 6).as("approx_cos"))
+    // only the <= rerank survivors join the float vectors back for the
+    // full-precision pass
+    val cand = page
+      .join(v.select(col("__id").as("vec_id"), col("__v"), col("nrm")), "vec_id")
+      .join(broadcast(lutDF.select(col("qid"), col("qn"), col("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), col("approx_cos"),
         round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("exact_cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("exact_cos").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

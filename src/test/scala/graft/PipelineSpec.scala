@@ -200,6 +200,25 @@ class PipelineSpec extends AnyFunSuite {
       .queryName("dc_stream_test").start()
     q.processAllAvailable()
     q.stop()
+    // watermarked variant (bounded state for unbounded streams): an
+    // ingest-time column + watermark must not change any per-doc answer
+    val stagedTs = java.nio.file.Files.createTempDirectory("graft_dc_staged_ts")
+      .toString + "/data"
+    spark.read.parquet(staged)
+      .withColumn("ingest_ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .write.parquet(stagedTs)
+    val streamedTs = spark.readStream
+      .schema(spark.read.parquet(stagedTs).schema).parquet(stagedTs)
+    val qw = graft.pipeline.Curation
+      .contaminationCounts(streamedTs, eval, "doc_id", "text",
+        watermark = Some(("ingest_ts", "10 minutes")))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dc_stream_wm_test").start()
+    qw.processAllAvailable()
+    qw.stop()
+    val wmFinal = spark.table("dc_stream_wm_test")
+      .groupBy("doc_id").agg(max(col("n_contaminated")).as("n_contaminated"))
+      .where(col("n_contaminated") > 0)
     // last update per doc == the batch op's answer (docs aren't split
     // across files, so each doc's final row is its complete count)
     val streamFinal = spark.table("dc_stream_test")
@@ -211,6 +230,8 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("doc_id"), col("n_contaminated"))
     assert(streamFinal.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamFinal).count() == 0)
+    assert(wmFinal.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(wmFinal).count() == 0)
   }
 
   test("transformWithState accumulates per-user stats (Spark 4 state API)") {

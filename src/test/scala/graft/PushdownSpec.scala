@@ -30,6 +30,14 @@ class PushdownSpec extends AnyFunSuite {
     assert("EqualTo\\(c_mktsegment,BUILDING\\)".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q32: all five dims broadcast in the star join; the fact never sort-merges") {
+    // AQE prints the final plan first, then repeats the initial plan —
+    // count joins in the finalized section only
+    val p = plan("q32_tpch_q5_join").split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q1: per-branch limits stay below the union (no global-sort explosion)") {
     val p = plan("q1_proj_filter_limit")
     // TakeOrderedAndProject caps the sort at k instead of a full global sort

@@ -23,4 +23,17 @@ class ViewIsolationSpec extends AnyFunSuite {
     assert(after == before,
       s"q11 changed from $before to $after rows after an ACL-scoped mesh query")
   }
+
+  test("a MeshSession entity view under a BARE table name does not shadow raw tables") {
+    val q32 = SparkEntry.queries("q32_tpch_q5_join")
+    val before = q32(spark, sfDir).collect().toSeq
+    // the mesh API registers the queried entity under its bare name
+    // ('lineitem'), exactly where the raw physical table lives — with the
+    // restricted default ACL (no user), far fewer rows
+    val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
+    session.sql("SELECT count(*) AS n FROM lineitem", user = None).collect()
+    val after = q32(spark, sfDir).collect().toSeq
+    assert(after == before,
+      "q32 results changed after a mesh query registered 'lineitem' as an entity view")
+  }
 }
