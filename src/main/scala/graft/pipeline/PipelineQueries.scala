@@ -1026,6 +1026,35 @@ object PipelineQueries {
         books = books, k = 5, rerank = 20)
     }),
 
+    // ss6: IVF+PQ — the standard billion-scale serving composition:
+    // learned IVF cells prune the scan to nprobe/16 of the corpus, PQ/ADC
+    // scores the survivors as 8-byte codes, the top page reranks
+    // full-precision. Both models memoized as index state (built by ss3's
+    // and ss5's cached trainers). Rows-only + SimilaritySpec recall.
+    "ss6_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
+      Fixtures.registerRaw(s, dir)
+      val emb = s.table("embeddings")
+      val (cents, books) = cacheLock.synchronized {
+        val c = centroidCache.getOrElse((s, dir), {
+          centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
+          val m = Similarity.sphericalKMeans(
+            emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
+          centroidCache.put((s, dir), m)
+          m
+        })
+        val b = pqBookCache.getOrElse((s, dir), {
+          pqBookCache.filterKeys(_._1 eq s).keys.foreach(pqBookCache.remove)
+          val m = Similarity.pqTrain(emb, "vec_id", "embedding")
+          pqBookCache.put((s, dir), m)
+          m
+        })
+        (c, b)
+      }
+      Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
+        centroids = cents, books = books, k = 5, nprobe = 4, rerank = 20)
+    }),
+
     // ap2: heavy hitters via count-min sketch — the vocabulary/hot-key
     // detection a corpus pipeline runs before building token statistics.
     // The sketch is built in one distributed pass (partition sketches

@@ -274,6 +274,76 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("exact_cos").desc, col("vec_id"))
   }
 
+  /** IVF+PQ composition — the standard large-scale ANN serving shape
+    * (FAISS IVFPQ): learned IVF centroids prune the search to `nprobe`
+    * cells, PQ/ADC scores the candidates inside those cells without
+    * touching float vectors, and the top page reranks full-precision.
+    * At 10^9 vectors this reads nprobe/k_cells of the corpus as 8-byte
+    * codes — the only shape where both the scan volume AND the bytes per
+    * row shrink. */
+  def ivfPqTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], centroids: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      k: Int = 5, nprobe: Int = 4, rerank: Int = 20, dim: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val nSub = books.length
+    val subDim = dim / nSub
+    val kPer = books.head.length
+    require(books.forall(_.length == kPer) && kPer >= 2 && kPer <= 16,
+      s"per-subspace codebook size must be uniform and in [2,16], got $kPer")
+    val v = withNorm(vecs, idCol, vecCol)
+    // index build shape: one projection adds (cell, codes) to every row
+    val encoded = v
+      .withColumn("cid", assignExpr(centroids, "__v"))
+      .withColumn("codes", pqCodesExpr(books, "__v", subDim))
+    val qRows = v.where(col("__id").isin(queryIds: _*))
+      .select(col("__id"), col("__v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
+        r.getDouble(2)))
+    // driver-side per-query model state: probed cells + ADC lookup table
+    val probes = qRows.map { case (qid, qv, qn) =>
+      val qNorm = math.sqrt(qv.map(x => x * x).sum)
+      val cells = centroids.zipWithIndex
+        .map { case (c, i) =>
+          (i, qv.zip(c).map { case (a, b) => a * b }.sum / math.max(qNorm, 1e-30))
+        }
+        .sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
+      val lut = for (s <- 0 until nSub; c <- books(s).indices) yield
+        (0 until subDim).map(d => qv(s * subDim + d) * books(s)(c)(d)).sum
+      (qid, qn, qv.map(_.toFloat), cells, lut)
+    }.toSeq
+    val probeDF = probes.flatMap { case (qid, _, _, cells, _) =>
+      cells.map(c => (qid, c))
+    }.toDF("qid", "cid")
+    val lutDF = probes.map { case (qid, qn, qv, _, lut) => (qid, qn, qv, lut) }
+      .toDF("qid", "qn", "qv", "lut")
+    val adc = books.indices.map { s =>
+      element_at(col("lut"),
+        (shiftright(col("codes"), 4 * s) % 16).cast("int") + lit(s * kPer) + 1)
+    }.reduce(_ + _)
+    // candidates = probed cells only; the scan carries codes, never vectors
+    val scored = encoded
+      .join(broadcast(probeDF), "cid")
+      .join(broadcast(lutDF.select(col("qid"), col("qn"), col("lut"))), "qid")
+      .where(col("__id") =!= col("qid"))
+      .select(col("qid"), col("__id").as("vec_id"),
+        (adc / (col("qn") * col("nrm"))).as("approx"))
+    val w0 = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
+    val page = scored.withColumn("rnk", row_number().over(w0))
+      .where(col("rnk") <= rerank)
+      .select(col("qid"), col("vec_id"), round(col("approx"), 6).as("approx_cos"))
+    val cand = page
+      .join(v.select(col("__id").as("vec_id"), col("__v"), col("nrm")), "vec_id")
+      .join(broadcast(lutDF.select(col("qid"), col("qn"), col("qv"))), "qid")
+      .select(col("qid"), col("vec_id"), col("approx_cos"),
+        round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("exact_cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("exact_cos").desc, col("vec_id"))
+    cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .drop("rnk").orderBy(col("qid"), col("exact_cos").desc, col("vec_id"))
+  }
+
   /** Near-duplicate pairs: sign-LSH bucket on `nBits` deterministic
     * integer-valued hyperplanes (w[k][d] = (k*73 + d*179) % 97 - 48),
     * exact cosine >= tau within buckets. The hyperplanes are constant

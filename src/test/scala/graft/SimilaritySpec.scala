@@ -103,4 +103,25 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = pqSet.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.2, s"pq recall@5 = $recall")
   }
+
+  test("IVF+PQ composition returns full pages with usable recall") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val queries = Seq(0L, 1L, 2L, 3L, 4L)
+    val cents = Similarity.sphericalKMeans(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 2)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding", queries, cents, books, nprobe = 4)
+      .collect()
+    queries.foreach(q => assert(got.count(_.getLong(0) == q) == 5))
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pruning to 4/16 cells THEN quantizing compounds both error sources;
+    // the composition must still surface a share of the true top-5
+    val recall = gotSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.15, s"ivfpq recall@5 = $recall")
+  }
 }
