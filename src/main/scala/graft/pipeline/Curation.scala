@@ -66,8 +66,17 @@ object Curation {
   def contaminationCounts(
       docs: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
-      watermark: Option[(String, String)] = None): DataFrame = {
-    val evalGrams = ngrams(eval, idCol, textCol, n)
+      watermark: Option[(String, String)] = None,
+      hashGrams: Boolean = false): DataFrame = {
+    // hashGrams replaces each n-gram string (~50 bytes at n=8) with its
+    // xxhash64 (8 bytes) on BOTH sides before the join: ~6x smaller
+    // broadcast + join keys. False positives need a 64-bit collision
+    // between a training and an eval gram — ~m*n/2^64, irrelevant below
+    // ~10^9 distinct grams per side; the exact variant remains the
+    // default (and the oracle's semantics).
+    def keyed(g: DataFrame): DataFrame =
+      if (hashGrams) g.withColumn("gram", xxhash64(col("gram"))) else g
+    val evalGrams = keyed(ngrams(eval, idCol, textCol, n))
       .select(col("gram")).distinct()
       .withColumn("__hit", lit(1))
     val marked = watermark match {
@@ -80,7 +89,7 @@ object Curation {
       .select((col("doc_id") +: withTs.map(col) :+ explode(array_distinct(expr(
         s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
           s"i -> concat_ws(' ', slice(w, i + 1, $n)))"))).as("gram")): _*)
-    g.join(broadcast(evalGrams), Seq("gram"), "left")
+    keyed(g).join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col("doc_id") +: withTs.map(col): _*)
       .agg(
         count(lit(1)).as("n_grams"),

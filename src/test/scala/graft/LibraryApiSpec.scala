@@ -107,6 +107,20 @@ class LibraryApiSpec extends AnyFunSuite {
       q("dc1_decontamination"))
   }
 
+  test("hashed-gram decontamination equals the exact-gram variant") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val train = docs.where(col("doc_id") % 10 =!= 7)
+    val eval = docs.where(col("doc_id") % 10 === 7)
+    val exact = Curation.decontaminate(train, eval, "doc_id", "text")
+      .select("doc_id", "n_grams", "n_contaminated").orderBy("doc_id")
+    val hashed = Curation
+      .contaminationCounts(train, eval, "doc_id", "text", hashGrams = true)
+      .where(col("n_contaminated") > 0)
+      .select("doc_id", "n_grams", "n_contaminated").orderBy("doc_id")
+    assert(exact.collect().toSeq == hashed.collect().toSeq)
+  }
+
   test("decontamination joins the eval gram set by broadcast (plan shape)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
