@@ -457,6 +457,37 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // tx6: WINNOWING document fingerprints (the MOSS algorithm): hash
+    // every word 4-gram, slide a window of 5 hashes, keep each window's
+    // minimum — guarantees any shared run of >= 8 words between two docs
+    // shares a selected fingerprint, at ~1/5 the stored fingerprints of
+    // tx4's full shingle set. All row-local array work (one pass, no
+    // shuffle); the selected-set size and extremes summarize per doc.
+    Q("tx6_winnowing",
+      """WITH g AS (SELECT doc_id,
+        |             transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),
+        |               i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 4)))) AS h
+        |           FROM documents),
+        |w AS (SELECT doc_id,
+        |             array_distinct(transform(sequence(0, greatest(size(h) - 5, 0)),
+        |               i -> array_min(slice(h, i + 1, 5)))) AS fp
+        |      FROM g)
+        |SELECT doc_id, CAST(size(fp) AS BIGINT) AS n_fingerprints,
+        |       array_min(fp) AS fp_min, array_max(fp) AS fp_max
+        |FROM w ORDER BY doc_id""".stripMargin,
+      """WITH g AS (SELECT doc_id,
+        |             list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 1)),
+        |               i -> md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + 4), ' '))) AS h
+        |           FROM documents),
+        |w AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(0, greatest(len(h) - 4, 1)),
+        |               i -> list_aggregate(list_slice(h, i + 1, i + 5), 'min'))) AS fp
+        |      FROM g)
+        |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fingerprints,
+        |       list_aggregate(fp, 'min') AS fp_min, list_aggregate(fp, 'max') AS fp_max
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // mm1: multimodal column plumbing — text re-encoded as an opaque binary
     // payload with typed metadata; scalar projections only (byte length,
     // mime, stub frame count) so the oracle is engine-neutral. The real

@@ -176,6 +176,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(finalStats.count() == batch.count())
   }
 
+  test("winnowing guarantee: near-dup pairs share selected fingerprints") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    // per-doc winnowed fingerprint SET (same expr as the tx6 query)
+    val fp = docs.select(col("doc_id"), expr(
+      """array_distinct(transform(
+        |  sequence(0, greatest(size(transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),
+        |    i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 4))))) - 5, 0)),
+        |  i -> array_min(slice(transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),
+        |    j -> md5(concat_ws(' ', slice(split(text, ' '), j + 1, 4)))), i + 1, 5))))""".stripMargin)
+      .as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // planted near-dup pairs (trigram jaccard >= 0.8 via the LSH pipeline)
+    val pairs = graft.pipeline.Dedup
+      .minhashLshPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain planted near-dups")
+    // winnowing guarantees a shared fingerprint for any common run of
+    // >= w + k - 1 = 8 words; planted near-dups share long runs
+    pairs.foreach { case (a, b) =>
+      assert(fp(a).intersect(fp(b)).nonEmpty, s"pair ($a,$b) shares no fingerprint")
+    }
+  }
+
   test("contamination op serves batch and streaming with one plan (stream-static join)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
