@@ -120,6 +120,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The reusable LSH band index for a corpus: (id, band, bsig). In
+    * production this is stored state, written once per corpus build and
+    * appended at each ingest — the input to [[incrementalNearDupPairs]]. */
+  def bandIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    bandSignatures(minhashSignatures(shinglesRaw(docs, idCol, textCol), k), bands, k / bands)
+  }
+
+  /** Incremental ingest dedup: near-dup pairs between a NEW batch and an
+    * already-indexed corpus (plus batch-internal pairs) — the production
+    * shape where the corpus's band index is stored state and ONLY the
+    * batch is shingled/hashed at ingest time. Corpus-vs-corpus pairs were
+    * found when the corpus was built and are not recomputed. Candidate
+    * verification reads original text for just the candidate docs (both
+    * sides). Batch and corpus ids must be disjoint. */
+  def incrementalNearDupPairs(
+      batch: DataFrame, corpus: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val bi = bandIndex(batch, idCol, textCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates: batch vs (stored index ∪ batch); normalize pair order
+    val all = index.union(bi)
+    val cand = bi.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("da"),
+        greatest(col("a.__id"), col("b.__id")).as("db"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("da").as("__cid"))
+      .union(cand.select(col("db").as("__cid"))).distinct()
+    val allDocs = corpus.select(col(idCol), col(textCol))
+      .union(batch.select(col(idCol), col(textCol)))
+    val candDocs = allDocs.join(
+      broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
+    val shCand = shingles(candDocs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardVerify(shCand, cand, threshold)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Connected components over an undirected near-dup pair list — the
     * step that turns pairwise matches into dedup decisions (cluster id =
     * min doc id in the component; keep that doc, drop the rest).

@@ -176,6 +176,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(finalStats.count() == batch.count())
   }
 
+  test("incremental ingest dedup equals the full recompute on the batch slice") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val batch = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+    val full = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // pairs the incremental path must find: at least one end in the batch
+    val expected = full.filter { case (a, b, _) => a % 10 == 3 || b % 10 == 3 }
+    val index = graft.pipeline.Dedup.bandIndex(corpus, "doc_id", "text")
+    val got = graft.pipeline.Dedup
+      .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}, extra=${got -- expected}")
+  }
+
   test("winnowing guarantee: near-dup pairs share selected fingerprints") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
