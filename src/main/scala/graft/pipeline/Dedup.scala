@@ -160,9 +160,18 @@ object Dedup {
       broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
     val shCand = shingles(candDocs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardVerify(shCand, cand, threshold)
+    // eager localCheckpoint: the (tiny) verified pair list is the ingest's
+    // durable output, so the three intermediate caches can be released
+    // before returning — a long-lived session running N ingests pins N
+    // small pair lists, not 3N band/shingle/candidate datasets
+    val out = jaccardVerify(shCand, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    bi.unpersist()
+    cand.unpersist()
+    shCand.unpersist()
+    out
   }
 
   /** Connected components over an undirected near-dup pair list — the

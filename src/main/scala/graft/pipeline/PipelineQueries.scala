@@ -464,17 +464,11 @@ object PipelineQueries {
     // tx4's full shingle set. All row-local array work (one pass, no
     // shuffle); the selected-set size and extremes summarize per doc.
     Q("tx6_winnowing",
-      """WITH g AS (SELECT doc_id,
-        |             transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),
-        |               i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 4)))) AS h
-        |           FROM documents),
-        |w AS (SELECT doc_id,
-        |             array_distinct(transform(sequence(0, greatest(size(h) - 5, 0)),
-        |               i -> array_min(slice(h, i + 1, 5)))) AS fp
-        |      FROM g)
-        |SELECT doc_id, CAST(size(fp) AS BIGINT) AS n_fingerprints,
-        |       array_min(fp) AS fp_min, array_max(fp) AS fp_max
-        |FROM w ORDER BY doc_id""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, ${TextAnalysis.winnowingSparkExpr("text")} AS fp
+         |           FROM documents)
+         |SELECT doc_id, CAST(size(fp) AS BIGINT) AS n_fingerprints,
+         |       array_min(fp) AS fp_min, array_max(fp) AS fp_max
+         |FROM w ORDER BY doc_id""".stripMargin,
       """WITH g AS (SELECT doc_id,
         |             list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 1)),
         |               i -> md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + 4), ' '))) AS h
@@ -803,12 +797,11 @@ object PipelineQueries {
   private val pqBookCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[Seq[Seq[Double]]]]
 
-  /** Encoded ANN index state (codes / cells) per (session, sf) — in
-    * production these are stored table columns, so the measured work is
-    * the serving scan, not re-encoding. */
+  /** Encoded ANN index state (codes) per (session, sf) — in production
+    * these are stored table columns, so the measured work is the serving
+    * scan, not re-encoding. ONE persisted copy: the IVF cell id is a pure
+    * projection over it (Similarity.withCells), so ss6 shares ss5's. */
   private val pqIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
-  private val ivfPqIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
 
   /** Materialized near-dup pair index per (session, sf): see dd7 note. */
@@ -1091,8 +1084,10 @@ object PipelineQueries {
         })
         (c, b)
       }
-      val idx = cachedDataset(ivfPqIndexCache, s, dir)(
-        Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, books))
+      val idx = Similarity.withCells(
+        cachedDataset(pqIndexCache, s, dir)(
+          Similarity.pqEncode(emb, "vec_id", "embedding", books)),
+        cents)
       Similarity.ivfPqTopK(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, books = books, k = 5, nprobe = 4, rerank = 20,

@@ -223,26 +223,29 @@ object Similarity {
     withNorm(vecs, idCol, vecCol)
       .withColumn("codes", pqCodesExpr(books, "__v", dim / books.length))
 
+  /** Add the assigned IVF cell to an existing encoded index — a pure
+    * projection, so a cached [[pqEncode]] frame extends to IVF+PQ without
+    * a second materialization. */
+  def withCells(encoded: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    encoded.withColumn("cid", assignExpr(centroids, "__v"))
+
   /** IVF+PQ index state: pqEncode plus the assigned cell id. */
   def ivfPqEncode(
       vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
       dim: Int = 64): DataFrame =
-    pqEncode(vecs, idCol, vecCol, books, dim)
-      .withColumn("cid", assignExpr(centroids, "__v"))
+    withCells(pqEncode(vecs, idCol, vecCol, books, dim), centroids)
 
   /** PQ top-k by ADC with exact rerank: encode the corpus to packed codes
     * (+ stored true norm), score each query against the codes via its
     * lookup table (sum of nSub element_at's — no float-vector reads in the
     * scan), take the top `rerank` candidates, rerank them full-precision,
     * emit the top `k`. */
-  def pqTopK(
-      vecs: DataFrame, idCol: String, vecCol: String,
-      queryIds: Seq[Long], books: Seq[Seq[Seq[Double]]],
-      k: Int = 5, rerank: Int = 20, dim: Int = 64,
-      index: Option[DataFrame] = None): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
+  /** Shared PQ serving plumbing: size guards, per-query LUT frame
+    * (qid, qn, qv, lut), the sign-safe ADC nibble expression, and the
+    * page-then-rerank tail — one implementation for both the flat-PQ and
+    * IVF+PQ search paths. */
+  private def pqDims(books: Seq[Seq[Seq[Double]]], dim: Int): (Int, Int, Int) = {
     val nSub = books.length
     val subDim = dim / nSub
     val kPer = books.head.length
@@ -251,38 +254,51 @@ object Similarity {
     require(books.forall(_.length == kPer) && kPer >= 2 && kPer <= 16,
       s"per-subspace codebook size must be uniform and in [2,16], got $kPer")
     require(nSub * subDim == dim, s"dim $dim must split evenly into $nSub subspaces")
-    val encoded = index.getOrElse(pqEncode(vecs, idCol, vecCol, books, dim))
-    val v = encoded.select(col("__id"), col("__v"), col("nrm"))
-    // per-query LUT: lut[s*kPer + c] = dot(query_sub_s, books(s)(c));
-    // queries are a literal handful, so LUT construction is driver-side
-    // model state (like any ANN serving layer), not a corpus operation
+    (nSub, subDim, kPer)
+  }
+
+  /** Per-query model state: (qid, qn, qv, lut) where
+    * lut[s*kPer + c] = dot(query_sub_s, books(s)(c)). Queries are a
+    * literal handful, so LUT construction is driver-side (like any ANN
+    * serving layer), not a corpus operation. */
+  private def pqLutDF(
+      v: DataFrame, queryIds: Seq[Long], books: Seq[Seq[Seq[Double]]],
+      subDim: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
     val qRows = v.where(col("__id").isin(queryIds: _*))
       .select(col("__id"), col("__v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
         r.getDouble(2)))
-    val luts = qRows.map { case (qid, qv, qn) =>
-      val lut = for (s <- 0 until nSub; c <- books(s).indices) yield
+    qRows.map { case (qid, qv, qn) =>
+      val lut = for (s <- books.indices; c <- books(s).indices) yield
         (0 until subDim).map(d => qv(s * subDim + d) * books(s)(c)(d)).sum
       (qid, qn, qv.map(_.toFloat), lut)
-    }.toSeq
-    val lutDF = luts.toDF("qid", "qn", "qv", "lut")
-    val adc = books.indices.map { s =>
+    }.toSeq.toDF("qid", "qn", "qv", "lut")
+  }
+
+  /** ADC score over the packed codes: sum of nSub LUT lookups. The nibble
+    * extraction masks with & 15 (never %: packed codes can go negative
+    * when subspace 15 uses the sign nibble, and a sign-preserving modulo
+    * would index the LUT negatively). */
+  private def adcExpr(nSub: Int, kPer: Int): org.apache.spark.sql.Column =
+    (0 until nSub).map { s =>
       element_at(col("lut"),
-        (shiftright(col("codes"), 4 * s) % 16).cast("int") + lit(s * kPer) + 1)
+        shiftright(col("codes"), 4 * s).bitwiseAND(lit(15L)).cast("int") +
+          lit(s * kPer) + 1)
     }.reduce(_ + _)
-    // the ADC scan and the per-query ranking carry ONLY (qid, vec_id,
-    // approx) — codes and norms, never the float vectors; the window
-    // exchange ships 24 bytes per candidate, which is the point of PQ
-    val scored = encoded.crossJoin(broadcast(lutDF.select(col("qid"), col("qn"), col("lut"))))
-      .where(col("__id") =!= col("qid"))
-      .select(col("qid"), col("__id").as("vec_id"),
-        (adc / (col("qn") * col("nrm"))).as("approx"))
+
+  /** Keep the top `rerank` per query by approx score (the window carries
+    * only (qid, vec_id, approx) — 24 bytes per candidate, the point of
+    * PQ), then join the float vectors back for ONLY those survivors and
+    * emit the full-precision top `k`. */
+  private def pqPageAndRerank(
+      scored: DataFrame, v: DataFrame, lutDF: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
     val w0 = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
     val page = scored.withColumn("rnk", row_number().over(w0))
       .where(col("rnk") <= rerank)
       .select(col("qid"), col("vec_id"), round(col("approx"), 6).as("approx_cos"))
-    // only the <= rerank survivors join the float vectors back for the
-    // full-precision pass
     val cand = page
       .join(v.select(col("__id").as("vec_id"), col("__v"), col("nrm")), "vec_id")
       .join(broadcast(lutDF.select(col("qid"), col("qn"), col("qv"))), "qid")
@@ -291,6 +307,22 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("exact_cos").desc, col("vec_id"))
     cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .drop("rnk").orderBy(col("qid"), col("exact_cos").desc, col("vec_id"))
+  }
+
+  def pqTopK(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], books: Seq[Seq[Seq[Double]]],
+      k: Int = 5, rerank: Int = 20, dim: Int = 64,
+      index: Option[DataFrame] = None): DataFrame = {
+    val (nSub, subDim, kPer) = pqDims(books, dim)
+    val encoded = index.getOrElse(pqEncode(vecs, idCol, vecCol, books, dim))
+    val v = encoded.select(col("__id"), col("__v"), col("nrm"))
+    val lutDF = pqLutDF(v, queryIds, books, subDim)
+    val scored = encoded.crossJoin(broadcast(lutDF.select(col("qid"), col("qn"), col("lut"))))
+      .where(col("__id") =!= col("qid"))
+      .select(col("qid"), col("__id").as("vec_id"),
+        (adcExpr(nSub, kPer) / (col("qn") * col("nrm"))).as("approx"))
+    pqPageAndRerank(scored, v, lutDF, k, rerank)
   }
 
   /** IVF+PQ composition — the standard large-scale ANN serving shape
@@ -308,59 +340,30 @@ object Similarity {
       index: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val nSub = books.length
-    val subDim = dim / nSub
-    val kPer = books.head.length
-    require(books.forall(_.length == kPer) && kPer >= 2 && kPer <= 16,
-      s"per-subspace codebook size must be uniform and in [2,16], got $kPer")
+    val (nSub, subDim, kPer) = pqDims(books, dim)
     // index build shape: one projection adds (cell, codes) to every row
     val encoded = index.getOrElse(
       ivfPqEncode(vecs, idCol, vecCol, centroids, books, dim))
     val v = encoded.select(col("__id"), col("__v"), col("nrm"))
-    val qRows = v.where(col("__id").isin(queryIds: _*))
-      .select(col("__id"), col("__v"), col("nrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
-        r.getDouble(2)))
-    // driver-side per-query model state: probed cells + ADC lookup table
-    val probes = qRows.map { case (qid, qv, qn) =>
-      val qNorm = math.sqrt(qv.map(x => x * x).sum)
-      val cells = centroids.zipWithIndex
-        .map { case (c, i) =>
-          (i, qv.zip(c).map { case (a, b) => a * b }.sum / math.max(qNorm, 1e-30))
-        }
-        .sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
-      val lut = for (s <- 0 until nSub; c <- books(s).indices) yield
-        (0 until subDim).map(d => qv(s * subDim + d) * books(s)(c)(d)).sum
-      (qid, qn, qv.map(_.toFloat), cells, lut)
-    }.toSeq
-    val probeDF = probes.flatMap { case (qid, _, _, cells, _) =>
-      cells.map(c => (qid, c))
-    }.toDF("qid", "cid")
-    val lutDF = probes.map { case (qid, qn, qv, _, lut) => (qid, qn, qv, lut) }
-      .toDF("qid", "qn", "qv", "lut")
-    val adc = books.indices.map { s =>
-      element_at(col("lut"),
-        (shiftright(col("codes"), 4 * s) % 16).cast("int") + lit(s * kPer) + 1)
-    }.reduce(_ + _)
+    val lutDF = pqLutDF(v, queryIds, books, subDim)
+    // probed cells per query: argsort of query-centroid dots (a constant
+    // positive norm divisor cannot change the ranking, so raw dots rank)
+    val qVecs = lutDF.select(col("qid"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+    val probeDF = qVecs.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, qv.zip(c).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (i, d) => (-d, i) }.take(nprobe)
+        .map { case (i, _) => (qid, i) }
+    }.toSeq.toDF("qid", "cid")
     // candidates = probed cells only; the scan carries codes, never vectors
     val scored = encoded
       .join(broadcast(probeDF), "cid")
       .join(broadcast(lutDF.select(col("qid"), col("qn"), col("lut"))), "qid")
       .where(col("__id") =!= col("qid"))
       .select(col("qid"), col("__id").as("vec_id"),
-        (adc / (col("qn") * col("nrm"))).as("approx"))
-    val w0 = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
-    val page = scored.withColumn("rnk", row_number().over(w0))
-      .where(col("rnk") <= rerank)
-      .select(col("qid"), col("vec_id"), round(col("approx"), 6).as("approx_cos"))
-    val cand = page
-      .join(v.select(col("__id").as("vec_id"), col("__v"), col("nrm")), "vec_id")
-      .join(broadcast(lutDF.select(col("qid"), col("qn"), col("qv"))), "qid")
-      .select(col("qid"), col("vec_id"), col("approx_cos"),
-        round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("exact_cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("exact_cos").desc, col("vec_id"))
-    cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .drop("rnk").orderBy(col("qid"), col("exact_cos").desc, col("vec_id"))
+        (adcExpr(nSub, kPer) / (col("qn") * col("nrm"))).as("approx"))
+    pqPageAndRerank(scored, v, lutDF, k, rerank)
   }
 
   /** Near-duplicate pairs: sign-LSH bucket on `nBits` deterministic

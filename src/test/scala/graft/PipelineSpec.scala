@@ -196,14 +196,10 @@ class PipelineSpec extends AnyFunSuite {
   test("winnowing guarantee: near-dup pairs share selected fingerprints") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
-    // per-doc winnowed fingerprint SET (same expr as the tx6 query)
-    val fp = docs.select(col("doc_id"), expr(
-      """array_distinct(transform(
-        |  sequence(0, greatest(size(transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),
-        |    i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 4))))) - 5, 0)),
-        |  i -> array_min(slice(transform(sequence(0, greatest(size(split(text, ' ')) - 4, 0)),
-        |    j -> md5(concat_ws(' ', slice(split(text, ' '), j + 1, 4)))), i + 1, 5))))""".stripMargin)
-      .as("fp"))
+    // per-doc winnowed fingerprint SET — the SAME expression the tx6
+    // driver query is built from (single-sourced in TextAnalysis)
+    val fp = docs.select(col("doc_id"),
+        expr(graft.pipeline.TextAnalysis.winnowingSparkExpr("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     // planted near-dup pairs (trigram jaccard >= 0.8 via the LSH pipeline)
     val pairs = graft.pipeline.Dedup
