@@ -787,6 +787,38 @@ object PipelineQueries {
   private def cachedAudio(s: SparkSession, dir: String) =
     cachedDataset(audioCache, s, dir)(Multimodal.toAudioRecords(s, s.table("documents")))
 
+  /** Learned ANN models per (session, sf): IVF centroids + PQ codebooks —
+    * driver-side state shared by ss3/ss5/ss6. */
+  private def annModels(
+      s: SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
+    cacheLock.synchronized {
+      val c = centroidCache.getOrElse((s, dir), {
+        centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
+        val m = Similarity.sphericalKMeans(
+          emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
+        centroidCache.put((s, dir), m)
+        m
+      })
+      val b = pqBookCache.getOrElse((s, dir), {
+        pqBookCache.filterKeys(_._1 eq s).keys.foreach(pqBookCache.remove)
+        val m = Similarity.pqTrain(emb, "vec_id", "embedding")
+        pqBookCache.put((s, dir), m)
+        m
+      })
+      (c, b)
+    }
+
+  /** ONE persisted encoded-index copy (codes + cell id) serves both the
+    * flat-PQ and IVF+PQ queries — pqTopK ignores the extra cid column. */
+  private def annIndex(
+      s: SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (cents, books) = annModels(s, dir, emb)
+    cachedDataset(pqIndexCache, s, dir)(
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, books))
+  }
+
   /** Learned IVF centroids per (session, sf): see ss3 note. Driver-side
     * model state only (k x dim doubles), same one-entry-per-session bound. */
   private val centroidCache = scala.collection.concurrent.TrieMap
@@ -1019,15 +1051,7 @@ object PipelineQueries {
       val emb = s.table("embeddings")
       // centroid learning is INDEX BUILD — offline, once per corpus (like
       // any IVF index); memoized so the measured work is the serving path
-      val cents = cacheLock.synchronized {
-        centroidCache.getOrElse((s, dir), {
-          centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
-          val c = Similarity.sphericalKMeans(
-            emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
-          centroidCache.put((s, dir), c)
-          c
-        })
-      }
+      val cents = annModels(s, dir, emb)._1
       Similarity.ivfTopKLearned(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, k = 5, nprobe = 2)
@@ -1045,53 +1069,25 @@ object PipelineQueries {
     "ss5_pq_topk" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       val emb = s.table("embeddings")
-      val books = cacheLock.synchronized {
-        pqBookCache.getOrElse((s, dir), {
-          pqBookCache.filterKeys(_._1 eq s).keys.foreach(pqBookCache.remove)
-          val b = Similarity.pqTrain(emb, "vec_id", "embedding")
-          pqBookCache.put((s, dir), b)
-          b
-        })
-      }
-      val idx = cachedDataset(pqIndexCache, s, dir)(
-        Similarity.pqEncode(emb, "vec_id", "embedding", books))
+      val (_, books) = annModels(s, dir, emb)
       Similarity.pqTopK(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
-        books = books, k = 5, rerank = 20, index = Some(idx))
+        books = books, k = 5, rerank = 20, index = Some(annIndex(s, dir, emb)))
     }),
 
     // ss6: IVF+PQ — the standard billion-scale serving composition:
     // learned IVF cells prune the scan to nprobe/16 of the corpus, PQ/ADC
     // scores the survivors as 8-byte codes, the top page reranks
-    // full-precision. Both models memoized as index state (built by ss3's
-    // and ss5's cached trainers). Rows-only + SimilaritySpec recall.
+    // full-precision. Models and the encoded index are memoized state
+    // shared with ss5/ss3. Rows-only + SimilaritySpec recall.
     "ss6_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       val emb = s.table("embeddings")
-      val (cents, books) = cacheLock.synchronized {
-        val c = centroidCache.getOrElse((s, dir), {
-          centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
-          val m = Similarity.sphericalKMeans(
-            emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
-          centroidCache.put((s, dir), m)
-          m
-        })
-        val b = pqBookCache.getOrElse((s, dir), {
-          pqBookCache.filterKeys(_._1 eq s).keys.foreach(pqBookCache.remove)
-          val m = Similarity.pqTrain(emb, "vec_id", "embedding")
-          pqBookCache.put((s, dir), m)
-          m
-        })
-        (c, b)
-      }
-      val idx = Similarity.withCells(
-        cachedDataset(pqIndexCache, s, dir)(
-          Similarity.pqEncode(emb, "vec_id", "embedding", books)),
-        cents)
+      val (cents, books) = annModels(s, dir, emb)
       Similarity.ivfPqTopK(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, books = books, k = 5, nprobe = 4, rerank = 20,
-        index = Some(idx))
+        index = Some(annIndex(s, dir, emb)))
     }),
 
     // ap2: heavy hitters via count-min sketch — the vocabulary/hot-key
