@@ -176,6 +176,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(finalStats.count() == batch.count())
   }
 
+  test("winnowing property: random docs sharing an 8-word run share a fingerprint") {
+    import org.scalacheck.{Gen, Prop}
+    // pure-Scala reimplementation of TextAnalysis.winnowingSparkExpr's
+    // algorithm (k=4 grams, w=5 windows) for property-scale iteration
+    def winnow(words: Seq[String]): Set[String] = {
+      def md5(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val grams = (0 to math.max(words.length - 4, 0))
+        .map(i => md5(words.slice(i, i + 4).mkString(" ")))
+      (0 to math.max(grams.length - 5, 0)).map(i => grams.slice(i, i + 5).min).toSet
+    }
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val run = Gen.listOfN(8, word) // the shared 8-word run (w + k - 1)
+    val prop = Prop.forAll(doc, doc, doc, doc, run) { (p1, s1, p2, s2, r) =>
+      val a = p1 ++ r ++ s1
+      val b = p2 ++ r ++ s2
+      winnow(a).intersect(winnow(b)).nonEmpty
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+    // and the Scala reimplementation agrees with the Spark expression
+    Fixtures.registerRaw(spark, sfDir)
+    val rows = spark.table("documents").limit(20)
+      .select(col("doc_id"), col("text"),
+        expr(graft.pipeline.TextAnalysis.winnowingSparkExpr("text")).as("fp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](2).toSet == winnow(r.getString(1).split(" ").toSeq),
+        s"doc ${r.getLong(0)} disagrees with the reference implementation")
+    }
+  }
+
   test("incremental ingest dedup equals the full recompute on the batch slice") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
