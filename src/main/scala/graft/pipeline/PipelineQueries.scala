@@ -678,6 +678,44 @@ object PipelineQueries {
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // sp3: token-budget SEQUENCE PACKING — assign documents to ~2000-token
+    // packs (the chunking a training dataloader consumes), deterministic
+    // under retry. Packing is a running token sum bucketed by budget,
+    // WITHIN each hash shard: the window partitions by shard, so packing
+    // parallelizes across shards instead of a single global sort —
+    // the shape that matters when the corpus is 100 TB. Pack id =
+    // (shard, prefix_tokens div budget), emitted as shard*10^6 + seq.
+    Q("sp3_token_packing",
+      """WITH t AS (SELECT doc_id,
+        |             CAST(conv(substring(md5(concat('sp2:', CAST(doc_id AS STRING))), 1, 2),
+        |                  16, 10) AS INT) % 8 AS shard,
+        |             size(split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT CAST(shard * 1000000 + (cum - n_tok) div 2000 AS BIGINT) AS pack,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       min(doc_id) AS first_doc
+        |FROM c GROUP BY pack ORDER BY pack""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |             (16 * (position(substring(md5(concat('sp2:', CAST(doc_id AS VARCHAR))), 1, 1)
+        |                    IN '0123456789abcdef') - 1)
+        |              + (position(substring(md5(concat('sp2:', CAST(doc_id AS VARCHAR))), 2, 1)
+        |                    IN '0123456789abcdef') - 1)) % 8 AS shard,
+        |             len(string_split(text, ' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT CAST(shard * 1000000 + (cum - n_tok) // 2000 AS BIGINT) AS pack,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+        |       min(doc_id) AS first_doc
+        |FROM c GROUP BY pack ORDER BY pack""".stripMargin),
+
+    // ------------------------------------------------------------------
     // dc1: train/eval DECONTAMINATION — the n-gram-overlap check every
     // training-data build runs before shipping (GPT-3 appx C / PaLM style):
     // any training document sharing an 8-gram with the held-out eval split
