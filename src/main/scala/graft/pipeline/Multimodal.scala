@@ -96,6 +96,33 @@ object Multimodal {
     if (nFrames <= 0 || len == 0) Array.empty
     else (0 until nFrames).map(i => (i.toLong * len / nFrames).toInt).toArray
 
+  /** Perceptual average-hash over decoded pixels: sample `bits`
+    * evenly-spaced pixels, threshold each against their mean — the
+    * image-dedup primitive (near-identical images agree on most bits,
+    * compare with hamming distance like dd6). Returns (hash, mean). */
+  def averageHash(gray: Array[Byte], bits: Int = 8): (Long, Double) = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1,63]")
+    val n = gray.length
+    require(n > 0, "cannot hash an empty image")
+    val sampled = (0 until bits).map(j => gray(((j.toLong * n) / bits).toInt) & 0xff)
+    val mean = sampled.sum.toDouble / bits
+    val h = sampled.zipWithIndex.collect { case (v, j) if v > mean => 1L << j }.sum
+    (h, mean)
+  }
+
+  /** Batch perceptual hashing off the REAL decode path — same
+    * partition-preserving mapPartitions shape as feature extraction. */
+  def imagePhashes(records: Dataset[MediaRecord]): Dataset[(Long, Long, Double)] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val (_, _, gray) = decodeImage(r.payload)
+        val (h, mean) = averageHash(gray)
+        (r.doc_id, h, mean)
+      }
+    }
+  }
+
   /** Real image resize: decode, nearest-neighbour sample each row to
     * `targetW` columns (column i reads source column i*w/targetW), re-encode
     * as PNG. Images at or under `targetW` pass through re-encoded. */

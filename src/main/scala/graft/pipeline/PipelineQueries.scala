@@ -1015,6 +1015,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // mm5: perceptual image hashing (average hash) over the REAL decode
+    // path — the image-dedup primitive: 8 evenly-sampled decoded pixels
+    // thresholded against their mean, packed into a BIGINT (compare by
+    // hamming distance like dd6's simhash). The oracle re-derives the
+    // same bits character-wise (lossless PNG round-trip).
+    "mm5_image_phash" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Multimodal.imagePhashes(cachedMedia(s, dir))
+        .toDF("doc_id", "phash", "mean_px")
+        .select(col("doc_id"), col("phash"), round(col("mean_px"), 4).as("mean_px"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dd7: near-dup pairs -> dedup CLUSTERS via iterative min-label
     // connected components (cluster id = min doc id; the keep/drop
     // decision a dedup pipeline actually ships). In a pipeline the
@@ -1192,6 +1206,20 @@ object PipelineQueries {
         """SELECT md5(text) AS sig, min(doc_id) AS keeper, count(*) AS n_docs
           |FROM documents WHERE lang <> 'zh'
           |GROUP BY md5(text) ORDER BY sig""".stripMargin,
+
+      // character-wise re-derivation of the average hash: sampled pixel j
+      // = byte (j*len)//8; bit j set iff that byte exceeds the sample mean
+      "mm5_image_phash" ->
+        """SELECT doc_id,
+          |  CAST(coalesce(list_sum(list_transform(range(0, 8),
+          |       j -> CASE WHEN px[CAST(j + 1 AS INT)] > list_sum(px) / 8.0
+          |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS phash,
+          |  round(list_sum(px) / 8.0, 4) AS mean_px
+          |FROM (SELECT doc_id,
+          |        list_transform(range(0, 8),
+          |          j -> ord(substr(text, CAST((j * length(text)) // 8 + 1 AS INT), 1))) AS px
+          |      FROM documents) s
+          |ORDER BY doc_id""".stripMargin,
 
       // character-wise re-derivation of the frame-sampled decode: frame f
       // covers bytes [f*16, (f+1)*16); sampled frames are f = 0, 2, 4, ...

@@ -383,6 +383,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(samples(3) == (' '.toByte & 0xff) - 100 << 8 && samples(3) < 0)
   }
 
+  test("perceptual hash from the real decode equals the char-wise derivation") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents").where(col("doc_id") < 40)
+    val got = Multimodal.imagePhashes(Multimodal.toMediaRecords(spark, docs))
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty && got.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val (h, mean) = Multimodal.averageHash(text.getBytes("utf-8"))
+      assert(got(id) == ((h, mean)), s"doc $id phash mismatch")
+    }
+  }
+
   test("audio features: zero crossings and peak match a direct computation") {
     Fixtures.registerRaw(spark, sfDir)
     // deterministic subset: LIMIT without ORDER BY could pick different
