@@ -684,7 +684,9 @@ object PipelineQueries {
     // WITHIN each hash shard: the window partitions by shard, so packing
     // parallelizes across shards instead of a single global sort —
     // the shape that matters when the corpus is 100 TB. Pack id =
-    // (shard, prefix_tokens div budget), emitted as shard*10^6 + seq.
+    // (shard, prefix_tokens div budget) packed as shard*2^40 + seq —
+    // headroom for ~10^12 packs (2 * 10^15 tokens) per shard before ids
+    // could collide across shards.
     Q("sp3_token_packing",
       """WITH t AS (SELECT doc_id,
         |             CAST(conv(substring(md5(concat('sp2:', CAST(doc_id AS STRING))), 1, 2),
@@ -695,7 +697,7 @@ object PipelineQueries {
         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM t)
-        |SELECT CAST(shard * 1000000 + (cum - n_tok) div 2000 AS BIGINT) AS pack,
+        |SELECT CAST(shard * CAST(1099511627776 AS BIGINT) + (cum - n_tok) div 2000 AS BIGINT) AS pack,
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
         |       min(doc_id) AS first_doc
         |FROM c GROUP BY pack ORDER BY pack""".stripMargin,
@@ -710,7 +712,7 @@ object PipelineQueries {
         |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM t)
-        |SELECT CAST(shard * 1000000 + (cum - n_tok) // 2000 AS BIGINT) AS pack,
+        |SELECT CAST(shard * CAST(1099511627776 AS BIGINT) + (cum - n_tok) // 2000 AS BIGINT) AS pack,
         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
         |       min(doc_id) AS first_doc
         |FROM c GROUP BY pack ORDER BY pack""".stripMargin),
@@ -825,37 +827,42 @@ object PipelineQueries {
   private def cachedAudio(s: SparkSession, dir: String) =
     cachedDataset(audioCache, s, dir)(Multimodal.toAudioRecords(s, s.table("documents")))
 
-  /** Learned ANN models per (session, sf): IVF centroids + PQ codebooks —
-    * driver-side state shared by ss3/ss5/ss6. */
-  private def annModels(
+  /** Learned IVF centroids per (session, sf) — lazy, independent of the
+    * PQ codebooks so ss3 never pays for training it does not use. */
+  private def annCentroids(
       s: SparkSession, dir: String,
-      emb: org.apache.spark.sql.DataFrame): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
+      emb: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] =
     cacheLock.synchronized {
-      val c = centroidCache.getOrElse((s, dir), {
+      centroidCache.getOrElse((s, dir), {
         centroidCache.filterKeys(_._1 eq s).keys.foreach(centroidCache.remove)
         val m = Similarity.sphericalKMeans(
           emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
         centroidCache.put((s, dir), m)
         m
       })
-      val b = pqBookCache.getOrElse((s, dir), {
+    }
+
+  /** Learned PQ codebooks per (session, sf) — lazy, symmetric. */
+  private def annBooks(
+      s: SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame): Seq[Seq[Seq[Double]]] =
+    cacheLock.synchronized {
+      pqBookCache.getOrElse((s, dir), {
         pqBookCache.filterKeys(_._1 eq s).keys.foreach(pqBookCache.remove)
         val m = Similarity.pqTrain(emb, "vec_id", "embedding")
         pqBookCache.put((s, dir), m)
         m
       })
-      (c, b)
     }
 
   /** ONE persisted encoded-index copy (codes + cell id) serves both the
     * flat-PQ and IVF+PQ queries — pqTopK ignores the extra cid column. */
   private def annIndex(
       s: SparkSession, dir: String,
-      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val (cents, books) = annModels(s, dir, emb)
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     cachedDataset(pqIndexCache, s, dir)(
-      Similarity.ivfPqEncode(emb, "vec_id", "embedding", cents, books))
-  }
+      Similarity.ivfPqEncode(emb, "vec_id", "embedding",
+        annCentroids(s, dir, emb), annBooks(s, dir, emb)))
 
   /** Learned IVF centroids per (session, sf): see ss3 note. Driver-side
     * model state only (k x dim doubles), same one-entry-per-session bound. */
@@ -1103,7 +1110,7 @@ object PipelineQueries {
       val emb = s.table("embeddings")
       // centroid learning is INDEX BUILD — offline, once per corpus (like
       // any IVF index); memoized so the measured work is the serving path
-      val cents = annModels(s, dir, emb)._1
+      val cents = annCentroids(s, dir, emb)
       Similarity.ivfTopKLearned(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, k = 5, nprobe = 2)
@@ -1121,7 +1128,7 @@ object PipelineQueries {
     "ss5_pq_topk" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       val emb = s.table("embeddings")
-      val (_, books) = annModels(s, dir, emb)
+      val books = annBooks(s, dir, emb)
       Similarity.pqTopK(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         books = books, k = 5, rerank = 20, index = Some(annIndex(s, dir, emb)))
@@ -1135,7 +1142,8 @@ object PipelineQueries {
     "ss6_ivfpq_topk" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       val emb = s.table("embeddings")
-      val (cents, books) = annModels(s, dir, emb)
+      val cents = annCentroids(s, dir, emb)
+      val books = annBooks(s, dir, emb)
       Similarity.ivfPqTopK(
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, books = books, k = 5, nprobe = 4, rerank = 20,
@@ -1216,8 +1224,11 @@ object PipelineQueries {
           |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS phash,
           |  round(list_sum(px) / 8.0, 4) AS mean_px
           |FROM (SELECT doc_id,
+          |        -- empty text decodes as encodePng's single black pixel:
+          |        -- all samples 0 on both routes
           |        list_transform(range(0, 8),
-          |          j -> ord(substr(text, CAST((j * length(text)) // 8 + 1 AS INT), 1))) AS px
+          |          j -> CASE WHEN length(text) = 0 THEN 0
+          |               ELSE ord(substr(text, CAST((j * length(text)) // 8 + 1 AS INT), 1)) END) AS px
           |      FROM documents) s
           |ORDER BY doc_id""".stripMargin,
 

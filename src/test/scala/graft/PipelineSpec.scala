@@ -206,7 +206,7 @@ class PipelineSpec extends AnyFunSuite {
         expr(graft.pipeline.TextAnalysis.winnowingSparkExpr("text")).as("fp"))
       .collect()
     rows.foreach { r =>
-      assert(r.getSeq[String](2).toSet == winnow(r.getString(1).split(" ").toSeq),
+      assert(r.getSeq[String](2).toSet == winnow(r.getString(1).split(" ", -1).toSeq),
         s"doc ${r.getLong(0)} disagrees with the reference implementation")
     }
   }
