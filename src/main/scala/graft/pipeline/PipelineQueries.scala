@@ -946,6 +946,42 @@ object PipelineQueries {
         .orderBy(col("sig"))
     }),
 
+    // dm2: FEDERATED dedup with provenance — the thesis query: the
+    // documents entity is the union of two mesh sources (each holding one
+    // id-slice of the corpus), near-dup detection runs over the resolved
+    // entity exactly as over a plain table, and the output labels every
+    // pair with whether it CROSSES sources (the pairs a federated dedup
+    // exists to find — no single source could see them). The oracle
+    // reproduces the union + pair search in DuckDB.
+    "dm2_dedup_across_sources" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.catalog._
+      Fixtures.registerRaw(s, dir)
+      val allCols = Set("doc_id", "text", "lang", "source", "n_chars")
+      def slice(id: String, filt: String) = DataSource(
+        id = id,
+        sourceSql = s"SELECT * FROM raw_documents WHERE $filt",
+        mappings = Fixtures.documentsEntity.informations
+          .map(i => FieldMapping(i.name, i.name)),
+        defaultPermission = SourcePermission(allCols, "true"))
+      val mesh = Mesh(Map("global" -> Site("global",
+        entities = Map("documents" -> Fixtures.documentsEntity),
+        localSources = Map("documents" -> Seq(
+          slice("docs_even", "doc_id % 2 = 0"),
+          slice("docs_odd", "doc_id % 2 = 1"))))))
+      val entity = graft.mesh.EntityResolver
+        .resolve(s, mesh, "global", "documents", user = None, withProvenance = true)
+      val prov = entity.select(col("doc_id"),
+        col("_source_id_").as("src_id"))
+      val pairs = Dedup.minhashLshPairs(entity, "doc_id", "text")
+      pairs
+        .join(prov.as("pa"), col("doc_a") === col("pa.doc_id"))
+        .join(prov.as("pb"), col("doc_b") === col("pb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          (col("pa.src_id") =!= col("pb.src_id")).as("cross_source"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // dd6: 64-bit simhash near-dup pairs via 2-of-8 block-combination
     // banding (exhaustive for hamming <= 6; 2^16-value join keys keep
     // buckets tiny at corpus scale). The oracle brute-
@@ -1198,6 +1234,16 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
+      // the federated entity is the union of two id-slices = the whole
+      // corpus, so the pair chain is dd2's; cross_source = id parity
+      "dm2_dedup_across_sources" -> {
+        val dd2 = defs.find(_.name == "dd2_minhash_lsh").get.duckSql
+        s"""SELECT doc_a, doc_b, jaccard,
+           |       (doc_a % 2) <> (doc_b % 2) AS cross_source
+           |FROM ($dd2) base
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+
       "ao1_asof_join" ->
         """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
           |                       max(event_id) AS click_id
