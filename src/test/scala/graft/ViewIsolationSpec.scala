@@ -13,6 +13,13 @@ class ViewIsolationSpec extends AnyFunSuite {
   lazy val spark = TestSessions.spark
   private def sfDir = TestSessions.sfDir
 
+  test("driver entry smoke: flagship query returns rows at sf0.001") {
+    // the driver's first gate — entry() must work on the tiniest fixture
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) > 0)) // count_order per group
+  }
+
   test("restricted mesh query does not shrink later SQL-surface queries") {
     val q11 = SparkEntry.queries("q11_window_funcs")
     val before = q11(spark, sfDir).count()
