@@ -115,9 +115,16 @@ object Dedup {
     val shCand = if (persistShingles)
       shCand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else shCand0
-    jaccardVerify(shCand, cand, threshold)
+    // eager localCheckpoint + release of the intermediates: repeated calls
+    // in a long-lived session pin one small pair list each, not the
+    // candidate/shingle caches (same lifecycle as incrementalNearDupPairs)
+    val out = jaccardVerify(shCand, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    cand.unpersist()
+    if (persistShingles) shCand.unpersist()
+    out
   }
 
   /** The reusable LSH band index for a corpus: (id, band, bsig). In
