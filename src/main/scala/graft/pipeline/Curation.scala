@@ -46,11 +46,14 @@ object Curation {
   /** Per-doc distinct word `n`-grams. Deduplication is ROW-LOCAL
     * (`array_distinct` before the explode): no corpus-wide distinct
     * shuffle, and the op stays valid on an unbounded stream. */
-  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(
+  def ngrams(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      carry: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol).as("doc_id") +: carry.map(col) :+
+        split(col(textCol), " ").as("w")): _*)
+      .select((col("doc_id") +: carry.map(col) :+ explode(array_distinct(expr(
         s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
-          s"i -> concat_ws(' ', slice(w, i + 1, $n)))"))).as("gram"))
+          s"i -> concat_ws(' ', slice(w, i + 1, $n)))"))).as("gram")): _*)
 
   /** Per-doc contamination counts against a static eval corpus. `docs` may
     * be a BATCH or a STREAMING DataFrame — the identical declarative plan
@@ -84,11 +87,7 @@ object Curation {
       case None => docs
     }
     val withTs = watermark.map(_._1).toSeq
-    val g = marked.select((col(idCol).as("doc_id") +: withTs.map(col) :+
-        split(col(textCol), " ").as("w")): _*)
-      .select((col("doc_id") +: withTs.map(col) :+ explode(array_distinct(expr(
-        s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
-          s"i -> concat_ws(' ', slice(w, i + 1, $n)))"))).as("gram")): _*)
+    val g = ngrams(marked, idCol, textCol, n, carry = withTs)
     keyed(g).join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col("doc_id") +: withTs.map(col): _*)
       .agg(

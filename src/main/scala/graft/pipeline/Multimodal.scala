@@ -111,13 +111,18 @@ object Multimodal {
   }
 
   /** Batch perceptual hashing off the REAL decode path — same
-    * partition-preserving mapPartitions shape as feature extraction. */
+    * partition-preserving mapPartitions shape as feature extraction, with
+    * the per-partition reusable reader (per-record ImageIO.read pays a
+    * codec-registry scan per image — the dominant cost at many-small-
+    * images scale). */
   def imagePhashes(records: Dataset[MediaRecord]): Dataset[(Long, Long, Double)] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      val reader = newPngReader()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.dispose())
       it.map { r =>
-        val (_, _, gray) = decodeImage(r.payload)
-        val (h, mean) = averageHash(gray)
+        val (h, mean) = averageHash(decodeGrayWith(reader, r.payload))
         (r.doc_id, h, mean)
       }
     }
@@ -325,8 +330,10 @@ object Multimodal {
       sumSq: Long) // exact integer sum of sample^2 (for RMS)
 
   /** Sample value for one corpus byte (ASCII: letters ≈ smallish positive,
-    * space strongly negative — guaranteed sign structure). */
-  @inline def sampleOf(b: Byte): Int = ((b & 0xff) - 100) << 8
+    * space strongly negative — guaranteed sign structure). Values clip at
+    * Short.MaxValue like any PCM pipeline — bytes >= 228 (e.g. UTF-8 lead
+    * bytes) would otherwise overflow int16 and sign-wrap on decode. */
+  @inline def sampleOf(b: Byte): Int = math.min(((b & 0xff) - 100) << 8, 32767)
 
   /** Encode bytes as a real mono 16-bit little-endian PCM WAV container. */
   def encodeWav(bytes: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {

@@ -464,8 +464,9 @@ object PipelineQueries {
     // tx4's full shingle set. All row-local array work (one pass, no
     // shuffle); the selected-set size and extremes summarize per doc.
     Q("tx6_winnowing",
-      s"""WITH w AS (SELECT doc_id, ${TextAnalysis.winnowingSparkExpr("text")} AS fp
-         |           FROM documents)
+      s"""WITH g AS (SELECT doc_id, ${TextAnalysis.gramHashesSparkExpr("text")} AS h
+         |           FROM documents),
+         |w AS (SELECT doc_id, ${TextAnalysis.winnowFromGramsSparkExpr("h")} AS fp FROM g)
          |SELECT doc_id, CAST(size(fp) AS BIGINT) AS n_fingerprints,
          |       array_min(fp) AS fp_min, array_max(fp) AS fp_max
          |FROM w ORDER BY doc_id""".stripMargin,
@@ -1262,7 +1263,10 @@ object PipelineQueries {
           |GROUP BY md5(text) ORDER BY sig""".stripMargin,
 
       // character-wise re-derivation of the average hash: sampled pixel j
-      // = byte (j*len)//8; bit j set iff that byte exceeds the sample mean
+      // = byte (j*len)//8; bit j set iff that byte exceeds the sample mean.
+      // Char-wise == byte-wise only because the corpus is ASCII (the same
+      // documented precondition as mm2's oracle); a multibyte corpus needs
+      // a byte-level oracle
       "mm5_image_phash" ->
         """SELECT doc_id,
           |  CAST(coalesce(list_sum(list_transform(range(0, 8),
@@ -1280,6 +1284,7 @@ object PipelineQueries {
 
       // character-wise re-derivation of the frame-sampled decode: frame f
       // covers bytes [f*16, (f+1)*16); sampled frames are f = 0, 2, 4, ...
+      // (char-wise == byte-wise because the corpus is ASCII, as for mm2/mm5)
       "mm3_video_framesample" ->
         """SELECT doc_id, n_frames, n_sampled, sampled_bytes, sampled_sum,
           |       round(sampled_sum / CAST(nullif(sampled_bytes, 0) AS DOUBLE), 4) AS mean_gray
@@ -1295,7 +1300,8 @@ object PipelineQueries {
           |ORDER BY doc_id""".stripMargin,
 
       // character-wise re-derivation of the WAV decode: sample i =
-      // (byte i - 100) * 256; strict sign changes between consecutive
+      // least((byte i - 100) * 256, 32767) — PCM clip like the encoder;
+      // strict sign changes between consecutive
       "mm4_audio_features" ->
         """SELECT doc_id,
           |  CAST(len(sm) AS BIGINT) AS n_samples,
@@ -1308,7 +1314,7 @@ object PipelineQueries {
           |    AS rms
           |FROM (SELECT doc_id,
           |        list_transform(range(1, length(text) + 1),
-          |          i -> (ord(substr(text, CAST(i AS INT), 1)) - 100) * 256) AS sm
+          |          i -> least((ord(substr(text, CAST(i AS INT), 1)) - 100) * 256, 32767)) AS sm
           |      FROM documents) s
           |ORDER BY doc_id""".stripMargin,
 

@@ -263,18 +263,22 @@ object Similarity {
     * serving layer), not a corpus operation. */
   private def pqLutDF(
       v: DataFrame, queryIds: Seq[Long], books: Seq[Seq[Seq[Double]]],
-      subDim: Int): DataFrame = {
+      subDim: Int): (DataFrame, Seq[(Long, IndexedSeq[Double])]) = {
     val spark = v.sparkSession
     import spark.implicits._
+    // ONE collect fetches the query vectors; callers needing the raw
+    // vectors (probe computation) reuse the returned rows instead of
+    // re-scanning the index
     val qRows = v.where(col("__id").isin(queryIds: _*))
       .select(col("__id"), col("__v"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq,
         r.getDouble(2)))
-    qRows.map { case (qid, qv, qn) =>
+    val df = qRows.map { case (qid, qv, qn) =>
       val lut = for (s <- books.indices; c <- books(s).indices) yield
         (0 until subDim).map(d => qv(s * subDim + d) * books(s)(c)(d)).sum
       (qid, qn, qv.map(_.toFloat), lut)
     }.toSeq.toDF("qid", "qn", "qv", "lut")
+    (df, qRows.map { case (qid, qv, _) => (qid, qv) }.toSeq)
   }
 
   /** ADC score over the packed codes: sum of nSub LUT lookups. The nibble
@@ -317,7 +321,7 @@ object Similarity {
     val (nSub, subDim, kPer) = pqDims(books, dim)
     val encoded = index.getOrElse(pqEncode(vecs, idCol, vecCol, books, dim))
     val v = encoded.select(col("__id"), col("__v"), col("nrm"))
-    val lutDF = pqLutDF(v, queryIds, books, subDim)
+    val (lutDF, _) = pqLutDF(v, queryIds, books, subDim)
     val scored = encoded.crossJoin(broadcast(lutDF.select(col("qid"), col("qn"), col("lut"))))
       .where(col("__id") =!= col("qid"))
       .select(col("qid"), col("__id").as("vec_id"),
@@ -345,11 +349,9 @@ object Similarity {
     val encoded = index.getOrElse(
       ivfPqEncode(vecs, idCol, vecCol, centroids, books, dim))
     val v = encoded.select(col("__id"), col("__v"), col("nrm"))
-    val lutDF = pqLutDF(v, queryIds, books, subDim)
+    val (lutDF, qVecs) = pqLutDF(v, queryIds, books, subDim)
     // probed cells per query: argsort of query-centroid dots (a constant
     // positive norm divisor cannot change the ranking, so raw dots rank)
-    val qVecs = lutDF.select(col("qid"), col("qv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
     val probeDF = qVecs.flatMap { case (qid, qv) =>
       centroids.zipWithIndex
         .map { case (c, i) => (i, qv.zip(c).map { case (a, b) => a * b }.sum) }

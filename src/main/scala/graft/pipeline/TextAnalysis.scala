@@ -79,16 +79,20 @@ object TextAnalysis {
         (distinctFrac >= minDistinctWordFrac && topFrac <= maxTopBigramFrac).as("keep"))
   }
 
-  /** Spark SQL expression for the WINNOWING fingerprint set (MOSS): hash
-    * every word `k`-gram, keep each `w`-window's minimum, dedupe. Single
-    * source for the tx6 driver query and its guarantee spec. */
-  def winnowingSparkExpr(textCol: String, k: Int = 4, w: Int = 5): String = {
-    val grams =
-      s"""transform(sequence(0, greatest(size(split($textCol, ' ')) - $k, 0)),
-         |  i -> md5(concat_ws(' ', slice(split($textCol, ' '), i + 1, $k))))""".stripMargin
-    s"""array_distinct(transform(sequence(0, greatest(size($grams) - $w, 0)),
-       |  i -> array_min(slice($grams, i + 1, $w))))""".stripMargin
-  }
+  /** WINNOWING fingerprints (MOSS), staged as two expressions — single
+    * source for the tx6 driver query and its guarantee spec. The gram
+    * array MUST be materialized into a column before the window pass:
+    * inlining it into the window lambda would re-hash every gram per
+    * window (interpreted HOFs do no common-subexpression elimination), an
+    * O(n^2) blowup on long documents. */
+  def gramHashesSparkExpr(textCol: String, k: Int = 4): String =
+    s"""transform(sequence(0, greatest(size(split($textCol, ' ')) - $k, 0)),
+       |  i -> md5(concat_ws(' ', slice(split($textCol, ' '), i + 1, $k))))""".stripMargin
+
+  /** Window-min selection over a MATERIALIZED gram-hash array column. */
+  def winnowFromGramsSparkExpr(gramsCol: String, w: Int = 5): String =
+    s"""array_distinct(transform(sequence(0, greatest(size($gramsCol) - $w, 0)),
+       |  i -> array_min(slice($gramsCol, i + 1, $w))))""".stripMargin
 
   /** Exact md5 fingerprint + min-shingle (winnowing-style) fingerprint. */
   def fingerprints(docs: DataFrame, textCol: String, shingleLen: Int = 5): DataFrame =

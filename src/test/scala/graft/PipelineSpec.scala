@@ -178,7 +178,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("winnowing property: random docs sharing an 8-word run share a fingerprint") {
     import org.scalacheck.{Gen, Prop}
-    // pure-Scala reimplementation of TextAnalysis.winnowingSparkExpr's
+    // pure-Scala reimplementation of TextAnalysis.staged winnowing expressions'
     // algorithm (k=4 grams, w=5 windows) for property-scale iteration
     def winnow(words: Seq[String]): Set[String] = {
       def md5(s: String): String =
@@ -199,11 +199,13 @@ class PipelineSpec extends AnyFunSuite {
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.status.toString)
-    // and the Scala reimplementation agrees with the Spark expression
+    // and the Scala reimplementation agrees with the Spark expressions
     Fixtures.registerRaw(spark, sfDir)
     val rows = spark.table("documents").limit(20)
       .select(col("doc_id"), col("text"),
-        expr(graft.pipeline.TextAnalysis.winnowingSparkExpr("text")).as("fp"))
+        expr(graft.pipeline.TextAnalysis.gramHashesSparkExpr("text")).as("h"))
+      .select(col("doc_id"), col("text"),
+        expr(graft.pipeline.TextAnalysis.winnowFromGramsSparkExpr("h")).as("fp"))
       .collect()
     rows.foreach { r =>
       assert(r.getSeq[String](2).toSet == winnow(r.getString(1).split(" ", -1).toSeq),
@@ -231,10 +233,13 @@ class PipelineSpec extends AnyFunSuite {
   test("winnowing guarantee: near-dup pairs share selected fingerprints") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
-    // per-doc winnowed fingerprint SET — the SAME expression the tx6
-    // driver query is built from (single-sourced in TextAnalysis)
-    val fp = docs.select(col("doc_id"),
-        expr(graft.pipeline.TextAnalysis.winnowingSparkExpr("text")).as("fp"))
+    // per-doc winnowed fingerprint SET — the SAME staged expressions the
+    // tx6 driver query is built from (single-sourced in TextAnalysis)
+    val fp = docs
+      .select(col("doc_id"),
+        expr(graft.pipeline.TextAnalysis.gramHashesSparkExpr("text")).as("h"))
+      .select(col("doc_id"),
+        expr(graft.pipeline.TextAnalysis.winnowFromGramsSparkExpr("h")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     // planted near-dup pairs (trigram jaccard >= 0.8 via the LSH pipeline)
     val pairs = graft.pipeline.Dedup
