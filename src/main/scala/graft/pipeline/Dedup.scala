@@ -63,46 +63,60 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over shingle sets for the given candidate pairs,
-    * filtered at `threshold`. */
-  def jaccardVerify(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val cnt = sh.groupBy(col("__id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("s1"), col("s1.__id") === col("da"))
-      .join(sh.as("s2"),
-        col("s2.__id") === col("db") && col("s2.shingle") === col("s1.shingle"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.as("ca"), col("ca.__id") === col("da"))
-      .join(cnt.as("cb"), col("cb.__id") === col("db"))
+  /** Exact Jaccard over exploded (id, shingle) rows for the given candidate
+    * pairs, filtered at `threshold`. Adapter over [[jaccardVerifySets]]. */
+  def jaccardVerify(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
+    jaccardVerifySets(
+      sh.groupBy(col("__id")).agg(collect_set(col("shingle")).as("__sh")),
+      cand, threshold)
+
+  /** Exact Jaccard for candidate pairs over per-doc shingle-SET arrays
+    * (`__id`, `__sh`): two id-equality joins bring both sets onto the pair
+    * row, then intersection/union sizes are row-local array ops. Each
+    * array is bounded by its document's length — the same bound as the
+    * text column itself — so this carries no more per-row weight than the
+    * corpus scan, while replacing the shingle-equality shuffle join (and
+    * the three-way reuse of the exploded shingle relation) with one
+    * aggregation and two hash joins. */
+  def jaccardVerifySets(
+      shSets: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(shSets.as("sa"), col("sa.__id") === col("da"))
+      .join(shSets.as("sb"), col("sb.__id") === col("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))).as("jaccard"))
+        size(array_intersect(col("sa.__sh"), col("sb.__sh"))).as("__i"),
+        size(col("sa.__sh")).as("__na"), size(col("sb.__sh")).as("__nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
 
   /** MinHash+LSH near-duplicate pairs end-to-end.
     *
     * Signature derivation streams the RAW (duplicate-bearing) shingle
     * explosion straight into the per-document partial aggregation — min is
     * duplicate-insensitive, so the corpus-wide `distinct` shuffle (and the
-    * full-corpus shingle cache it fed) is unnecessary. Distinct shingles
-    * are materialized only for the candidate documents the verification
-    * join actually touches.
-    *
-    * @param persistShingles cache the candidate docs' shingle set — it is
-    *   consumed three times by the verification (both join sides + counts)
-    *   and Catalyst inlines CTEs, so without caching the explode runs 3x.
+    * full-corpus shingle cache it fed) is unnecessary. Shingle SETS are
+    * aggregated only for the candidate documents the verification
+    * actually touches, and consumed once (no intermediate cache).
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
-      persistShingles: Boolean = true): DataFrame = {
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // candidates are tiny but expensive to derive — persist so the id
-    // broadcast below doesn't recompute the whole LSH chain
-    val cand = lshCandidates(bandSignatures(
-        minhashSignatures(shinglesRaw(docs, idCol, textCol), k), bands, k / bands))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the band index is (id, band, bsig) — bands rows per doc, tiny next to
+    // the text — but it feeds BOTH sides of the candidate self-join, and an
+    // unmaterialized plan would run the whole shingle+signature chain once
+    // per side (measured 2x the chain cost at sf0.1). Eager localCheckpoint
+    // materializes it once; the blocks are ContextCleaner-managed, so no
+    // unpersist bookkeeping. (At real scale the index is stored state —
+    // see bandIndex/incrementalNearDupPairs.)
+    val bandIdx = bandSignatures(
+      minhashSignatures(shinglesRaw(docs, idCol, textCol), k), bands, k / bands)
+      .localCheckpoint()
+    // candidates are tiny (pair ids only) and consumed twice: the id
+    // broadcast below and the verification join
+    val cand = lshCandidates(bandIdx).localCheckpoint()
     // verification touches only the candidate docs' shingles: semi-filter
     // the documents by the (tiny, broadcast) candidate id list and
     // re-shingle just those — at scale this is the difference between
@@ -111,20 +125,15 @@ object Dedup {
       .union(cand.select(col("db").as("__cid"))).distinct()
     val candDocs = docs.join(
       broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
-    val shCand0 = shingles(candDocs, idCol, textCol)
-    val shCand = if (persistShingles)
-      shCand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else shCand0
-    // eager localCheckpoint + release of the intermediates: repeated calls
-    // in a long-lived session pin one small pair list each, not the
-    // candidate/shingle caches (same lifecycle as incrementalNearDupPairs)
-    val out = jaccardVerify(shCand, cand, threshold)
+    val shSets = shinglesRaw(candDocs, idCol, textCol)
+      .groupBy(col("__id")).agg(collect_set(col("shingle")).as("__sh"))
+    // eager localCheckpoint of the (tiny) pair output: repeated calls in a
+    // long-lived session pin one small pair list each; every intermediate
+    // above is consumed exactly once, so nothing else needs caching
+    jaccardVerifySets(shSets, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    cand.unpersist()
-    if (persistShingles) shCand.unpersist()
-    out
   }
 
   /** The reusable LSH band index for a corpus: (id, band, bsig). In
@@ -148,8 +157,11 @@ object Dedup {
       batch: DataFrame, corpus: DataFrame, index: DataFrame,
       idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val bi = bandIndex(batch, idCol, textCol, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager localCheckpoint: the batch's band index feeds BOTH sides of the
+    // candidate join (directly and through the union), and a lazy plan
+    // would shingle+hash the batch once per side; blocks are
+    // ContextCleaner-managed, so no unpersist bookkeeping
+    val bi = bandIndex(batch, idCol, textCol, k, bands).localCheckpoint()
     // candidates: batch vs (stored index ∪ batch); normalize pair order
     val all = index.union(bi)
     val cand = bi.as("a").join(all.as("b"),
@@ -158,27 +170,21 @@ object Dedup {
       .select(least(col("a.__id"), col("b.__id")).as("da"),
         greatest(col("a.__id"), col("b.__id")).as("db"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val candIds = cand.select(col("da").as("__cid"))
       .union(cand.select(col("db").as("__cid"))).distinct()
     val allDocs = corpus.select(col(idCol), col(textCol))
       .union(batch.select(col(idCol), col(textCol)))
     val candDocs = allDocs.join(
       broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
-    val shCand = shingles(candDocs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shSets = shinglesRaw(candDocs, idCol, textCol)
+      .groupBy(col("__id")).agg(collect_set(col("shingle")).as("__sh"))
     // eager localCheckpoint: the (tiny) verified pair list is the ingest's
-    // durable output, so the three intermediate caches can be released
-    // before returning — a long-lived session running N ingests pins N
-    // small pair lists, not 3N band/shingle/candidate datasets
-    val out = jaccardVerify(shCand, cand, threshold)
+    // durable output; every intermediate above is consumed exactly once
+    jaccardVerifySets(shSets, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    bi.unpersist()
-    cand.unpersist()
-    shCand.unpersist()
-    out
   }
 
   /** Connected components over an undirected near-dup pair list — the
