@@ -483,6 +483,43 @@ object PipelineQueries {
         |FROM w ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // tx7: corpus-level UNIGRAM LM scoring — the model-based quality signal
+    // (CCNet-style): one groupBy builds the token-count model, the token
+    // stream joins it back (the override broadcasts it explicitly), and
+    // per-doc log-likelihood reduces in one aggregation. Tokens seen < 5
+    // times are OOV and score at a 0.5-count floor. Per-token log-probs
+    // quantize to integer micro-logs (round(ln(p)*1e6)) so document sums
+    // are exact integer arithmetic — order- and engine-reproducible; ln's
+    // last-ulp wobble sits ~10 orders of magnitude below the quantum.
+    // Library form: TextAnalysis.unigramLm.
+    Q("tx7_unigram_lm",
+      """WITH tok AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, token
+        |             FROM documents LATERAL VIEW explode(split(text, ' ')) t AS token),
+        |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM counts),
+        |scored AS (SELECT doc_id,
+        |    CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+        |    CAST(round(ln(CAST(coalesce(m.cnt * 2, 1) AS DOUBLE) / (2 * tot.total)) * 1e6) AS BIGINT) AS lp
+        |  FROM tok LEFT JOIN (SELECT * FROM counts WHERE cnt >= 5) m USING (token)
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens, sum(oov) AS n_oov, sum(lp) AS logp_u6,
+        |       CAST(round(sum(lp) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_logp_u6
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, token
+        |             FROM documents, unnest(string_split(text, ' ')) AS u(token)),
+        |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS total FROM counts),
+        |scored AS (SELECT doc_id,
+        |    CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+        |    CAST(round(ln(CAST(coalesce(m.cnt * 2, 1) AS DOUBLE) / (2 * tot.total)) * 1e6) AS BIGINT) AS lp
+        |  FROM tok LEFT JOIN (SELECT * FROM counts WHERE cnt >= 5) m USING (token)
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov, CAST(sum(lp) AS BIGINT) AS logp_u6,
+        |       CAST(round(sum(lp) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_logp_u6
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // mm1: multimodal column plumbing — text re-encoded as an opaque binary
     // payload with typed metadata; scalar projections only (byte length,
     // mime, stub frame count) so the oracle is engine-neutral. The real
@@ -538,6 +575,45 @@ object PipelineQueries {
         |               IN '0123456789abcdef') - 1)) % 8 AS shard
         |      FROM documents) s
         |GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // sp4: source-weighted corpus mixing — the training-data "mixture
+    // weights" step (Pile/LLaMA-style recipes): premium sources repeat
+    // 2.5x, one noisy source keeps 0.25x, the rest 1x. floor(w) full
+    // copies + one fractional copy by md5-hex threshold (deterministic on
+    // any cluster/retry); each copy gets a deterministic md5 shuffle key
+    // for a stable interleaved training order. Row-local explode — no
+    // shuffle before the export's ordering. Library form:
+    // Sampling.sourceMix.
+    Q("sp4_source_mixing",
+      """WITH m AS (SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 2
+        |         WHEN source = 'src19' THEN 0 ELSE 1 END AS whole,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN '80'
+        |         WHEN source = 'src19' THEN '40' ELSE '00' END AS fth
+        |  FROM documents),
+        |e AS (SELECT doc_id, source,
+        |        whole + CASE WHEN substring(md5(concat('sp4:', CAST(doc_id AS STRING))), 1, 2) < fth
+        |                     THEN 1 ELSE 0 END AS n
+        |      FROM m)
+        |SELECT md5(concat('sp4:ord:', CAST(doc_id AS STRING), ':', CAST(copy AS STRING))) AS ord_hash,
+        |       doc_id, CAST(copy AS BIGINT) AS copy, source
+        |FROM e LATERAL VIEW explode(slice(sequence(0, greatest(n, 1) - 1), 1, n)) t AS copy
+        |ORDER BY ord_hash, doc_id, copy""".stripMargin,
+      """WITH m AS (SELECT doc_id, source,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 2
+        |         WHEN source = 'src19' THEN 0 ELSE 1 END AS whole,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN '80'
+        |         WHEN source = 'src19' THEN '40' ELSE '00' END AS fth
+        |  FROM documents),
+        |e AS (SELECT doc_id, source,
+        |        whole + CASE WHEN substring(md5('sp4:' || CAST(doc_id AS VARCHAR)), 1, 2) < fth
+        |                     THEN 1 ELSE 0 END AS n
+        |      FROM m)
+        |SELECT md5('sp4:ord:' || CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS ord_hash,
+        |       doc_id, CAST(copy AS BIGINT) AS copy, source
+        |FROM e, unnest(range(0, n)) AS t(copy)
+        |ORDER BY ord_hash, doc_id, copy""".stripMargin),
 
     // ------------------------------------------------------------------
     // q32: TPC-H Q5-shape — a 6-table star join (fact lineitem against 5
@@ -916,6 +992,17 @@ object PipelineQueries {
           leftTime = "ts", rightTime = "ts", payload = Seq("click_id"))
         .select(col("event_id"), col("user_id"), col("pvalue"), col("click_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // tx7 routes through the library operator (LibraryApiSpec proves it
+    // equals the SQL form): the vocabulary model is checkpointed once and
+    // explicitly broadcast, instead of the SQL form's re-derivation of the
+    // token CTE on both sides of the join.
+    "tx7_unigram_lm" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      TextAnalysis.unigramLm(s.table("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }),
 
     // dc1 routes through the library operator (LibraryApiSpec proves it

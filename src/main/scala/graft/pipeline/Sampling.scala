@@ -39,6 +39,48 @@ object Sampling {
     df.where(hexDraw(col(idCol), salt) < threshold)
   }
 
+  /** Source-weighted corpus mixing — the training-data "mixture weights"
+    * step (oversample high-quality sources, downsample noisy ones; cf. the
+    * published Pile/LLaMA data recipes). Weight `w` emits `floor(w)` full
+    * copies of every row plus one more with probability `frac(w)`, decided
+    * by the row's deterministic md5 draw — so the mixture is reproducible
+    * on any cluster size or retry. Weights have 1/256 granularity (the
+    * exact hex-threshold space). Each copy also gets `ord_hash`, a
+    * deterministic shuffle key: exports ORDER BY (or range-partition on)
+    * it for a stable, source-interleaved training order. Row-local
+    * (a per-row copy-count explode) — zero shuffles until the caller's
+    * ordering step. */
+  def sourceMix(
+      df: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "sp4", copyCol: String = "copy",
+      ordCol: String = "ord_hash"): DataFrame = {
+    def parts(w: Double): (Int, Int) = {
+      require(w >= 0 && w < 64, s"weight $w out of range [0, 64)")
+      val whole = math.floor(w).toInt
+      val frac = math.round((w - whole) * 256).toInt
+      if (frac == 256) (whole + 1, 0) else (whole, frac)
+    }
+    def hexByte(n: Int): String = if (n >= 256) "g" else f"${math.max(n, 0)}%02x"
+    val (defWhole, defFrac) = parts(defaultWeight)
+    val whole = weights.foldLeft(lit(defWhole)) { case (acc, (s, w)) =>
+      when(col(srcCol) === s, lit(parts(w)._1)).otherwise(acc)
+    }
+    val fracThr = weights.foldLeft(lit(hexByte(defFrac))) { case (acc, (s, w)) =>
+      when(col(srcCol) === s, lit(hexByte(parts(w)._2))).otherwise(acc)
+    }
+    val n = whole + when(hexDraw(col(idCol), salt) < fracThr, 1).otherwise(0)
+    df.withColumn("__n", n)
+      // slice(seq, 1, 0) is empty, so n = 0 rows vanish; a bare
+      // sequence(0, n - 1) would DESCEND for n = 0 (Spark's step defaults
+      // to -1 when start > stop) and emit phantom copies
+      .withColumn(copyCol,
+        explode(expr("slice(sequence(0, greatest(__n, 1) - 1), 1, __n)")))
+      .drop("__n")
+      .withColumn(ordCol, md5(concat(lit(s"$salt:ord:"), col(idCol).cast("string"),
+        lit(":"), col(copyCol).cast("string"))))
+  }
+
   /** Deterministic shard id in [0, nShards) for training-shard export:
     * derived from the row's hash draw, so shards are balanced and stable
     * across runs/retries. Writing becomes

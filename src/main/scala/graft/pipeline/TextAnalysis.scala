@@ -79,6 +79,40 @@ object TextAnalysis {
         (distinctFrac >= minDistinctWordFrac && topFrac <= maxTopBigramFrac).as("keep"))
   }
 
+  /** Corpus-level UNIGRAM language-model scoring — the model-based quality
+    * signal (CCNet-style: score each document under a model of the corpus;
+    * rare-token-heavy documents score low). Two passes: (1) one groupBy
+    * builds the token-count model — a vocabulary-sized result, checkpointed
+    * and broadcast; its total is the one driver-side scalar — then (2) the
+    * token stream left-joins the broadcast model and per-doc log-likelihood
+    * reduces in a single aggregation. Tokens below `minCount` are OOV and
+    * score at a 0.5-count floor. Per-token log-probs are quantized to
+    * integer MICRO-logs (round(ln(p)*1e6)) so document sums are exact
+    * integer arithmetic — reproducible under any aggregation order and
+    * engine (ln's last-ulp wobble is 10 orders of magnitude below the
+    * quantum). At 100 TB the model is still vocabulary-sized (fits any
+    * executor); nothing else leaves the token stream's partitioning. */
+  def unigramLm(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val model = counts.where(col("cnt") >= minCount)
+    tok.join(broadcast(model), Seq("token"), "left")
+      .select(col("doc_id"),
+        when(col("cnt").isNull, lit(1L)).otherwise(lit(0L)).as("oov"),
+        expr(s"CAST(round(ln(CAST(coalesce(cnt * 2, 1) AS DOUBLE) / ${2L * total}) * 1e6) AS BIGINT)")
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        sum(col("lp")).as("logp_u6"))
+      .withColumn("avg_logp_u6",
+        expr("CAST(round(logp_u6 / CAST(n_tokens AS DOUBLE)) AS BIGINT)"))
+  }
+
   /** WINNOWING fingerprints (MOSS), staged as two expressions — single
     * source for the tx6 driver query and its guarantee spec. The gram
     * array MUST be materialized into a column before the window pass:

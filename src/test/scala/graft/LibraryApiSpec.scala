@@ -107,6 +107,30 @@ class LibraryApiSpec extends AnyFunSuite {
       q("dc1_decontamination"))
   }
 
+  test("TextAnalysis.unigramLm == tx7 SQL form; model ships by broadcast") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val lib = TextAnalysis.unigramLm(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_oov", "logp_u6", "avg_logp_u6")
+      .orderBy("doc_id")
+    val sqlForm = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("tx7_unigram_lm"))
+    assertSame(lib, sqlForm)
+    assertSame(lib, q("tx7_unigram_lm"))
+    // the token stream must not shuffle for the model join — the
+    // vocabulary-sized model ships to it
+    val plan = TextAnalysis.unigramLm(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // scoring sanity: documents are word salad from one shared vocabulary,
+    // so every doc should score with zero OOV under the >=5 count floor
+    // except (possibly) docs carrying the rare planted 'dup' markers
+    val oov = lib.agg(sum(col("n_oov"))).collect()(0).getLong(0)
+    assert(oov < lib.count(), s"unexpected mass OOV: $oov")
+    // log-likelihoods are negative and averages sit in a sane band
+    assert(lib.where(col("logp_u6") >= 0).count() == 0)
+  }
+
   test("hashed-gram decontamination equals the exact-gram variant") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")

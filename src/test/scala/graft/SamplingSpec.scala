@@ -67,6 +67,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(curated.select("shard").distinct().count() <= 4)
   }
 
+  test("sourceMix equals the sp4 SQL form; copy counts honor the weights") {
+    val lib = Sampling.sourceMix(
+        docs, "doc_id", "source",
+        weights = Map("src0" -> 2.5, "src1" -> 2.5, "src2" -> 2.5,
+          "src3" -> 2.5, "src19" -> 0.25))
+      .select(col("ord_hash"), col("doc_id"), col("copy").cast("long").as("copy"),
+        col("source"))
+      .orderBy(col("ord_hash"), col("doc_id"), col("copy"))
+    val sql = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("sp4_source_mixing"))
+    assert(lib.collect().toSeq == sql.collect().toSeq)
+
+    // every premium-source doc appears at least twice (floor(2.5)); the
+    // fractional third copy lands on ~half of them
+    val perDoc = lib.where(col("source") === "src0")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(perDoc.nonEmpty && perDoc.forall(n => n == 2 || n == 3), perDoc.toSeq.toString)
+    // a weight below 1 drops docs entirely, never duplicates
+    val down = lib.where(col("source") === "src19")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(down.forall(_ == 1))
+    val src19Total = docs.where(col("source") === "src19").count()
+    assert(down.length < src19Total, s"0.25x kept ${down.length} of $src19Total")
+    // unweighted sources pass through exactly once
+    val rest = lib.where(!col("source").isin("src0", "src1", "src2", "src3", "src19"))
+    assert(rest.count() == docs.where(
+      !col("source").isin("src0", "src1", "src2", "src3", "src19")).count())
+    // weight 0 means gone
+    assert(Sampling.sourceMix(docs, "doc_id", "source",
+      weights = Map("src5" -> 0.0)).where(col("source") === "src5").isEmpty)
+    // integer weights repeat exactly, no fractional draw involved
+    val twice = Sampling.sourceMix(docs, "doc_id", "source",
+        weights = Map("src5" -> 2.0)).where(col("source") === "src5")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(twice.forall(_ == 2))
+  }
+
   test("withShard matches the sp2 SQL aggregation; shards are balanced") {
     val sharded = Sampling.withShard(docs, "doc_id", nShards = 8)
     val libAgg = sharded.groupBy(col("shard").cast("long").as("shard"))
