@@ -34,19 +34,41 @@ object Dedup {
         s"transform(sequence(0, greatest(size(__w) - $n, 0)), i -> concat_ws(' ', slice(__w, i + 1, $n)))"))
         .as("shingle"))
 
-  /** MinHash signature columns mh0..mh{k-1} per id — one groupBy pass,
-    * min(md5('j:' || shingle)) per permutation j. */
-  def minhashSignatures(sh: DataFrame, k: Int = 12): DataFrame =
-    sh.groupBy(col("__id"))
-      .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("mh0"),
-        (1 until k).map(j =>
-          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j")): _*)
+  /** Largest prime below 2^31 — the permutation modulus. */
+  val MinhashPrime: Long = 2147483647L
 
-  /** LSH band signatures: (id, band, bsig) — b bands of r signature rows. */
+  /** Affine-permutation constants for hash j: a_j odd and < 2^14 so that
+    * a_j * h stays < 2^62 for a 48-bit base hash (no BIGINT overflow in
+    * either Spark or DuckDB, which checks), b_j < 2^16. */
+  def mhA(j: Int): Long = ((j * 2654435761L) % 8191) * 2 + 1
+  def mhB(j: Int): Long = (j * 40503L + 12289) % 65521
+
+  /** MinHash signature columns mh0..mh{k-1} per id — one groupBy pass.
+    *
+    * One md5 per SHINGLE, k affine permutations of its leading 48 bits:
+    * mh_j = min over shingles of (a_j * h + b_j) mod (2^31 - 1). The
+    * one-hash + affine-family construction is the standard universal-
+    * hashing minhash (Broder '97); computing k independent md5s per
+    * shingle costs k× the digest work for no extra LSH power — measured
+    * ~2× the whole dd2 chain at sf0.1. 48-bit h keeps base-hash
+    * collisions negligible at corpus scale (~10^12 shingles ⇒ ~2^-9
+    * per-pair collision odds), while a_j < 2^14 bounds a_j*h < 2^62. */
+  def minhashSignatures(sh: DataFrame, k: Int = 12): DataFrame =
+    sh.select(col("__id"),
+        expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)").as("__h"))
+      .groupBy(col("__id"))
+      .agg(
+        min((col("__h") * lit(mhA(0)) + lit(mhB(0))) % lit(MinhashPrime)).as("mh0"),
+        (1 until k).map(j =>
+          min((col("__h") * lit(mhA(j)) + lit(mhB(j))) % lit(MinhashPrime)).as(s"mh$j")): _*)
+
+  /** LSH band signatures: (id, band, bsig) — b bands of r signature rows.
+    * mh values are BIGINTs; ':'-separated decimal rendering keeps the
+    * digest input unambiguous and engine-identical. */
   def bandSignatures(sigs: DataFrame, bands: Int = 4, rows: Int = 3): DataFrame = {
     val bandCol = (b: Int) =>
-      md5(concat(lit(s"$b:") +: (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+      md5(concat_ws(":", lit(b.toString) +:
+        (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
     sigs.select(col("__id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), bandCol(b).as("bsig"))): _*)).as("bb"))

@@ -32,6 +32,35 @@ object PipelineQueries {
       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
       |       FROM tok, unnest(range(0, greatest(len(w) - 2, 1))) AS t(i))""".stripMargin
 
+  // one-md5 minhash (see Dedup.minhashSignatures): base hash = leading 48
+  // bits of md5(shingle), k affine permutations mod 2^31-1. `hs` computes
+  // the base hash once per shingle row; `sig` is the per-doc min per
+  // permutation; `bands` hashes ':'-joined decimal renderings (identical
+  // in both engines).
+  private val sparkMinhashHs =
+    "hs AS (SELECT doc_id, CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT) AS h FROM sh)"
+  private val duckMinhashHs =
+    "hs AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS h FROM sh)"
+  private val minhashSig =
+    s"""sig AS (SELECT doc_id, ${(0 until 12).map(j =>
+         s"min((h * ${Dedup.mhA(j)} + ${Dedup.mhB(j)}) % ${Dedup.MinhashPrime}) AS mh$j")
+         .mkString(", ")}
+       |        FROM hs GROUP BY doc_id)""".stripMargin
+  private val sparkMinhashBands =
+    s"""bands AS (SELECT doc_id, band,
+       |    CASE band ${(0 until 4).map(b =>
+              s"WHEN $b THEN md5(concat_ws(':', '$b', " +
+                (0 until 3).map(r => s"CAST(mh${3 * b + r} AS STRING)").mkString(", ") + "))")
+              .mkString(" ")} END AS bsig
+       |    FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS band)""".stripMargin
+  private val duckMinhashBands =
+    s"""bands AS (SELECT doc_id, band,
+       |    CASE band ${(0 until 4).map(b =>
+              s"WHEN $b THEN md5('$b' || ':' || " +
+                (0 until 3).map(r => s"mh${3 * b + r}").mkString(" || ':' || ") + ")")
+              .mkString(" ")} END AS bsig
+       |    FROM sig, unnest(range(0, 4)) AS t(band))""".stripMargin
+
   // exact dot product between two float vectors, index-ordered double
   // summation (bit-identical across Spark and DuckDB). Norms are
   // precomputed once per vector — higher-order functions are interpreted
@@ -70,21 +99,16 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY sig""".stripMargin),
 
     // ------------------------------------------------------------------
-    // dd2: MinHash + LSH near-dup pairs. shingle -> 12 md5-minhashes ->
+    // dd2: MinHash + LSH near-dup pairs. shingle -> ONE md5 base hash ->
+    // 12 affine permutations (universal-hash minhash family, Broder '97) ->
     // 4 bands of 3 -> band-signature hash-join -> exact-Jaccard verify at
-    // tau=0.8. min(md5(j || shingle)) is a valid minhash family (md5 as the
-    // random permutation); everything is partial-aggregable + joins on
-    // hashed keys, so the plan survives 1000x scale.
+    // tau=0.8. Everything is partial-aggregable + joins on hashed keys, so
+    // the plan survives 1000x scale.
     Q("dd2_minhash_lsh",
       s"""WITH $sparkShingles,
-         |sig AS (SELECT doc_id, ${(0 until 12).map(j =>
-                    s"min(md5(concat('$j:', shingle))) AS mh$j").mkString(", ")}
-         |        FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, band,
-         |    CASE band ${(0 until 4).map(b =>
-                  s"WHEN $b THEN md5(concat('$b:', mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2}))")
-                  .mkString(" ")} END AS bsig
-         |    FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS band),
+         |$sparkMinhashHs,
+         |$minhashSig,
+         |$sparkMinhashBands,
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -100,14 +124,9 @@ object PipelineQueries {
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
       s"""WITH $duckShingles,
-         |sig AS (SELECT doc_id, ${(0 until 12).map(j =>
-                    s"min(md5('$j:' || shingle)) AS mh$j").mkString(", ")}
-         |        FROM sh GROUP BY doc_id),
-         |bands AS (SELECT doc_id, band,
-         |    CASE band ${(0 until 4).map(b =>
-                  s"WHEN $b THEN md5('$b:' || mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2})")
-                  .mkString(" ")} END AS bsig
-         |    FROM sig, unnest(range(0, 4)) AS t(band)),
+         |$duckMinhashHs,
+         |$minhashSig,
+         |$duckMinhashBands,
          |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
@@ -1407,14 +1426,9 @@ object PipelineQueries {
 
       "dd7_dedup_clusters" ->
         s"""WITH RECURSIVE $duckShingles,
-           |sig AS (SELECT doc_id, ${(0 until 12).map(j =>
-                      s"min(md5('$j:' || shingle)) AS mh$j").mkString(", ")}
-           |        FROM sh GROUP BY doc_id),
-           |bands AS (SELECT doc_id, band,
-           |    CASE band ${(0 until 4).map(b =>
-                    s"WHEN $b THEN md5('$b:' || mh${3 * b} || mh${3 * b + 1} || mh${3 * b + 2})")
-                    .mkString(" ")} END AS bsig
-           |    FROM sig, unnest(range(0, 4)) AS t(band)),
+           |$duckMinhashHs,
+           |$minhashSig,
+           |$duckMinhashBands,
            |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            |         FROM bands a JOIN bands b
            |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
