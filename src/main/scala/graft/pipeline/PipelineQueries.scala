@@ -880,7 +880,156 @@ object PipelineQueries {
         |  (len(list_distinct(w)) / CAST(len(w) AS DOUBLE) >= CAST(0.3 AS DOUBLE)
         |   AND agg.top_c / CAST(agg.total AS DOUBLE) <= CAST(0.2 AS DOUBLE)) AS keep
         |FROM tok JOIN agg ON tok.doc_id = agg.doc_id
-        |ORDER BY tok.doc_id""".stripMargin))
+        |ORDER BY tok.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // pd1: passage-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    // shape, on fixed 10-word passages since the corpus has no newlines):
+    // segment -> global passage-frequency (one shuffle on the passage
+    // hash) -> drop passages seen in >1 distinct doc -> reassemble the doc
+    // in passage order. Output is per-doc stats + md5 of the cleaned text
+    // (compact and hash-comparable). At 100 TB the frequency table is the
+    // only corpus-wide state and it is passage-hash-partitioned.
+    Q("pd1_passage_dedup",
+      """WITH tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |seg AS (SELECT doc_id, i AS seg_idx,
+        |          concat_ws(' ', slice(w, CAST(i * 10 + 1 AS INT), 10)) AS passage
+        |        FROM tok LATERAL VIEW explode(sequence(0, CAST((size(w) - 1) div 10 AS INT))) t AS i),
+        |freq AS (SELECT md5(passage) AS ph, count(DISTINCT doc_id) AS nd
+        |         FROM seg GROUP BY md5(passage)),
+        |j AS (SELECT s.doc_id, s.seg_idx, s.passage, f.nd
+        |      FROM seg s JOIN freq f ON md5(s.passage) = f.ph)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_passages,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |  md5(concat_ws(' ', transform(
+        |    array_sort(collect_list(CASE WHEN nd = 1 THEN struct(seg_idx, passage) END)),
+        |    x -> x.passage))) AS cleaned_sig
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |seg AS (SELECT doc_id, i AS seg_idx,
+        |          array_to_string(list_slice(w, i * 10 + 1, i * 10 + 10), ' ') AS passage
+        |        FROM tok, unnest(range(0, ((len(w) - 1) // 10) + 1)) AS t(i)),
+        |freq AS (SELECT md5(passage) AS ph, count(DISTINCT doc_id) AS nd
+        |         FROM seg GROUP BY md5(passage)),
+        |j AS (SELECT s.doc_id, s.seg_idx, s.passage, f.nd
+        |      FROM seg s JOIN freq f ON md5(s.passage) = f.ph)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_passages,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |  md5(coalesce(string_agg(passage, ' ' ORDER BY seg_idx) FILTER (WHERE nd = 1), ''))
+        |    AS cleaned_sig
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // sd1: semantic dedup (SemDeDup, Abbas et al. '23): cluster embeddings
+    // (deterministic seed centroids, as ss2), compute cosine only WITHIN a
+    // cluster, and drop any vector with a lower-id cluster-mate above the
+    // similarity threshold. Within-cluster pairing is the SemDeDup scale
+    // trick: candidate pairs shrink from n^2 to sum over clusters of
+    // (cluster size)^2.
+    Q("sd1_semantic_dedup",
+      s"""WITH $sparkVecs,
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(${sparkDot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |        round(${sparkDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) AS cos
+         |      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      JOIN v ea ON ea.vec_id = a.vec_id
+         |      JOIN v eb ON eb.vec_id = b.vec_id)
+         |SELECT vb AS vec_id, min(va) AS keeper, max(cos) AS max_cos
+         |FROM p WHERE cos >= 0.4
+         |GROUP BY vb ORDER BY vec_id""".stripMargin,
+      s"""WITH $duckVecs,
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |        round(${duckDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm), 6) AS cos
+         |      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      JOIN v ea ON ea.vec_id = a.vec_id
+         |      JOIN v eb ON eb.vec_id = b.vec_id)
+         |SELECT vb AS vec_id, min(va) AS keeper, max(cos) AS max_cos
+         |FROM p WHERE cos >= 0.4
+         |GROUP BY vb ORDER BY vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ts1: time-series gap fill — hourly event counts per type with
+    // missing hours zero-filled from a generated hour spine. Integer
+    // hour-epochs keep the spine arithmetic engine-identical; the spine is
+    // |types| x |hours| (tiny next to the events it joins).
+    Q("ts1_gapfill",
+      """WITH b AS (SELECT event_type,
+        |         CAST(unix_timestamp(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr,
+        |         count(*) AS n
+        |       FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM b GROUP BY 1),
+        |hours AS (SELECT event_type, explode(sequence(mn, mx, CAST(3600 AS BIGINT))) AS hr FROM r)
+        |SELECT h.event_type, h.hr AS hr_epoch, CAST(coalesce(b.n, 0) AS BIGINT) AS n
+        |FROM hours h LEFT JOIN b ON b.event_type = h.event_type AND b.hr = h.hr
+        |ORDER BY h.event_type, h.hr""".stripMargin,
+      """WITH b AS (SELECT event_type,
+        |         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr,
+        |         count(*) AS n
+        |       FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM b GROUP BY 1),
+        |hours AS (SELECT event_type, unnest(range(mn, mx + 1, 3600)) AS hr FROM r)
+        |SELECT h.event_type, h.hr AS hr_epoch, CAST(coalesce(b.n, 0) AS BIGINT) AS n
+        |FROM hours h LEFT JOIN b ON b.event_type = h.event_type AND b.hr = h.hr
+        |ORDER BY h.event_type, h.hr""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tc1: text cleaning + PII redaction. The corpus is clean word soup,
+    // so the dirty input is DERIVED deterministically in-query (HTML
+    // wrapper + per-doc email + URL — the mm2 encode->decode precedent:
+    // the measured operator is the cleaning chain, which in production
+    // runs over stored dirty text). Chain: strip tags -> redact emails ->
+    // redact URLs -> collapse whitespace -> trim. Patterns avoid
+    // backslash escapes ([.] not \\.) so the regex TEXT is identical in
+    // Java (Spark) and RE2 (DuckDB) and matches identically in both; all
+    // steps are per-row projections (zero shuffles at any scale).
+    Q("tc1_clean_pii",
+      """WITH dirty AS (SELECT doc_id,
+        |    concat('<div id="', doc_id, '"> ', text, ' contact user', doc_id,
+        |           '@mail.example.com or visit https://site.example/', doc_id,
+        |           ' now</div>') AS raw FROM documents),
+        |st AS (SELECT doc_id, regexp_replace(raw, '<[^>]*>', ' ') AS s1 FROM dirty),
+        |red AS (SELECT doc_id,
+        |    CAST(size(regexp_extract_all(s1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
+        |    CAST(size(regexp_extract_all(s1, 'https?://[^ ]+', 0)) AS BIGINT) AS n_urls,
+        |    regexp_replace(regexp_replace(s1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]'),
+        |      'https?://[^ ]+', '[URL]') AS s2
+        |  FROM st)
+        |SELECT doc_id, n_emails, n_urls,
+        |       md5(trim(regexp_replace(s2, '  +', ' '))) AS clean_sig,
+        |       CAST(length(trim(regexp_replace(s2, '  +', ' '))) AS BIGINT) AS clean_len
+        |FROM red ORDER BY doc_id""".stripMargin,
+      """WITH dirty AS (SELECT doc_id,
+        |    concat('<div id="', doc_id, '"> ', text, ' contact user', doc_id,
+        |           '@mail.example.com or visit https://site.example/', doc_id,
+        |           ' now</div>') AS raw FROM documents),
+        |st AS (SELECT doc_id, regexp_replace(raw, '<[^>]*>', ' ', 'g') AS s1 FROM dirty),
+        |red AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(s1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(s1, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |    regexp_replace(regexp_replace(s1,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      'https?://[^ ]+', '[URL]', 'g') AS s2
+        |  FROM st)
+        |SELECT doc_id, n_emails, n_urls,
+        |       md5(trim(regexp_replace(s2, '  +', ' ', 'g'))) AS clean_sig,
+        |       CAST(length(trim(regexp_replace(s2, '  +', ' ', 'g'))) AS BIGINT) AS clean_len
+        |FROM red ORDER BY doc_id""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous

@@ -527,4 +527,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
   }
+
+  test("passage dedup: untouched docs keep a text-identical reassembly") {
+    val rows = run("pd1_passage_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.exists(_._3 > 0), "fixture has no shared passages")
+    assert(rows.exists(r => r._3 == 0 && r._2 > 0))
+    rows.foreach { case (_, n, dup, _) => assert(dup <= n) }
+    // a doc with zero dup passages reassembles to EXACTLY its original
+    // text (fixed 10-word segmentation + ' '-joins are lossless), so
+    // cleaned_sig must equal md5(text) — an independent end-to-end check
+    Fixtures.registerRaw(spark, sfDir)
+    val md5ByDoc = spark.table("documents")
+      .select(col("doc_id"), md5(col("text")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = rows.filter(_._3 == 0)
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, _, _, sig) => assert(sig == md5ByDoc(id)) }
+  }
+
+  test("semantic dedup agrees with exact within-cluster cosine") {
+    val dropped = run("sd1_semantic_dedup").collect()
+    assert(dropped.nonEmpty)
+    dropped.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0)) // keeper has the lower id
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+
+  test("gap fill: hour spine is dense per type and preserves totals") {
+    val rows = run("ts1_gapfill").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (_, rs) =>
+      val hrs = rs.map(_._2).sorted
+      assert(hrs.zip(hrs.tail).forall { case (a, b) => b - a == 3600 })
+    }
+    val total = rows.map(_._3).sum
+    Fixtures.registerRaw(spark, sfDir)
+    assert(total == spark.table("events").count())
+    assert(rows.exists(_._3 == 0), "fixture has no empty hours to fill")
+  }
+
+  test("text cleaning redacts exactly the injected email and URL per doc") {
+    val rows = run("tc1_clean_pii").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1, s"doc ${r.getLong(0)}: n_emails=${r.getLong(1)}")
+      assert(r.getLong(2) == 1, s"doc ${r.getLong(0)}: n_urls=${r.getLong(2)}")
+    }
+  }
 }
