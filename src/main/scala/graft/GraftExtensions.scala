@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VectorDot
+
+/** Spark-native entry point: `SparkSessionExtensions` installer so a plain
+  * `spark.sql.extensions=graft.GraftExtensions` config (no code) gives every
+  * session the library's native expressions — the idiomatic way to ship
+  * Catalyst extensions with a Spark library. Sessions built programmatically
+  * can keep calling `VectorExpressions.register` for the same effect.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "vec_dot takes exactly 2 arguments")
+          VectorDot(exprs.head, exprs(1))
+        }))
+  }
+}

@@ -57,6 +57,31 @@ object EventStream {
     q
   }
 
+  /** Streaming session windows — the streaming twin of batch
+    * q29_session_window: 30-minute-gap sessionization per user via Spark's
+    * native `session_window`, with watermark-driven state eviction. A
+    * session's state lives only until the watermark passes its close, so
+    * per-key state is bounded by the gap + watermark delay at any scale. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start_epoch"),
+        col("n_events"), col("sum_value"))
+
+  /** Run the session aggregation against a static directory via the memory
+    * sink. Append mode: only watermark-closed sessions emit — trailing
+    * sessions stay in state, exactly the production semantics. */
+  def runSessionsToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery =
+    sessionAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(nEvents: Long, sumValue: Double)
 

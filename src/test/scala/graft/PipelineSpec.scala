@@ -528,6 +528,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming session windows agree with the batch session query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = EventStream.runSessionsToMemory(spark, dir, "sessions_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // append mode emits only watermark-closed sessions: a strict subset of
+    // the batch result, value-identical on every emitted key
+    val batchMap = run("q29_session_window").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) =>
+      assert(batchMap.get(k).contains(v), s"session $k: streamed=$v batch=${batchMap.get(k)}")
+    }
+  }
+
   test("passage dedup: untouched docs keep a text-identical reassembly") {
     val rows = run("pd1_passage_dedup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
