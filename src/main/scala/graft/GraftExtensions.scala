@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorDot
+import graft.functions.{VectorDot, WordNGrams}
 
 /** Spark-native entry point: `SparkSessionExtensions` installer so a plain
   * `spark.sql.extensions=graft.GraftExtensions` config (no code) gives every
   * session the library's native expressions — the idiomatic way to ship
   * Catalyst extensions with a Spark library. Sessions built programmatically
-  * can keep calling `VectorExpressions.register` for the same effect.
+  * can keep calling `VectorFunctions.register`/`TextFunctions.register` for
+  * the same effect.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, "vec_dot takes exactly 2 arguments")
           VectorDot(exprs.head, exprs(1))
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "word_ngrams takes exactly 2 arguments")
+          WordNGrams(exprs.head, exprs(1))
         }))
   }
 }

@@ -39,6 +39,10 @@ object Fixtures {
   private val rawDfLock = new Object
 
   def registerRaw(spark: SparkSession, sfDir: String): Unit = {
+    // library-native SQL functions ride along with the raw tables: any
+    // session that can see `documents` can call vec_dot/word_ngrams
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TextFunctions.register(spark)
     // DataFrame construction (parquet-footer reads) memoizes per
     // (session, sfDir), but the temp-view registrations re-assert on EVERY
     // call: a MeshSession query legitimately registers an entity view

@@ -50,10 +50,8 @@ object Curation {
       df: DataFrame, idCol: String, textCol: String, n: Int,
       carry: Seq[String] = Nil): DataFrame =
     df.select((col(idCol).as("doc_id") +: carry.map(col) :+
-        split(col(textCol), " ").as("w")): _*)
-      .select((col("doc_id") +: carry.map(col) :+ explode(array_distinct(expr(
-        s"transform(sequence(0, greatest(size(w) - $n, 0)), " +
-          s"i -> concat_ws(' ', slice(w, i + 1, $n)))"))).as("gram")): _*)
+        explode(array_distinct(
+          graft.functions.TextFunctions.word_ngrams(col(textCol), n))).as("gram")): _*)
 
   /** Per-doc contamination counts against a static eval corpus. `docs` may
     * be a BATCH or a STREAMING DataFrame — the identical declarative plan

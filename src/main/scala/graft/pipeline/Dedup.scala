@@ -29,10 +29,7 @@ object Dedup {
   private def shinglesRaw(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.repartition(col(idCol)).select(col(idCol).as("__id"),
-        split(col(textCol), " ").as("__w"))
-      .select(col("__id"), explode(expr(
-        s"transform(sequence(0, greatest(size(__w) - $n, 0)), i -> concat_ws(' ', slice(__w, i + 1, $n)))"))
-        .as("shingle"))
+        explode(graft.functions.TextFunctions.word_ngrams(col(textCol), n)).as("shingle"))
 
   /** Largest prime below 2^31 — the permutation modulus. */
   val MinhashPrime: Long = 2147483647L

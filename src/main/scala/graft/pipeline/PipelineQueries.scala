@@ -21,12 +21,15 @@ object PipelineQueries {
   private case class Q(name: String, sparkSql: String, duckSql: String)
 
   // --- shared fragments -------------------------------------------------
-  // trigram word shingles per doc (distinct), Spark + DuckDB dialects
+  // trigram word shingles per doc (distinct), Spark + DuckDB dialects.
+  // Spark side uses the native codegen'd word_ngrams (graft.functions) —
+  // identical output to the lambda form (WordNGramsSpec), none of its
+  // per-element interpreted-closure cost; DuckDB keeps the declarative
+  // list form (its list kernels are vectorized C++ already).
   private val sparkShingles =
-    """tok AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
+    """tok AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, text FROM documents),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM tok
-      |       LATERAL VIEW explode(transform(sequence(0, greatest(size(w) - 3, 0)),
-      |                            i -> concat_ws(' ', slice(w, i + 1, 3)))) t AS shingle)""".stripMargin
+      |       LATERAL VIEW explode(word_ngrams(text, 3)) t AS shingle)""".stripMargin
   private val duckShingles =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
@@ -466,8 +469,7 @@ object PipelineQueries {
     // style content fingerprint robust to small edits)
     Q("tx4_fingerprint",
       """SELECT doc_id, md5(lower(text)) AS fp_exact,
-        |  array_min(transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)),
-        |    i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 5))))) AS fp_min_shingle
+        |  array_min(transform(word_ngrams(text, 5), g -> md5(g))) AS fp_min_shingle
         |FROM documents ORDER BY doc_id""".stripMargin,
       """SELECT doc_id, md5(lower(text)) AS fp_exact,
         |  list_aggregate(list_transform(range(0, greatest(len(string_split(text, ' ')) - 4, 1)),
@@ -823,9 +825,8 @@ object PipelineQueries {
     // -> per-doc partial count. No all-pairs work, one corpus pass.
     // Eval split here = doc_id % 10 = 7 (deterministic stand-in).
     Q("dc1_decontamination",
-      """WITH tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-        |g AS (SELECT DISTINCT doc_id, concat_ws(' ', slice(w, i + 1, 8)) AS gram
-        |      FROM tok LATERAL VIEW explode(sequence(0, greatest(size(w) - 8, 0))) t AS i),
+      """WITH g AS (SELECT DISTINCT doc_id, gram FROM documents
+        |      LATERAL VIEW explode(word_ngrams(text, 8)) t AS gram),
         |eval_g AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7)
         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         |       CAST(count(e.gram) AS BIGINT) AS n_contaminated,
@@ -855,9 +856,9 @@ object PipelineQueries {
     // doc-local keys, no corpus-wide hot key). The groupBy shape — not a
     // per-row nested loop — is what keeps 100k-token documents O(m).
     Q("tx5_repetition",
-      """WITH tok AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-        |bg AS (SELECT doc_id, concat_ws(' ', slice(w, i + 1, 2)) AS gram
-        |       FROM tok LATERAL VIEW explode(sequence(0, greatest(size(w) - 2, 0))) t AS i),
+      """WITH tok AS (SELECT doc_id, text, split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, gram FROM tok
+        |       LATERAL VIEW explode(word_ngrams(text, 2)) t AS gram),
         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
         |agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM cnt GROUP BY doc_id)
         |SELECT tok.doc_id,
@@ -1484,6 +1485,7 @@ object PipelineQueries {
       q.name -> ((s: SparkSession, dir: String) => {
         Fixtures.registerRaw(s, dir)
         graft.functions.VectorFunctions.register(s)
+        graft.functions.TextFunctions.register(s)
         s.sql(q.sparkSql)
       })
     }.toMap ++ overrides // overrides supersede SQL forms and add Scala-only ops

@@ -65,8 +65,8 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       maxTopBigramFrac: Double = 0.2, minDistinctWordFrac: Double = 0.3): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
-    val bg = tok.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, greatest(size(w) - 2, 0)), i -> concat_ws(' ', slice(w, i + 1, 2)))")).as("gram"))
+    val bg = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.word_ngrams(col(textCol), 2)).as("gram"))
     val cnt = bg.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
     val agg = cnt.groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("total"))

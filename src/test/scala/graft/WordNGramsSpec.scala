@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+
+/** Native WordNGrams expression: must equal the interpreted lambda form
+  * (transform/sequence/slice/concat_ws) exactly on real documents and on
+  * the edge shapes, and stay inside whole-stage codegen. */
+class WordNGramsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+
+  private def lambdaForm(n: Int) = expr(
+    s"""transform(sequence(0, greatest(size(split(text, ' ')) - $n, 0)),
+       |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))""".stripMargin)
+
+  test("word_ngrams equals the lambda form on real documents for n=2,3,8") {
+    TextFunctions.register(spark)
+    val docs = spark.read.parquet(s"${TestSessions.sfDir}/documents.parquet")
+    docs.createOrReplaceTempView("wng_docs")
+    Seq(2, 3, 8).foreach { n =>
+      val diff = docs
+        .select(TextFunctions.word_ngrams(col("text"), n).as("fast"),
+          lambdaForm(n).as("slow"))
+        .where(col("fast") =!= col("slow"))
+        .count()
+      assert(diff == 0, s"n=$n")
+    }
+  }
+
+  test("edges: short docs, single word, empty string, nulls") {
+    TextFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a b", "a", "", "a b c d").toDF("text")
+    val got = df.select(TextFunctions.word_ngrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b"), List("a"), List(""), List("a b c", "b c d")))
+    val nul = df.select(TextFunctions.word_ngrams(lit(null).cast("string"), 3).as("g")).head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("whole-stage codegen stays enabled around word_ngrams") {
+    TextFunctions.register(spark)
+    val docs = spark.read.parquet(s"${TestSessions.sfDir}/documents.parquet")
+    docs.createOrReplaceTempView("wng_docs2")
+    val df = spark.sql(
+      "SELECT count(DISTINCT g) FROM wng_docs2 LATERAL VIEW explode(word_ngrams(text, 3)) t AS g")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Generate"), plan)
+  }
+}
