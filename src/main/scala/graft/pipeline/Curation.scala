@@ -43,6 +43,30 @@ object Curation {
     Sampling.withShard(sampled, idCol, nShards, salt = "cp1s")
   }
 
+  /** Text cleaning + PII redaction (library form of tc1): strip HTML tags,
+    * redact emails and URLs to placeholder tokens, collapse whitespace.
+    * Pure per-row regexp projections — zero shuffles at any scale. The
+    * patterns avoid backslash escapes so the same text works under Java
+    * and RE2 regex engines. Adds `n_emails`, `n_urls`, `clean_<textCol>`. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+  val TagPattern = "<[^>]*>"
+
+  def cleanText(df: DataFrame, textCol: String): DataFrame = {
+    val stripped = regexp_replace(col(textCol), TagPattern, " ")
+    df.withColumn("__s1", stripped)
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all(__s1, '$EmailPattern', 0)")).cast("long"))
+      .withColumn("n_urls",
+        size(expr(s"regexp_extract_all(__s1, '$UrlPattern', 0)")).cast("long"))
+      .withColumn(s"clean_$textCol",
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(col("__s1"), EmailPattern, "[EMAIL]"),
+            UrlPattern, "[URL]"),
+          "  +", " ")))
+      .drop("__s1")
+  }
+
   /** Per-doc distinct word `n`-grams. Deduplication is ROW-LOCAL
     * (`array_distinct` before the explode): no corpus-wide distinct
     * shuffle, and the op stays valid on an unbounded stream. */

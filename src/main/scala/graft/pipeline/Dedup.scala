@@ -155,6 +155,33 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Passage-level exact dedup (library form of pd1 — the CCNet/RefinedWeb
+    * paragraph-dedup shape on fixed `window`-word passages): drop every
+    * passage seen in more than `maxDocs` distinct documents, reassemble
+    * the survivors in order. Returns (doc_id, n_passages, n_dup_passages,
+    * cleaned_text). One corpus-wide state: the passage-frequency table,
+    * partitioned by passage hash. */
+  def passageDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, maxDocs: Int = 1): DataFrame = {
+    val seg = docs.select(col(idCol).as("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, CAST((size(split($textCol, ' ')) - 1) div $window AS INT)),
+           |  i -> concat_ws(' ', slice(split($textCol, ' '), i * $window + 1, $window)))"""
+          .stripMargin)).as(Seq("seg_idx", "passage")))
+    val freq = seg.groupBy(md5(col("passage")).as("ph"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    seg.join(freq, md5(col("passage")) === col("ph"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("nd") > maxDocs, 1L).otherwise(0L)).as("n_dup_passages"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("nd") <= maxDocs, struct(col("seg_idx"), col("passage"))))),
+          x => x.getField("passage"))).as("cleaned_text"))
+  }
+
   /** The reusable LSH band index for a corpus: (id, band, bsig). In
     * production this is stored state, written once per corpus build and
     * appended at each ingest — the input to [[incrementalNearDupPairs]]. */

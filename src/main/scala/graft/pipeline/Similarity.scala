@@ -67,6 +67,37 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. '23; library form of sd1):
+    * cluster on seed-id centroids, compare cosine only WITHIN a cluster,
+    * and report every vector owning a lower-id cluster-mate at/above
+    * `threshold` with its keeper and best score. Candidate pairs shrink
+    * from n² to Σ(cluster size)² — the property that makes embedding
+    * dedup feasible at corpus scale; pair work stays inside per-cluster
+    * hash-join partitions. */
+  def semanticDedup(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long], threshold: Double = 0.4): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val cent = v.where(col("__id").isin(centroidIds: _*))
+      .select(col("__id").as("cid"), col("__v").as("cv"), col("nrm").as("cn"))
+    val scored = v.crossJoin(cent)
+      .select(col("__id"), col("__v"), col("nrm"), col("cid"),
+        round(dot(col("__v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cc"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("cc").desc, col("cid"))
+    val assign = scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("__id"), col("__v"), col("nrm"), col("cid"))
+    val pairs = assign.as("a").join(assign.as("b"),
+        col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("va"), col("b.__id").as("vb"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+    pairs.groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("keeper"), max(col("cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Spherical k-means (cosine geometry) over an embedding column — the
     * "learned centroids" path an IVF index needs at corpus scale. Lloyd
     * iterations where:

@@ -364,6 +364,32 @@ object SqlSurface {
            |FROM orders_entity WHERE orderkey <= 400
            |ORDER BY orderkey""".stripMargin)),
 
+    // PIVOT: per-nation account balances spread across market segments.
+    // DuckDB's PIVOT column naming differs, so the oracle spells the same
+    // result as FILTER aggregations with quoted aliases.
+    Q("q34_pivot",
+      """SELECT * FROM (SELECT mktsegment, nationkey, acctbal FROM customer_entity)
+        |PIVOT (round(sum(acctbal), 2) FOR mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+        |ORDER BY nationkey""".stripMargin,
+      oracleOverride = Some(
+        s"""$prelude
+           |SELECT nationkey,
+           |  round(sum(acctbal) FILTER (WHERE mktsegment = 'BUILDING'), 2) AS "BUILDING",
+           |  round(sum(acctbal) FILTER (WHERE mktsegment = 'AUTOMOBILE'), 2) AS "AUTOMOBILE",
+           |  round(sum(acctbal) FILTER (WHERE mktsegment = 'MACHINERY'), 2) AS "MACHINERY"
+           |FROM customer_entity GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
+
+    // LATERAL correlated subquery in FROM (identical text in both engines):
+    // per-customer order rollup without a groupBy over the join
+    Q("q35_lateral_join",
+      """SELECT c.custkey, t.n_orders, t.total
+        |FROM customer_entity c,
+        |LATERAL (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |                round(sum(totalprice), 2) AS total
+        |         FROM orders_entity o WHERE o.custkey = c.custkey) t
+        |WHERE c.custkey <= 300
+        |ORDER BY c.custkey""".stripMargin),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations

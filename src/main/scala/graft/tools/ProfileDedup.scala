@@ -35,9 +35,8 @@ object ProfileDedup {
 
     // cold stage-by-stage (fresh plans each time; nothing persisted across)
     t("shingles count") {
-      docs.select(col("doc_id").as("__id"), split(col("text"), " ").as("__w"))
-        .select(col("__id"), explode(expr(
-          "transform(sequence(0, greatest(size(__w) - 3, 0)), i -> concat_ws(' ', slice(__w, i + 1, 3)))"))
+      docs.select(col("doc_id").as("__id"),
+        explode(graft.functions.TextFunctions.word_ngrams(col("text"), 3))
           .as("shingle")).count()
     }
     t("signatures count") {

@@ -145,6 +145,37 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(exact.collect().toSeq == hashed.collect().toSeq)
   }
 
+  test("Dedup.passageDedup == pd1 SQL form (cleaned text hashes to cleaned_sig)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val lib = Dedup.passageDedup(spark.table("documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        md5(col("cleaned_text")).as("cleaned_sig"))
+      .orderBy(col("doc_id"))
+    assertSame(lib, q("pd1_passage_dedup"))
+  }
+
+  test("Similarity.semanticDedup == sd1 SQL form") {
+    Fixtures.registerRaw(spark, sfDir)
+    val lib = Similarity.semanticDedup(
+      spark.table("embeddings"), "vec_id", "embedding", centroidIds = 0L until 16L)
+    assertSame(lib, q("sd1_semantic_dedup"))
+  }
+
+  test("Curation.cleanText == tc1 SQL form on the same derived dirty corpus") {
+    Fixtures.registerRaw(spark, sfDir)
+    val dirty = spark.table("documents").select(col("doc_id"),
+      concat(lit("<div id=\""), col("doc_id"), lit("\"> "), col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or visit https://site.example/"), col("doc_id"),
+        lit(" now</div>")).as("raw"))
+    val lib = Curation.cleanText(dirty, "raw")
+      .select(col("doc_id"), col("n_emails"), col("n_urls"),
+        md5(col("clean_raw")).as("clean_sig"),
+        length(col("clean_raw")).cast("long").as("clean_len"))
+      .orderBy(col("doc_id"))
+    assertSame(lib, q("tc1_clean_pii"))
+  }
+
   test("decontamination joins the eval gram set by broadcast (plan shape)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
