@@ -67,6 +67,47 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** int8 scalar quantization encode (library form of ss4's index): per-
+    * vector symmetric quantization q_i = floor(v_i * 127 / max|v| + 0.5),
+    * carried as FLOAT so the codegen'd vec_dot scores integer-exact
+    * quantized cosines. In production the encoded columns are stored
+    * table state — encode once, serve many (PipelineQueries caches this
+    * per session/sf for exactly that reason). Returns
+    * (vec_id, embedding, nrm, qv, qnrm). */
+  def sq8Encode(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("nrm"),
+        greatest(expr(s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"),
+          lit(1e-30)).as("ma"))
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma + CAST(0.5 AS DOUBLE)) AS FLOAT))"))
+      .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))
+      .drop("ma")
+
+  /** Quantized top-k + exact rerank over a [[sq8Encode]]d index: rank by
+    * quantized cosine on the 4x-smaller vectors, rerank only the top page
+    * with full-precision cosine. */
+  def sq8TopK(encoded: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    val q = encoded.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("qv").as("q_qv"), col("qnrm").as("q_qnrm"))
+    val cand = q.join(encoded.as("c"), col("c.vec_id") =!= col("qid"))
+      .select(col("qid"), col("c.vec_id").as("vid"),
+        (dot(col("q_qv"), col("c.qv")) / (col("q_qnrm") * col("c.qnrm"))).as("qcos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vid"))
+    val top = cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    top
+      .join(encoded.select(col("vec_id"), col("embedding"), col("nrm")).as("a"),
+        col("a.vec_id") === col("qid"))
+      .join(encoded.select(col("vec_id"), col("embedding"), col("nrm")).as("b"),
+        col("b.vec_id") === col("vid"))
+      .select(col("qid"), col("vid").as("vec_id"), round(col("qcos"), 6).as("qcos"),
+        round(dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("exact_cos"),
+        col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+      .drop("rnk")
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. '23; library form of sd1):
     * cluster on seed-id centroids, compare cosine only WITHIN a cluster,
     * and report every vector owning a lower-id cluster-mate at/above

@@ -176,6 +176,15 @@ class LibraryApiSpec extends AnyFunSuite {
     assertSame(lib, q("tc1_clean_pii"))
   }
 
+  test("Similarity.sq8Encode/sq8TopK == ss4 SQL form (which the query overrides)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val enc = Similarity.sq8Encode(spark.table("embeddings"), "vec_id", "embedding")
+    val lib = Similarity.sq8TopK(enc, queryIds = 0L to 4L, k = 5)
+    val sqlForm = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("ss4_quantized_topk"))
+    assertSame(lib, sqlForm)
+  }
+
   test("decontamination joins the eval gram set by broadcast (plan shape)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
