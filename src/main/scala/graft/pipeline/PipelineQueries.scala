@@ -1030,7 +1030,36 @@ object PipelineQueries {
         |SELECT doc_id, n_emails, n_urls,
         |       md5(trim(regexp_replace(s2, '  +', ' ', 'g'))) AS clean_sig,
         |       CAST(length(trim(regexp_replace(s2, '  +', ' ', 'g'))) AS BIGINT) AS clean_len
-        |FROM red ORDER BY doc_id""".stripMargin))
+        |FROM red ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // cs1: per-source corpus report — the mix dashboard a training-data
+    // build reads before weighting sources: volume, token mass, language
+    // spread, exact-dup rate. Two partial-aggregable passes (per-source
+    // agg + content-hash dup counts joined back on the hash).
+    Q("cs1_corpus_report",
+      """WITH t AS (SELECT source, doc_id, text, lang,
+        |             size(split(text, ' ')) AS tokens FROM documents),
+        |d AS (SELECT md5(text) AS sig, count(*) AS c FROM documents GROUP BY 1)
+        |SELECT t.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(tokens), 2) AS avg_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM t JOIN d ON md5(t.text) = d.sig
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+      """WITH t AS (SELECT source, doc_id, text, lang,
+        |             len(string_split(text, ' ')) AS tokens FROM documents),
+        |d AS (SELECT md5(text) AS sig, count(*) AS c FROM documents GROUP BY 1)
+        |SELECT t.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(tokens), 2) AS avg_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |FROM t JOIN d ON md5(t.text) = d.sig
+        |GROUP BY t.source ORDER BY t.source""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous

@@ -390,6 +390,19 @@ object SqlSurface {
         |WHERE c.custkey <= 300
         |ORDER BY c.custkey""".stripMargin),
 
+    // UNPIVOT: wide per-nation segment balances folded back to long form
+    // (NULL cells excluded by default in both dialects)
+    Q("q36_unpivot",
+      """WITH agg AS (
+        |  SELECT nationkey,
+        |    round(sum(CASE WHEN mktsegment = 'BUILDING' THEN acctbal END), 2) AS building,
+        |    round(sum(CASE WHEN mktsegment = 'AUTOMOBILE' THEN acctbal END), 2) AS automobile,
+        |    round(sum(CASE WHEN mktsegment = 'MACHINERY' THEN acctbal END), 2) AS machinery
+        |  FROM customer_entity GROUP BY nationkey)
+        |SELECT nationkey, seg, bal
+        |FROM agg UNPIVOT (bal FOR seg IN (building, automobile, machinery))
+        |ORDER BY nationkey, seg""".stripMargin),
+
     // VALUES inline table + join against it (validation.rs:541-547)
     Q("q23_values_inline",
       """SELECT v.region_tag, count(*) AS n_nations
