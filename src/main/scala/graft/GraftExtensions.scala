@@ -29,5 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.length == 2, "word_ngrams takes exactly 2 arguments")
           WordNGrams(exprs.head, exprs(1))
         }))
+    // whole-operator extension: bounded-heap top-k per group (no total sort)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

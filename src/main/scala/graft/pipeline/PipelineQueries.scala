@@ -1209,6 +1209,21 @@ object PipelineQueries {
       Similarity.sq8TopK(enc, queryIds = 0L to 4L, k = 5)
     }),
 
+    // tk1: top-3 events per user through the custom TopKPerGroup physical
+    // operator (LogicalPlan + Strategy + SparkPlan): bounded per-group
+    // heaps after one hash exchange — O(n log k), no total sort (the
+    // row_number window form sorts every partition). Oracle = the window
+    // spelling in DuckDB: two algorithms, one answer.
+    "tk1_topk_per_user" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val ev = s.table("events").select(col("user_id"), col("event_id"), col("value"))
+      graft.plans.TopKPerGroup(ev, keys = Seq("user_id"),
+          orderBy = Seq("value" -> false, "event_id" -> true), k = 3)
+        .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"), col("value").desc, col("event_id"))
+    }),
+
     // tx7 routes through the library operator (LibraryApiSpec proves it
     // equals the SQL form): the vocabulary model is checkpointed once and
     // explicitly broadcast, instead of the SQL form's re-derivation of the
@@ -1547,6 +1562,14 @@ object PipelineQueries {
            |FROM ($dd2) base
            |ORDER BY doc_a, doc_b""".stripMargin
       },
+
+      "tk1_topk_per_user" ->
+        """SELECT user_id, event_id, round(value, 2) AS value FROM (
+          |  SELECT user_id, event_id, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |             ORDER BY value DESC, event_id) AS rn
+          |  FROM events) t
+          |WHERE rn <= 3 ORDER BY user_id, value DESC, event_id""".stripMargin,
 
       "ao1_asof_join" ->
         """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Custom whole-operator plan: top-k rows per group WITHOUT a total sort.
+  *
+  * Spark's native spelling — `row_number() OVER (PARTITION BY k ORDER BY s)
+  * <= k` — must fully sort every partition before it can rank (WindowExec
+  * requires child ordering), an O(n log n) pass that reads and sorts ALL
+  * rows per group even when k << group size. This operator keeps a bounded
+  * k-row heap per group instead: O(n log k) with O(groups·k) memory, no
+  * sort of the input, single pass.
+  *
+  * Built the idiomatic library-extension way (SURVEY §7.3 preference (c)):
+  * a LogicalPlan node + SparkStrategy + SparkPlan, injected via
+  * `GraftExtensions` (`injectPlannerStrategy`). `requiredChildDistribution`
+  * declares group clustering, so Catalyst plans exactly one hash shuffle —
+  * the same exchange an aggregation over the keys would need — and AQE
+  * still coalesces/handles skew around it.
+  */
+final case class TopKPerGroupNode(
+    keyExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Physical operator: bounded per-group heaps over clustered input. */
+final case class TopKPerGroupExec(
+    keyExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  // one hash exchange on the group keys; no child ordering requirement —
+  // this is the whole point (WindowExec would demand a full sort here)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keyExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      // generated row comparator for the SortOrder chain ("better" = sorts
+      // first); the heap keeps the CURRENT k best with the worst on top
+      val ord = new LazilyGeneratedOrdering(sortOrders, schema)
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { h =>
+        // dequeueAll yields worst -> best; reverse for in-group rank order
+        out ++= h.dequeueAll.reverseIterator
+      }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to its exec (injected via
+  * `GraftExtensions.injectPlannerStrategy`). */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(keys, orders, k, child) =>
+      TopKPerGroupExec(keys, orders, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  /** Top `k` rows per distinct value of `keys`, ranked by `orderBy`
+    * (column names + ascending flags, lexicographic). Rows emit in rank
+    * order within each group; add a trailing unique tiebreak column for
+    * fully deterministic output. Key/order columns resolve directly
+    * against the input's analyzed output (a custom logical node sits
+    * outside the Dataset API's column-resolution path). */
+  def apply(
+      df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val spark = SparkSession.active
+    // ensure the strategy is installed even without spark.sql.extensions
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        TopKPerGroupStrategy +: spark.experimental.extraStrategies
+    val child = ColumnBridge.planOf(df)
+    def attr(name: String): Attribute =
+      child.output.find(a => spark.sessionState.analyzer.resolver(a.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"column '$name' not in ${child.output.map(_.name).mkString(", ")}"))
+    val orders = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    ColumnBridge.ofRows(spark, TopKPerGroupNode(keys.map(attr), orders, k, child))
+  }
+}
