@@ -55,6 +55,9 @@ object WordNGrams {
 
   /** One compiled pass: split once, emit `max(len - n, 0) + 1` grams. */
   def compute(text: UTF8String, n: Int): ArrayData = {
+    // the slice-based lambda form throws on a non-positive length — match
+    // it loudly instead of silently emitting empty shingles
+    require(n > 0, s"word_ngrams: n must be positive, got $n")
     val tokens = text.split(Space, -1)
     val len = tokens.length
     val out = new Array[AnyRef](math.max(len - n, 0) + 1)

@@ -997,35 +997,35 @@ object PipelineQueries {
     // Java (Spark) and RE2 (DuckDB) and matches identically in both; all
     // steps are per-row projections (zero shuffles at any scale).
     Q("tc1_clean_pii",
-      """WITH dirty AS (SELECT doc_id,
+      s"""WITH dirty AS (SELECT doc_id,
         |    concat('<div id="', doc_id, '"> ', text, ' contact user', doc_id,
         |           '@mail.example.com or visit https://site.example/', doc_id,
         |           ' now</div>') AS raw FROM documents),
-        |st AS (SELECT doc_id, regexp_replace(raw, '<[^>]*>', ' ') AS s1 FROM dirty),
+        |st AS (SELECT doc_id, regexp_replace(raw, '${Curation.TagPattern}', ' ') AS s1 FROM dirty),
         |red AS (SELECT doc_id,
         |    CAST(size(regexp_extract_all(s1,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', 0)) AS BIGINT) AS n_emails,
-        |    CAST(size(regexp_extract_all(s1, 'https?://[^ ]+', 0)) AS BIGINT) AS n_urls,
+        |      '${Curation.EmailPattern}', 0)) AS BIGINT) AS n_emails,
+        |    CAST(size(regexp_extract_all(s1, '${Curation.UrlPattern}', 0)) AS BIGINT) AS n_urls,
         |    regexp_replace(regexp_replace(s1,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]'),
-        |      'https?://[^ ]+', '[URL]') AS s2
+        |      '${Curation.EmailPattern}', '[EMAIL]'),
+        |      '${Curation.UrlPattern}', '[URL]') AS s2
         |  FROM st)
         |SELECT doc_id, n_emails, n_urls,
         |       md5(trim(regexp_replace(s2, '  +', ' '))) AS clean_sig,
         |       CAST(length(trim(regexp_replace(s2, '  +', ' '))) AS BIGINT) AS clean_len
         |FROM red ORDER BY doc_id""".stripMargin,
-      """WITH dirty AS (SELECT doc_id,
+      s"""WITH dirty AS (SELECT doc_id,
         |    concat('<div id="', doc_id, '"> ', text, ' contact user', doc_id,
         |           '@mail.example.com or visit https://site.example/', doc_id,
         |           ' now</div>') AS raw FROM documents),
-        |st AS (SELECT doc_id, regexp_replace(raw, '<[^>]*>', ' ', 'g') AS s1 FROM dirty),
+        |st AS (SELECT doc_id, regexp_replace(raw, '${Curation.TagPattern}', ' ', 'g') AS s1 FROM dirty),
         |red AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(s1,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |    CAST(len(regexp_extract_all(s1, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        |      '${Curation.EmailPattern}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(s1, '${Curation.UrlPattern}')) AS BIGINT) AS n_urls,
         |    regexp_replace(regexp_replace(s1,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |      'https?://[^ ]+', '[URL]', 'g') AS s2
+        |      '${Curation.EmailPattern}', '[EMAIL]', 'g'),
+        |      '${Curation.UrlPattern}', '[URL]', 'g') AS s2
         |  FROM st)
         |SELECT doc_id, n_emails, n_urls,
         |       md5(trim(regexp_replace(s2, '  +', ' ', 'g'))) AS clean_sig,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
@@ -51,6 +51,12 @@ final case class TopKPerGroupExec(
   // this is the whole point (WindowExec would demand a full sort here)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keyExprs) :: Nil
+
+  // group-preserving: the clustering the exchange just established still
+  // holds, so a downstream groupBy/join on the same keys plans no second
+  // shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
@@ -106,7 +112,9 @@ object TopKPerGroup {
   def apply(
       df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
       k: Int): DataFrame = {
-    val spark = SparkSession.active
+    // the input's own session, NOT SparkSession.active: with concurrent
+    // sessions the strategy must install where the plan executes
+    val spark = df.sparkSession
     // ensure the strategy is installed even without spark.sql.extensions
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
