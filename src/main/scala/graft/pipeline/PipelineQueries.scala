@@ -598,6 +598,29 @@ object PipelineQueries {
         |GROUP BY shard ORDER BY shard""".stripMargin),
 
     // ------------------------------------------------------------------
+    // sp5: deterministic train/val/test split (80/10/10 by md5-byte
+    // threshold on the salted doc id) with per-source split counts — the
+    // assignment is a pure projection (reproducible under retry, resize,
+    // or a different engine), never a rand() or a global sort.
+    Q("sp5_train_split",
+      """WITH s AS (SELECT source, doc_id,
+        |    CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT source, doc_id,
+        |          CAST(conv(substring(md5(concat('sp5:', CAST(doc_id AS STRING))), 1, 2),
+        |               16, 10) AS INT) AS h
+        |        FROM documents) h)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+      """WITH s AS (SELECT source, doc_id,
+        |    CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT source, doc_id,
+        |          CAST(('0x' || substring(md5(concat('sp5:', CAST(doc_id AS VARCHAR))), 1, 2))
+        |               AS INT) AS h
+        |        FROM documents) h)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin),
+
+    // ------------------------------------------------------------------
     // sp4: source-weighted corpus mixing — the training-data "mixture
     // weights" step (Pile/LLaMA-style recipes): premium sources repeat
     // 2.5x, one noisy source keeps 0.25x, the rest 1x. floor(w) full
