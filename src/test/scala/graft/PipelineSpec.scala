@@ -230,6 +230,49 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${expected -- got}, extra=${got -- expected}")
   }
 
+  test("streaming ingest dedup: foreachBatch + stored band index equals batch recompute") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val corpus0 = docs.where(col("doc_id") % 10 < 6)
+    val sliceA = docs.where(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+    val sliceB = docs.where(col("doc_id") % 10 === 8 || col("doc_id") % 10 === 9)
+
+    // production state layout: corpus + band index as stored tables; each
+    // arriving micro-batch dedups against the CURRENT state, then appends
+    // itself (docs + its index slice) — only the batch is ever re-hashed
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val storeDir = s"$root/corpus"; val idxDir = s"$root/index"; val inDir = s"$root/in"
+    corpus0.write.parquet(storeDir)
+    graft.pipeline.Dedup.bandIndex(corpus0, "doc_id", "text").write.parquet(idxDir)
+    sliceA.coalesce(1).write.parquet(inDir)
+    sliceB.coalesce(1).write.mode("append").parquet(inDir)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val corpus = spark.read.parquet(storeDir)
+        val index = spark.read.parquet(idxDir)
+        results ++= graft.pipeline.Dedup
+          .incrementalNearDupPairs(b, corpus, index, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        b.write.mode("append").parquet(storeDir)
+        graft.pipeline.Dedup.bandIndex(b, "doc_id", "text")
+          .write.mode("append").parquet(idxDir)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+
+    // every pair with >= 1 end in a streamed slice is found exactly when
+    // its later end arrives; corpus0-internal pairs were found at build
+    val full = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filterNot { case (a, b, _) => a % 10 < 6 && b % 10 < 6 }
+    assert(results.toSet == expected,
+      s"missing=${expected -- results.toSet}, extra=${results.toSet -- expected}")
+  }
+
   test("winnowing guarantee: near-dup pairs share selected fingerprints") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
