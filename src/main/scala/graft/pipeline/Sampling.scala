@@ -81,6 +81,21 @@ object Sampling {
         lit(":"), col(copyCol).cast("string"))))
   }
 
+  /** Deterministic train/val/test split (library form of sp5): the row's
+    * md5-byte draw against cumulative thresholds out of 256 — a pure
+    * projection, reproducible under retry, resize, or another engine.
+    * Defaults to 80/10/10. */
+  def withSplit(
+      df: DataFrame, idCol: String,
+      trainUpTo: Int = 204, valUpTo: Int = 230,
+      salt: String = "sp5", splitCol: String = "split"): DataFrame = {
+    require(0 <= trainUpTo && trainUpTo <= valUpTo && valUpTo <= 256,
+      "thresholds must satisfy 0 <= train <= val <= 256")
+    val h = conv(hexDraw(col(idCol), salt), 16, 10).cast("int")
+    df.withColumn(splitCol,
+      when(h < trainUpTo, "train").when(h < valUpTo, "val").otherwise("test"))
+  }
+
   /** Deterministic shard id in [0, nShards) for training-shard export:
     * derived from the row's hash draw, so shards are balanced and stable
     * across runs/retries. Writing becomes

@@ -121,6 +121,21 @@ class SamplingSpec extends AnyFunSuite {
       s"shard skew ${counts.mkString(",")}")
   }
 
+  test("withSplit matches the sp5 SQL aggregation; splits near 80/10/10") {
+    val split = Sampling.withSplit(docs, "doc_id")
+    val libAgg = split.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("split"))
+    val sqlAgg = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("sp5_train_split"))
+    assert(libAgg.collect().toSeq == sqlAgg.collect().toSeq)
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = frac.values.sum.toDouble
+    assert(frac("train") / total > 0.7 && frac("train") / total < 0.9)
+    assert(frac("val") / total > 0.05 && frac("test") / total > 0.05)
+  }
+
   test("curated shards export via partitionBy and read back identically") {
     import graft.pipeline.Curation
     val curated = Curation.curate(docs, "doc_id", "text", "lang")
