@@ -139,6 +139,27 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Semantic dedup against LEARNED centroids (the scale path, as ss3 is
+    * to ss2): cluster assignment is a pure PROJECTION against constant
+    * centroid literals on the codegen'd vec_dot — no cross join, no
+    * window, no shuffle of the corpus before the within-cluster pair
+    * join. Same output contract as [[semanticDedup]]. */
+  def semanticDedupLearned(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double = 0.4): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+      .withColumn("cid", assignExpr(centroids, "__v"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("va"), col("b.__id").as("vb"),
+        round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+    pairs.groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("keeper"), max(col("cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Spherical k-means (cosine geometry) over an embedding column — the
     * "learned centroids" path an IVF index needs at corpus scale. Lloyd
     * iterations where:

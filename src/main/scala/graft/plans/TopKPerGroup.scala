@@ -38,19 +38,34 @@ final case class TopKPerGroupNode(
     copy(child = newChild)
 }
 
-/** Physical operator: bounded per-group heaps over clustered input. */
+/** Physical operator: bounded per-group heaps over clustered input.
+  *
+  * Planned in two phases like an aggregation: a PARTIAL pass runs on the
+  * map side with no distribution requirement, shrinking each input
+  * partition to at most `groups·k` rows BEFORE the exchange (top-k is
+  * merge-decomposable: the global top-k of a union is contained in the
+  * union of per-part top-ks), then the FINAL pass runs on the clustered
+  * shuffle output. Shuffle volume drops from n rows to
+  * ≤ maps·groups·k — for selective k over big groups, the difference
+  * between shuffling the corpus and shuffling a summary. */
 final case class TopKPerGroupExec(
     keyExprs: Seq[Expression],
     sortOrders: Seq[SortOrder],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // one hash exchange on the group keys; no child ordering requirement —
-  // this is the whole point (WindowExec would demand a full sort here)
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+
+  // final phase: one hash exchange on the group keys; no child ordering
+  // requirement — this is the whole point (WindowExec would demand a full
+  // sort here). Partial phase runs wherever the data already is.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keyExprs) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(keyExprs)) :: Nil
 
   // group-preserving: the clustering the exchange just established still
   // holds, so a downstream groupBy/join on the same keys plans no second
@@ -97,7 +112,8 @@ final case class TopKPerGroupExec(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(keys, orders, k, child) =>
-      TopKPerGroupExec(keys, orders, k, planLater(child)) :: Nil
+      TopKPerGroupExec(keys, orders, k, partial = false,
+        TopKPerGroupExec(keys, orders, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -46,6 +46,10 @@ class TopKPerGroupSpec extends AnyFunSuite {
     topk.collect()
     val plan = topk.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup "), plan)
+    // map-side partial sits BELOW the exchange: shuffle volume is already
+    // bounded by groups·k per input partition
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.indexOf("TopKPerGroupPartial") > plan.indexOf("Exchange"), plan)
     assert(!plan.contains("Sort "), plan)
     val windowPlan = events.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
