@@ -31,6 +31,7 @@ final case class TopKPerGroupNode(
     keyExprs: Seq[Expression],
     sortOrders: Seq[SortOrder],
     k: Int,
+    maxPartialGroups: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output
@@ -53,6 +54,7 @@ final case class TopKPerGroupExec(
     sortOrders: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxPartialGroups: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -75,31 +77,84 @@ final case class TopKPerGroupExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       // generated row comparator for the SortOrder chain ("better" = sorts
       // first); the heap keeps the CURRENT k best with the worst on top
       val ord = new LazilyGeneratedOrdering(sortOrders, schema)
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
-          heaps.put(key.copy(), heap)
+
+      if (isPartial) {
+        // the partial pass is ONLY a shuffle-volume optimization (any
+        // superset is correct), so it must never cost unbounded memory on
+        // high-cardinality keys: once the group map is full, rows of
+        // UNSEEN keys stream through lazily — the same degradation hash
+        // aggregation gets from its fallback, without the sort
+        new Iterator[InternalRow] {
+          private var flushed: java.util.Iterator[scala.collection.mutable.PriorityQueue[InternalRow]] = _
+          private var drain: Iterator[InternalRow] = Iterator.empty
+          private var overflow: InternalRow = _
+
+          @annotation.tailrec
+          private def advance(): Unit = {
+            if (iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null && heaps.size() < maxPartialGroups) {
+                heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap == null) { overflow = row } // unseen key, map full
+              else {
+                if (heap.size < k) heap.enqueue(row.copy())
+                else if (ord.compare(row, heap.head) < 0) {
+                  heap.dequeue(); heap.enqueue(row.copy())
+                }
+                advance()
+              }
+            } else if (flushed == null) {
+              flushed = heaps.values().iterator()
+              advance()
+            } else if (flushed.hasNext && !drain.hasNext) {
+              drain = flushed.next().dequeueAll.reverseIterator
+              advance()
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (overflow == null && !drain.hasNext) advance()
+            overflow != null || drain.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            if (overflow != null) { val r = overflow; overflow = null; r }
+            else drain.next()
+          }
         }
-        if (heap.size < k) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+      } else {
+        // final pass over clustered input: exact, bounded by groups·k
+        iter.foreach { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < k) heap.enqueue(row.copy())
+          else if (ord.compare(row, heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(row.copy())
+          }
         }
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { h =>
+          // dequeueAll yields worst -> best; reverse for in-group rank order
+          out ++= h.dequeueAll.reverseIterator
+        }
+        out.iterator
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { h =>
-        // dequeueAll yields worst -> best; reverse for in-group rank order
-        out ++= h.dequeueAll.reverseIterator
-      }
-      out.iterator
     }
   }
 
@@ -107,13 +162,22 @@ final case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
+object TopKPerGroupExec {
+  /** Default partial-phase group-map bound: above this many distinct keys
+    * per input partition, further unseen keys pass through unreduced
+    * (still correct — the partial pass only prunes). ~64k groups × k rows
+    * is a few tens of MB at k=10. */
+  val MaxPartialGroups: Int = 65536
+}
+
 /** Planner strategy mapping the logical node to its exec (injected via
   * `GraftExtensions.injectPlannerStrategy`). */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(keys, orders, k, child) =>
-      TopKPerGroupExec(keys, orders, k, partial = false,
-        TopKPerGroupExec(keys, orders, k, partial = true, planLater(child))) :: Nil
+    case TopKPerGroupNode(keys, orders, k, maxPartial, child) =>
+      TopKPerGroupExec(keys, orders, k, partial = false, maxPartial,
+        TopKPerGroupExec(keys, orders, k, partial = true, maxPartial,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -127,7 +191,8 @@ object TopKPerGroup {
     * outside the Dataset API's column-resolution path). */
   def apply(
       df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
-      k: Int): DataFrame = {
+      k: Int,
+      maxPartialGroups: Int = TopKPerGroupExec.MaxPartialGroups): DataFrame = {
     // the input's own session, NOT SparkSession.active: with concurrent
     // sessions the strategy must install where the plan executes
     val spark = df.sparkSession
@@ -143,6 +208,7 @@ object TopKPerGroup {
     val orders = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    ColumnBridge.ofRows(spark, TopKPerGroupNode(keys.map(attr), orders, k, child))
+    ColumnBridge.ofRows(spark,
+      TopKPerGroupNode(keys.map(attr), orders, k, maxPartialGroups, child))
   }
 }

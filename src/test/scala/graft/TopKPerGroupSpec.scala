@@ -58,6 +58,18 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(windowPlan.contains("Sort "), windowPlan)
   }
 
+  test("partial-phase overflow (group map full) still yields exact results") {
+    // maxPartialGroups=4 forces most keys through the pass-through path;
+    // the final phase must still produce the exact top-k
+    val topk = TopKPerGroup(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 3, maxPartialGroups = 4)
+    val expected = TopKPerGroup(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 3)
+    assert(topk.count() == expected.count())
+    assert(topk.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(topk).count() == 0)
+  }
+
   test("rank order within each group: first emitted row per key is the best") {
     val topk = TopKPerGroup(events, Seq("user_id"),
       Seq("value" -> false, "event_id" -> true), k = 2)
