@@ -128,15 +128,7 @@ object Similarity {
     val assign = scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
       .select(col("__id"), col("__v"), col("nrm"), col("cid"))
-    val pairs = assign.as("a").join(assign.as("b"),
-        col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("va"), col("b.__id").as("vb"),
-        round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)
-          .as("cos"))
-      .where(col("cos") >= threshold)
-    pairs.groupBy(col("vb").as("vec_id"))
-      .agg(min(col("va")).as("keeper"), max(col("cos")).as("max_cos"))
-      .orderBy(col("vec_id"))
+    dedupWithinCluster(assign, threshold)
   }
 
   /** Semantic dedup against LEARNED centroids (the scale path, as ss3 is
@@ -147,9 +139,23 @@ object Similarity {
   def semanticDedupLearned(
       vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], threshold: Double = 0.4): DataFrame = {
+    // argmax of raw dot == cosine argmax only for equal-norm centroids;
+    // normalize here (idempotent for sphericalKMeans output) so external
+    // centroids with varying norms can't silently skew assignment
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
     val v = withNorm(vecs, idCol, vecCol)
-      .withColumn("cid", assignExpr(centroids, "__v"))
-    val pairs = v.as("a").join(v.as("b"),
+      .withColumn("cid", assignExpr(unit, "__v"))
+    dedupWithinCluster(v, threshold)
+  }
+
+  /** Shared within-cluster dedup tail: pair join on cluster id, exact
+    * cosine at 6-decimal rounding, lower-id keeper per dropped vector. */
+  private def dedupWithinCluster(
+      assigned: DataFrame, threshold: Double): DataFrame = {
+    val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("va"), col("b.__id").as("vb"),
         round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)

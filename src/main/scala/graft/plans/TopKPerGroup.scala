@@ -47,8 +47,11 @@ final case class TopKPerGroupNode(
   * merge-decomposable: the global top-k of a union is contained in the
   * union of per-part top-ks), then the FINAL pass runs on the clustered
   * shuffle output. Shuffle volume drops from n rows to
-  * ≤ maps·groups·k — for selective k over big groups, the difference
-  * between shuffling the corpus and shuffling a summary. */
+  * ≤ maps·(maxPartialGroups·k + rows of keys beyond the first
+  * maxPartialGroups, which pass through unreduced) — for selective k over
+  * big groups, the difference between shuffling the corpus and shuffling
+  * a summary; on extreme key cardinality it degrades gracefully toward n
+  * instead of holding an unbounded map. */
 final case class TopKPerGroupExec(
     keyExprs: Seq[Expression],
     sortOrders: Seq[SortOrder],

@@ -75,8 +75,10 @@ class SimilaritySpec extends AnyFunSuite {
     val v = Similarity.withNorm(emb, "vec_id", "embedding")
     val truth = v.as("a").join(v.as("b"), col("a.__id") < col("b.__id"))
       .select(col("b.__id").as("vec_id"),
-        (graft.functions.VectorFunctions.vec_dot(col("a.__v"), col("b.__v"))
-          / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        // same 6-decimal rounding as the operator, so the subset assertion
+        // is exact at the threshold boundary
+        round(graft.functions.VectorFunctions.vec_dot(col("a.__v"), col("b.__v"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .where(col("cos") >= 0.4)
       .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
     val found = sd.select(col("vec_id")).collect().map(_.getLong(0)).toSet
