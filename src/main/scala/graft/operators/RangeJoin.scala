@@ -43,4 +43,28 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: every (left, right) pair with the same `keys`
+    * whose closed intervals `[lStart, lEnd]` and `[rStart, rEnd]` overlap.
+    * Same bin-bucketing shape as [[pointInRange]] — both sides explode to
+    * the fixed-width bins they span and hash-join on (keys, bin) — with
+    * exactly-once emission restored by keeping only the bin containing
+    * `max(lStart, rStart)`: overlap implies that point lies in BOTH
+    * intervals, so exactly one shared bin survives per qualifying pair and
+    * no dedup shuffle is needed. Bound columns must be numeric and named
+    * distinctly across the two sides. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
+      explode(sequence(
+        floor(col(s) / binWidth).cast("long"),
+        floor(col(e) / binWidth).cast("long"))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), keys :+ "__bin")
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bin") === floor(greatest(col(lStart), col(rStart)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

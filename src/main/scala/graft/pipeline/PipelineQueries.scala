@@ -1247,6 +1247,50 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("value").desc, col("event_id"))
     }),
 
+    // ao2: FORWARD as-of join — for each purchase, the nearest click
+    // at-or-after it per user. Same union-sort-carry shape as ao1 with the
+    // window reversed; oracle = correlated first-row lookup in DuckDB.
+    "ao2_asof_next" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val ev = s.table("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("pvalue"))
+      graft.operators.AsOfJoin.asofNext(
+          purch, clicks, keys = Seq("user_id"),
+          leftTime = "ts", rightTime = "ts", payload = Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("pvalue"), col("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // rj2: interval-overlap join (range x range — the join class rj1's
+    // point-in-range doesn't cover): 20-minute click and purchase windows
+    // per user that overlap. Bin-bucketed hash join with exactly-once
+    // emission from the bin of max(start); oracle = the plain inequality
+    // join in DuckDB.
+    "rj2_interval_overlap" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val ev = s.table("events")
+      def side(t: String, idAs: String, sAs: String, eAs: String) =
+        ev.where(col("event_type") === t)
+          .select(col("user_id"), col("event_id").as(idAs),
+            unix_timestamp(col("ts")).as(sAs),
+            (unix_timestamp(col("ts")) + 1200).as(eAs))
+      val clicks = side("click", "click_id", "cs", "ce")
+      val purch = side("purchase", "purchase_id", "ps", "pe")
+      graft.operators.RangeJoin.intervalOverlap(
+          clicks, purch, keys = Seq("user_id"),
+          lStart = "cs", lEnd = "ce", rStart = "ps", rEnd = "pe",
+          binWidth = 1200L)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // tx7 routes through the library operator (LibraryApiSpec proves it
     // equals the SQL form): the vocabulary model is checkpointed once and
     // explicitly broadcast, instead of the SQL form's re-derivation of the
@@ -1593,6 +1637,32 @@ object PipelineQueries {
           |             ORDER BY value DESC, event_id) AS rn
           |  FROM events) t
           |WHERE rn <= 3 ORDER BY user_id, value DESC, event_id""".stripMargin,
+
+      "ao2_asof_next" ->
+        """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |                       max(event_id) AS click_id
+          |                FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          |purch AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |                 round(value, 2) AS pvalue
+          |          FROM events WHERE event_type = 'purchase')
+          |SELECT p.event_id, p.user_id, p.pvalue,
+          |       (SELECT c.click_id FROM clicks c
+          |        WHERE c.user_id = p.user_id AND c.ts >= p.ts
+          |        ORDER BY c.ts LIMIT 1) AS click_id
+          |FROM purch p ORDER BY p.event_id""".stripMargin,
+
+      "rj2_interval_overlap" ->
+        """WITH c AS (SELECT user_id, event_id AS click_id,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS cs,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 1200 AS ce
+          |  FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id AS purchase_id,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ps,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) + 1200 AS pe
+          |  FROM events WHERE event_type = 'purchase')
+          |SELECT c.click_id, p.purchase_id
+          |FROM c JOIN p ON c.user_id = p.user_id AND c.cs <= p.pe AND p.ps <= c.ce
+          |ORDER BY click_id, purchase_id""".stripMargin,
 
       "ao1_asof_join" ->
         """WITH clicks AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
