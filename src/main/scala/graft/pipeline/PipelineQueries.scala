@@ -1056,6 +1056,34 @@ object PipelineQueries {
         |FROM red ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // tx8: TF-IDF document scoring — document-frequency model in one
+    // map-side-combinable groupBy (vocabulary-sized, like tx7's LM), then
+    // one token-stream join back. IDF quantizes to integer micro-logs
+    // (tx7's trick) so per-doc sums are order- and engine-independent.
+    Q("tx8_tfidf",
+      """WITH tok AS (SELECT doc_id, token FROM documents
+        |             LATERAL VIEW explode(split(text, ' ')) t AS token),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf * CAST(floor(ln(n.n / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT))
+        |       AS BIGINT) AS tfidf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf * CAST(floor(ln(n.n / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT))
+        |       AS BIGINT) AS tfidf_micro,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // cs1: per-source corpus report — the mix dashboard a training-data
     // build reads before weighting sources: volume, token mass, language
     // spread, exact-dup rate. Two partial-aggregable passes (per-source
