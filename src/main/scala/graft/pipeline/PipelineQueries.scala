@@ -1319,6 +1319,32 @@ object PipelineQueries {
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
+    // mm6: multimodal retrieval — the decode -> feature -> ANN composition:
+    // 16-bin histograms from the REAL PNG decode path become the feature
+    // vectors, and each query image retrieves its cosine top-5. Features
+    // round to 6 decimals on BOTH sides (mm2 proved decode-vs-char-wise
+    // parity at that precision), so the index-ordered double sums agree
+    // exactly across engines.
+    "mm6_image_retrieval" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      Fixtures.registerRaw(s, dir)
+      def dotE(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+      val v = Multimodal.extractFeatures(cachedMedia(s, dir)).toDF()
+        .select(col("doc_id"), expr("transform(histogram, x -> round(x, 6))").as("h"))
+        .select(col("doc_id"), col("h"), sqrt(dotE("h", "h")).as("nrm"))
+      val q = v.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("h").as("qh"), col("nrm").as("qn"))
+      val scored = q.crossJoin(v).where(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id").as("img_id"),
+          round(dotE("qh", "h") / (col("qn") * col("nrm")), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("img_id"))
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .select(col("qid"), col("img_id"), col("cos"))
+        .orderBy(col("qid"), col("cos").desc, col("img_id"))
+    }),
+
     // tx7 routes through the library operator (LibraryApiSpec proves it
     // equals the SQL form): the vocabulary model is checkpointed once and
     // explicitly broadcast, instead of the SQL form's re-derivation of the
@@ -1846,6 +1872,29 @@ object PipelineQueries {
           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // char-wise re-derivation of the 16-bin histogram (the mm2 oracle's
+      // precondition: ASCII corpus, so bytes == chars == pixels), then the
+      // identical cosine top-5
+      "mm6_image_retrieval" ->
+        """WITH h0 AS (SELECT doc_id, list_transform(range(0, 16), b ->
+          |        round(len(list_filter(range(1, length(text) + 1),
+          |              i -> ord(substr(text, i, 1)) // 16 = b))
+          |              / CAST(length(text) AS DOUBLE), 6)) AS h
+          |  FROM documents),
+          |v AS (SELECT doc_id, h,
+          |        sqrt(list_sum(list_transform(range(1, 17), i -> h[i] * h[i]))) AS nrm
+          |      FROM h0),
+          |q AS (SELECT doc_id AS qid, h AS qh, nrm AS qn FROM v WHERE doc_id < 5),
+          |scored AS (SELECT q.qid, v.doc_id AS img_id,
+          |    round(list_sum(list_transform(range(1, 17), i -> q.qh[i] * v.h[i]))
+          |          / (q.qn * v.nrm), 6) AS cos
+          |  FROM q CROSS JOIN v WHERE v.doc_id <> q.qid)
+          |SELECT qid, img_id, cos FROM (
+          |  SELECT qid, img_id, cos,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, img_id) AS rnk
+          |  FROM scored) t
+          |WHERE rnk <= 5 ORDER BY qid, cos DESC, img_id""".stripMargin,
 
       "mm2_multimodal_features" ->
         """SELECT doc_id,
