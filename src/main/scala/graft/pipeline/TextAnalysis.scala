@@ -113,6 +113,29 @@ object TextAnalysis {
         expr("CAST(round(logp_u6 / CAST(n_tokens AS DOUBLE)) AS BIGINT)"))
   }
 
+  /** TF-IDF document scoring (library form of tx8): the document-frequency
+    * model aggregates to a VOCABULARY-sized table, checkpointed and
+    * broadcast back over the token stream — the corpus never shuffles for
+    * the model join. IDF quantizes to integer micro-logs so per-doc sums
+    * are exact integer math (order- and engine-independent). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val n = docs.count()
+    val df = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .localCheckpoint()
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), Seq("token"))
+      .select(col("doc_id"),
+        (col("tf") * expr(s"CAST(floor(ln($n / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast("long").as("tfidf_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WINNOWING fingerprints (MOSS), staged as two expressions — single
     * source for the tx6 driver query and its guarantee spec. The gram
     * array MUST be materialized into a column before the window pass:

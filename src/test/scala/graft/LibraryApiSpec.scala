@@ -185,6 +185,23 @@ class LibraryApiSpec extends AnyFunSuite {
     assertSame(lib, sqlForm)
   }
 
+  test("TextAnalysis.tfidf == tx8 SQL form; the DF model ships by broadcast") {
+    Fixtures.registerRaw(spark, sfDir)
+    val lib = TextAnalysis.tfidf(spark.table("documents"), "doc_id", "text")
+    assertSame(lib, q("tx8_tfidf"))
+    val plan = lib.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("GapFill.countsDense == ts1 SQL form") {
+    Fixtures.registerRaw(spark, sfDir)
+    val lib = graft.operators.GapFill
+      .countsDense(spark.table("events"), "event_type", "ts")
+      .select(col("event_type"), col("bucket_epoch").as("hr_epoch"), col("n"))
+      .orderBy(col("event_type"), col("hr_epoch"))
+    assertSame(lib, q("ts1_gapfill"))
+  }
+
   test("decontamination joins the eval gram set by broadcast (plan shape)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
