@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * key with zero-filled counts. The spine generates from each key's
   * min/max bucket — |keys| × |buckets| rows, tiny next to the data it
   * left-joins — and bucket arithmetic is integer epochs, so the spine is
-  * engine-reproducible. */
+  * engine-reproducible. Buckets align to epoch multiples of the step
+  * (UTC-anchored); under a session timezone with a non-whole-step UTC
+  * offset this differs from wall-clock `date_trunc` boundaries. */
 object GapFill {
 
   /** Per-(key, bucket) row counts with every `stepSeconds` bucket between

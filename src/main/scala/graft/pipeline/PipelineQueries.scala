@@ -1217,6 +1217,20 @@ object PipelineQueries {
   private val sq8Cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
 
+  /** Deduped click (one row per user,ts) and purchase frames — shared by
+    * the backward (ao1) and forward (ao2) as-of drivers. */
+  private def clickPurchFrames(s: SparkSession): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val ev = s.table("events")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 2).as("pvalue"))
+    (clicks, purch)
+  }
+
   /** Scala-side implementations that supersede the SQL text (same results —
     * LibraryApiSpec proves byte-equality — but with caching Catalyst's
     * CTE-inlining can't express: dd2's shingle set is consumed 4x). */
@@ -1231,17 +1245,9 @@ object PipelineQueries {
     // ASOF LEFT JOIN; our implementation is the union-sort-carry pattern
     // (one shuffle, no range explosion).
     "ao1_asof_join" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
-      val ev = s.table("events")
-      // dedupe right to one row per (user, ts) for deterministic payloads
-      val clicks = ev.where(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("click_id"))
-      val purch = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value"), 2).as("pvalue"))
+      val (clicks, purch) = clickPurchFrames(s)
       graft.operators.AsOfJoin.asofLast(
           purch, clicks, keys = Seq("user_id"),
           leftTime = "ts", rightTime = "ts", payload = Seq("click_id"))
@@ -1281,13 +1287,7 @@ object PipelineQueries {
     "ao2_asof_next" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
-      val ev = s.table("events")
-      val clicks = ev.where(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("click_id"))
-      val purch = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          round(col("value"), 2).as("pvalue"))
+      val (clicks, purch) = clickPurchFrames(s)
       graft.operators.AsOfJoin.asofNext(
           purch, clicks, keys = Seq("user_id"),
           leftTime = "ts", rightTime = "ts", payload = Seq("click_id"))
@@ -1331,9 +1331,13 @@ object PipelineQueries {
       Fixtures.registerRaw(s, dir)
       def dotE(a: String, b: String) = expr(
         s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+      // localCheckpoint: v feeds both the query side and the cross-join
+      // right side; unmaterialized, the full-corpus PNG decode would run
+      // once per reference
       val v = Multimodal.extractFeatures(cachedMedia(s, dir)).toDF()
         .select(col("doc_id"), expr("transform(histogram, x -> round(x, 6))").as("h"))
         .select(col("doc_id"), col("h"), sqrt(dotE("h", "h")).as("nrm"))
+        .localCheckpoint()
       val q = v.where(col("doc_id") < 5)
         .select(col("doc_id").as("qid"), col("h").as("qh"), col("nrm").as("qn"))
       val scored = q.crossJoin(v).where(col("doc_id") =!= col("qid"))

@@ -133,7 +133,6 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("term_score")).cast("long").as("tfidf_micro"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("doc_id"))
   }
 
   /** WINNOWING fingerprints (MOSS), staged as two expressions — single

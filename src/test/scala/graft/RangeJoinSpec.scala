@@ -97,11 +97,15 @@ class RangeJoinSpec extends AnyFunSuite {
     val got = graft.operators.AsOfJoin.asofNext(
         purch, clicks, Seq("user_id"), "ts", "ts", Seq("click_id"))
       .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // full microsecond precision (getTime alone is millis; the fixture
+    // carries sub-millisecond components)
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
     // independent recomputation: first click at-or-after, per purchase
     val clickRows = clicks.collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2)))
     val purchRows = purch.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2))))
     purchRows.foreach { case (eid, uid, pts) =>
       val expected = clickRows.filter(c => c._1 == uid && c._2 >= pts)
         .sortBy(c => (c._2, c._3)).headOption.map(_._3)
