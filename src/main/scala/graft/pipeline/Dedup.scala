@@ -50,14 +50,23 @@ object Dedup {
     * ~2× the whole dd2 chain at sf0.1. 48-bit h keeps base-hash
     * collisions negligible at corpus scale (~10^12 shingles ⇒ ~2^-9
     * per-pair collision odds), while a_j < 2^14 bounds a_j*h < 2^62. */
-  def minhashSignatures(sh: DataFrame, k: Int = 12): DataFrame =
-    sh.select(col("__id"),
-        expr("CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)").as("__h"))
+  def minhashSignatures(sh: DataFrame, k: Int = 12, fastHash: Boolean = false): DataFrame = {
+    // md5 is the cross-engine-reproducible choice (the DuckDB oracles
+    // re-derive it); fastHash swaps the base hash for xxhash64's low 48
+    // bits — ~5x cheaper digests, same LSH power, for production runs
+    // that don't need engine-portable hashes (cf. dc1's hashed-gram
+    // option). Downstream banding/verification is identical; exact
+    // verification makes precision independent of the hash family.
+    val base =
+      if (fastHash) "xxhash64(shingle) & 281474976710655"
+      else "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+    sh.select(col("__id"), expr(base).as("__h"))
       .groupBy(col("__id"))
       .agg(
         min((col("__h") * lit(mhA(0)) + lit(mhB(0))) % lit(MinhashPrime)).as("mh0"),
         (1 until k).map(j =>
           min((col("__h") * lit(mhA(j)) + lit(mhB(j))) % lit(MinhashPrime)).as(s"mh$j")): _*)
+  }
 
   /** LSH band signatures: (id, band, bsig) — b bands of r signature rows.
     * mh values are BIGINTs; ':'-separated decimal rendering keeps the
@@ -121,7 +130,8 @@ object Dedup {
     */
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // the band index is (id, band, bsig) — bands rows per doc, tiny next to
     // the text — but it feeds BOTH sides of the candidate self-join, and an
@@ -131,7 +141,7 @@ object Dedup {
     // unpersist bookkeeping. (At real scale the index is stored state —
     // see bandIndex/incrementalNearDupPairs.)
     val bandIdx = bandSignatures(
-      minhashSignatures(shinglesRaw(docs, idCol, textCol), k), bands, k / bands)
+      minhashSignatures(shinglesRaw(docs, idCol, textCol), k, fastHash), bands, k / bands)
       .localCheckpoint()
     // candidates are tiny (pair ids only) and consumed twice: the id
     // broadcast below and the verification join

@@ -213,6 +213,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fastHash minhash: exact precision, no strong-pair misses, high recall") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val md5Pairs = graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // xxhash64 base hash: different candidate GENERATION, identical exact
+    // verification. Contract: precision is exact (every reported pair's
+    // jaccard is the true value >= tau), strong pairs are never missed,
+    // and overall recall vs the md5 family stays high — borderline pairs
+    // near tau may differ between hash families (banding is
+    // probabilistic for them in BOTH directions).
+    val fastPairs = graft.pipeline.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", fastHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fastPairs.forall(_._3 >= 0.8))
+    val strong = md5Pairs.filter(_._3 >= 0.95)
+    assert(strong.nonEmpty && strong.subsetOf(fastPairs),
+      s"strong pairs missed: ${strong -- fastPairs}")
+    val recall = fastPairs.intersect(md5Pairs).size.toDouble / md5Pairs.size
+    assert(recall >= 0.9, s"fastHash recall vs md5 family = $recall")
+  }
+
   test("incremental ingest dedup equals the full recompute on the batch slice") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
