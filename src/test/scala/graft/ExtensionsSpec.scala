@@ -28,6 +28,21 @@ class ExtensionsSpec extends AnyFunSuite {
       val plan = s.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT)), " +
         "array(CAST(1.0 AS FLOAT)))").queryExecution.executedPlan.toString
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+      // word_ngrams rides the same installer
+      val g = s.sql("SELECT word_ngrams('a b c', 2) AS g").head.getSeq[String](0)
+      assert(g == Seq("a b", "b c"))
+      // the planner strategy comes from the extensions too: plan a raw
+      // TopKPerGroupNode WITHOUT the helper's self-install path
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+      val df = s.range(9).selectExpr("id % 3 AS k", "id AS v")
+      val attrs = org.apache.spark.sql.graft.ColumnBridge.planOf(df).output
+      val node = graft.plans.TopKPerGroupNode(
+        Seq(attrs.head), Seq(SortOrder(attrs(1), Ascending)), k = 1,
+        maxPartialGroups = 1024,
+        org.apache.spark.sql.graft.ColumnBridge.planOf(df))
+      val out = org.apache.spark.sql.graft.ColumnBridge.ofRows(s, node)
+      assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
