@@ -49,8 +49,14 @@ object EntityResolver {
       siteName: String,
       entityName: String,
       user: Option[String] = None,
-      withProvenance: Boolean = false): DataFrame =
+      withProvenance: Boolean = false): DataFrame = {
+    // session-level reader behavior, set ONCE at the resolve entry (not
+    // inside the per-source branch builder): TIMESTAMP(NANOS) parquet
+    // columns surface as nanos-longs for mapping transforms to convert,
+    // matching the DSv2 connector's raw view
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     resolveRec(spark, mesh, siteName, entityName, user, withProvenance, Set(siteName))
+  }
 
   /** Catalog-driven enumeration of the provenance branch keys a resolved
     * entity will carry for `user` — the leaf (relay, sourceId) endpoints a
@@ -191,9 +197,6 @@ object EntityResolver {
     // file-backed sources (FileDirectory runner, S1): read + register the
     // physical relation the source SQL refers to
     ds.fileSource.foreach { fs =>
-      // TIMESTAMP(NANOS) parquet columns surface as nanos-longs (mapping
-      // transforms convert), matching the DSv2 connector's raw view
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val effective =
         if (fs.format == "csv") FileSource.csvEffectiveOptions(fs.options)
         else fs.options
