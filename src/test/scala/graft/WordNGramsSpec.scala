@@ -41,6 +41,22 @@ class WordNGramsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("multi-space and non-ASCII text match the lambda form byte-for-byte") {
+    TextFunctions.register(spark)
+    import spark.implicits._
+    // double spaces produce empty tokens (regex split, limit -1) and
+    // multi-byte UTF-8 tokens must concatenate without byte damage
+    val df = Seq("a  b c", "héllo wörld ünïcode 日本 語", " leading", "trailing ")
+      .toDF("text")
+    Seq(1, 2, 3).foreach { n =>
+      val diff = df.select(TextFunctions.word_ngrams(col("text"), n).as("fast"),
+          lambdaForm(n).as("slow"))
+        .where(col("fast") =!= col("slow"))
+        .count()
+      assert(diff == 0, s"n=$n")
+    }
+  }
+
   test("whole-stage codegen stays enabled around word_ngrams") {
     TextFunctions.register(spark)
     val docs = spark.read.parquet(s"${TestSessions.sfDir}/documents.parquet")
