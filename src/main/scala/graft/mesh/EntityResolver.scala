@@ -51,10 +51,13 @@ object EntityResolver {
       user: Option[String] = None,
       withProvenance: Boolean = false): DataFrame = {
     // session-level reader behavior, set ONCE at the resolve entry (not
-    // inside the per-source branch builder): TIMESTAMP(NANOS) parquet
+    // inside the per-source branch builder) and ONLY when the mesh has
+    // file-backed sources — a JDBC/view-only mesh must not silently alter
+    // unrelated parquet reads in the session: TIMESTAMP(NANOS) parquet
     // columns surface as nanos-longs for mapping transforms to convert,
     // matching the DSv2 connector's raw view
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (mesh.sites.values.exists(_.localSources.values.exists(_.exists(_.fileSource.isDefined))))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     resolveRec(spark, mesh, siteName, entityName, user, withProvenance, Set(siteName))
   }
 

