@@ -53,10 +53,13 @@ object Dedup {
   def minhashSignatures(sh: DataFrame, k: Int = 12, fastHash: Boolean = false): DataFrame = {
     // md5 is the cross-engine-reproducible choice (the DuckDB oracles
     // re-derive it); fastHash swaps the base hash for xxhash64's low 48
-    // bits — ~5x cheaper digests, same LSH power, for production runs
-    // that don't need engine-portable hashes (cf. dc1's hashed-gram
-    // option). Downstream banding/verification is identical; exact
-    // verification makes precision independent of the hash family.
+    // bits — cheaper per digest, same LSH power, for production runs that
+    // don't need engine-portable hashes (cf. dc1's hashed-gram option).
+    // Measured at sf0.1 the signature stage is shuffle-bound and the two
+    // time ~equal; the digest saving matters where hashing dominates
+    // (long documents, many shingles per core). Downstream banding/
+    // verification is identical; exact verification makes precision
+    // independent of the hash family.
     val base =
       if (fastHash) "xxhash64(shingle) & 281474976710655"
       else "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"

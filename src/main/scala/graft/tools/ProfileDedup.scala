@@ -44,6 +44,12 @@ object ProfileDedup {
     }
     t("full pairs (timed)")(Dedup.minhashLshPairs(docs, "doc_id", "text").count())
     t("full pairs again")(Dedup.minhashLshPairs(docs, "doc_id", "text").count())
+    t("full pairs fastHash")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", fastHash = true).count())
+    t("fast sigs only")(
+      Dedup.bandIndex(docs, "doc_id", "text", fastHash = true).count())
+    t("md5 sigs only")(
+      Dedup.bandIndex(docs, "doc_id", "text").count())
 
     // inside the pairs chain, step by step (mirrors minhashLshPairs)
     {
