@@ -8,6 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * path a Spark cluster admin would use. */
 class ExtensionsSpec extends AnyFunSuite {
 
+  test("driver contract: oracles match queries; rows-only set is exactly the documented one") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    // an oracle without a query is dead config drift; a query without an
+    // oracle silently downgrades the driver's gate to rows-only — both
+    // must be deliberate, so the allowed rows-only set is pinned here
+    // (sketches and learned-model variants whose exact values are not
+    // SQL-expressible; each has spec-based verification instead)
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    assert(q -- o == Set("ap1_approx_agg", "ap2_heavy_hitters",
+      "ss3_ivf_learned", "ss5_pq_topk", "ss6_ivfpq_topk"),
+      s"undocumented rows-only queries: ${(q -- o).mkString(", ")}")
+  }
+
   test("a session built with the extensions class resolves vec_dot in SQL") {
     val base = TestSessions.spark // ensures the shared SparkContext exists
     SparkSession.clearActiveSession()
