@@ -12,18 +12,30 @@ import org.apache.spark.sql.types._
   * (`core/src/model/mappings.rs:137-149`).
   */
 final case class Transformation(template: String = "{v}", replaceFrom: String = "{v}") {
-  /** Substitute `inner` (a column name or SQL expression) into the template. */
-  def render(inner: String): String = template.replace(replaceFrom, s"($inner)")
+  import Transformation.{protect, unprotectDoubled, unprotectLiteral}
+
+  /** Substitute `inner` (a column name or SQL expression) into the template.
+    *
+    * Capture-brace escaping (the reference's `num_capture_braces` semantics,
+    * `test/queries.py:17-21`): doubled braces are LITERAL — a template
+    * `'{{tax_val}}' = '{{tax_val}}'` renders the text `'{tax_val}' =
+    * '{tax_val}'` with no substitution, so brace characters in literal
+    * SQL can always be made unambiguous against the `{v}` placeholder. */
+  def render(inner: String): String =
+    unprotectLiteral(protect(template).replace(replaceFrom, s"($inner)"))
 
   /** `f.compose(g)`: h = g(f(x)) — substitutes `f`'s template
     * (parenthesized) into `g`'s, exactly mirroring the reference
     * (`core/src/model/mappings.rs:137-149`: self applied first, then other).
-    */
+    * Both templates' doubled-brace escapes are protected during the string
+    * substitution (`{{v}}` CONTAINS the `{v}` token) and restored doubled,
+    * so escaping survives any number of hops until the final render. */
   def compose(other: Transformation): Transformation =
     Transformation(
-      other.template
-        .replace(other.replaceFrom, s"($template)")
-        .replace(replaceFrom, other.replaceFrom),
+      unprotectDoubled(
+        protect(other.template)
+          .replace(other.replaceFrom, s"(${protect(template)})")
+          .replace(replaceFrom, other.replaceFrom)),
       other.replaceFrom)
 
   def isIdentity: Boolean = template.trim == replaceFrom
@@ -31,6 +43,17 @@ final case class Transformation(template: String = "{v}", replaceFrom: String = 
 
 object Transformation {
   val identity: Transformation = Transformation()
+
+  // sentinels outside any plausible SQL alphabet; protect/unprotect keep
+  // `{{`/`}}` inert while `{v}` tokens are substituted
+  private val OpenS = "\u0000GRAFT_LBRACE\u0000"
+  private val CloseS = "\u0000GRAFT_RBRACE\u0000"
+  private def protect(s: String): String =
+    s.replace("{{", OpenS).replace("}}", CloseS)
+  private def unprotectDoubled(s: String): String =
+    s.replace(OpenS, "{{").replace(CloseS, "}}")
+  private def unprotectLiteral(s: String): String =
+    s.replace(OpenS, "{").replace(CloseS, "}")
 }
 
 /** One named, typed logical field of an Entity

@@ -92,8 +92,14 @@ object TextFunctions {
   def word_ngrams(text: Column, n: Int): Column =
     column(WordNGrams(expression(text), Literal(n)))
 
-  /** Register `word_ngrams` for SQL use on this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", exprs => WordNGrams(exprs(0), exprs(1)), "scala_udf")
+  /** Register `word_ngrams` for SQL use on this session. Idempotent: a
+    * session that already has it is left alone (re-registering is harmless
+    * but logs a replacement warning per call). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")))
+      reg.createOrReplaceTempFunction(
+        "word_ngrams", exprs => WordNGrams(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -79,8 +79,14 @@ object VectorFunctions {
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
 
-  /** Register `vec_dot` for SQL use on this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+  /** Register `vec_dot` for SQL use on this session. Idempotent: a session
+    * that already has it is left alone (re-registering is harmless but logs
+    * a replacement warning per call — thousands in a bench run). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+  }
 }

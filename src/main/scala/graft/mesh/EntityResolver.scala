@@ -51,14 +51,34 @@ object EntityResolver {
       user: Option[String] = None,
       withProvenance: Boolean = false): DataFrame = {
     // session-level reader behavior, set ONCE at the resolve entry (not
-    // inside the per-source branch builder) and ONLY when the mesh has
-    // file-backed sources — a JDBC/view-only mesh must not silently alter
-    // unrelated parquet reads in the session: TIMESTAMP(NANOS) parquet
-    // columns surface as nanos-longs for mapping transforms to convert,
-    // matching the DSv2 connector's raw view
-    if (mesh.sites.values.exists(_.localSources.values.exists(_.exists(_.fileSource.isDefined))))
+    // inside the per-source branch builder) and ONLY when a PARQUET
+    // file-backed source sits on THIS entity's resolution path — CSV/JSON
+    // file sources and sources on unrelated entities/sites must not
+    // silently alter parquet reads elsewhere in the session:
+    // TIMESTAMP(NANOS) parquet columns surface as nanos-longs for mapping
+    // transforms to convert, matching the DSv2 connector's raw view.
+    // NOT save/restored: the parquet reader re-reads this conf from the
+    // session when the returned (lazy) plan finally executes, so
+    // restoring it here would break the very scan it was set for.
+    if (pathHasParquetFileSource(mesh, siteName, entityName))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     resolveRec(spark, mesh, siteName, entityName, user, withProvenance, Set(siteName))
+  }
+
+  /** Does the resolution path of (site, entity) — its local sources plus
+    * everything reachable through remote mappings with resolveRec's visited
+    * semantics — include a parquet file-backed source? */
+  private def pathHasParquetFileSource(
+      mesh: Mesh, siteName: String, entityName: String): Boolean = {
+    def walk(site: String, entity: String, visited: Set[String]): Boolean = {
+      val s = mesh.site(site)
+      s.localSources.getOrElse(entity, Nil)
+        .exists(_.fileSource.exists(_.format == "parquet")) ||
+        s.remoteMappings.getOrElse(entity, Nil)
+          .filterNot(rm => visited.contains(rm.peer))
+          .exists(rm => walk(rm.peer, rm.remoteEntity, visited + rm.peer))
+    }
+    walk(siteName, entityName, Set(siteName))
   }
 
   /** Catalog-driven enumeration of the provenance branch keys a resolved

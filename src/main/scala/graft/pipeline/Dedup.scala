@@ -25,11 +25,16 @@ object Dedup {
 
   /** Shingles WITHOUT the per-document dedup (and its corpus-wide shuffle).
     * Correct wherever duplicates are harmless — minhash signatures take a
-    * min, which duplicate shingles cannot change. */
+    * min, which duplicate shingles cannot change. `tagCol` (if set) rides
+    * along as `__tag` — one small column on the exploded relation, so a
+    * per-document attribute (e.g. mesh provenance) can flow through the
+    * whole LSH chain instead of being re-joined onto the pair output. */
   private def shinglesRaw(
-      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.repartition(col(idCol)).select(col(idCol).as("__id"),
-        explode(graft.functions.TextFunctions.word_ngrams(col(textCol), n)).as("shingle"))
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      tagCol: Option[String] = None): DataFrame =
+    docs.repartition(col(idCol)).select(
+      col(idCol).as("__id") +: tagCol.map(t => col(t).as("__tag")).toSeq :+
+        explode(graft.functions.TextFunctions.word_ngrams(col(textCol), n)).as("shingle"): _*)
 
   /** Largest prime below 2^31 — the permutation modulus. */
   val MinhashPrime: Long = 2147483647L
@@ -63,8 +68,13 @@ object Dedup {
     val base =
       if (fastHash) "xxhash64(shingle) & 281474976710655"
       else "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
-    sh.select(col("__id"), expr(base).as("__h"))
-      .groupBy(col("__id"))
+    // a `__tag` column (from shinglesRaw's tagCol) is functionally dependent
+    // on __id, so grouping by both keeps cardinality and carries it through
+    val keys =
+      if (sh.columns.contains("__tag")) Seq(col("__id"), col("__tag"))
+      else Seq(col("__id"))
+    sh.select(keys :+ expr(base).as("__h"): _*)
+      .groupBy(keys: _*)
       .agg(
         min((col("__h") * lit(mhA(0)) + lit(mhB(0))) % lit(MinhashPrime)).as("mh0"),
         (1 until k).map(j =>
@@ -78,19 +88,27 @@ object Dedup {
     val bandCol = (b: Int) =>
       md5(concat_ws(":", lit(b.toString) +:
         (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
-    sigs.select(col("__id"),
+    val carry =
+      if (sigs.columns.contains("__tag")) Seq(col("__id"), col("__tag"))
+      else Seq(col("__id"))
+    sigs.select(carry :+
         explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandCol(b).as("bsig"))): _*)).as("bb"))
-      .select(col("__id"), col("bb.band"), col("bb.bsig"))
+          struct(lit(b).as("band"), bandCol(b).as("bsig"))): _*)).as("bb"): _*)
+      .select(carry :+ col("bb.band") :+ col("bb.bsig"): _*)
   }
 
-  /** Candidate pairs sharing any band signature (da < db). */
+  /** Candidate pairs sharing any band signature (da < db). A `__tag` column
+    * on the index comes out per side as (tag_a, tag_b). */
   def lshCandidates(bands: DataFrame): DataFrame = {
     val a = bands.as("a"); val b = bands.as("b")
+    val tags =
+      if (bands.columns.contains("__tag"))
+        Seq(col("a.__tag").as("tag_a"), col("b.__tag").as("tag_b"))
+      else Seq.empty[Column]
     a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("da"), col("b.__id").as("db"))
+      .select(col("a.__id").as("da") +: col("b.__id").as("db") +: tags: _*)
       .distinct()
   }
 
@@ -110,17 +128,21 @@ object Dedup {
     * the three-way reuse of the exploded shingle relation) with one
     * aggregation and two hash joins. */
   def jaccardVerifySets(
-      shSets: DataFrame, cand: DataFrame, threshold: Double): DataFrame =
+      shSets: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    // columns beyond the pair ids (e.g. lshCandidates' tag_a/tag_b) pass
+    // through to the verified output
+    val extras = cand.columns.filterNot(Set("da", "db")).toSeq.map(col)
     cand
       .join(shSets.as("sa"), col("sa.__id") === col("da"))
       .join(shSets.as("sb"), col("sb.__id") === col("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+      .select(Seq(col("da").as("doc_a"), col("db").as("doc_b")) ++ extras ++ Seq(
         size(array_intersect(col("sa.__sh"), col("sb.__sh"))).as("__i"),
-        size(col("sa.__sh")).as("__na"), size(col("sb.__sh")).as("__nb"))
-      .select(col("doc_a"), col("doc_b"),
+        size(col("sa.__sh")).as("__na"), size(col("sb.__sh")).as("__nb")): _*)
+      .select(Seq(col("doc_a"), col("doc_b")) ++ extras :+
         (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
-          .as("jaccard"))
+          .as("jaccard"): _*)
       .where(col("jaccard") >= threshold)
+  }
 
   /** MinHash+LSH near-duplicate pairs end-to-end.
     *
@@ -134,7 +156,7 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = false, tagCol: Option[String] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // the band index is (id, band, bsig) — bands rows per doc, tiny next to
     // the text — but it feeds BOTH sides of the candidate self-join, and an
@@ -142,9 +164,13 @@ object Dedup {
     // per side (measured 2x the chain cost at sf0.1). Eager localCheckpoint
     // materializes it once; the blocks are ContextCleaner-managed, so no
     // unpersist bookkeeping. (At real scale the index is stored state —
-    // see bandIndex/incrementalNearDupPairs.)
+    // see bandIndex/incrementalNearDupPairs.) `tagCol` (a per-document
+    // attribute, e.g. mesh provenance) rides the chain as `__tag` and
+    // emerges as (tag_a, tag_b) on each pair — no post-hoc re-join against
+    // the corpus.
     val bandIdx = bandSignatures(
-      minhashSignatures(shinglesRaw(docs, idCol, textCol), k, fastHash), bands, k / bands)
+      minhashSignatures(shinglesRaw(docs, idCol, textCol, tagCol = tagCol), k, fastHash),
+      bands, k / bands)
       .localCheckpoint()
     // candidates are tiny (pair ids only) and consumed twice: the id
     // broadcast below and the verification join
@@ -195,15 +221,27 @@ object Dedup {
           x => x.getField("passage"))).as("cleaned_text"))
   }
 
-  /** The reusable LSH band index for a corpus: (id, band, bsig). In
-    * production this is stored state, written once per corpus build and
-    * appended at each ingest — the input to [[incrementalNearDupPairs]]. */
+  /** Identifies the signature scheme a band index was built with. Bumped
+    * whenever the signature derivation changes incompatibly (v2 = one-md5 /
+    * xxhash64 48-bit base hash + affine permutation family + ':'-joined
+    * band digests; v1 was the retired per-permutation-md5 scheme).
+    * Signatures from different schemes never collide, so an unversioned
+    * mismatch would silently find zero candidates — hence the stamp. */
+  def hashFamily(fastHash: Boolean): String =
+    if (fastHash) "xxh48-affine-v2" else "md5-48-affine-v2"
+
+  /** The reusable LSH band index for a corpus: (id, band, bsig,
+    * hash_family). In production this is stored state, written once per
+    * corpus build and appended at each ingest — the input to
+    * [[incrementalNearDupPairs]], which refuses an index whose
+    * `hash_family` stamp does not match its own parameters. */
   def bandIndex(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     bandSignatures(
       minhashSignatures(shinglesRaw(docs, idCol, textCol), k, fastHash), bands, k / bands)
+      .withColumn("hash_family", lit(hashFamily(fastHash)))
   }
 
   /** Incremental ingest dedup: near-dup pairs between a NEW batch and an
@@ -218,16 +256,30 @@ object Dedup {
       idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
       fastHash: Boolean = false): DataFrame = {
-    // fastHash MUST match the family the stored `index` was built with
-    // (bandIndex(..., fastHash)): signatures from different base-hash
-    // families never collide, so a mismatch silently finds nothing
+    // the stored index MUST carry the signature scheme it was built with:
+    // signatures from different schemes never collide, so a silent mismatch
+    // (wrong fastHash, or an index predating a scheme change) would find
+    // zero candidates with no error. Fail loudly instead. The probe reads
+    // one row, not the index (the stamp is constant per index).
+    require(index.columns.contains("hash_family"),
+      "stored band index has no hash_family column — built by a pre-versioning " +
+        "Dedup.bandIndex; rebuild it (signature schemes are not cross-compatible)")
+    val expectedFamily = hashFamily(fastHash)
+    index.select(col("hash_family")).head(1).foreach { r =>
+      val got = r.getString(0)
+      require(got == expectedFamily,
+        s"stored band index was built with hash family '$got' but this ingest " +
+          s"uses '$expectedFamily' — signatures never collide across families; " +
+          "rebuild the index or pass the matching fastHash")
+    }
     // eager localCheckpoint: the batch's band index feeds BOTH sides of the
     // candidate join (directly and through the union), and a lazy plan
     // would shingle+hash the batch once per side; blocks are
     // ContextCleaner-managed, so no unpersist bookkeeping
-    val bi = bandIndex(batch, idCol, textCol, k, bands, fastHash).localCheckpoint()
+    val bi = bandIndex(batch, idCol, textCol, k, bands, fastHash)
+      .select(col("__id"), col("band"), col("bsig")).localCheckpoint()
     // candidates: batch vs (stored index ∪ batch); normalize pair order
-    val all = index.union(bi)
+    val all = index.select(col("__id"), col("band"), col("bsig")).union(bi)
     val cand = bi.as("a").join(all.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.__id") =!= col("b.__id"))

@@ -114,20 +114,49 @@ object Similarity {
     * `threshold` with its keeper and best score. Candidate pairs shrink
     * from n² to Σ(cluster size)² — the property that makes embedding
     * dedup feasible at corpus scale; pair work stays inside per-cluster
-    * hash-join partitions. */
+    * hash-join partitions.
+    *
+    * Assignment is a pure PROJECTION: the k seed centroids are MODEL
+    * STATE (k×dim floats + k norms, a few KB), collected once and scored
+    * as constant literals on the codegen'd vec_dot — no cross join, no
+    * window, no corpus shuffle before the within-cluster pair join.
+    * Scoring is round(cos, 6) with first-max-wins over id-ordered
+    * centroids, identical to ranking by (cos DESC, cid ASC) — so results
+    * match the former crossJoin+window form bit-for-bit. */
   def semanticDedup(
       vecs: DataFrame, idCol: String, vecCol: String,
-      centroidIds: Seq[Long], threshold: Double = 0.4): DataFrame = {
+      centroidIds: Seq[Long], threshold: Double = 0.4): DataFrame =
+    semanticDedupSeeded(vecs, idCol, vecCol,
+      seedCentroids(vecs, idCol, vecCol, centroidIds), threshold)
+
+  /** The INDEX-BUILD half of [[semanticDedup]]: collect the seed vectors
+    * and their norms (k×dim floats + k doubles — model state, not data).
+    * Norms come from the same Spark-computed expression the corpus side
+    * uses, so the rounded cosines agree exactly with an all-SQL spelling.
+    * Build once per corpus, serve many (PipelineQueries memoizes this per
+    * session/sf exactly as for the learned IVF/PQ index state). */
+  def seedCentroids(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long]): Seq[(Long, Seq[Float], Double)] =
+    withNorm(vecs, idCol, vecCol)
+      .where(col("__id").isin(centroidIds: _*))
+      .select(col("__id"), col("__v"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** The SERVING half of [[semanticDedup]] against prebuilt centroids. */
+  def semanticDedupSeeded(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Float], Double)], threshold: Double = 0.4): DataFrame = {
     val v = withNorm(vecs, idCol, vecCol)
-    val cent = v.where(col("__id").isin(centroidIds: _*))
-      .select(col("__id").as("cid"), col("__v").as("cv"), col("nrm").as("cn"))
-    val scored = v.crossJoin(cent)
-      .select(col("__id"), col("__v"), col("nrm"), col("cid"),
-        round(dot(col("__v"), col("cv")) / (col("nrm") * col("cn")), 6).as("cc"))
-    val w = Window.partitionBy(col("__id")).orderBy(col("cc").desc, col("cid"))
-    val assign = scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("__id"), col("__v"), col("nrm"), col("cid"))
+    val scores = array(cents.map { case (_, cv, cn) =>
+      round(dot(col("__v"), array(cv.map(lit(_)): _*)) / (col("nrm") * lit(cn)), 6)
+    }.toIndexedSeq: _*)
+    // array_position returns the FIRST index of the max — lowest cid wins
+    // ties (centroids are id-sorted), matching ORDER BY cc DESC, cid
+    val assign = v.withColumn("cid",
+      (array_position(scores, array_max(scores)) - 1).cast("int"))
     dedupWithinCluster(assign, threshold)
   }
 
@@ -152,10 +181,16 @@ object Similarity {
   }
 
   /** Shared within-cluster dedup tail: pair join on cluster id, exact
-    * cosine at 6-decimal rounding, lower-id keeper per dropped vector. */
+    * cosine at 6-decimal rounding, lower-id keeper per dropped vector.
+    * The corpus is repartitioned by cluster id first — pair work is
+    * quadratic per cluster and must spread across executors by cluster
+    * (the SemDeDup co-location shape); without it a narrow scan pipeline
+    * leaves the whole O(Σs²) join on however few partitions the file
+    * scan produced. */
   private def dedupWithinCluster(
       assigned: DataFrame, threshold: Double): DataFrame = {
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    val byCluster = assigned.repartition(col("cid"))
+    val pairs = byCluster.as("a").join(byCluster.as("b"),
         col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("va"), col("b.__id").as("vb"),
         round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)

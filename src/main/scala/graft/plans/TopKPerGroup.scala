@@ -199,10 +199,16 @@ object TopKPerGroup {
     // the input's own session, NOT SparkSession.active: with concurrent
     // sessions the strategy must install where the plan executes
     val spark = df.sparkSession
-    // ensure the strategy is installed even without spark.sql.extensions
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        TopKPerGroupStrategy +: spark.experimental.extraStrategies
+    // ensure the strategy is installed even without spark.sql.extensions.
+    // extraStrategies is a plain var: serialize the check-then-set on the
+    // session so concurrent first calls can't double-install or lose a
+    // concurrent update (the GraftExtensions injection path needs none of
+    // this; the self-install stays for sessions built without it)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          TopKPerGroupStrategy +: spark.experimental.extraStrategies
+    }
     val child = ColumnBridge.planOf(df)
     def attr(name: String): Attribute =
       child.output.find(a => spark.sessionState.analyzer.resolver(a.name, name))

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc timing for a subset of SparkEntry queries (same session config as
+  * Bench, min-of-2 after warmup). Usage:
+  * runMain graft.tools.TimeQueries <sfDir> <query>... */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("dm2_dedup_across_sources")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      fn(spark, sfDir).count() // warmup
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMED $n%-28s min=${ts.min}%.3f s (runs: ${ts.map(t => f"$t%.3f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

@@ -52,6 +52,29 @@ class AlgebraSpec extends AnyFunSuite {
     })
   }
 
+  test("capture-brace escaping: {{...}} renders literal braces, no substitution") {
+    // reference `num_capture_braces` semantics (`test/queries.py:17-21`):
+    // doubled braces make brace literals unambiguous against the {v} token
+    assert(Transformation("CASE WHEN '{{tax_val}}'='{{tax_val}}' THEN {v} END")
+      .render("l_tax") ==
+      "CASE WHEN '{tax_val}'='{tax_val}' THEN (l_tax) END")
+    // an escaped placeholder itself is NOT a substitution site
+    assert(Transformation("concat('{{v}}', {v})").render("x") == "concat('{v}', (x))")
+  }
+
+  test("capture-brace escapes survive compose (any number of hops)") {
+    val f = Transformation("concat({v}, '{{tag}}')")
+    val g = Transformation("upper({v})")
+    val fg = f.compose(g)
+    // still doubled in the composed TEMPLATE...
+    assert(fg.template == "upper((concat({v}, '{{tag}}')))")
+    // ...and literal only at the final render
+    assert(fg.render("x") == "upper((concat((x), '{tag}')))")
+    // {{v}} contains the {v} token — compose must not corrupt it
+    val h = Transformation("concat('{{v}}', {v})")
+    assert(h.compose(g).render("x") == "upper((concat('{v}', (x))))")
+  }
+
   private def perm(cols: Set[String], rows: String) = SourcePermission(cols, rows)
 
   test("union widens, intersection narrows") {

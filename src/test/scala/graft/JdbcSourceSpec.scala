@@ -212,6 +212,48 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.agg(sum("orderkey")).head.getLong(0) == rows.map(_._1).sum)
   }
 
+  test("jdbc:trino:// endpoint: full option plumbing, fails only at the engine") {
+    // a production Trino endpoint differs from the Derby stand-in only by
+    // url + driver class (zero-egress env: no live engine). The recording
+    // driver proves the exact seam a real endpoint would hit: the trino
+    // url, the connection properties, and the derived-table SQL rendered
+    // around source_sql — and that the failure happens at CONNECTION time,
+    // not in graft's own plumbing.
+    val url = "jdbc:trino://trino.example:8443/memory"
+    val entity = Entity("jt", Seq(
+      Information("orderkey", org.apache.spark.sql.types.LongType),
+      Information("qty", org.apache.spark.sql.types.DoubleType)))
+    val ds = DataSource(
+      id = "trino.lineitem",
+      sourceSql = "SELECT orderkey, quantity FROM tpch.tiny.lineitem",
+      mappings = Seq(
+        FieldMapping("orderkey", "orderkey"),
+        FieldMapping("qty", "quantity")),
+      defaultPermission = SourcePermission(Set("orderkey", "quantity"), "true"),
+      jdbcSource = Some(JdbcSource(url, Map(
+        "driver" -> "graft.FakeTrinoDriver",
+        "user" -> "trino",
+        "fetchsize" -> "5000"))))
+    val m = Mesh(Map("site" -> Site("site",
+      Map("jt" -> entity), Map("jt" -> Seq(ds)))))
+    FakeTrinoDriver.reset()
+    val e = intercept[Throwable](
+      EntityResolver.resolve(spark, m, "site", "jt").collect())
+    // the failure is the simulated engine outage, nothing earlier
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("simulated trino engine unavailable"), msgs)
+    // option plumbing: url, credentials reach the driver
+    assert(FakeTrinoDriver.lastUrl == url)
+    assert(FakeTrinoDriver.lastProps != null &&
+      FakeTrinoDriver.lastProps.getProperty("user") == "trino")
+    // the derived-table rendering around source_sql is what the engine sees
+    assert(FakeTrinoDriver.lastSql != null &&
+      FakeTrinoDriver.lastSql.contains(
+        "(SELECT orderkey, quantity FROM tpch.tiny.lineitem) AS graft_delegated"),
+      s"engine-side SQL: ${FakeTrinoDriver.lastSql}")
+  }
+
   test("without an override a Trino connection stays view-backed (stand-in)") {
     val dir = Files.createTempDirectory("graft_cfg_jdbc_no")
     Files.writeString(dir.resolve("site.yaml"),
@@ -251,4 +293,60 @@ class JdbcSourceSpec extends AnyFunSuite {
     val site = ConfigLoader.loadSite("site", dir)
     assert(site.localSources("e").head.jdbcSource.isEmpty)
   }
+}
+
+/** Recording java.sql.Driver for the jdbc:trino:// plumbing spec: accepts
+  * trino URLs, records (url, properties) and the first statement SQL, and
+  * simulates an unreachable engine — connections hand out a dynamic proxy
+  * whose statement methods capture the SQL then raise SQLException. */
+object FakeTrinoDriver {
+  @volatile var lastUrl: String = _
+  @volatile var lastProps: java.util.Properties = _
+  @volatile var lastSql: String = _
+  def reset(): Unit = { lastUrl = null; lastProps = null; lastSql = null }
+}
+
+class FakeTrinoDriver extends java.sql.Driver {
+  import FakeTrinoDriver._
+  private def boom() =
+    throw new java.sql.SQLException("simulated trino engine unavailable")
+
+  override def acceptsURL(url: String): Boolean = url.startsWith("jdbc:trino:")
+
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection = {
+    if (!acceptsURL(url)) return null
+    lastUrl = url
+    lastProps = info
+    val handler = new java.lang.reflect.InvocationHandler {
+      override def invoke(proxy: AnyRef, m: java.lang.reflect.Method,
+          args: Array[AnyRef]): AnyRef = m.getName match {
+        case "prepareStatement" | "createStatement" | "prepareCall" =>
+          if (args != null && args.nonEmpty) args(0) match {
+            case s: String => lastSql = s
+            case _ =>
+          }
+          boom()
+        case "close" | "setAutoCommit" | "commit" | "rollback"
+            | "setTransactionIsolation" | "clearWarnings" => null
+        case "isClosed" => java.lang.Boolean.FALSE
+        case "isValid" => java.lang.Boolean.TRUE
+        case "getAutoCommit" => java.lang.Boolean.TRUE
+        case "toString" => "FakeTrinoConnection"
+        case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
+        case "equals" => java.lang.Boolean.valueOf(proxy eq args(0))
+        case _ => boom()
+      }
+    }
+    java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]), handler)
+      .asInstanceOf[java.sql.Connection]
+  }
+
+  override def getPropertyInfo(url: String, info: java.util.Properties) =
+    Array.empty[java.sql.DriverPropertyInfo]
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger: java.util.logging.Logger =
+    throw new java.sql.SQLFeatureNotSupportedException()
 }

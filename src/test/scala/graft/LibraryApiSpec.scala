@@ -154,10 +154,16 @@ class LibraryApiSpec extends AnyFunSuite {
     assertSame(lib, q("pd1_passage_dedup"))
   }
 
-  test("Similarity.semanticDedup == sd1 SQL form") {
+  test("Similarity.semanticDedup == sd1 SQL form (which the query overrides)") {
     Fixtures.registerRaw(spark, sfDir)
     val lib = Similarity.semanticDedup(
       spark.table("embeddings"), "vec_id", "embedding", centroidIds = 0L until 16L)
+    // the sd1 driver query routes through the library (projection-only
+    // assignment); compare against the raw crossJoin+window SQL form to
+    // keep this a real two-implementation check
+    val sqlForm = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("sd1_semantic_dedup"))
+    assertSame(lib, sqlForm)
     assertSame(lib, q("sd1_semantic_dedup"))
   }
 
@@ -193,13 +199,22 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("GapFill.countsDense == ts1 SQL form") {
-    Fixtures.registerRaw(spark, sfDir)
-    val lib = graft.operators.GapFill
-      .countsDense(spark.table("events"), "event_type", "ts")
-      .select(col("event_type"), col("bucket_epoch").as("hr_epoch"), col("n"))
-      .orderBy(col("event_type"), col("hr_epoch"))
-    assertSame(lib, q("ts1_gapfill"))
+  test("GapFill.countsDense == ts1 SQL form (session tz pinned to UTC)") {
+    // countsDense buckets on UTC-aligned epoch multiples while ts1 uses
+    // session-timezone date_trunc('hour') — the two agree only when the
+    // session offset is a whole hour. Pin UTC HERE so the parity contract
+    // survives a harness timezone change (e.g. Asia/Kolkata is +5:30).
+    val tzKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    try {
+      Fixtures.registerRaw(spark, sfDir)
+      val lib = graft.operators.GapFill
+        .countsDense(spark.table("events"), "event_type", "ts")
+        .select(col("event_type"), col("bucket_epoch").as("hr_epoch"), col("n"))
+        .orderBy(col("event_type"), col("hr_epoch"))
+      assertSame(lib, q("ts1_gapfill"))
+    } finally spark.conf.set(tzKey, prior)
   }
 
   test("decontamination joins the eval gram set by broadcast (plan shape)") {

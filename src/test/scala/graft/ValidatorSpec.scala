@@ -87,6 +87,26 @@ class ValidatorSpec extends AnyFunSuite {
     assert(viaLike.count() > 0)
   }
 
+  test("golden: literal {}-brace predicate survives validation and execution (query4)") {
+    // the reference's query4 (`test/queries.py:16-20`): `{tax_val}` braces
+    // are LITERAL characters inside string literals — they must pass the
+    // validator untouched and the tautological predicate must not change
+    // the result. (Template-side escaping for mapping expressions is the
+    // Transformation `{{...}}` capture-brace rule, AlgebraSpec.)
+    val q4 = "select linenumber, tax_percent from lineitem " +
+      "where tax_percent>3 and '{tax_val}'='{tax_val}'  limit 10"
+    assert(SqlValidator.validate(q4, spark) == "lineitem")
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
+    val got = session.sql(q4)
+    assert(got.count() == 10)
+    // tautology: same rows as the query without the brace predicate
+    val without = session.sql(
+      "select linenumber, tax_percent from lineitem where tax_percent>3 limit 10")
+    assert(got.columns.toSeq == Seq("linenumber", "tax_percent"))
+    assert(got.exceptAll(without).count() == 0 && without.exceptAll(got).count() == 0)
+  }
+
   test("syntax errors surface as sqlparser syntax error") {
     assert(errOf("selec * from t").startsWith("invalid query: sqlparser syntax error:"))
   }
