@@ -218,13 +218,28 @@ object EntityResolver {
       viaRelay.flatMap(ds.relayPermissions.get))
 
     // file-backed sources (FileDirectory runner, S1): read + register the
-    // physical relation the source SQL refers to
+    // physical relation the source SQL refers to. JSON nested objects/
+    // arrays surface as their serialized TEXT: the reference's DataField
+    // `$.`-path contract addresses a JSON document stored in a column
+    // (`core/src/model/data_stores/mod.rs:55-62`), so `get_json_object`
+    // must see a string — and the DSv2 connector's raw view agrees.
     ds.fileSource.foreach { fs =>
       val effective =
         if (fs.format == "csv") FileSource.csvEffectiveOptions(fs.options)
         else fs.options
-      spark.read.format(fs.format).options(effective).load(fs.path)
-        .createOrReplaceTempView(ds.viewName.getOrElse(ds.id))
+      val raw = spark.read.format(fs.format).options(effective).load(fs.path)
+      val flattened =
+        if (fs.format != "json") raw
+        else raw.select(raw.schema.fields.map { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType =>
+              org.apache.spark.sql.functions.to_json(col(f.name)).as(f.name)
+            case _ => col(f.name)
+          }
+        }.toSeq: _*)
+      flattened.createOrReplaceTempView(ds.viewName.getOrElse(ds.id))
     }
 
     // view-backed sources whose SQL references a relation named like the

@@ -16,10 +16,24 @@ import graft.validation.SqlValidator
   * user's SQL runs unchanged and Catalyst performs pushdown into every
   * per-source branch.
   */
-class MeshSession(
+class MeshSession private (
     val spark: SparkSession,
-    val mesh: graft.catalog.Mesh,
+    meshProvider: () => graft.catalog.Mesh,
     val siteName: String) {
+
+  /** Static catalog (a fixed Mesh value). */
+  def this(spark: SparkSession, mesh: graft.catalog.Mesh, siteName: String) =
+    this(spark, () => mesh, siteName)
+
+  /** Live catalog: every query resolves against the registry's CURRENT
+    * mesh, so admin upserts ([[MeshRegistry]]) are visible to the next
+    * query without rebuilding the session — the reference's dynamic
+    * registration semantics (`rest_server/src/admin/utils.rs:28-270`). */
+  def this(spark: SparkSession, registry: MeshRegistry, siteName: String) =
+    this(spark, () => registry.mesh, siteName)
+
+  /** The catalog as of NOW (re-read per query for registry-backed sessions). */
+  def mesh: graft.catalog.Mesh = meshProvider()
 
   /** Validate + execute `sqlText` as `user` against this site's catalog.
     *

@@ -43,11 +43,13 @@ import graft.mesh.EntityResolver
   *    reference appends `limit l` to each scan template);
   *  - S5 partitioning: one `InputPartition` per leaf (site, source) branch.
   *
-  * Scope (documented): branches must be local file-backed parquet or CSV
-  * sources (`DataSource.fileSource`); the source SQL may be any
+  * Scope (documented): branches must be local file-backed parquet, CSV, or
+  * JSON-lines sources (`DataSource.fileSource`); the source SQL may be any
   * Project/Filter chain over the physical relation (derived columns and
-  * WHERE clauses compose into the per-row scan expressions). Remote-hop and
-  * view/JDBC-backed branches are served by the DataFrame resolver path.
+  * WHERE clauses compose into the per-row scan expressions); `$.`-path
+  * DataFields extract from string/nested-JSON columns in both the connector
+  * and resolver paths. Remote-hop and view/JDBC-backed branches are served
+  * by the DataFrame resolver path.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -184,8 +186,20 @@ class GraftScan(
       val readerOpts = GraftScan.validatedReaderOptions(fs)
 
       val fileSchema: Seq[StructField] = fs.format match {
-        case "parquet"      => parquetFileSchema(fs.path)
-        case "csv" | "json" => GraftScan.inferredFileSchema(spark, fs).fields.toSeq
+        case "parquet" => parquetFileSchema(fs.path)
+        case "csv"     => GraftScan.inferredFileSchema(spark, fs).fields.toSeq
+        case "json" =>
+          // nested objects/arrays surface as serialized-JSON STRING columns
+          // (the `$.`-path DataField contract; the resolver's raw view does
+          // the same via to_json) — the executor reader emits the subtree's
+          // text and get_json_object extracts from it
+          GraftScan.inferredFileSchema(spark, fs).fields.toSeq.map { f =>
+            f.dataType match {
+              case _: StructType | _: ArrayType | _: MapType =>
+                f.copy(dataType = StringType)
+              case _ => f
+            }
+          }
         case other => throw new IllegalArgumentException(
           s"graft DSv2 scan supports parquet/csv/json, got $other")
       }
@@ -580,10 +594,11 @@ class CsvRecordIterator(
   }
 }
 
-/** JSON-lines parsing via Jackson to the inferred flat file schema (the
-  * same top-level scalar shape Spark's JSON inference yields for the
-  * FileDirectory sources in scope; nested structs are served by the
-  * resolver path). Missing/null fields -> NULL. */
+/** JSON-lines parsing via Jackson to the (flattened) inferred file schema.
+  * Top-level scalars map directly; nested objects/arrays arrive as
+  * StringType (GraftScan flattens the inferred schema) and emit the
+  * subtree's serialized text, which `get_json_object` mapping expressions
+  * then address with `$.`-paths. Missing/null fields -> NULL. */
 class JsonRecordIterator(path: String, fileSchema: StructType)
     extends LineRecordIterator(path, fileSchema, skipHeaderLine = false) {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -600,6 +615,8 @@ class JsonRecordIterator(path: String, fileSchema: StructType)
         case IntegerType => fileRow.setInt(i, v.asInt())
         case DoubleType  => fileRow.setDouble(i, v.asDouble())
         case BooleanType => fileRow.setBoolean(i, v.asBoolean())
+        case StringType if v.isContainerNode =>
+          fileRow.update(i, UTF8String.fromString(v.toString))
         case StringType  => fileRow.update(i, UTF8String.fromString(v.asText()))
         case other => throw new IllegalStateException(s"unsupported json type $other")
       }

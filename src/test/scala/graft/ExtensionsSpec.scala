@@ -17,8 +17,9 @@ class ExtensionsSpec extends AnyFunSuite {
     // (sketches and learned-model variants whose exact values are not
     // SQL-expressible; each has spec-based verification instead)
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    // (ss5/ss6 graduated to stored-index ADC oracles in round 4)
     assert(q -- o == Set("ap1_approx_agg", "ap2_heavy_hitters",
-      "ss3_ivf_learned", "ss5_pq_topk", "ss6_ivfpq_topk"),
+      "ss3_ivf_learned"),
       s"undocumented rows-only queries: ${(q -- o).mkString(", ")}")
   }
 

@@ -154,6 +154,57 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(viaResolver.exceptAll(viaDsv2).count() == 0)
   }
 
+  test("JSON branches with $.-path fields serve through the connector (resolver equality)") {
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_dsv2_json").toString
+    // JSON-lines with a NESTED object column: `k` maps from the DataField
+    // path `$.props.k` (the reference's nested-path contract); doc 7 leaves
+    // props.k absent -> NULL through get_json_object on both paths
+    spark.read.parquet(s"${TestSessions.sfDir}/events.parquet")
+      .limit(200)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 10 =!= 7,
+          struct((col("event_id") % 5).as("k"), col("user_id").as("u")))
+          .as("props"))
+      .coalesce(1).write.mode("overwrite").json(jsonDir)
+    val entity = Entity("jevents", Seq(
+      Information("event_id", LongType),
+      Information("etype", StringType),
+      Information("k", LongType)))
+    val src = DataSource(
+      id = "events_json",
+      sourceSql = "SELECT * FROM jev_raw",
+      mappings = Seq(
+        FieldMapping("event_id", "event_id"),
+        FieldMapping("etype", "event_type"),
+        FieldMapping("k", "$.props.k")),
+      defaultPermission = SourcePermission(
+        Set("event_id", "event_type", "props"), "event_id % 3 <> 1"),
+      fileSource = Some(FileSource("json", jsonDir)),
+      viewName = Some("jev_raw"))
+    val mesh = Mesh(Map("edge" -> Site("edge",
+      entities = Map("jevents" -> entity),
+      localSources = Map("jevents" -> Seq(src)))))
+    GraftDataSource.registry.put("test_json", mesh)
+    val viaDsv2 = spark.read.format("graft")
+      .option("mesh", "test_json").option("site", "edge").option("entity", "jevents")
+      .load()
+    val viaResolver = EntityResolver.resolve(spark, mesh, "edge", "jevents", None)
+    assert(viaDsv2.count() > 0)
+    // the JSON-path field extracts real values (not all-NULL) and the
+    // absent-subfield rows null out on both paths
+    assert(viaDsv2.where(col("k").isNotNull).count() > 0)
+    assert(viaDsv2.where(col("k").isNull).count() > 0)
+    assert(viaDsv2.exceptAll(viaResolver).count() == 0)
+    assert(viaResolver.exceptAll(viaDsv2).count() == 0)
+    // pushdown on a scalar column still classifies Exact over a JSON branch
+    val filtered = viaDsv2.where(col("event_id") > 50L)
+    val scanDesc = filtered.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("GreaterThan(event_id,50)"), scanDesc)
+    val expect = viaResolver.where(col("event_id") > 50L)
+    assert(filtered.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(filtered).count() == 0)
+  }
+
   test("CSV reader honors header/sep options like the inference path") {
     val csvDir = java.nio.file.Files.createTempDirectory("graft_dsv2_csvopt").toString
     spark.read.parquet(s"${TestSessions.sfDir}/lineitem.parquet")
