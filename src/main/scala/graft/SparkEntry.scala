@@ -16,6 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val df = Fixtures.lineitemView(spark, "/root/testdata/sf0.001")
     df.createOrReplaceTempView("lineitem_entity")
+    graft.mesh.ViewEpoch.noteShadow()
     spark.sql(
       """SELECT returnflag, linestatus, round(sum(quantity), 2) AS sum_qty,
         |       count(*) AS count_order

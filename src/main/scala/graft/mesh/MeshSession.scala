@@ -53,6 +53,7 @@ class MeshSession private (
     // use the same shared-name view
     val out = QueryService.planLock.synchronized {
       entityDF.createOrReplaceTempView(entity)
+      ViewEpoch.noteShadow()
       spark.sql(SqlValidator.preprocess(sqlText))
     }
     returnSchema.map(EntityResolver.castToSchema(out, _)).getOrElse(out)
@@ -173,6 +174,7 @@ class QueryService(session: MeshSession, resultDir: String) {
             col(SourceIdCol) <=> srcId.map(lit(_)).getOrElse(lit(null)))
           .drop(SourceRelayCol, SourceIdCol)
           .createOrReplaceTempView(entity)
+        ViewEpoch.noteShadow()
         val relayName = relay.getOrElse("(unattributed)")
         val srcName = srcId.getOrElse("(unattributed)")
         val base = spark.sql(SqlValidator.preprocess(sqlText))

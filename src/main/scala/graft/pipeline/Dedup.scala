@@ -185,13 +185,14 @@ object Dedup {
       broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
     val shSets = shinglesRaw(candDocs, idCol, textCol)
       .groupBy(col("__id")).agg(collect_set(col("shingle")).as("__sh"))
-    // eager localCheckpoint of the (tiny) pair output: repeated calls in a
-    // long-lived session pin one small pair list each; every intermediate
-    // above is consumed exactly once, so nothing else needs caching
+    // NOT checkpointed: every intermediate above is consumed exactly once,
+    // so the caller's first action computes the verify tail in ONE job
+    // (a trailing checkpoint would spend a whole extra job materializing
+    // the tiny pair list). Callers that consume the output repeatedly
+    // cache it themselves (dd7's pair index does).
     jaccardVerifySets(shSets, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
   }
 
   /** Passage-level exact dedup (library form of pd1 — the CCNet/RefinedWeb
@@ -295,12 +296,12 @@ object Dedup {
       broadcast(candIds), col(idCol) === col("__cid"), "left_semi")
     val shSets = shinglesRaw(candDocs, idCol, textCol)
       .groupBy(col("__id")).agg(collect_set(col("shingle")).as("__sh"))
-    // eager localCheckpoint: the (tiny) verified pair list is the ingest's
-    // durable output; every intermediate above is consumed exactly once
+    // NOT checkpointed (see minhashLshPairs): the ingest's consumer writes
+    // or caches the verified pair list itself; intermediates above are
+    // consumed once, so the first action runs the tail in one job
     jaccardVerifySets(shSets, cand, threshold)
       .withColumn("jaccard", round(col("jaccard"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
   }
 
   /** Connected components over an undirected near-dup pair list — the

@@ -15,6 +15,7 @@ object MeshQueries {
   private def meshSql(user: Option[String], sql: String)(
       s: SparkSession, dir: String): DataFrame = {
     Fixtures.lineitemView(s, dir, user).createOrReplaceTempView("lineitem_entity")
+    graft.mesh.ViewEpoch.noteShadow()
     s.sql(sql)
   }
 
@@ -52,6 +53,7 @@ object MeshQueries {
     "q5_provenance_counts" -> { (s, dir) =>
       Fixtures.lineitemView(s, dir, Some("admin"), withProvenance = true)
         .createOrReplaceTempView("lineitem_entity_prov")
+      graft.mesh.ViewEpoch.noteShadow()
       s.sql(
         """SELECT _source_relay_, _source_id_, count(*) AS n,
           |       round(sum(CAST(round(tax_amount * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_tax
@@ -96,6 +98,7 @@ object MeshQueries {
       graft.mesh.EntityResolver
         .resolve(s, Fixtures.mesh, "global", "telemetry", Some("admin"))
         .createOrReplaceTempView("telemetry_entity")
+      graft.mesh.ViewEpoch.noteShadow()
       s.sql(
         """SELECT event_type, count(*) AS n, sum(k) AS sum_k
           |FROM telemetry_entity

@@ -45,22 +45,43 @@ object Views {
       |       CAST(o_orderdate AS DATE) AS orderdate,
       |       o_orderpriority AS orderpriority FROM orders""".stripMargin
 
+  // resolved-entity plans memoized per (session, sf): resolution is pure
+  // plan construction (5-site walk, per-branch SQL analysis, ACL probes —
+  // ~100ms of driver time), and the resolved DataFrame captures its plan
+  // eagerly, so one resolution serves every later registration
+  private val resolvedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]
+
   /** Register lineitem/customer/orders entity views (admin access) + raw
-    * physical tables as temp views on `spark`. NOT memoized: mesh queries
-    * legitimately re-register `lineitem_entity` under other users' ACLs
-    * (the entity name must stay bare per the reference contract), so the
-    * admin views must be re-asserted before every SQL-surface query —
-    * resolution is pure plan construction, so the cost is analysis only
-    * (the underlying parquet reads stay memoized in registerRaw). */
+    * physical tables as temp views on `spark`. The VIEW registrations
+    * re-assert on every call — mesh queries legitimately re-register
+    * `lineitem_entity` under other users' ACLs (the entity name must stay
+    * bare per the reference contract) — but they re-assert the MEMOIZED
+    * resolved plan: a catalog put per query, not a re-resolution. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     Fixtures.registerRaw(spark, sfDir)
-    val mesh = Fixtures.mesh
-    val admin = Some("admin")
-    EntityResolver.resolve(spark, mesh, "global", "lineitem", admin)
-      .createOrReplaceTempView("lineitem_entity")
-    EntityResolver.resolve(spark, mesh, "global", "customer", admin)
-      .createOrReplaceTempView("customer_entity")
-    EntityResolver.resolve(spark, mesh, "global", "orders", admin)
-      .createOrReplaceTempView("orders_entity")
+    val (li, cust, ord) = resolvedCache.getOrElseUpdate((spark, sfDir), {
+      resolvedCache.filterKeys(_._1 eq spark).keys.foreach(resolvedCache.remove)
+      val mesh = Fixtures.mesh
+      val admin = Some("admin")
+      (EntityResolver.resolve(spark, mesh, "global", "lineitem", admin),
+        EntityResolver.resolve(spark, mesh, "global", "customer", admin),
+        EntityResolver.resolve(spark, mesh, "global", "orders", admin))
+    })
+    // view puts are epoch-guarded like registerRaw's: mesh queries register
+    // lineitem_entity under other users' ACLs (and bump the epoch), so the
+    // admin views re-assert only after an actual shadow
+    val epoch = graft.mesh.ViewEpoch.current
+    if (!lastAsserted.get(spark).contains((sfDir, epoch))) {
+      li.createOrReplaceTempView("lineitem_entity")
+      cust.createOrReplaceTempView("customer_entity")
+      ord.createOrReplaceTempView("orders_entity")
+      lastAsserted.put(spark, (sfDir, epoch))
+    }
   }
+
+  private val lastAsserted =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long)]
 }
