@@ -128,4 +128,36 @@ object Curation {
       idCol: String, textCol: String, n: Int = 8): DataFrame =
     contaminationCounts(train, eval, idCol, textCol, n)
       .where(col("n_contaminated") > 0)
+
+  /** Bloom-pruned decontamination — the 100 TB shape when even the hashed
+    * eval gram set is uncomfortably large to broadcast-join against every
+    * corpus gram: a ~10-bits-per-gram Bloom filter over the eval grams
+    * (built once per eval suite — index state, like the ANN codebooks)
+    * prunes the corpus with a row-local codegen'd `might_contain` probe,
+    * and the exact gram join runs only over the candidate documents.
+    * A Bloom false positive costs one wasted exact verification; false
+    * negatives are impossible — so the output EQUALS [[decontaminate]]
+    * while the corpus-wide join shrinks to the candidate slice. */
+  def bloomDecontaminate(
+      train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions
+    // index build: distinct eval gram hashes -> Bloom sketch (driver-side
+    // model state; the count is one scalar aggregate)
+    val evalHashes = ngrams(eval, idCol, textCol, n)
+      .select(xxhash64(col("gram")).as("h")).distinct()
+    val expected = math.max(evalHashes.count(), 1L)
+    val bf = BloomFunctions.serialize(
+      evalHashes.stat.bloomFilter("h", expected, fpp))
+    // prune: docs owning at least one possibly-contaminated gram
+    val candIds = ngrams(train, idCol, textCol, n)
+      .where(BloomFunctions.might_contain(bf, col("gram")))
+      .select(col("doc_id")).distinct()
+    val candidates = train.join(
+      candIds.withColumnRenamed("doc_id", "__cid"),
+      col(idCol) === col("__cid"), "left_semi")
+    // exact verification over the candidate slice only
+    decontaminate(candidates, eval, idCol, textCol, n)
+  }
 }

@@ -1430,6 +1430,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dc2: the BLOOM-PRUNED decontamination path — same answer as dc1 by
+    // construction (Bloom filters have no false negatives; positives are
+    // re-verified exactly), but the corpus-wide gram join shrinks to the
+    // candidate documents flagged by a row-local codegen'd might_contain
+    // probe. The oracle is dc1's: two algorithms, one answer.
+    "dc2_bloom_decontamination" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      Curation.bloomDecontaminate(
+          docs.where(col("doc_id") % 10 =!= 7),
+          docs.where(col("doc_id") % 10 === 7),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // dm1: pipeline x mesh composition — exact dedup running over the
     // ACL-scoped documents ENTITY view (default policy hides the 'zh'
     // slice and denies `source`), not the raw table: governance applies
@@ -1792,6 +1808,10 @@ object PipelineQueries {
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
       "ss5_pq_topk" -> pqAdcOracle(ivf = false),
       "ss6_ivfpq_topk" -> pqAdcOracle(ivf = true),
+
+      // dc2 = dc1's exact contract served through the Bloom-pruned path
+      "dc2_bloom_decontamination" ->
+        defs.find(_.name == "dc1_decontamination").get.duckSql,
       // the federated entity is the union of two id-slices = the whole
       // corpus, so the pair chain is dd2's; cross_source = id parity
       "dm2_dedup_across_sources" -> {

@@ -217,6 +217,23 @@ class LibraryApiSpec extends AnyFunSuite {
     } finally spark.conf.set(tzKey, prior)
   }
 
+  test("bloomDecontaminate == exact decontaminate; probe is codegen'd might_contain") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val train = docs.where(col("doc_id") % 10 =!= 7)
+    val eval = docs.where(col("doc_id") % 10 === 7)
+    val exact = Curation.decontaminate(train, eval, "doc_id", "text")
+      .orderBy("doc_id")
+    val bloom = Curation.bloomDecontaminate(train, eval, "doc_id", "text")
+      .orderBy("doc_id")
+    // no false negatives + exact re-verification => identical output
+    assertSame(bloom, exact)
+    // the probe is Spark's runtime-filter expression, not a UDF
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("decontamination joins the eval gram set by broadcast (plan shape)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
