@@ -145,10 +145,18 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .sortBy(_._1).toSeq
 
-  /** The SERVING half of [[semanticDedup]] against prebuilt centroids. */
+  /** The SERVING half of [[semanticDedup]] against prebuilt centroids.
+    *
+    * @param blockTarget when set, clusters larger than this are split into
+    *   hash blocks and paired block-against-block (triangle join) so a
+    *   mega-cluster's quadratic pair work spreads across ~(s/B)²/2 tasks
+    *   instead of landing on ONE — the skew valve for boilerplate-heavy
+    *   corpora where a few clusters hold a large corpus fraction. Output
+    *   is identical to the unblocked path (SimilaritySpec). */
   def semanticDedupSeeded(
       vecs: DataFrame, idCol: String, vecCol: String,
-      cents: Seq[(Long, Seq[Float], Double)], threshold: Double = 0.4): DataFrame = {
+      cents: Seq[(Long, Seq[Float], Double)], threshold: Double = 0.4,
+      blockTarget: Option[Int] = None): DataFrame = {
     val v = withNorm(vecs, idCol, vecCol)
     val scores = array(cents.map { case (_, cv, cn) =>
       round(dot(col("__v"), array(cv.map(lit(_)): _*)) / (col("nrm") * lit(cn)), 6)
@@ -157,7 +165,7 @@ object Similarity {
     // ties (centroids are id-sorted), matching ORDER BY cc DESC, cid
     val assign = v.withColumn("cid",
       (array_position(scores, array_max(scores)) - 1).cast("int"))
-    dedupWithinCluster(assign, threshold)
+    dedupWithinCluster(assign, threshold, blockTarget)
   }
 
   /** Semantic dedup against LEARNED centroids (the scale path, as ss3 is
@@ -186,17 +194,57 @@ object Similarity {
     * quadratic per cluster and must spread across executors by cluster
     * (the SemDeDup co-location shape); without it a narrow scan pipeline
     * leaves the whole O(Σs²) join on however few partitions the file
-    * scan produced. */
+    * scan produced.
+    *
+    * With `blockTarget` set, each cluster of size s splits into
+    * nb = ceil(s/B) hash blocks and rows join block-PAIR against
+    * block-pair (the triangle self-join): a row in block b serves as the
+    * LEFT of pairs (b, j >= b) and the RIGHT of pairs (i <= b, b), so
+    * every unordered pair meets in exactly one (lo, hi) block-pair task.
+    * Replication is nb+1 copies per row; per-task pair work is bounded by
+    * B² regardless of cluster size — the skew valve when one cluster
+    * holds a large corpus fraction. */
   private def dedupWithinCluster(
-      assigned: DataFrame, threshold: Double): DataFrame = {
-    val byCluster = assigned.repartition(col("cid"))
-    val pairs = byCluster.as("a").join(byCluster.as("b"),
-        col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("va"), col("b.__id").as("vb"),
-        round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)
-          .as("cos"))
-      .where(col("cos") >= threshold)
-    pairs.groupBy(col("vb").as("vec_id"))
+      assigned: DataFrame, threshold: Double,
+      blockTarget: Option[Int] = None): DataFrame = {
+    val pairs = blockTarget match {
+      case None =>
+        val byCluster = assigned.repartition(col("cid"))
+        byCluster.as("a").join(byCluster.as("b"),
+            col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("va"), col("b.__id").as("vb"),
+            round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)
+              .as("cos"))
+      case Some(bt) =>
+        require(bt > 0, "blockTarget must be positive")
+        // per-cluster block count from one tiny size aggregation
+        val sizes = assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("__cs"))
+          .withColumn("__nb",
+            greatest(lit(1L), ceil(col("__cs") / lit(bt.toDouble))).cast("int"))
+          .select(col("cid"), col("__nb"))
+        val blocked = assigned.join(broadcast(sizes), "cid")
+          .withColumn("__b", pmod(xxhash64(col("__id")), col("__nb")).cast("int"))
+        val left = blocked.withColumn("__hi",
+          explode(sequence(col("__b"), col("__nb") - 1)))
+        val right = blocked.withColumn("__lo",
+          explode(sequence(lit(0), col("__b"))))
+        // within a (lo, hi) task the left row's block IS lo and the right's
+        // IS hi, so cross-block pairs meet exactly once (any id order) and
+        // same-block pairs order by id; output ids re-normalize since a
+        // cross-block left may carry the larger id
+        left.as("a").join(right.as("b"),
+            col("a.cid") === col("b.cid") &&
+              col("a.__b") === col("b.__lo") && col("a.__hi") === col("b.__b") &&
+              (col("a.__b") < col("b.__b") ||
+                (col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))))
+          .select(least(col("a.__id"), col("b.__id")).as("va"),
+            greatest(col("a.__id"), col("b.__id")).as("vb"),
+            round(dot(col("a.__v"), col("b.__v")) / (col("a.nrm") * col("b.nrm")), 6)
+              .as("cos"))
+    }
+    pairs.where(col("cos") >= threshold)
+      .groupBy(col("vb").as("vec_id"))
       .agg(min(col("va")).as("keeper"), max(col("cos")).as("max_cos"))
       .orderBy(col("vec_id"))
   }

@@ -66,6 +66,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@5 = $recall")
   }
 
+  test("blocked (skew-valve) within-cluster pairing equals the unblocked path") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 0L until 16L)
+    val plain = Similarity.semanticDedupSeeded(emb, "vec_id", "embedding", cents)
+    // blockTarget far below cluster sizes forces real multi-block triangles
+    val blocked = Similarity.semanticDedupSeeded(
+      emb, "vec_id", "embedding", cents, blockTarget = Some(7))
+    assert(plain.collect().toSeq == blocked.collect().toSeq)
+    assert(plain.count() > 0)
+  }
+
   test("learned-centroid semantic dedup: projection assignment, high pair recall") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     val cents = Similarity.sphericalKMeans(
