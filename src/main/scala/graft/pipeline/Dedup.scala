@@ -97,7 +97,43 @@ object Dedup {
       .select(carry :+ col("bb.band") :+ col("bb.bsig"): _*)
   }
 
-  /** Candidate pairs sharing any band signature (da < db). A `__tag` column
+  /** Candidate pairs sharing any band signature (da < db), generated by
+    * grouping the band index into (band, bsig) buckets and exploding each
+    * bucket's in-bucket pair combinations — ONE shuffle of the band index,
+    * versus two for the equivalent self-join (which shuffles both sides),
+    * and no materialization barrier since nothing is consumed twice.
+    * Per-bucket work is quadratic in bucket size exactly like the
+    * self-join (the same key lands on the same task either way); LSH
+    * bucket sizes are small by construction. A `__tag` column on the index
+    * comes out per side as (tag_a, tag_b). Output set is identical to
+    * [[lshCandidates]] (DedupSpec asserts equality). */
+  def lshCandidatesGrouped(bands: DataFrame): DataFrame = {
+    val hasTag = bands.columns.contains("__tag")
+    val member =
+      if (hasTag) struct(col("__id"), col("__tag")) else struct(col("__id"))
+    // struct ordering compares fields left-to-right, so the sort is by id;
+    // pairs (i < j) over the sorted array give each unordered pair once
+    // with da < db already normalized
+    val buckets = bands.groupBy(col("band"), col("bsig"))
+      .agg(array_sort(collect_list(member)).as("__ms"))
+      .where(size(col("__ms")) > 1)
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(__ms, (x, i) ->
+        |  transform(slice(__ms, i + 2, size(__ms) - i - 1),
+        |    y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+    val tags =
+      if (hasTag)
+        Seq(col("p.pa.__tag").as("tag_a"), col("p.pb.__tag").as("tag_b"))
+      else Seq.empty[Column]
+    pairs
+      .select(col("p.pa.__id").as("da") +: col("p.pb.__id").as("db") +: tags: _*)
+      .distinct()
+  }
+
+  /** Candidate pairs sharing any band signature (da < db) via band-index
+    * self-join. Prefer [[lshCandidatesGrouped]] (one shuffle instead of
+    * two, no need to materialize the index); this form remains for callers
+    * that already hold a materialized index on both sides. A `__tag` column
     * on the index comes out per side as (tag_a, tag_b). */
   def lshCandidates(bands: DataFrame): DataFrame = {
     val a = bands.as("a"); val b = bands.as("b")
@@ -158,23 +194,20 @@ object Dedup {
       k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
       fastHash: Boolean = false, tagCol: Option[String] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // the band index is (id, band, bsig) — bands rows per doc, tiny next to
-    // the text — but it feeds BOTH sides of the candidate self-join, and an
-    // unmaterialized plan would run the whole shingle+signature chain once
-    // per side (measured 2x the chain cost at sf0.1). Eager localCheckpoint
-    // materializes it once; the blocks are ContextCleaner-managed, so no
-    // unpersist bookkeeping. (At real scale the index is stored state —
-    // see bandIndex/incrementalNearDupPairs.) `tagCol` (a per-document
-    // attribute, e.g. mesh provenance) rides the chain as `__tag` and
-    // emerges as (tag_a, tag_b) on each pair — no post-hoc re-join against
-    // the corpus.
+    // grouped candidate generation consumes the band index exactly once
+    // (groupBy buckets → in-bucket pair explosion), so the shingle+minhash
+    // chain needs no materialization barrier and the index is shuffled
+    // once — the self-join form shuffled it twice and forced an eager
+    // checkpoint to avoid running the chain once per side. `tagCol` (a
+    // per-document attribute, e.g. mesh provenance) rides the chain as
+    // `__tag` and emerges as (tag_a, tag_b) on each pair — no post-hoc
+    // re-join against the corpus.
     val bandIdx = bandSignatures(
       minhashSignatures(shinglesRaw(docs, idCol, textCol, tagCol = tagCol), k, fastHash),
       bands, k / bands)
-      .localCheckpoint()
     // candidates are tiny (pair ids only) and consumed twice: the id
     // broadcast below and the verification join
-    val cand = lshCandidates(bandIdx).localCheckpoint()
+    val cand = lshCandidatesGrouped(bandIdx).localCheckpoint()
     // verification touches only the candidate docs' shingles: semi-filter
     // the documents by the (tiny, broadcast) candidate id list and
     // re-shingle just those — at scale this is the difference between

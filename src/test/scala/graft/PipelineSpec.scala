@@ -25,6 +25,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("grouped LSH candidate generation equals the self-join form, tags included") {
+    import org.apache.spark.sql.functions._
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+      .withColumn("__src", pmod(col("doc_id"), lit(3)).cast("string"))
+    val idx = graft.pipeline.Dedup.bandIndex(docs, "doc_id", "text")
+      .drop("hash_family").localCheckpoint()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("da", "db").collect().toSeq
+    assert(norm(graft.pipeline.Dedup.lshCandidatesGrouped(idx)) ==
+      norm(graft.pipeline.Dedup.lshCandidates(idx)))
+    // tagged: __tag flows through both forms identically
+    val tagged = graft.pipeline.Dedup.bandIndex(docs, "doc_id", "text")
+      .drop("hash_family")
+      .join(docs.select(col("doc_id").as("__id"), col("__src").as("__tag")), "__id")
+      .localCheckpoint()
+    assert(norm(graft.pipeline.Dedup.lshCandidatesGrouped(tagged)) ==
+      norm(graft.pipeline.Dedup.lshCandidates(tagged)))
+    assert(graft.pipeline.Dedup.lshCandidatesGrouped(tagged).columns.toSeq ==
+      Seq("da", "db", "tag_a", "tag_b"))
+  }
+
   test("connected components label chains and singleton pairs correctly") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), separate pair 10-11, pair 6-2 merging in
