@@ -144,18 +144,23 @@ object Curation {
       fpp: Double = 0.01): DataFrame = {
     import graft.functions.BloomFunctions
     // index build: distinct eval gram hashes -> Bloom sketch (driver-side
-    // model state; the count is one scalar aggregate)
+    // model state; the count is one scalar aggregate). Materialized once —
+    // the hash set feeds both the sizing count and the sketch aggregation,
+    // and eval-corpus shingling is the expensive part of both.
     val evalHashes = ngrams(eval, idCol, textCol, n)
       .select(xxhash64(col("gram")).as("h")).distinct()
+      .localCheckpoint()
     val expected = math.max(evalHashes.count(), 1L)
     val bf = BloomFunctions.serialize(
       evalHashes.stat.bloomFilter("h", expected, fpp))
-    // prune: docs owning at least one possibly-contaminated gram
+    // prune: docs owning at least one possibly-contaminated gram; the id
+    // list is candidate-sized (Bloom survivors only), so broadcast the
+    // semi-join rather than shuffling the corpus on ids
     val candIds = ngrams(train, idCol, textCol, n)
       .where(BloomFunctions.might_contain(bf, col("gram")))
       .select(col("doc_id")).distinct()
     val candidates = train.join(
-      candIds.withColumnRenamed("doc_id", "__cid"),
+      broadcast(candIds.withColumnRenamed("doc_id", "__cid")),
       col(idCol) === col("__cid"), "left_semi")
     // exact verification over the candidate slice only
     decontaminate(candidates, eval, idCol, textCol, n)

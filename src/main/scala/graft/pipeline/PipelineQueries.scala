@@ -1110,7 +1110,198 @@ object PipelineQueries {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         |FROM t JOIN d ON md5(t.text) = d.sig
-        |GROUP BY t.source ORDER BY t.source""".stripMargin))
+        |GROUP BY t.source ORDER BY t.source""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tx9: Shannon-entropy quality signals (character- and token-level) —
+    // the compressibility proxy filter (low-entropy text is boilerplate /
+    // repetition; used alongside tx2/tx5 in Gopher/Dolma-style rule
+    // stacks). H = ln N - (Σ n_c ln n_c)/N per doc; per-symbol ln's are
+    // quantized to integer micro-nats (tx7's trick) so the corpus-scale
+    // aggregation is exact integer arithmetic — order- and engine-
+    // independent; only the final per-doc combination is float. Two
+    // row-local explodes + partial-aggregable groupBys: zero pair work,
+    // scales linearly.
+    Q("tx9_entropy",
+      """WITH ch AS (SELECT doc_id, c, count(*) AS nc FROM (
+        |      SELECT /*+ REPARTITION(doc_id) */ doc_id,
+        |             explode(transform(sequence(1, length(text)), i -> substring(text, i, 1))) AS c
+        |      FROM documents) e GROUP BY doc_id, c),
+        |cagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
+        |         FROM ch GROUP BY doc_id),
+        |tk AS (SELECT doc_id, token, count(*) AS nc FROM (
+        |      SELECT doc_id, explode(split(text, ' ')) AS token FROM documents) e
+        |      GROUP BY doc_id, token),
+        |tagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
+        |         FROM tk GROUP BY doc_id)
+        |SELECT c.doc_id, c.n AS n_chars, c.k AS distinct_chars,
+        |       CAST(round(ln(CAST(c.n AS DOUBLE)) * 1e6 - c.t / CAST(c.n AS DOUBLE)) AS BIGINT) AS char_ent_u6,
+        |       t2.n AS n_tokens, t2.k AS distinct_tokens,
+        |       CAST(round(ln(CAST(t2.n AS DOUBLE)) * 1e6 - t2.t / CAST(t2.n AS DOUBLE)) AS BIGINT) AS token_ent_u6
+        |FROM cagg c JOIN tagg t2 ON c.doc_id = t2.doc_id ORDER BY c.doc_id""".stripMargin,
+      """WITH ch AS (SELECT doc_id, c, count(*) AS nc FROM (
+        |      SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS c
+        |      FROM documents, unnest(range(1, length(text) + 1)) AS u(i)) e GROUP BY doc_id, c),
+        |cagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
+        |         FROM ch GROUP BY doc_id),
+        |tk AS (SELECT doc_id, token, count(*) AS nc FROM (
+        |      SELECT doc_id, token FROM documents, unnest(string_split(text, ' ')) AS u(token)) e
+        |      GROUP BY doc_id, token),
+        |tagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
+        |         FROM tk GROUP BY doc_id)
+        |SELECT c.doc_id, c.n AS n_chars, c.k AS distinct_chars,
+        |       CAST(round(ln(CAST(c.n AS DOUBLE)) * 1e6 - c.t / CAST(c.n AS DOUBLE)) AS BIGINT) AS char_ent_u6,
+        |       t2.n AS n_tokens, t2.k AS distinct_tokens,
+        |       CAST(round(ln(CAST(t2.n AS DOUBLE)) * 1e6 - t2.t / CAST(t2.n AS DOUBLE)) AS BIGINT) AS token_ent_u6
+        |FROM cagg c JOIN tagg t2 ON c.doc_id = t2.doc_id ORDER BY c.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ml1: hashed linear quality classifier (the fastText-style serving
+    // shape: hashing trick, Weinberger '09) — token -> md5 bucket mod 1024
+    // -> integer micro-weight -> per-doc sum. The weight table here is a
+    // deterministic arithmetic stand-in for trained model state (the
+    // library form takes real weights as a broadcast array); the measured
+    // plan IS the production one: row-local hashing + one partial-
+    // aggregable groupBy, no shuffle beyond the doc rollup. Integer
+    // micro-weights make document scores exact — engine- and order-
+    // independent.
+    Q("ml1_classifier_score",
+      """WITH tok AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, token
+        |             FROM documents LATERAL VIEW explode(split(text, ' ')) t AS token),
+        |w AS (SELECT doc_id,
+        |        ((CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT) % 1024)
+        |          * 2654435761) % 2000001 - 1000000 AS wt
+        |      FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(wt) AS BIGINT) AS score_u6,
+        |       CAST(round(sum(wt) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_score_u6,
+        |       (sum(wt) > 0) AS keep_flag
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, token
+        |             FROM documents, unnest(string_split(text, ' ')) AS u(token)),
+        |w AS (SELECT doc_id,
+        |        ((('0x' || substring(md5(token), 1, 12))::BIGINT % 1024)
+        |          * 2654435761) % 2000001 - 1000000 AS wt
+        |      FROM tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(wt) AS BIGINT) AS score_u6,
+        |       CAST(round(CAST(sum(wt) AS DOUBLE) / count(*)) AS BIGINT) AS avg_score_u6,
+        |       (sum(wt) > 0) AS keep_flag
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tok1: BPE merge-candidate statistics — corpus-wide adjacent-token-
+    // pair frequencies, the per-iteration statistic of byte-pair-encoding
+    // tokenizer training (Sennrich '16). Pair extraction is row-local
+    // (transform over the token array), counting is one partial-aggregable
+    // groupBy; the full iterative trainer (count -> argmax merge -> apply)
+    // is TextAnalysis.bpeTrain, which loops this exact plan with the
+    // merge table as driver-side model state.
+    Q("tok1_bpe_pairs",
+      """WITH tok AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, split(text, ' ') AS w FROM documents),
+        |p AS (SELECT explode(transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))) AS pr
+        |      FROM tok WHERE size(w) >= 2)
+        |SELECT pr.a AS left_tok, pr.b AS right_tok, count(*) AS cnt
+        |FROM p GROUP BY pr.a, pr.b ORDER BY cnt DESC, left_tok, right_tok LIMIT 50""".stripMargin,
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT w[CAST(i AS INTEGER) + 1] AS left_tok, w[CAST(i AS INTEGER) + 2] AS right_tok
+        |      FROM tok, unnest(range(0, len(w) - 1)) AS t(i) WHERE len(w) >= 2)
+        |SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, left_tok, right_tok LIMIT 50""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // sp6: temperature-based source mixing (the multilingual-LM rebalance,
+    // alpha = 0.5): target share q_s ∝ n_s^0.5, served by per-doc
+    // Bernoulli acceptance at rate min(1, B*q_s/n_s) against an md5-
+    // uniform — deterministic, reproducible, one pass. Only correctly-
+    // rounded float ops (sqrt, /, *) reach the rates, and the cross-source
+    // sqrt sum is index-ordered (source-sorted list fold) so both engines
+    // fold identical values in identical order; the md5 uniform divides by
+    // 2^48 exactly.
+    Q("sp6_temperature_mix",
+      """WITH n AS (SELECT source, count(*) AS n_docs,
+        |             sqrt(CAST(count(*) AS DOUBLE)) AS sq
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT aggregate(transform(array_sort(collect_list(struct(source, sq))), x -> x.sq),
+        |                         CAST(0 AS DOUBLE), (a, x) -> a + x) AS z,
+        |               CAST(sum(n_docs) AS BIGINT) AS total FROM n),
+        |r AS (SELECT source, n_docs,
+        |        least(CAST(1 AS DOUBLE), (CAST(total AS DOUBLE) / 2) * (sq / z) / n_docs) AS rate
+        |      FROM n CROSS JOIN tot),
+        |s AS (SELECT d.doc_id, d.source, r.rate,
+        |        (CAST(conv(substring(md5(concat('mix', CAST(d.doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)
+        |          / CAST(281474976710656 AS DOUBLE)) < r.rate AS sampled
+        |      FROM documents d JOIN r ON d.source = r.source)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       round(max(rate), 6) AS rate,
+        |       CAST(sum(CASE WHEN sampled THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+      """WITH n AS (SELECT source, count(*) AS n_docs,
+        |             sqrt(CAST(count(*) AS DOUBLE)) AS sq
+        |           FROM documents GROUP BY source),
+        |tot AS (SELECT list_sum(list(sq ORDER BY source)) AS z,
+        |               CAST(sum(n_docs) AS BIGINT) AS total FROM n),
+        |r AS (SELECT source, n_docs,
+        |        least(CAST(1 AS DOUBLE), (CAST(total AS DOUBLE) / 2) * (sq / z) / n_docs) AS rate
+        |      FROM n CROSS JOIN tot),
+        |s AS (SELECT d.doc_id, d.source, r.rate,
+        |        (('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |          / CAST(281474976710656 AS DOUBLE)) < r.rate AS sampled
+        |      FROM documents d JOIN r ON d.source = r.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       round(max(rate), 6) AS rate,
+        |       CAST(sum(CASE WHEN sampled THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum
+        |FROM s GROUP BY source ORDER BY source""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ts2: rolling z-score anomaly detection over hourly event counts —
+    // the data-quality monitor on an ingest stream (per type: trailing-24-
+    // observed-hours mean/variance from INTEGER window sums, z in 1e-4
+    // units). Window state is (sum, sumsq, count) — partial-aggregable and
+    // bounded; all float ops (/, sqrt, *) are correctly rounded and derive
+    // from exact integers, so both engines produce identical doubles.
+    // Warmup rows (fewer than 12 trailing hours) are excluded.
+    Q("ts2_anomaly",
+      """WITH b AS (SELECT event_type,
+        |         CAST(unix_timestamp(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr,
+        |         count(*) AS n
+        |       FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, n,
+        |        CAST(sum(n) OVER win AS BIGINT) AS s,
+        |        CAST(sum(n * n) OVER win AS BIGINT) AS ss,
+        |        CAST(count(*) OVER win AS BIGINT) AS k
+        |      FROM b
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY hr
+        |                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr AS hr_epoch, CAST(n AS BIGINT) AS n,
+        |       CAST(round((n - s / CAST(k AS DOUBLE))
+        |             / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE)) * 1e4) AS BIGINT) AS z_u4,
+        |       (abs((n - s / CAST(k AS DOUBLE))
+        |             / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE))) > 3) AS anomaly
+        |FROM w WHERE k >= 12 ORDER BY event_type, hr""".stripMargin,
+      """WITH b AS (SELECT event_type,
+        |         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr,
+        |         count(*) AS n
+        |       FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, n,
+        |        CAST(sum(n) OVER win AS BIGINT) AS s,
+        |        CAST(sum(n * n) OVER win AS BIGINT) AS ss,
+        |        CAST(count(*) OVER win AS BIGINT) AS k
+        |      FROM b
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY hr
+        |                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr AS hr_epoch, CAST(n AS BIGINT) AS n,
+        |       CAST(round((n - s / CAST(k AS DOUBLE))
+        |             / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE)) * 1e4) AS BIGINT) AS z_u4,
+        |       (abs((n - s / CAST(k AS DOUBLE))
+        |             / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE))) > 3) AS anomaly
+        |FROM w WHERE k >= 12 ORDER BY event_type, hr""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous

@@ -109,4 +109,42 @@ object Sampling {
     val value = conv(hexDraw(col(idCol), salt), 16, 10).cast("int")
     df.withColumn(shardCol, pmod(value, lit(nShards)).cast("int"))
   }
+
+  /** Temperature-based source rebalancing (library form of sp6 — the
+    * multilingual-LM mixing rule): target share per source ∝ n_s^alpha,
+    * served by per-row deterministic Bernoulli acceptance at rate
+    * min(1, budget·q_s/n_s) against a 48-bit md5 uniform. Per-source
+    * counts are MODEL STATE (one tiny aggregate collected to the driver);
+    * the acceptance itself is a row-local projection joined from a
+    * broadcast rate table — reproducible on any cluster size or retry.
+    * Adds (rate, sampled) to every row; filter on `sampled` to take the
+    * rebalanced corpus. */
+  def temperatureMix(
+      df: DataFrame, idCol: String, srcCol: String,
+      alpha: Double = 0.5, budgetFrac: Double = 0.5,
+      salt: String = "mix"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // per-source counts: sources are few (model state); pow/sum run on the
+    // driver in source-sorted order so rates are reproducible
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // sqrt is correctly rounded where pow(x, 0.5) need not be — route the
+    // default alpha through it so rates match an engine-side sqrt spelling
+    // bit-for-bit (the sp6 oracle's contract)
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val z = counts.map { case (_, n) => powA(n.toDouble) }.sum
+    val total = counts.map(_._2).sum
+    val rates = counts.map { case (s, n) =>
+      (s, math.min(1.0, total * budgetFrac * (powA(n.toDouble) / z) / n))
+    }
+    val rateDf = rates.toSeq.toDF(srcCol, "rate")
+    val u = expr(
+      s"CAST(conv(substring(md5(concat('$salt', CAST(`$idCol` AS STRING))), 1, 12), 16, 10) AS BIGINT)" +
+        " / CAST(281474976710656 AS DOUBLE)")
+    df.join(broadcast(rateDf), srcCol)
+      .withColumn("sampled", u < col("rate"))
+  }
 }

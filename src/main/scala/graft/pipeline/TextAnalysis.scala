@@ -135,6 +135,119 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
   }
 
+  /** Shannon-entropy quality signals (library form of tx9): character- and
+    * token-level entropy per document, in integer micro-nats. H = ln N -
+    * (Σ n_c ln n_c)/N; the per-symbol ln quantizes to round(ln(n)*1e6) so
+    * the aggregation is exact integer arithmetic (unigramLm's trick) and
+    * only the final per-doc combination is float. Two row-local explodes +
+    * partial-aggregable groupBys — linear at any corpus size. */
+  def entropySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def ent(sym: DataFrame, prefix: String): DataFrame =
+      sym.groupBy(col("doc_id"), col("__s")).agg(count(lit(1)).as("nc"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("nc")).as("n"), count(lit(1)).as("k"),
+          sum(col("nc") *
+            expr("CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)")).as("t"))
+        .select(col("doc_id"),
+          col("n").as(s"n_$prefix"), col("k").as(s"distinct_$prefix"),
+          expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1e6 - t / CAST(n AS DOUBLE)) AS BIGINT)")
+            .as(s"${prefix.stripSuffix("s")}_ent_u6"))
+    val base = docs.repartition(col(idCol))
+    val chars = base.select(col(idCol).as("doc_id"),
+      explode(expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"))
+        .as("__s"))
+    val toks = base.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("__s"))
+    ent(chars, "chars").join(ent(toks, "tokens"), "doc_id")
+  }
+
+  /** Hashed linear classifier scoring (library form of ml1 — the fastText-
+    * style quality-classifier serving shape with the hashing trick): token
+    * -> md5 bucket mod `weights.length` -> integer micro-weight looked up
+    * in the broadcast literal weight array -> per-doc sum. Weights are
+    * MODEL STATE (a trained classifier's, quantized to 1e-6); document
+    * scores are exact integer sums — engine- and order-independent. The
+    * whole plan is row-local projection + one groupBy. */
+  def hashedLinearScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long]): DataFrame = {
+    val warr = array(weights.map(lit(_)): _*)
+    docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("token"))
+      .select(col("doc_id"), element_at(warr,
+        (expr("CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT)")
+          % weights.length).cast("int") + 1).as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score_u6"))
+      .withColumn("avg_score_u6",
+        expr("CAST(round(score_u6 / CAST(n_tokens AS DOUBLE)) AS BIGINT)"))
+      .withColumn("keep_flag", col("score_u6") > 0)
+  }
+
+  /** The deterministic stand-in weight table the ml1 driver query uses
+    * (bucket -> ((bucket * 2654435761) % 2000001) - 1000000). */
+  def ml1Weights(buckets: Int = 1024): Seq[Long] =
+    (0 until buckets).map(b => ((b.toLong * 2654435761L) % 2000001L) - 1000000L)
+
+  /** Corpus-wide adjacent-token-pair counts over CURRENT token arrays —
+    * the per-iteration statistic of BPE training (tok1's plan): row-local
+    * pair explosion, one partial-aggregable groupBy. */
+  def bpePairCounts(toks: DataFrame, toksCol: String = "toks"): DataFrame =
+    toks.where(size(col(toksCol)) >= 2)
+      .select(explode(expr(
+        s"transform(sequence(0, size($toksCol) - 2), i -> struct($toksCol[i] AS a, $toksCol[i + 1] AS b))"))
+        .as("pr"))
+      .groupBy(col("pr.a").as("left_tok"), col("pr.b").as("right_tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Distributed BPE tokenizer training (Sennrich '16 at corpus scale):
+    * `numMerges` rounds of [count adjacent pairs corpus-wide -> pick the
+    * (max count, lexicographically-least) pair -> apply the greedy
+    * left-to-right merge to every document]. Pair counting is the tok1
+    * plan; the merge application is genuinely imperative sequential
+    * per-row work, so it runs in a typed map (the mapPartitions escape
+    * hatch, like the multimodal codecs). The learned merge table is
+    * driver-side MODEL STATE (numMerges entries); per-round lineage is
+    * truncated the connectedComponents way. Merged tokens join with a
+    * space, so the final arrays re-segment the original text. Returns
+    * (merges in order, final (doc_id, toks) frame). Stops early when no
+    * pair repeats. */
+  def bpeTrain(
+      docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 10): (Seq[(String, String)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs
+      .select(col(idCol).cast("long"), split(col(textCol), " "))
+      .as[(Long, Seq[String])]
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val top = bpePairCounts(cur.toDF("doc_id", "toks"))
+        .orderBy(col("cnt").desc, col("left_tok"), col("right_tok"))
+        .head(1)
+      top.headOption.filter(_.getLong(2) >= 2) match {
+        case None => done = true
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((a, b))
+          cur = cur.map { case (id, toks) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                out += a + " " + b; i += 2
+              } else { out += toks(i); i += 1 }
+            }
+            (id, out.toSeq)
+          }.localCheckpoint()
+      }
+    }
+    (merges.toSeq, cur.toDF("doc_id", "toks"))
+  }
+
   /** WINNOWING fingerprints (MOSS), staged as two expressions — single
     * source for the tx6 driver query and its guarantee spec. The gram
     * array MUST be materialized into a column before the window pass:

@@ -217,6 +217,56 @@ class LibraryApiSpec extends AnyFunSuite {
     } finally spark.conf.set(tzKey, prior)
   }
 
+  test("entropySignals == tx9; hashedLinearScore == ml1; bpePairCounts == tok1") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    assertSame(
+      TextAnalysis.entropySignals(docs, "doc_id", "text")
+        .select("doc_id", "n_chars", "distinct_chars", "char_ent_u6",
+          "n_tokens", "distinct_tokens", "token_ent_u6")
+        .orderBy("doc_id"),
+      q("tx9_entropy"))
+    assertSame(
+      TextAnalysis.hashedLinearScore(docs, "doc_id", "text", TextAnalysis.ml1Weights())
+        .select("doc_id", "n_tokens", "score_u6", "avg_score_u6", "keep_flag")
+        .orderBy("doc_id"),
+      q("ml1_classifier_score"))
+    assertSame(
+      TextAnalysis.bpePairCounts(
+          docs.select(col("doc_id"), split(col("text"), " ").as("toks")))
+        .orderBy(col("cnt").desc, col("left_tok"), col("right_tok"))
+        .limit(50),
+      q("tok1_bpe_pairs"))
+  }
+
+  test("Sampling.temperatureMix == sp6 SQL form (per-source rollup)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val mixed = graft.pipeline.Sampling
+      .temperatureMix(spark.table("documents"), "doc_id", "source")
+    val lib = mixed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        round(max(col("rate")), 6).as("rate"),
+        sum(when(col("sampled"), col("doc_id")).otherwise(0L)).as("sampled_id_sum"))
+      .orderBy("source")
+    assertSame(lib, q("sp6_temperature_mix"))
+  }
+
+  test("GapFill.rollingZScores == ts2 SQL form (session tz pinned to UTC)") {
+    val tzKey = "spark.sql.session.timeZone"
+    val prior = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    try {
+      Fixtures.registerRaw(spark, sfDir)
+      val lib = graft.operators.GapFill
+        .rollingZScores(
+          spark.table("events").withColumn("ts", col("ts").cast("timestamp")),
+          "event_type", "ts")
+        .orderBy(col("event_type"), col("hr_epoch"))
+      assertSame(lib, q("ts2_anomaly"))
+    } finally spark.conf.set(tzKey, prior)
+  }
+
   test("bloomDecontaminate == exact decontaminate; probe is codegen'd might_contain") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")

@@ -25,6 +25,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("bpeTrain learns hand-computed merges in order and stops when pairs go unique") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    val (merges, toks) = graft.pipeline.TextAnalysis.bpeTrain(docs, "doc_id", "text", 10)
+    // round 1: (a,b) x3 wins. round 2 is a TIE at x2 between (a,a)
+    // (overlapping positions both count, as in standard BPE statistics)
+    // and ("a b",c); lexicographic tie-break picks (a,a), and greedy
+    // left-to-right merges only the first overlap: "a a a" -> ["a a","a"].
+    // round 3: ("a b",c) x2. round 4: every pair unique -> stop.
+    assert(merges == Seq(("a", "b"), ("a", "a"), ("a b", "c")))
+    val byId = toks.as[(Long, Seq[String])].collect().toMap
+    assert(byId(1L) == Seq("a b", "a b c"))
+    assert(byId(2L) == Seq("a b c", "d"))
+    assert(byId(3L) == Seq("a a", "a"))
+  }
+
   test("grouped LSH candidate generation equals the self-join form, tags included") {
     import org.apache.spark.sql.functions._
     Fixtures.registerRaw(spark, sfDir)
