@@ -154,9 +154,10 @@ object TextAnalysis {
           expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1e6 - t / CAST(n AS DOUBLE)) AS BIGINT)")
             .as(s"${prefix.stripSuffix("s")}_ent_u6"))
     val base = docs.repartition(col(idCol))
+    // split('') yields the char sequence in one string pass — indexed
+    // substring would be O(i) per char on UTF-8 (quadratic per document)
     val chars = base.select(col(idCol).as("doc_id"),
-      explode(expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"))
-        .as("__s"))
+      explode(split(col(textCol), "")).as("__s"))
     val toks = base.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("__s"))
     ent(chars, "chars").join(ent(toks, "tokens"), "doc_id")
