@@ -191,6 +191,55 @@ object TextAnalysis {
   def ml1Weights(buckets: Int = 1024): Seq[Long] =
     (0 until buckets).map(b => ((b.toLong * 2654435761L) % 2000001L) - 1000000L)
 
+  /** Distributed logistic-regression TRAINING over hashed bag-of-words
+    * features — the trainable half of [[hashedLinearScore]]'s serving
+    * shape (a fastText-style quality classifier). Full-batch gradient
+    * descent: each round, every executor scores its documents against the
+    * current weights (shipped as literal constants — `buckets` doubles of
+    * model state) and emits per-bucket gradient contributions, which
+    * reduce in ONE partial-aggregable groupBy(bucket); only the
+    * buckets-sized gradient vector reaches the driver. Features hash with
+    * the same md5 bucketing the scorer uses, so learned weights quantize
+    * straight into [[hashedLinearScore]] (micro-units): train -> quantize
+    * -> serve, all three distributed. Deterministic given data, seed
+    * weights (zeros), and `iters`. `labelCol` must be 0/1. */
+  def trainLinearClassifier(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      buckets: Int = 1024, iters: Int = 5, lr: Double = 0.5): Seq[Double] = {
+    require(iters > 0 && buckets > 0)
+    // featurize once: per-(doc, bucket) counts normalized by doc length —
+    // reused every round, so materialize (docs-scale, bounded columns)
+    val feats = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"), col(labelCol).cast("double").as("y"),
+        explode(split(col(textCol), " ")).as("token"))
+      .select(col("doc_id"), col("y"),
+        (expr("CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT)")
+          % buckets).cast("int").as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("x",
+        col("cnt") / sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
+    var w = Array.fill(buckets)(0.0)
+    for (_ <- 1 to iters) {
+      val warr = array(w.toIndexedSeq.map(lit(_)): _*)
+      // margin per doc, then per-bucket gradient of the log-loss:
+      // grad_b = sum_docs (sigmoid(s_d) - y_d) * x_{d,b}
+      val grad = feats
+        .withColumn("wx", element_at(warr, col("b") + 1) * col("x"))
+        .groupBy(col("doc_id"), col("y")).agg(
+          sum(col("wx")).as("s"),
+          collect_list(struct(col("b"), col("x"))).as("bx"))
+        .select(col("y"), explode(col("bx")).as("p"),
+          (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("prob"))
+        .select(col("p.b").as("b"), ((col("prob") - col("y")) * col("p.x")).as("g"))
+        .groupBy(col("b")).agg(sum(col("g")).as("grad"))
+        .collect()
+      grad.foreach(r => w(r.getInt(0)) -= lr * r.getDouble(1))
+    }
+    w.toSeq
+  }
+
   /** Corpus-wide adjacent-token-pair counts over CURRENT token arrays —
     * the per-iteration statistic of BPE training (tok1's plan): row-local
     * pair explosion, one partial-aggregable groupBy. */

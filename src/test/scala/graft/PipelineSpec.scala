@@ -25,6 +25,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("trainLinearClassifier separates a planted vocabulary; quantized weights serve") {
+    import spark.implicits._
+    // planted signal: positive docs speak 'good'-family tokens, negative
+    // docs 'bad'-family, shared filler in both
+    val docs = (0 until 200).map { i =>
+      val y = i % 2
+      val words =
+        if (y == 1) Seq("good", "great", s"filler${i % 7}", "common")
+        else Seq("bad", "awful", s"filler${i % 7}", "common")
+      (i.toLong, words.mkString(" "), y)
+    }.toDF("doc_id", "text", "label")
+    val w = graft.pipeline.TextAnalysis
+      .trainLinearClassifier(docs, "doc_id", "text", "label", iters = 10)
+    // serve through the quantized scorer: every positive doc must outrank
+    // every negative doc (the data is linearly separable)
+    val micro = w.map(x => math.round(x * 1e6))
+    val scored = graft.pipeline.TextAnalysis
+      .hashedLinearScore(docs, "doc_id", "text", micro)
+      .select(col("doc_id"), col("score_u6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pos = (0 until 200).filter(_ % 2 == 1).map(i => scored(i.toLong))
+    val neg = (0 until 200).filter(_ % 2 == 0).map(i => scored(i.toLong))
+    assert(pos.min > neg.max,
+      s"positives must outrank negatives: pos.min=${pos.min} neg.max=${neg.max}")
+  }
+
   test("bpeTrain learns hand-computed merges in order and stops when pairs go unique") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b c"), (2L, "a b c d"), (3L, "a a a"))
