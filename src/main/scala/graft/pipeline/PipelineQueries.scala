@@ -1841,10 +1841,13 @@ object PipelineQueries {
 
     // ss3: IVF with LEARNED centroids — spherical k-means refines the 16
     // seeds (2 Lloyd iterations), then the same probe-2-cells search as
-    // ss2 runs against the learned cells. No DuckDB oracle (iterative
-    // float means aren't reproducible cross-engine); the driver records a
-    // rows-only check and SimilaritySpec asserts recall against the exact
-    // brute-force baseline plus k-means cohesion improvement.
+    // ss2 runs against the learned cells. Iterative float means aren't
+    // reproducible cross-engine, but they don't need to be: the centroids
+    // are INDEX STATE, spilled to parquet by the shared annIndex build
+    // (ss5/ss6 run in the same Verify session), and the oracle re-serves
+    // the identical search from that stored state (learnedIvfOracle).
+    // SimilaritySpec additionally asserts recall vs brute force and
+    // k-means cohesion improvement.
     "ss3_ivf_learned" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       val emb = s.table("embeddings")
@@ -1997,10 +2000,57 @@ object PipelineQueries {
        |WHERE rnk2 <= 5 ORDER BY qid, exact_cos DESC, vec_id""".stripMargin
   }
 
+  /** DuckDB re-serving of the learned-IVF search (ss3 parity) from the
+    * STORED centroids ([[annArtifactDir]], written during Verify's ss5/ss6
+    * run in the same session, so both engines see the identical model):
+    * corpus assignment = first-max argmax of dots against the
+    * FLOAT-truncated centroids (Spark ships them as float literals —
+    * `CAST(w[d] AS FLOAT)` reproduces the truncation bit-for-bit), query
+    * probing = top-2 cells by the same dot with (score DESC, cid)
+    * ordering, then exact cosine over the probed cells' vectors and
+    * top-5 per query — the identical serving algorithm over identical
+    * stored state, independently executed. */
+  private def learnedIvfOracle: String = {
+    val art = "/tmp/graft_ann/sf0.01"
+    val cents = s"read_parquet('$art/centroids.parquet/*.parquet')"
+    def centDot(vec: String) =
+      s"list_sum(list_transform(range(1, 65), d -> CAST($vec[d] AS DOUBLE) * CAST(CAST(c.w[d] AS FLOAT) AS DOUBLE)))"
+    s"""WITH cents AS (SELECT cid, w FROM $cents),
+       |v AS (SELECT vec_id, embedding,
+       |        sqrt(list_sum(list_transform(range(1, 65),
+       |          d -> CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE)))) AS nrm
+       |      FROM embeddings),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${centDot("v.embedding")} DESC, c.cid) AS rnk
+       |    FROM v, cents c) a WHERE rnk = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM v WHERE vec_id < 5),
+       |probe AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             ${centDot("q.qv")} DESC, c.cid) AS rnk
+       |    FROM q, cents c) p WHERE rnk <= 2),
+       |scored AS (SELECT q.qid, a.vec_id,
+       |       round(list_sum(list_transform(range(1, 65),
+       |           d -> CAST(q.qv[d] AS DOUBLE) * CAST(ve.embedding[d] AS DOUBLE)))
+       |         / (q.qn * ve.nrm), 6) AS cos
+       |    FROM q JOIN probe p ON p.qid = q.qid
+       |    JOIN assign a ON a.cid = p.cid
+       |    JOIN v ve ON ve.vec_id = a.vec_id
+       |    WHERE a.vec_id <> q.qid)
+       |SELECT qid, vec_id, cos FROM (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
       "ss5_pq_topk" -> pqAdcOracle(ivf = false),
       "ss6_ivfpq_topk" -> pqAdcOracle(ivf = true),
+      "ss3_ivf_learned" -> learnedIvfOracle,
 
       // dc2 = dc1's exact contract served through the Bloom-pruned path
       "dc2_bloom_decontamination" ->

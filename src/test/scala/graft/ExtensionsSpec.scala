@@ -17,9 +17,10 @@ class ExtensionsSpec extends AnyFunSuite {
     // (sketches and learned-model variants whose exact values are not
     // SQL-expressible; each has spec-based verification instead)
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // (ss5/ss6 graduated to stored-index ADC oracles in round 4)
-    assert(q -- o == Set("ap1_approx_agg", "ap2_heavy_hitters",
-      "ss3_ivf_learned"),
+    // (ss5/ss6/ss3 graduated to stored-index oracles in round 4; only the
+    // probabilistic sketches remain rows-only — their values are not
+    // deterministic stored state)
+    assert(q -- o == Set("ap1_approx_agg", "ap2_heavy_hitters"),
       s"undocumented rows-only queries: ${(q -- o).mkString(", ")}")
   }
 
