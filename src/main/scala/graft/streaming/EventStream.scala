@@ -139,6 +139,77 @@ object EventStream {
     }
   }
 
+  final case class HourCount(event_type: String, hr: Long, n: Long)
+  final case class HourEntry(hr: Long, n: Long)
+
+  /** Streaming twin of batch ts2 (GapFill.rollingZScores): per-type rolling
+    * z-score anomaly detection over finalized hourly counts, as a
+    * `transformWithState` processor. State per key is a bounded ring of the
+    * trailing `window` observed hours (three integers each); every arriving
+    * hour scores against the up-to-`window` prior observed hours exactly as
+    * the batch ROWS-frame does, with the identical arithmetic (integer
+    * sums, then the same correctly-rounded float ops and Spark-HALF_UP
+    * rounding), so multi-batch streaming output EQUALS the batch query
+    * row-for-row (PipelineSpec). Hours must arrive per-key in hour order —
+    * upstream this is the append-mode output of a watermarked hourly
+    * window agg, which finalizes windows in order. */
+  private class AnomalyProcessor(window: Int, minPrior: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, HourCount, (String, Long, Long, Long, Boolean)] {
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+
+    @transient private var hist: ListState[HourEntry] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      hist = getHandle.getListState[HourEntry](
+        "hist", org.apache.spark.sql.Encoders.product[HourEntry], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[HourCount],
+        timerValues: TimerValues): Iterator[(String, Long, Long, Long, Boolean)] = {
+      var entries = hist.get().toIndexedSeq.sortBy(_.hr)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Boolean)]
+      rows.toIndexedSeq.sortBy(_.hr).foreach { r =>
+        val prior = entries.takeRight(window)
+        if (prior.length >= minPrior) {
+          val k = prior.length.toLong
+          val s = prior.map(_.n).sum
+          val ss = prior.map(e => e.n * e.n).sum
+          // identical op sequence to the batch SQL: every step correctly
+          // rounded from exact integers, so the doubles agree bit-for-bit
+          val z = (r.n - s / k.toDouble) /
+            math.sqrt((ss - s * s / k.toDouble) / k + 1.0)
+          // Spark's round() is BigDecimal HALF_UP (math.round would
+          // diverge on negative halves)
+          val zU4 = new java.math.BigDecimal(z * 1e4)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          out += ((key, r.hr, r.n, zU4, math.abs(z) > 3))
+        }
+        entries = (entries :+ HourEntry(r.hr, r.n)).takeRight(window)
+      }
+      hist.clear()
+      entries.foreach(hist.appendValue)
+      out.iterator
+    }
+  }
+
+  /** Rolling z-score anomaly stream over (event_type, hr, n) hourly-count
+    * rows — see [[AnomalyProcessor]]. Requires the RocksDB state store. */
+  def anomalyStream(
+      spark: SparkSession, hourly: DataFrame,
+      window: Int = 24, minPrior: Int = 12): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    hourly.selectExpr("event_type", "hr", "n").as[HourCount]
+      .groupByKey(_.event_type)
+      .transformWithState(
+        new AnomalyProcessor(window, minPrior), TimeMode.None(), OutputMode.Update())
+      .toDF("event_type", "hr_epoch", "n", "z_u4", "anomaly")
+  }
+
   /** `runningUserStats` on the transformWithState API. The session must run
     * the RocksDB state store provider (the API requires it). */
   def runningUserStatsTws(spark: SparkSession, events: DataFrame): DataFrame = {

@@ -25,6 +25,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("streaming anomaly scores equal batch ts2 across micro-batches") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    val tzKey = "spark.sql.session.timeZone"
+    val priorTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // finalized hourly counts, in hour order (what a watermarked hourly
+      // window agg emits); fed in 3 ordered micro-batches
+      val hourly = spark.sql(
+        """SELECT event_type,
+          |  CAST(unix_timestamp(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr,
+          |  count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY hr""".stripMargin)
+        .as[(String, Long, Long)].collect()
+      val cuts = Seq(hourly.length / 3, 2 * hourly.length / 3, hourly.length)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)](spark)
+      val q = graft.streaming.EventStream
+        .anomalyStream(spark, ms.toDF.toDF("event_type", "hr", "n"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("anomaly_stream").start()
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(hourly.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      q.stop()
+      val streamed = spark.table("anomaly_stream")
+        .select("event_type", "hr_epoch", "n", "z_u4", "anomaly")
+      val batch = graft.SparkEntry.queries("ts2_anomaly")(spark, sfDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally {
+      spark.conf.set(tzKey, priorTz)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("trainLinearClassifier separates a planted vocabulary; quantized weights serve") {
     import spark.implicits._
     // planted signal: positive docs speak 'good'-family tokens, negative
