@@ -106,8 +106,17 @@ object Dedup {
     * self-join (the same key lands on the same task either way); LSH
     * bucket sizes are small by construction. A `__tag` column on the index
     * comes out per side as (tag_a, tag_b). Output set is identical to
-    * [[lshCandidates]] (DedupSpec asserts equality). */
-  def lshCandidatesGrouped(bands: DataFrame): DataFrame = {
+    * [[lshCandidates]] (DedupSpec asserts equality).
+    *
+    * `maxBucketSize` is the degenerate-signature valve for production
+    * corpora: a band bucket orders of magnitude larger than any plausible
+    * near-dup cluster means a pathological signature (boilerplate/empty
+    * docs that exact dedup should have removed first), and its s² pair
+    * work would dominate the job from one task. Capped buckets are SKIPPED
+    * entirely — deliberately trading recall on exact-dup-like mega-groups
+    * (which dd1 catches at 1/s² the cost) for bounded per-task work. */
+  def lshCandidatesGrouped(
+      bands: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
     val hasTag = bands.columns.contains("__tag")
     val member =
       if (hasTag) struct(col("__id"), col("__tag")) else struct(col("__id"))
@@ -116,7 +125,8 @@ object Dedup {
     // with da < db already normalized
     val buckets = bands.groupBy(col("band"), col("bsig"))
       .agg(array_sort(collect_list(member)).as("__ms"))
-      .where(size(col("__ms")) > 1)
+      .where(size(col("__ms")) > 1 &&
+        maxBucketSize.map(size(col("__ms")) <= _).getOrElse(lit(true)))
     val pairs = buckets.select(explode(expr(
       """flatten(transform(__ms, (x, i) ->
         |  transform(slice(__ms, i + 2, size(__ms) - i - 1),
@@ -426,6 +436,45 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental simhash ingest: near-dup pairs (hamming <= maxHamming)
+    * between a NEW batch and an already-indexed corpus, plus batch-internal
+    * pairs — the signature index is stored state ((doc_id, simhash): 16
+    * bytes/doc), and ONLY the batch is tokenized/hashed at ingest. The
+    * same 2-of-`blocks` combination banding as [[simhashPairs]] makes the
+    * candidate join exhaustive; corpus-vs-corpus pairs are not recomputed.
+    * Batch and corpus ids must be disjoint. */
+  def incrementalSimhashPairs(
+      batch: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      blocks: Int = 8, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= blocks - 2,
+      "pigeonhole exhaustiveness needs maxHamming <= blocks - 2")
+    require(64 % blocks == 0, "blocks must divide 64")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val combos = for { i <- 0 until blocks; j <- (i + 1) until blocks } yield (i, j)
+    def banded(sig: DataFrame) = sig.select(col("doc_id"), col("simhash"),
+      explode(array(combos.zipWithIndex.map { case ((i, j), ci) =>
+        struct(lit(ci).as("band"),
+          expr(s"(shiftright(simhash, ${i * width}) & $mask) | " +
+            s"shiftleft(shiftright(simhash, ${j * width}) & $mask, $width)").as("bv"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bv"))
+    // only the batch pays signature derivation; the banded batch feeds both
+    // sides (directly and unioned with the stored index), so materialize it
+    val bsig = simhash(batch, idCol, textCol).localCheckpoint()
+    val bb = banded(bsig)
+    val all = banded(index.select(col("doc_id"), col("simhash"))).union(bb)
+    bb.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()

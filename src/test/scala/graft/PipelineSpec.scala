@@ -133,6 +133,44 @@ class PipelineSpec extends AnyFunSuite {
       Seq("da", "db", "tag_a", "tag_b"))
   }
 
+  test("incremental simhash ingest equals the full recompute on the batch slice") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val index = graft.pipeline.Dedup.simhash(corpus, "doc_id", "text")
+    val inc = graft.pipeline.Dedup
+      .incrementalSimhashPairs(batch, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full recompute, restricted to pairs touching the batch
+    val full = graft.SparkEntry.queries("dd6_simhash_pairs")(spark, sfDir)
+      .where(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
+  test("grouped LSH bucket cap drops only mega-bucket pairs") {
+    import spark.implicits._
+    // 30 identical boilerplate docs (a degenerate bucket in EVERY band) +
+    // two genuine near-dup docs
+    val boiler = (100L until 130L).map(i =>
+      (i, "the same boilerplate text repeated for every single page here"))
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val idx = graft.pipeline.Dedup.bandIndex(docs, "doc_id", "text")
+      .drop("hash_family").localCheckpoint()
+    val unc = graft.pipeline.Dedup.lshCandidatesGrouped(idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.pipeline.Dedup.lshCandidatesGrouped(idx, Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unc.contains((1L, 2L)) && capped.contains((1L, 2L)))
+    assert(unc.count { case (a, b) => a >= 100 && b >= 100 } == 30 * 29 / 2)
+    assert(!capped.exists { case (a, b) => a >= 100 && b >= 100 })
+  }
+
   test("connected components label chains and singleton pairs correctly") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3), separate pair 10-11, pair 6-2 merging in
