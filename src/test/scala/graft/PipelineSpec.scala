@@ -25,6 +25,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("entropy bounds, BPE text reconstruction, temperature-mix invariants") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 60L).map { i =>
+      val n = 3 + rng.nextInt(40)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "),
+        s"src${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    // Shannon bound: 0 <= H <= ln(distinct symbols); micro-nat quantization
+    // adds at most 1 unit per aggregated term
+    val ent = graft.pipeline.TextAnalysis.entropySignals(docs, "doc_id", "text")
+      .collect()
+    ent.foreach { r =>
+      val (kc, hc) = (r.getLong(2), r.getLong(3))
+      val (kt, ht) = (r.getLong(5), r.getLong(6))
+      assert(hc >= 0 && hc <= math.round(math.log(kc.toDouble) * 1e6) + kc, r.toString)
+      assert(ht >= 0 && ht <= math.round(math.log(kt.toDouble) * 1e6) + kt, r.toString)
+    }
+    // BPE merges join with a space, so rejoining the final arrays MUST
+    // reproduce every original text byte-for-byte
+    val (merges, toks) = graft.pipeline.TextAnalysis.bpeTrain(docs, "doc_id", "text", 8)
+    assert(merges.nonEmpty)
+    val rejoined = toks.select(col("doc_id"), concat_ws(" ", col("toks")).as("re"))
+      .join(docs, "doc_id").where(col("re") =!= col("text")).count()
+    assert(rejoined == 0)
+    // temperature mix: rates in (0, 1], deterministic across invocations,
+    // and the realized sample is within a binomial envelope of the budget
+    val m1 = graft.pipeline.Sampling.temperatureMix(docs, "doc_id", "source")
+    val m2 = graft.pipeline.Sampling.temperatureMix(docs, "doc_id", "source")
+    assert(m1.orderBy("doc_id").collect().toSeq == m2.orderBy("doc_id").collect().toSeq)
+    val rates = m1.select("rate").distinct().collect().map(_.getDouble(0))
+    assert(rates.forall(r => r > 0 && r <= 1.0))
+    val total = docs.count()
+    val sampled = m1.where(col("sampled")).count()
+    assert(math.abs(sampled - total / 2.0) <= 4 * math.sqrt(total / 4.0) + total * 0.05,
+      s"sampled=$sampled of $total")
+  }
+
   test("streaming anomaly scores equal batch ts2 across micro-batches") {
     import spark.implicits._
     Fixtures.registerRaw(spark, sfDir)
