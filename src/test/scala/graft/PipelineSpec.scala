@@ -25,6 +25,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("plan shapes: grouped LSH shuffles the band index once; new ops stay join-free") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "(?m)^\\s*\\+?-?\\s*(Exchange|ShuffleQueryStage)"
+        .r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // candidate generation: shingle explode -> minhash agg -> band explode
+    // -> bucket agg -> pair explode. The input repartition plus the ONE
+    // (band, bsig) aggregation exchange plus the pair distinct — and NO
+    // join anywhere (the self-join form had one, plus a second shuffle of
+    // the same index)
+    val cand = graft.pipeline.Dedup.lshCandidatesGrouped(
+      graft.pipeline.Dedup.bandIndex(docs, "doc_id", "text").drop("hash_family"))
+    val candPlan = cand.queryExecution.executedPlan.toString
+    assert(!candPlan.contains("Join"), candPlan)
+    assert(exchanges(cand) <= 3, s"expected <=3 exchanges:\n$candPlan")
+    // ml1 scoring: row-local hash + one aggregation; never a join (the
+    // weight table rides inside the projection as a literal array)
+    val ml1 = graft.pipeline.TextAnalysis
+      .hashedLinearScore(docs, "doc_id", "text", graft.pipeline.TextAnalysis.ml1Weights())
+    val ml1Plan = ml1.queryExecution.executedPlan.toString
+    assert(!ml1Plan.contains("Join"), ml1Plan)
+    assert(exchanges(ml1) <= 2, ml1Plan)
+    // ts2: one shuffle for the per-key window, nothing else
+    val ts2 = graft.operators.GapFill.rollingZScores(
+      spark.table("events").withColumn("ts", col("ts").cast("timestamp")),
+      "event_type", "ts")
+    val ts2Plan = ts2.queryExecution.executedPlan.toString
+    assert(!ts2Plan.contains("Join"), ts2Plan)
+    assert(exchanges(ts2) <= 2, ts2Plan)
+  }
+
   test("entropy bounds, BPE text reconstruction, temperature-mix invariants") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
