@@ -1303,7 +1303,121 @@ object PipelineQueries {
         |             / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE)) * 1e4) AS BIGINT) AS z_u4,
         |       (abs((n - s / CAST(k AS DOUBLE))
         |             / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE))) > 3) AS anomaly
-        |FROM w WHERE k >= 12 ORDER BY event_type, hr""".stripMargin))
+        |FROM w WHERE k >= 12 ORDER BY event_type, hr""".stripMargin),
+
+    // ap1: approximate aggregates as DETERMINISTIC sketches — KMV
+    // (k-minimum-values, Bar-Yossef et al. RANDOM'02) distinct-count
+    // estimate + a hash-Bernoulli sampled median. Unlike HLL++/t-digest
+    // (engine-specific layouts, rows-only forever), both sketches are pure
+    // functions of md5, so DuckDB reproduces them bit-for-bit and the
+    // driver hash-gates the query like any other. Scale shape: the KMV
+    // state per group is the k=64 smallest 48-bit hashes (merge = min-k of
+    // a union, partial-aggregable; the library twin Sketches.kmvDistinct
+    // runs it on the TopKPerGroup bounded-heap plan); the sampler is a
+    // row-local predicate, and the sample median sorts ~10% of one group
+    // per partition. estimate = (k-1) * 2^48 / h_(k), integer-exact.
+    Q("ap1_approx_agg",
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS rf,
+         |        CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 12), 16, 10) AS BIGINT) AS hv
+         |      FROM lineitem),
+         |rk AS (SELECT rf, hv,
+         |        row_number() OVER (PARTITION BY rf ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY rf) AS nd
+         |      FROM h),
+         |kmv AS (SELECT rf, max(nd) AS exact_parts,
+         |         max(CASE WHEN rn = 64 THEN hv END) AS h64
+         |       FROM rk GROUP BY rf),
+         |samp AS (SELECT l_returnflag AS rf, l_extendedprice AS price
+         |      FROM lineitem
+         |      WHERE CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), ':',
+         |                CAST(l_linenumber AS STRING))), 1, 12), 16, 10) AS BIGINT) % 10 = 0),
+         |sr AS (SELECT rf, price,
+         |        row_number() OVER (PARTITION BY rf ORDER BY price) AS rn,
+         |        count(*) OVER (PARTITION BY rf) AS n
+         |      FROM samp),
+         |med AS (SELECT rf, max(CASE WHEN rn = (n + 1) DIV 2 THEN price END) AS p50
+         |      FROM sr GROUP BY rf)
+         |SELECT k.rf AS l_returnflag, k.exact_parts,
+         |       CASE WHEN k.exact_parts >= 64
+         |            THEN ${63L * (1L << 48)} DIV greatest(k.h64, 1)
+         |            ELSE k.exact_parts END AS kmv_parts,
+         |       round(m.p50, 2) AS p50_sample
+         |FROM kmv k JOIN med m ON m.rf = k.rf
+         |ORDER BY l_returnflag""".stripMargin,
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS rf,
+         |        ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS hv
+         |      FROM lineitem),
+         |rk AS (SELECT rf, hv,
+         |        row_number() OVER (PARTITION BY rf ORDER BY hv) AS rn,
+         |        count(*) OVER (PARTITION BY rf) AS nd
+         |      FROM h),
+         |kmv AS (SELECT rf, max(nd) AS exact_parts,
+         |         max(CASE WHEN rn = 64 THEN hv END) AS h64
+         |       FROM rk GROUP BY rf),
+         |samp AS (SELECT l_returnflag AS rf, l_extendedprice AS price
+         |      FROM lineitem
+         |      WHERE ('0x' || substring(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
+         |                CAST(l_linenumber AS VARCHAR))), 1, 12))::BIGINT % 10 = 0),
+         |sr AS (SELECT rf, price,
+         |        row_number() OVER (PARTITION BY rf ORDER BY price) AS rn,
+         |        count(*) OVER (PARTITION BY rf) AS n
+         |      FROM samp),
+         |med AS (SELECT rf, max(CASE WHEN rn = (n + 1) // 2 THEN price END) AS p50
+         |      FROM sr GROUP BY rf)
+         |SELECT k.rf AS l_returnflag, k.exact_parts,
+         |       CASE WHEN k.exact_parts >= 64
+         |            THEN ${63L * (1L << 48)} // greatest(k.h64, 1)
+         |            ELSE k.exact_parts END AS kmv_parts,
+         |       round(m.p50, 2) AS p50_sample
+         |FROM kmv k JOIN med m ON m.rf = k.rf
+         |ORDER BY l_returnflag""".stripMargin),
+
+    // ap2: heavy hitters scored against a DETERMINISTIC count-min sketch
+    // (Cormode-Muthukrishnan '05): depth d=4 md5-derived hash rows, width
+    // w=1024. ONE full-corpus pass: the per-token count groupBy (map-side
+    // partial counts), shared by the exact top-20 side and the sketch —
+    // the d-way explode and the 4*1024-cell counter aggregation run over
+    // the vocab-sized count frame, not the token stream (sums commute, so
+    // values are identical to the per-occurrence spelling at a fraction of
+    // the shuffle). Same md5 family in DuckDB -> identical counters ->
+    // hash-gated, unlike the native Spark CountMinSketch whose serialized
+    // layout no other engine can replay. PipelineSpec keeps the classic
+    // CMS guarantees pinned (never under-counts; over-count within eps*N).
+    Q("ap2_heavy_hitters",
+      """WITH tok AS (SELECT token FROM documents
+        |        LATERAL VIEW explode(split(lower(text), ' ')) t AS token),
+        |cnts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |exact AS (SELECT token, cnt AS exact_count FROM cnts
+        |      ORDER BY cnt DESC, token LIMIT 20),
+        |cms AS (SELECT j,
+        |         CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', token)), 1, 12), 16, 10) AS BIGINT) % 1024 AS bucket,
+        |         CAST(sum(cnt) AS BIGINT) AS cnt
+        |      FROM cnts LATERAL VIEW explode(sequence(0, 3)) s AS j
+        |      GROUP BY 1, 2),
+        |probe AS (SELECT token, exact_count, j,
+        |         CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', token)), 1, 12), 16, 10) AS BIGINT) % 1024 AS bucket
+        |      FROM exact LATERAL VIEW explode(sequence(0, 3)) s AS j)
+        |SELECT p.token, p.exact_count, min(c.cnt) AS cms_estimate
+        |FROM probe p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+        |GROUP BY p.token, p.exact_count
+        |ORDER BY exact_count DESC, token""".stripMargin,
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents),
+        |cnts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |exact AS (SELECT token, cnt AS exact_count FROM cnts
+        |      ORDER BY cnt DESC, token LIMIT 20),
+        |cms AS (SELECT j,
+        |         ('0x' || substring(md5(concat(CAST(j AS VARCHAR), ':', token)), 1, 12))::BIGINT % 1024 AS bucket,
+        |         CAST(sum(cnt) AS BIGINT) AS cnt
+        |      FROM cnts, unnest(range(0, 4)) AS s(j)
+        |      GROUP BY 1, 2),
+        |probe AS (SELECT token, exact_count, j,
+        |         ('0x' || substring(md5(concat(CAST(j AS VARCHAR), ':', token)), 1, 12))::BIGINT % 1024 AS bucket
+        |      FROM exact, unnest(range(0, 4)) AS s(j))
+        |SELECT p.token, p.exact_count, min(c.cnt) AS cms_estimate
+        |FROM probe p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+        |GROUP BY p.token, p.exact_count
+        |ORDER BY exact_count DESC, token""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous
@@ -1893,43 +2007,6 @@ object PipelineQueries {
         emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L),
         centroids = cents, books = books, k = 5, nprobe = 4, rerank = 20,
         index = Some(annIndex(s, dir, emb)))
-    }),
-
-    // ap2: heavy hitters via count-min sketch — the vocabulary/hot-key
-    // detection a corpus pipeline runs before building token statistics.
-    // The sketch is built in one distributed pass (partition sketches
-    // merge additively, so the result is order-independent and
-    // deterministic under a fixed seed); the top-20 exact tokens are then
-    // scored against it. CMS never under-counts, which ApproxSpec pins
-    // along with the epsilon over-count bound. Rows-only driver check
-    // (no engine-neutral sketch to oracle).
-    "ap2_heavy_hitters" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.functions._
-      Fixtures.registerRaw(s, dir)
-      val tok = s.table("documents")
-        .select(explode(split(lower(col("text")), " ")).as("token"))
-      val sketch = tok.stat.countMinSketch(
-        "token", eps = 0.001, confidence = 0.99, seed = 42)
-      val top = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
-        .orderBy(col("exact_count").desc, col("token")).limit(20).collect()
-      import s.implicits._
-      top.map(r => (r.getString(0), r.getLong(1),
-          sketch.estimateCount(r.getString(0))))
-        .toSeq.toDF("token", "exact_count", "cms_estimate")
-        .orderBy(col("exact_count").desc, col("token"))
-    }),
-
-    // approximate aggregates (HLL++ count-distinct, quantile sketch) — no
-    // DuckDB oracle (different sketch algorithms can't hash-match); the
-    // driver records a rows-only check and ApproxSpec bounds the error.
-    "ap1_approx_agg" -> ((s: SparkSession, dir: String) => {
-      Fixtures.registerRaw(s, dir)
-      s.sql(
-        """SELECT l_returnflag,
-          |       approx_count_distinct(l_partkey) AS approx_parts,
-          |       count(DISTINCT l_partkey) AS exact_parts,
-          |       CAST(approx_percentile(l_extendedprice, 0.5) AS DOUBLE) AS p50_price
-          |FROM raw_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic streaming sketches — approximate aggregates whose values
+  * are pure functions of md5, so any engine (here: the DuckDB oracle)
+  * reproduces them bit-for-bit. This is the property the engine-native
+  * sketches (HLL++, t-digest, CountMinSketch with murmur seeds) lack: their
+  * serialized layouts are implementation details, so results can only ever
+  * be bounds-checked, never hash-gated. Reference behavior: the relay's
+  * approximate-aggregate surface (SURVEY.md §2.2); algorithms are the
+  * published ones (KMV: Bar-Yossef et al., RANDOM'02; CMS:
+  * Cormode-Muthukrishnan, J.Alg'05).
+  *
+  * Scale shapes (100 TB):
+  *  - KMV: per-group state is the k smallest 48-bit hashes — merge of two
+  *    partial states is min-k of their union, so the whole sketch is one
+  *    partial-aggregable pass. The k-smallest selection runs on the
+  *    TopKPerGroup bounded-heap physical plan: O(n log k) per partition,
+  *    partial+final phases, no full sort of the hash stream.
+  *  - CMS: the counter table is ONE groupBy over the token stream with
+  *    map-side partial counts; total state is depth*width cells regardless
+  *    of corpus size. Probing joins a broadcast-sized candidate frame
+  *    against the counters.
+  */
+object Sketches {
+
+  /** 48-bit md5-derived hash of a column rendered as a string — the shared
+    * hash family of the oracled sketch queries (ap1/ap2). 48 bits keeps
+    * every product/scale below 2^63 for both engines' BIGINT arithmetic. */
+  private def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  private val HashSpace: Long = 1L << 48
+
+  /** KMV distinct-count estimate per group: estimate = (k-1) * 2^48 / h_(k)
+    * where h_(k) is the k-th smallest distinct hash; exact when the group
+    * has fewer than k distinct values. Returns
+    * (groupCol, exact_parts, kmv_parts) — exact alongside approximate, as
+    * the ap1 query surfaces it (the exact count is a byproduct of the
+    * distinct pass at test scale; at 100 TB one would drop it and keep only
+    * the k-row-per-group sketch state).
+    *
+    * Standard error is ~1/sqrt(k-2) (≈12.7% at the default k=64). */
+  def kmvDistinct(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2 && k < 32768, s"k=$k out of range (2, 32768)")
+    val hashed = df
+      .select(col(groupCol).as("g"), hash48(col(valueCol)).as("hv"))
+      .distinct()
+    val nd = hashed.groupBy("g").agg(count(lit(1)).as("exact_parts"))
+    // k smallest hashes per group on the bounded-heap plan, then the
+    // largest of those survivors is h_(k) (NULL-free: every group has >= 1)
+    val kmin = graft.plans.TopKPerGroup(
+      hashed, keys = Seq("g"), orderBy = Seq(("hv", true)), k = k)
+    val hk = kmin.groupBy("g").agg(max(col("hv")).as("hk"))
+    val scale = (k - 1).toLong * HashSpace
+    nd.join(hk, "g")
+      .select(
+        col("g").as(groupCol),
+        col("exact_parts"),
+        when(col("exact_parts") >= k,
+          expr(s"$scale DIV greatest(hk, 1)"))
+          .otherwise(col("exact_parts")).as("kmv_parts"))
+  }
+
+  /** Deterministic Bernoulli sample: keeps a row iff the 48-bit hash of its
+    * key is 0 mod `oneIn` — the same rows in any engine, any partitioning,
+    * any run. The ap1 sampled-median path uses oneIn=10 over
+    * (orderkey, linenumber). */
+  def hashSample(df: DataFrame, keyCols: Seq[String], oneIn: Int): DataFrame = {
+    val key = concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
+    df.where(hash48(key) % oneIn === 0)
+  }
+
+  /** CMS counter table for a token column: depth rows of md5-derived
+    * hashes, width buckets each. Counters are additive (partial-aggregable,
+    * order-independent); the returned frame is (j, bucket, cnt) with
+    * depth*width rows at most. The corpus is read ONCE (per-token count
+    * groupBy with map-side combine); the depth-way explode runs over the
+    * vocab-sized count frame — sums commute, so the counters equal the
+    * per-occurrence spelling's. */
+  def cmsCounters(
+      tokens: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    countersFromCounts(
+      tokens.groupBy(col(tokenCol).as("token")).agg(count(lit(1)).as("c")),
+      depth, width)
+
+  /** Counters from a pre-aggregated (token, c) frame. */
+  private def countersFromCounts(
+      cnts: DataFrame, depth: Int, width: Int): DataFrame =
+    cnts
+      .select(col("c"), explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("token"))
+      .select(col("j"), cmsBucket(col("j"), col("token"), width).as("bucket"),
+        col("c"))
+      .groupBy("j", "bucket").agg(sum(col("c")).cast("long").as("cnt"))
+
+  private def cmsBucket(j: Column, token: Column, width: Int): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"), token)), 1, 12), 16, 10)
+      .cast("long") % width
+
+  /** Point-estimate a set of candidate tokens against a CMS counter table:
+    * estimate(t) = min over rows j of counter[j][bucket_j(t)]. The
+    * candidate frame is broadcast (heavy-hitter candidates are by
+    * definition few); missing (j,bucket) cells mean count 0 and cannot
+    * occur for a token that appears in the sketched stream. */
+  def cmsEstimate(
+      counters: DataFrame, candidates: DataFrame, tokenCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probe = candidates
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket", cmsBucket(col("j"), col(tokenCol), width))
+    val passthrough = candidates.columns.map(col).toSeq
+    broadcast(probe).join(counters, Seq("j", "bucket"))
+      .groupBy(passthrough: _*)
+      .agg(min(col("cnt")).as("cms_estimate"))
+  }
+
+  /** The ap2 query as a library call: top-N exact tokens scored against the
+    * deterministic CMS — (token, exact_count, cms_estimate) in score order. */
+  def cmsHeavyHitters(
+      tokens: DataFrame, tokenCol: String, topN: Int = 20,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    // ONE corpus pass: the per-token count groupBy feeds both the exact
+    // top-N side and the counter table
+    val cnts = tokens.groupBy(col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("c"))
+    val exact = cnts.select(col("token"), col("c").as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token")).limit(topN)
+    cmsEstimate(countersFromCounts(cnts, depth, width), exact, "token",
+        depth, width)
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+}

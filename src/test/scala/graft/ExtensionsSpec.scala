@@ -17,10 +17,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // (sketches and learned-model variants whose exact values are not
     // SQL-expressible; each has spec-based verification instead)
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // (ss5/ss6/ss3 graduated to stored-index oracles in round 4; only the
-    // probabilistic sketches remain rows-only — their values are not
-    // deterministic stored state)
-    assert(q -- o == Set("ap1_approx_agg", "ap2_heavy_hitters"),
+    // EVERY query is oracled as of round 4: ss5/ss6/ss3 graduated to
+    // stored-index oracles, and ap1/ap2 moved from engine-native sketches
+    // (HLL++/CountMinSketch — opaque layouts, rows-only forever) to the
+    // deterministic md5-family sketches in pipeline/Sketches.scala that
+    // DuckDB replays exactly
+    assert((q -- o).isEmpty,
       s"undocumented rows-only queries: ${(q -- o).mkString(", ")}")
   }
 

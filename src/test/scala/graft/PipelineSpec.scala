@@ -302,29 +302,48 @@ class PipelineSpec extends AnyFunSuite {
       s"mean recall ${recalls.sum / recalls.size}")
   }
 
-  test("approximate aggregates stay within sketch error bounds") {
+  test("KMV distinct estimate within sketch error; library form matches the query") {
     val rows = run("ap1_approx_agg").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx_count_distinct off by >10%: $approx vs $exact")
+      val exact = r.getLong(1).toDouble
+      val kmv = r.getLong(2).toDouble
+      // KMV std error ~ 1/sqrt(k-2) = 12.7% at k=64; 35% is ~2.8 sigma
+      // (deterministic data + deterministic hashes: fixed-margin, not flaky)
+      assert(math.abs(kmv - exact) / exact < 0.35,
+        s"KMV estimate off by >35%: $kmv vs $exact")
     }
+    // library twin (TopKPerGroup bounded-heap k-smallest) = query's values
+    Fixtures.registerRaw(spark, sfDir)
+    val lib = pipeline.Sketches
+      .kmvDistinct(spark.table("lineitem"), "l_returnflag", "l_partkey", k = 64)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(lib.toSeq == rows.toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))),
+      s"Sketches.kmvDistinct diverges from the oracled ap1 query: ${lib.mkString(", ")}")
   }
 
   test("count-min heavy hitters never under-count; over-count within epsilon") {
     val rows = run("ap2_heavy_hitters").collect()
     assert(rows.length == 20)
     Fixtures.registerRaw(spark, sfDir)
-    val totalTokens = spark.table("documents")
-      .select(explode(split(lower(col("text")), " ")).as("t")).count()
+    val tok = spark.table("documents")
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val totalTokens = tok.count()
     rows.foreach { r =>
       val exact = r.getLong(1); val est = r.getLong(2)
       assert(est >= exact, s"CMS under-counted ${r.getString(0)}: $est < $exact")
-      assert(est - exact <= (0.001 * totalTokens).ceil.toLong,
+      // e/width * N with width=1024: the classic per-query CMS bound
+      assert(est - exact <= (math.E / 1024 * totalTokens).ceil.toLong,
         s"CMS over-count beyond eps*N for ${r.getString(0)}: $est vs $exact")
     }
+    // library twin = query's values
+    val lib = pipeline.Sketches.cmsHeavyHitters(tok, "token", topN = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(lib.toSeq == rows.toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))),
+      "Sketches.cmsHeavyHitters diverges from the oracled ap2 query")
   }
 
   test("as-of join carries the latest preceding click per user") {
