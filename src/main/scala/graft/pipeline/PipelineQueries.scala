@@ -64,6 +64,30 @@ object PipelineQueries {
               .mkString(" ")} END AS bsig
        |    FROM sig, unnest(range(0, 4)) AS t(band))""".stripMargin
 
+  // full minhash-LSH chain through verified pairs + symmetrized edges
+  // (DuckDB dialect) — the shared prefix of every oracle that consumes the
+  // near-dup graph (dd7 clusters, gr1 pagerank). Mirrors
+  // Dedup.minhashLshPairs at Jaccard >= 0.8.
+  private val duckPairsChain =
+    s"""$duckShingles,
+       |$duckMinhashHs,
+       |$minhashSig,
+       |$duckMinhashBands,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh s1 ON s1.doc_id = c.da
+       |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+       |          GROUP BY c.da, c.db),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT da, db FROM inter
+       |          JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs)""".stripMargin
+
   // exact dot product between two float vectors, index-ordered double
   // summation (bit-identical across Spark and DuckDB). Norms are
   // precomputed once per vector — higher-order functions are interpreted
@@ -1417,7 +1441,75 @@ object PipelineQueries {
         |SELECT p.token, p.exact_count, min(c.cnt) AS cms_estimate
         |FROM probe p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
         |GROUP BY p.token, p.exact_count
-        |ORDER BY exact_count DESC, token""".stripMargin))
+        |ORDER BY exact_count DESC, token""".stripMargin),
+
+    // ch1: fixed-window chunking with overlap — the RAG/context-window
+    // prep pass that splits every document into 64-token chunks on a
+    // 48-token stride (16 tokens of overlap). Entirely row-local: one
+    // explode per document, no shuffle at all until the final ORDER BY
+    // (which only the oracle contract needs) — the 100 TB shape is a pure
+    // map stage that parallelizes with the input partitioning. Chunk
+    // content is verified by md5 so the result stays compact.
+    Q("ch1_chunk_overlap",
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, c,
+        |        array_join(slice(w, c * 48 + 1, 64), ' ') AS chunk,
+        |        size(slice(w, c * 48 + 1, 64)) AS n_tokens
+        |      FROM d LATERAL VIEW explode(sequence(0, (size(w) - 1) DIV 48)) t AS c)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens, md5(chunk) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, c,
+        |        array_to_string(list_slice(w, c * 48 + 1, c * 48 + 64), ' ') AS chunk,
+        |        len(list_slice(w, c * 48 + 1, c * 48 + 64)) AS n_tokens
+        |      FROM d, unnest(range(0, ((len(w) - 1) // 48) + 1)) AS t(c))
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens, md5(chunk) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // tx10: bigram language-model scoring (extends tx7's unigram LM) —
+    // add-one-smoothed corpus bigram model, per-document negative
+    // log-likelihood. Scores are integer micro-nats
+    // (floor(ln(p) * 1e6) summed as BIGINT) so the per-doc sum is
+    // order-independent and engine-exact. Scale shape: the bigram model is
+    // NOT broadcast — doc bigrams hash-join the count frames on the bigram
+    // key (a bigram model over a web corpus is itself huge), then one
+    // partial-aggregable per-doc sum; vocab size is the only scalar.
+    Q("tx10_bigram_lm",
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+        |      WHERE size(split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2
+        |      FROM d LATERAL VIEW explode(sequence(0, size(w) - 2)) t AS i),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT token) AS v FROM (
+        |        SELECT explode(split(text, ' ')) AS token FROM documents)),
+        |sc AS (SELECT g.doc_id,
+        |        CAST(floor(ln((b.cb + 1) / CAST(u.cu + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+        |      FROM bg g
+        |      JOIN cb b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |      JOIN cu u ON u.w1 = g.w1
+        |      CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(-sum(lp) AS BIGINT) AS nll_u6
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+        |      FROM d, unnest(range(0, len(w) - 1)) AS t(i)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bg GROUP BY w1),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS token FROM documents)),
+        |sc AS (SELECT g.doc_id,
+        |        CAST(floor(ln((b.cb + 1) / CAST(u.cu + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+        |      FROM bg g
+        |      JOIN cb b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |      JOIN cu u ON u.w1 = g.w1
+        |      CROSS JOIN vv)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(-sum(lp) AS BIGINT) AS nll_u6
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous
@@ -1553,6 +1645,21 @@ object PipelineQueries {
   /** Materialized near-dup pair index per (session, sf): see dd7 note. */
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+
+  /** Verified minhash-LSH pair list, computed once per (session, sf) and
+    * shared by every graph consumer (dd7 clusters, gr1 pagerank) — in
+    * production the pair list is a stored artifact of the dedup run, so
+    * downstream graph passes re-reading it is the honest serving shape. */
+  private def cachedPairs(s: SparkSession, dir: String): DataFrame =
+    cacheLock.synchronized {
+      pairCache.getOrElse((s, dir), {
+        pairCache.filterKeys(_._1 eq s).keys.foreach(pairCache.remove)
+        val p = Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
+          .localCheckpoint()
+        pairCache.put((s, dir), p)
+        p
+      })
+    }
 
   /** sd1's seed centroids per (session, sf): driver-side model state only
     * (16 x 64 floats + norms), same contract as centroidCache. */
@@ -1901,16 +2008,20 @@ object PipelineQueries {
     "dd7_dedup_clusters" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
-      val pairs = cacheLock.synchronized {
-        pairCache.getOrElse((s, dir), {
-          pairCache.filterKeys(_._1 eq s).keys.foreach(pairCache.remove)
-          val p = Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
-            .localCheckpoint()
-          pairCache.put((s, dir), p)
-          p
-        })
-      }
-      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+      Dedup.connectedComponents(cachedPairs(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // gr1: PageRank over the near-dup similarity graph (graft.pipeline
+    // .Graph) — centrality-weighted canonical-representative selection for
+    // template families. Integer fixed-point arithmetic end to end
+    // (1e-12 rank units, rational 17/20 damping, per-edge r DIV deg
+    // contributions), so the 5 power iterations are bit-reproducible in
+    // any engine and the DuckDB oracle — five chained join-agg CTEs over
+    // the same verified pair list — hash-matches exactly.
+    "gr1_pagerank" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Graph.pageRank(cachedPairs(s, dir)).orderBy(col("doc_id"))
     }),
 
     // cp1: the full corpus-curation composition (graft.pipeline.Curation):
@@ -2250,30 +2361,37 @@ object PipelineQueries {
           |ORDER BY doc_id""".stripMargin,
 
       "dd7_dedup_clusters" ->
-        s"""WITH RECURSIVE $duckShingles,
-           |$duckMinhashHs,
-           |$minhashSig,
-           |$duckMinhashBands,
-           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-           |inter AS (SELECT c.da, c.db, count(*) AS i
-           |          FROM cand c
-           |          JOIN sh s1 ON s1.doc_id = c.da
-           |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
-           |          GROUP BY c.da, c.db),
-           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           |pairs AS (SELECT da, db FROM inter
-           |          JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-           |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
-           |edges AS (SELECT da AS a, db AS b FROM pairs
-           |          UNION ALL SELECT db, da FROM pairs),
+        s"""WITH RECURSIVE $duckPairsChain,
            |reach(node, label) AS (
            |  SELECT a, a FROM edges
            |  UNION
            |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
            |SELECT node AS doc_id, min(label) AS cluster_id
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+      // five fixed-point power iterations as chained join-agg CTEs — the
+      // integer arithmetic (see Graph.pageRank) makes each layer
+      // bit-identical to the Spark iteration regardless of join/agg order
+      "gr1_pagerank" -> {
+        val scale = Graph.Scale
+        val iterCtes = (1 to 5).map { i =>
+          s"""r$i AS (SELECT d.a AS node,
+             |        (3 * $scale) // (20 * (SELECT n FROM nn))
+             |        + (17 * CAST(coalesce(c.s, 0) AS BIGINT)) // 20 AS r
+             |      FROM deg d LEFT JOIN (
+             |        SELECT e.b AS node, CAST(sum(r.r // g.deg) AS BIGINT) AS s
+             |        FROM edges e JOIN r${i - 1} r ON r.node = e.a
+             |        JOIN deg g ON g.a = e.a
+             |        GROUP BY e.b) c ON c.node = d.a)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckPairsChain,
+           |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+           |r0 AS (SELECT a AS node, $scale // (SELECT n FROM nn) AS r FROM deg),
+           |$iterCtes
+           |SELECT d.a AS doc_id, d.deg, r5.r AS rank_p12
+           |FROM deg d JOIN r5 ON r5.node = d.a ORDER BY doc_id""".stripMargin
+      },
 
       "cp1_curation" ->
         """WITH gated AS (

@@ -113,6 +113,56 @@ object TextAnalysis {
         expr("CAST(round(logp_u6 / CAST(n_tokens AS DOUBLE)) AS BIGINT)"))
   }
 
+  /** Fixed-window chunking with overlap (library form of ch1): every
+    * document becomes ceil(len/stride) chunks of `size` tokens starting
+    * every `stride` tokens — the context-window prep for retrieval
+    * corpora and long-document training. Entirely row-local (one explode,
+    * no shuffle): the 100 TB shape is a map stage that inherits the input
+    * partitioning. Returns (doc_id, chunk_id, n_tokens, chunk_text). */
+  def chunkWithOverlap(
+      docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, (size(w) - 1) DIV $stride)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"size(slice(w, chunk_id * $stride + 1, $size))").cast("long")
+          .as("n_tokens"),
+        expr(s"array_join(slice(w, chunk_id * $stride + 1, $size), ' ')")
+          .as("chunk_text"))
+  }
+
+  /** Corpus-level BIGRAM language-model scoring (library form of tx10,
+    * extending [[unigramLm]] to first-order context): add-one-smoothed
+    * P(w2|w1) from corpus bigram/unigram counts, per-document NLL in
+    * integer micro-nats. Unlike the unigram model, the bigram count frame
+    * is NOT broadcast — over a web corpus it is itself huge, so document
+    * bigrams hash-join the model on the (w1,w2) key and the per-doc sum
+    * partial-aggregates; only the vocabulary size is a driver scalar. */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val bg = toks.where(expr("size(w) >= 2"))
+      .select(col("doc_id"),
+        explode(expr("sequence(0, size(w) - 2)")).as("i"), col("w"))
+      .select(col("doc_id"), expr("element_at(w, i + 1)").as("w1"),
+        expr("element_at(w, i + 2)").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = docs.select(explode(split(col(textCol), " ")).as("token"))
+      .agg(countDistinct(col("token"))).collect()(0).getLong(0)
+    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .select(col("doc_id"),
+        expr(s"CAST(floor(ln((cb + 1) / CAST(cu + $v AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp"))).cast("long").as("nll_u6"))
+  }
+
   /** TF-IDF document scoring (library form of tx8): the document-frequency
     * model aggregates to a VOCABULARY-sized table, checkpointed and
     * broadcast back over the token stream — the corpus never shuffles for

@@ -239,6 +239,66 @@ class LibraryApiSpec extends AnyFunSuite {
       q("tok1_bpe_pairs"))
   }
 
+  test("chunkWithOverlap == ch1; bigramLm == tx10; chunks cover every token") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val chunks = TextAnalysis.chunkWithOverlap(docs, "doc_id", "text")
+    assertSame(
+      chunks.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5")).orderBy("doc_id", "chunk_id"),
+      q("ch1_chunk_overlap"))
+    // coverage: concatenating each chunk's leading stride tokens (all of
+    // the last chunk) reconstructs the document exactly
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val withPiece = chunks
+      .withColumn("last_id", max("chunk_id").over(win))
+      .withColumn("piece",
+        when(col("chunk_id") === col("last_id"), col("chunk_text"))
+          .otherwise(expr("array_join(slice(split(chunk_text, ' '), 1, 48), ' ')")))
+    val rebuilt = withPiece.groupBy("doc_id")
+      .agg(expr("array_join(transform(" +
+        "array_sort(collect_list(struct(chunk_id, piece))), s -> s.piece), ' ')")
+        .as("rebuilt"))
+    val diff = rebuilt.join(docs, "doc_id")
+      .where(col("rebuilt") =!= col("text")).count()
+    assert(diff == 0, s"$diff documents not reconstructed by their chunks")
+    assertSame(
+      TextAnalysis.bigramLm(docs, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "nll_u6").orderBy("doc_id"),
+      q("tx10_bigram_lm"))
+  }
+
+  test("pageRank: integer ranks are exact on a hand-computed graph; mass is conserved") {
+    import spark.implicits._
+    // path graph 1-2-3: deg(1)=deg(3)=1, deg(2)=2. Hand-run the same
+    // fixed-point recurrence (Scale=1e12, damping 17/20) for 5 iterations.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = graft.pipeline.Graph.pageRank(pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val S = graft.pipeline.Graph.Scale
+    val n = 3L
+    val base = 3 * S / (20 * n)
+    var r = Map(1L -> S / n, 2L -> S / n, 3L -> S / n)
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    for (_ <- 1 to 5) {
+      val c = Map(
+        1L -> r(2L) / deg(2L),
+        2L -> (r(1L) / deg(1L) + r(3L) / deg(3L)),
+        3L -> r(2L) / deg(2L))
+      r = c.map { case (k, s) => k -> (base + 17 * s / 20) }
+    }
+    assert(got.toSeq == Seq(
+      (1L, 1L, r(1L)), (2L, 2L, r(2L)), (3L, 1L, r(3L))),
+      s"got ${got.mkString(", ")}")
+    // the end nodes are symmetric; the center must outrank them
+    assert(r(1L) == r(3L) && r(2L) > r(1L))
+    // integer truncation only ever loses mass, and at most a few units
+    // per node per iteration
+    val mass = got.map(_._3).sum
+    assert(mass <= S && mass >= S - 5 * 3 * 40,
+      s"rank mass $mass vs scale $S")
+  }
+
   test("Sampling.temperatureMix == sp6 SQL form (per-source rollup)") {
     Fixtures.registerRaw(spark, sfDir)
     val mixed = graft.pipeline.Sampling
