@@ -25,7 +25,12 @@ object Bench {
     // host swing ~25% from GC/cleaner timing, and min-of-2 reports the
     // query's actual steady-state cost rather than whichever pass caught
     // a collection.
+    // optional comma-separated query filter (local iteration; the driver
+    // never sets it and times the full set)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }

@@ -34,10 +34,20 @@ object Graph {
     * power iterations. Returns (doc_id, deg, rank_p12) for every node that
     * appears in at least one pair (isolated documents have no edges and
     * keep the uniform prior by definition — they are excluded, as in the
-    * oracle). */
+    * oracle).
+    *
+    * `ckptEvery` bounds lineage depth: the rank frame is localCheckpointed
+    * every that-many iterations rather than every iteration — each
+    * checkpoint is an eager job barrier, and a handful of stacked
+    * join+agg layers optimize and run as ONE job far faster than they
+    * run as serialized materializations. Long runs (iters >> 8) still get
+    * periodic truncation so the plan never grows unbounded. Checkpoint
+    * placement cannot change the integer arithmetic, so results are
+    * identical for any cadence. */
   def pageRank(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5, ckptEvery: Int = 4): DataFrame = {
+    require(ckptEvery > 0, s"ckptEvery must be positive, got $ckptEvery")
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .union(pairs
@@ -48,7 +58,7 @@ object Graph {
     require(n > 0, "pageRank on an empty graph")
     val base = (3L * Scale) / (20L * n) // (1-d) * Scale / n, d = 17/20
     var rank = deg.select(col("a").as("node"), lit(Scale / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(rank.withColumnRenamed("node", "a"), "a")
         .join(deg, "a")
@@ -62,7 +72,7 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) DIV 20"))
             .as("r"))
-        .localCheckpoint()
+      if (i % ckptEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank.join(deg.withColumnRenamed("a", "node"), "node")
       .select(col("node").as("doc_id"), col("deg"), col("r").as("rank_p12"))
