@@ -508,4 +508,45 @@ object Dedup {
       .reduce(_ + _)
     agg.select(col("__id").as("doc_id"), simExpr.as("simhash"))
   }
+
+  /** Exact duplicated-SPAN diagnostic (substring-level dedup, the
+    * Lee et al. 2021 "Deduplicating Training Data" shape): for every
+    * document with at least `k` tokens, how many of its k-token sliding
+    * windows also occur verbatim in some OTHER document, and what
+    * per-mille fraction of its windows that is. Doc-level dedup (dd1-dd7)
+    * misses partial copies — boilerplate headers, quoted passages,
+    * licence blocks — which this surfaces for span-level excision.
+    *
+    * Scale shape: windows travel as md5 digests (16 bytes regardless of
+    * k), so the shuffle key is fixed-width; one groupBy on the digest
+    * (count-distinct-docs partial-aggregates), one hash join back, one
+    * per-doc agg. Window count is linear in corpus tokens — the
+    * declarative analogue of the suffix-array pass, trading its
+    * O(n log n) construction for embarrassingly-parallel shuffles.
+    * The per-mille fraction is integer arithmetic (engine-exact). */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 15): DataFrame = {
+    require(k > 0, s"span length must be positive, got $k")
+    // the size(w) >= k gate must precede the explode: Spark's
+    // sequence(0, negative) counts DOWN rather than returning empty
+    val wins = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .where(expr(s"size(w) >= $k"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(w) - $k)")).as("i"), col("w"))
+      .select(col("doc_id"),
+        md5(expr(s"array_join(slice(w, i + 1, $k), ' ')")).as("gh"))
+    val dup = wins.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select("gh")
+    wins.join(dup, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+      .join(wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("dup_pm",
+        expr("dup_windows * 1000 DIV n_windows").cast("long"))
+  }
 }

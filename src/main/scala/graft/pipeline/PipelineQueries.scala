@@ -1509,7 +1509,102 @@ object PipelineQueries {
         |      CROSS JOIN vv)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       CAST(-sum(lp) AS BIGINT) AS nll_u6
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // dd8: exact duplicated-SPAN diagnostic (Lee et al. 2021 substring
+    // dedup shape) — per document, how many of its 15-token sliding
+    // windows occur verbatim in some OTHER document. Windows travel as
+    // md5 digests (fixed-width shuffle key); one digest groupBy + one
+    // semi join + per-doc agg; per-mille fraction is integer arithmetic.
+    // The size(w) >= 15 gate must precede the explode: Spark's
+    // sequence(0, negative) counts DOWN instead of returning empty.
+    Q("dd8_duplicated_spans",
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+        |      WHERE size(split(text, ' ')) >= 15),
+        |wins AS (SELECT doc_id, md5(array_join(slice(w, i + 1, 15), ' ')) AS gh
+        |      FROM d LATERAL VIEW explode(sequence(0, size(w) - 15)) t AS i),
+        |dup AS (SELECT gh FROM wins GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+        |nw AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+        |dw AS (SELECT doc_id, count(*) AS dup_windows FROM wins
+        |      WHERE gh IN (SELECT gh FROM dup) GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_windows AS BIGINT) AS n_windows,
+        |       CAST(coalesce(d2.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |       CAST(coalesce(d2.dup_windows, 0) * 1000 DIV n.n_windows AS BIGINT) AS dup_pm
+        |FROM nw n LEFT JOIN dw d2 ON d2.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 15),
+        |wins AS (SELECT doc_id, md5(array_to_string(list_slice(w, i + 1, i + 15), ' ')) AS gh
+        |      FROM d, unnest(range(0, len(w) - 14)) AS t(i)),
+        |dup AS (SELECT gh FROM wins GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+        |nw AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+        |dw AS (SELECT doc_id, count(*) AS dup_windows FROM wins
+        |      WHERE gh IN (SELECT gh FROM dup) GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_windows AS BIGINT) AS n_windows,
+        |       CAST(coalesce(d2.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |       CAST(coalesce(d2.dup_windows, 0) * 1000 // n.n_windows AS BIGINT) AS dup_pm
+        |FROM nw n LEFT JOIN dw d2 ON d2.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin),
+
+    // emb1: embedding-quality outlier scoring — cosine of each vector to
+    // its LABEL centroid, ranked ascending within the label (low cosine =
+    // candidate mislabel/noise, the embedding-space analogue of tx2's
+    // text-quality gate). All arithmetic that crosses rows is fixed-point
+    // BIGINT (1e-6 vector units; centroid = per-dimension integer mean),
+    // so sums are order-independent; cosine uses the SUM direction — the
+    // per-dimension mean and the sum differ only by scale, which cosine
+    // cancels — and the final round(x, 6) over identical integer inputs
+    // is engine-exact. Scale shape: the posexplode groupBy partial-
+    // aggregates to a labels x dims frame (model state); the dot agg
+    // partial-aggregates per vector; nothing but the tiny centroid frame
+    // is ever joined against twice.
+    Q("emb1_centroid_outliers",
+      """WITH v AS (SELECT vec_id, label,
+        |        transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vu
+        |      FROM embeddings),
+        |e AS (SELECT vec_id, label, pos, u
+        |      FROM v LATERAL VIEW posexplode(vu) t AS pos, u),
+        |c AS (SELECT label, pos, sum(u) DIV count(*) AS cu
+        |      FROM e GROUP BY label, pos),
+        |dots AS (SELECT e.vec_id, e.label,
+        |        sum(e.u * c.cu) AS dp, sum(e.u * e.u) AS nv, sum(c.cu * c.cu) AS nc
+        |      FROM e JOIN c ON c.label = e.label AND c.pos = e.pos
+        |      GROUP BY e.vec_id, e.label),
+        |scored AS (SELECT vec_id, label,
+        |        round(dp / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+        |          AS centroid_cos
+        |      FROM dots)
+        |SELECT label, vec_id, centroid_cos FROM (
+        |  SELECT label, vec_id, centroid_cos,
+        |         row_number() OVER (PARTITION BY label
+        |             ORDER BY centroid_cos, vec_id) AS rn
+        |  FROM scored) WHERE rn <= 10
+        |ORDER BY label, centroid_cos, vec_id""".stripMargin,
+      """WITH v AS (SELECT vec_id, label,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vu
+        |      FROM embeddings),
+        |e AS (SELECT vec_id, label, i - 1 AS pos, vu[i] AS u
+        |      FROM v, unnest(range(1, len(vu) + 1)) AS t(i)),
+        |c AS (SELECT label, pos, sum(u) // count(*) AS cu
+        |      FROM e GROUP BY label, pos),
+        |dots AS (SELECT e.vec_id, e.label,
+        |        CAST(sum(e.u * c.cu) AS BIGINT) AS dp,
+        |        CAST(sum(e.u * e.u) AS BIGINT) AS nv,
+        |        CAST(sum(c.cu * c.cu) AS BIGINT) AS nc
+        |      FROM e JOIN c ON c.label = e.label AND c.pos = e.pos
+        |      GROUP BY e.vec_id, e.label),
+        |scored AS (SELECT vec_id, label,
+        |        round(dp / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+        |          AS centroid_cos
+        |      FROM dots)
+        |SELECT label, vec_id, centroid_cos FROM (
+        |  SELECT label, vec_id, centroid_cos,
+        |         row_number() OVER (PARTITION BY label
+        |             ORDER BY centroid_cos, vec_id) AS rn
+        |  FROM scored) sub WHERE rn <= 10
+        |ORDER BY label, centroid_cos, vec_id""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous

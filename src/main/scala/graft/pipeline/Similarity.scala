@@ -575,4 +575,40 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Embedding-quality outlier scoring (library form of emb1): cosine of
+    * each vector to its LABEL centroid — low cosine flags candidate
+    * mislabels/noise, the embedding-space analogue of a text-quality gate.
+    *
+    * Cross-row arithmetic is fixed-point BIGINT (1e-6 units) so sums are
+    * order-independent; the centroid keeps the SUM direction via a
+    * per-dimension integer mean (scale cancels in cosine) and the final
+    * `round(_, 6)` over identical integer inputs is engine-exact.
+    *
+    * Scale shape: one posexplode groupBy partial-aggregates the corpus
+    * down to a labels x dims centroid frame — model state — which is
+    * re-assembled per label and BROADCAST back; the dot product is then
+    * row-local (`aggregate` over zipped arrays), so the corpus itself
+    * never shuffles. Returns every vector scored: (vec_id, label,
+    * centroid_cos); rank/filter downstream. */
+  def centroidOutliers(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val v = vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("vu"))
+    val cent = v
+      .select(col("label"), posexplode(col("vu")).as(Seq("pos", "u")))
+      .groupBy("label", "pos")
+      .agg(expr("sum(u) DIV count(*)").as("cu"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cu))), s -> s.cu)")
+        .as("carr"))
+    v.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(
+          expr("aggregate(zip_with(vu, carr, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)") /
+            (sqrt(expr("aggregate(transform(vu, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double")) *
+              sqrt(expr("aggregate(transform(carr, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double"))),
+          6).as("centroid_cos"))
+  }
 }

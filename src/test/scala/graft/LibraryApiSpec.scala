@@ -299,6 +299,31 @@ class LibraryApiSpec extends AnyFunSuite {
       s"rank mass $mass vs scale $S")
   }
 
+  test("duplicatedSpans == dd8; centroidOutliers == emb1") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    assertSame(
+      Dedup.duplicatedSpans(docs, "doc_id", "text").orderBy("doc_id"),
+      q("dd8_duplicated_spans"))
+    // every duplicated window of a doc is one of its windows
+    val bad = Dedup.duplicatedSpans(docs, "doc_id", "text")
+      .where(col("dup_windows") > col("n_windows") ||
+        col("dup_pm") > 1000 || col("dup_pm") < 0).count()
+    assert(bad == 0, s"$bad docs with impossible span counts")
+    val scored = Similarity.centroidOutliers(
+      spark.table("embeddings"), "vec_id", "embedding", "label")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("centroid_cos"), col("vec_id"))
+    assertSame(
+      scored.withColumn("rn", row_number().over(win)).where(col("rn") <= 10)
+        .select("label", "vec_id", "centroid_cos")
+        .orderBy(col("label"), col("centroid_cos"), col("vec_id")),
+      q("emb1_centroid_outliers"))
+    // cosine is bounded; every vector of the corpus is scored
+    assert(scored.where(abs(col("centroid_cos")) > 1.0).count() == 0)
+    assert(scored.count() == spark.table("embeddings").count())
+  }
+
   test("Sampling.temperatureMix == sp6 SQL form (per-source rollup)") {
     Fixtures.registerRaw(spark, sfDir)
     val mixed = graft.pipeline.Sampling
