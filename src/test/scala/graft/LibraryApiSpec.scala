@@ -297,6 +297,14 @@ class LibraryApiSpec extends AnyFunSuite {
     val mass = got.map(_._3).sum
     assert(mass <= S && mass >= S - 5 * 3 * 40,
       s"rank mass $mass vs scale $S")
+    // regularity: on a 6-ring (every node degree 2) the recurrence is
+    // symmetric, so all ranks must stay exactly uniform
+    val ring = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong))
+      .toDF("doc_a", "doc_b")
+    val ringRanks = graft.pipeline.Graph.pageRank(ring)
+      .select("rank_p12").distinct().collect()
+    assert(ringRanks.length == 1,
+      s"ring ranks not uniform: ${ringRanks.mkString(", ")}")
   }
 
   test("duplicatedSpans == dd8; centroidOutliers == emb1") {
