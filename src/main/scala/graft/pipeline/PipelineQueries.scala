@@ -67,13 +67,18 @@ object PipelineQueries {
   // full minhash-LSH chain through verified pairs + symmetrized edges
   // (DuckDB dialect) — the shared prefix of every oracle that consumes the
   // near-dup graph (dd7 clusters, gr1 pagerank). Mirrors
-  // Dedup.minhashLshPairs at Jaccard >= 0.8.
+  // Dedup.minhashLshPairs at Jaccard >= 0.8. The multi-referenced CTEs
+  // carry explicit MATERIALIZED hints: DuckDB's inlining heuristic
+  // otherwise re-evaluates the whole chain per reference, which turns
+  // gr1's five chained iterations into an exponential blowup (measured
+  // 39 s → 0.8 s at sf0.1; at sf1 the unhinted form spilled >69 GB
+  // without finishing).
   private val duckPairsChain =
     s"""$duckShingles,
        |$duckMinhashHs,
        |$minhashSig,
        |$duckMinhashBands,
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
        |inter AS (SELECT c.da, c.db, count(*) AS i
@@ -82,10 +87,10 @@ object PipelineQueries {
        |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
        |          GROUP BY c.da, c.db),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |pairs AS (SELECT da, db FROM inter
+       |pairs AS MATERIALIZED (SELECT da, db FROM inter
        |          JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
        |          WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
-       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
        |          UNION ALL SELECT db, da FROM pairs)""".stripMargin
 
   // exact dot product between two float vectors, index-ordered double
@@ -2467,10 +2472,14 @@ object PipelineQueries {
       // five fixed-point power iterations as chained join-agg CTEs — the
       // integer arithmetic (see Graph.pageRank) makes each layer
       // bit-identical to the Spark iteration regardless of join/agg order
+      // MATERIALIZED on deg and each rank layer: without the hints DuckDB
+      // inlines r_{i-1} into r_i, re-evaluating the whole prefix per
+      // iteration — exponential in the iteration count (see
+      // duckPairsChain note).
       "gr1_pagerank" -> {
         val scale = Graph.Scale
         val iterCtes = (1 to 5).map { i =>
-          s"""r$i AS (SELECT d.a AS node,
+          s"""r$i AS MATERIALIZED (SELECT d.a AS node,
              |        (3 * $scale) // (20 * (SELECT n FROM nn))
              |        + (17 * CAST(coalesce(c.s, 0) AS BIGINT)) // 20 AS r
              |      FROM deg d LEFT JOIN (
@@ -2480,9 +2489,9 @@ object PipelineQueries {
              |        GROUP BY e.b) c ON c.node = d.a)""".stripMargin
         }.mkString(",\n")
         s"""WITH $duckPairsChain,
-           |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
-           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-           |r0 AS (SELECT a AS node, $scale // (SELECT n FROM nn) AS r FROM deg),
+           |deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+           |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+           |r0 AS MATERIALIZED (SELECT a AS node, $scale // (SELECT n FROM nn) AS r FROM deg),
            |$iterCtes
            |SELECT d.a AS doc_id, d.deg, r5.r AS rank_p12
            |FROM deg d JOIN r5 ON r5.node = d.a ORDER BY doc_id""".stripMargin
