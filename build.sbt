@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole "cluster" in this one JVM (32 task threads +
+  // driver + session-cached index/media state); an 8g heap puts the full
+  // bench ~1.6x slower from GC alone on a 128 GiB host — measured 46.1 s
+  // vs 29.3 s over the 96-query set. Size the heap like the executors it
+  // stands in for.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

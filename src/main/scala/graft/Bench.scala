@@ -29,6 +29,11 @@ object Bench {
     // never sets it and times the full set)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    if (only.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_ONLY=${only.toSeq.sorted.mkString(",")} " +
+          "— PARTIAL run; the total covers a query subset and must not be " +
+          "compared against full-bench numbers (output JSON is tagged)")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
     ordered.foreach { case (_, fn) =>
@@ -49,7 +54,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val filteredTag =
+      if (only.isEmpty) ""
+      else s""","filtered":true,"only":"${only.toSeq.sorted.mkString(",")}""""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredTag}""")
     spark.stop()
   }
 }

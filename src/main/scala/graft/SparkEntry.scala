@@ -36,4 +36,12 @@ object SparkEntry {
     graft.queries.MeshQueries.oracleSql ++
       graft.queries.SqlSurface.oracleSql ++
       graft.pipeline.PipelineQueries.oracleSql
+
+  /** Same map with the stored-ANN artifact paths derived from `sfDir`
+    * (ss3/ss5/ss6 parity oracles) — what Verify dumps, so the compare
+    * gate runs at any scale, not just the driver's sf0.01. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    graft.queries.MeshQueries.oracleSql ++
+      graft.queries.SqlSurface.oracleSql ++
+      graft.pipeline.PipelineQueries.oracleSqlFor(sfDir)
 }

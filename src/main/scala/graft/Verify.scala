@@ -23,6 +23,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Clear this sf's stored-ANN artifacts up front: the ss3/ss5/ss6 parity
+    // oracles must only ever score index state written by THIS run —
+    // artifacts surviving in /tmp from a previous build would otherwise
+    // validate (or spuriously fail against) an outdated model.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(graft.pipeline.PipelineQueries.annArtifactDir(sfDir)))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -44,7 +53,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

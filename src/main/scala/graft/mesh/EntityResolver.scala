@@ -240,6 +240,10 @@ object EntityResolver {
           }
         }.toSeq: _*)
       flattened.createOrReplaceTempView(ds.viewName.getOrElse(ds.id))
+      // no fixture source id collides with a shared view name today, but a
+      // catalog whose viewName/id matches one must bump the epoch or the
+      // epoch-guarded helpers would leave the shadow unrepaired
+      ViewEpoch.noteShadow()
     }
 
     // view-backed sources whose SQL references a relation named like the
@@ -308,6 +312,7 @@ object EntityResolver {
     val viewName = (s"__graft_remote_${rm.peer}_${rm.remoteEntity}_" +
       viewCounter.incrementAndGet()).replaceAll("[^A-Za-z0-9_]", "_")
     remoteDF.createOrReplaceTempView(viewName)
+    ViewEpoch.noteShadow() // counter-suffixed, but shadow-proof is cheap
     // spark.sql analyzes eagerly, so the captured plan no longer needs the
     // view — drop it to keep a long-running session's catalog bounded
     val templated = spark.sql(rm.renderSql(viewName))

@@ -980,10 +980,15 @@ object PipelineQueries {
     // cluster, and drop any vector with a lower-id cluster-mate above the
     // similarity threshold. Within-cluster pairing is the SemDeDup scale
     // trick: candidate pairs shrink from n^2 to sum over clusters of
-    // (cluster size)^2.
+    // (cluster size)^2 — PROVIDED the cluster count grows with the corpus
+    // (SemDeDup §3). Both engines therefore derive k from the data itself:
+    // k = max(16, ceil(n/256)) (Similarity.targetK semantics, fixture-
+    // scaled target) — identical arithmetic, so the gate stays green at
+    // every sf while the pair envelope stays ~n·256 instead of n²/16.
     Q("sd1_semantic_dedup",
       s"""WITH $sparkVecs,
-         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v
+         |         WHERE vec_id < (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM v)),
          |assign AS (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY e.vec_id
@@ -998,7 +1003,8 @@ object PipelineQueries {
          |FROM p WHERE cos >= 0.4
          |GROUP BY vb ORDER BY vec_id""".stripMargin,
       s"""WITH $duckVecs,
-         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v
+         |         WHERE vec_id < (SELECT greatest(16, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM v)),
          |assign AS (SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY e.vec_id
@@ -1663,6 +1669,14 @@ object PipelineQueries {
         val m = Similarity.sphericalKMeans(
           emb, "vec_id", "embedding", seedIds = 0L until 16L, iters = 2)
         centroidCache.put((s, dir), m)
+        // spill the centroid model state for the stored-state oracle HERE,
+        // by whoever first learns it: a Verify subset running ss3 alone
+        // must produce a fresh centroids artifact without depending on
+        // ss5/ss6's index build having run in the same session
+        import s.implicits._
+        m.zipWithIndex.map { case (w, i) => (i, w) }.toDF("cid", "w")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${annArtifactDir(dir)}/centroids.parquet")
         m
       })
     }
@@ -1686,8 +1700,10 @@ object PipelineQueries {
     * are not cross-engine reproducible — but they do not need to be: the
     * index is written state (exactly as in production), and correctness
     * means "given this index, serving returns exactly these neighbors".
-    * Keyed by the sf directory basename; the driver's oracle gate runs at
-    * sf0.01, which the static oracle SQL references. */
+    * Keyed by the sf directory basename; [[oracleSqlFor]] derives the
+    * same path from the Verify dump's sfDir, and Verify clears it up
+    * front so the oracle can only ever score state written by its own
+    * run. */
   private[graft] def annArtifactDir(dir: String): String =
     s"/tmp/graft_ann/${new java.io.File(dir).getName}"
 
@@ -1716,9 +1732,8 @@ object PipelineQueries {
           bk.zipWithIndex.map { case (w, c) => (si, c, w) }
         }.toDF("s", "c", "w")
           .coalesce(1).write.mode("overwrite").parquet(s"$out/books.parquet")
-        annCentroids(s, dir, emb).zipWithIndex.map { case (w, i) => (i, w) }
-          .toDF("cid", "w")
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/centroids.parquet")
+        // centroids.parquet is written by annCentroids (already forced via
+        // the ivfPqEncode build above)
         true
       })
     }
@@ -1804,9 +1819,42 @@ object PipelineQueries {
     "sd1_semantic_dedup" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       val emb = s.table("embeddings")
-      val cents = sdCentCache.getOrElseUpdate((s, dir),
-        Similarity.seedCentroids(emb, "vec_id", "embedding", 0L until 16L))
+      // k scales with the corpus (targetK, fixture-scaled target=256) so
+      // the pair envelope stays linear; the count + seed collection are
+      // INDEX BUILD, memoized with the centroids themselves
+      val cents = sdCentCache.getOrElseUpdate((s, dir), {
+        val k = Similarity.targetK(emb.count(), targetClusterSize = 256)
+        Similarity.seedCentroids(emb, "vec_id", "embedding", 0L until k.toLong)
+      })
       Similarity.semanticDedupSeeded(emb, "vec_id", "embedding", cents)
+    }),
+
+    // ap1 routes through the library sketches (PipelineSpec proves value
+    // identity with the SQL form): the k-smallest selection runs on the
+    // TopKPerGroup bounded-heap plan — partial+final, O(n log k), no full
+    // per-group sort of the distinct-hash stream — and only the 10%
+    // hash-sample pays a window for its median.
+    "ap1_approx_agg" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val li = s.table("lineitem")
+      val kmv = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
+      val samp = Sketches
+        .hashSample(li, Seq("l_orderkey", "l_linenumber"), oneIn = 10)
+        .select(col("l_returnflag"), col("l_extendedprice").as("price"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("price"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      val med = samp
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .where(col("rn") === expr("(n + 1) DIV 2"))
+        .select(col("l_returnflag"), round(col("price"), 2).as("p50_sample"))
+      kmv.join(med, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_parts"), col("kmv_parts"),
+          col("p50_sample"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // as-of join (graft.operators.AsOfJoin): for each purchase event, the
@@ -2254,8 +2302,7 @@ object PipelineQueries {
     * ADC, pages top-20 by raw approx, reranks full-precision from the
     * embeddings table, and emits the top-5 — the identical serving
     * algorithm over identical stored state, independently executed. */
-  private def pqAdcOracle(ivf: Boolean): String = {
-    val art = "/tmp/graft_ann/sf0.01"
+  private def pqAdcOracle(ivf: Boolean, art: String): String = {
     val idx = s"read_parquet('$art/index.parquet/*.parquet')"
     val books = s"read_parquet('$art/books.parquet/*.parquet')"
     val cents = s"read_parquet('$art/centroids.parquet/*.parquet')"
@@ -2314,8 +2361,7 @@ object PipelineQueries {
     * ordering, then exact cosine over the probed cells' vectors and
     * top-5 per query — the identical serving algorithm over identical
     * stored state, independently executed. */
-  private def learnedIvfOracle: String = {
-    val art = "/tmp/graft_ann/sf0.01"
+  private def learnedIvfOracle(art: String): String = {
     val cents = s"read_parquet('$art/centroids.parquet/*.parquet')"
     def centDot(vec: String) =
       s"list_sum(list_transform(range(1, 65), d -> CAST($vec[d] AS DOUBLE) * CAST(CAST(c.w[d] AS FLOAT) AS DOUBLE)))"
@@ -2350,11 +2396,18 @@ object PipelineQueries {
        |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] =
+  /** Parameterless form keeps the driver-gate default (sf0.01). */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracle SQL with the stored-ANN artifact paths derived from `sfDir` —
+    * Verify dumps THIS form, so `tools/compare.py` is runnable at every
+    * scale (the static sf0.01 path previously false-failed ss3/ss5/ss6 at
+    * any other sf). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
-      "ss5_pq_topk" -> pqAdcOracle(ivf = false),
-      "ss6_ivfpq_topk" -> pqAdcOracle(ivf = true),
-      "ss3_ivf_learned" -> learnedIvfOracle,
+      "ss5_pq_topk" -> pqAdcOracle(ivf = false, annArtifactDir(sfDir)),
+      "ss6_ivfpq_topk" -> pqAdcOracle(ivf = true, annArtifactDir(sfDir)),
+      "ss3_ivf_learned" -> learnedIvfOracle(annArtifactDir(sfDir)),
 
       // dc2 = dc1's exact contract served through the Bloom-pruned path
       "dc2_bloom_decontamination" ->

@@ -157,7 +157,14 @@ object Similarity {
       vecs: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Float], Double)], threshold: Double = 0.4,
       blockTarget: Option[Int] = None): DataFrame = {
-    val v = withNorm(vecs, idCol, vecCol)
+    require(cents.nonEmpty,
+      "semanticDedupSeeded needs at least one centroid (empty cents would " +
+        "assign every vector a null cid and silently return no pairs)")
+    // a zero-norm vector has no cosine direction: every centroid score is
+    // NaN (argmax undefined) and a NaN pair cosine would compare TRUE
+    // against the threshold under Spark's NaN-greatest ordering — exclude
+    // such vectors explicitly; they cannot be a cosine near-duplicate
+    val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
     val scores = array(cents.map { case (_, cv, cn) =>
       round(dot(col("__v"), array(cv.map(lit(_)): _*)) / (col("nrm") * lit(cn)), 6)
     }.toIndexedSeq: _*)
@@ -175,7 +182,9 @@ object Similarity {
     * join. Same output contract as [[semanticDedup]]. */
   def semanticDedupLearned(
       vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]], threshold: Double = 0.4): DataFrame = {
+      centroids: Seq[Seq[Double]], threshold: Double = 0.4,
+      blockTarget: Option[Int] = None): DataFrame = {
+    require(centroids.nonEmpty, "semanticDedupLearned needs >= 1 centroid")
     // argmax of raw dot == cosine argmax only for equal-norm centroids;
     // normalize here (idempotent for sphericalKMeans output) so external
     // centroids with varying norms can't silently skew assignment
@@ -183,9 +192,60 @@ object Similarity {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
-    val v = withNorm(vecs, idCol, vecCol)
+    // zero-norm exclusion: same rationale as semanticDedupSeeded
+    val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
       .withColumn("cid", assignExpr(unit, "__v"))
-    dedupWithinCluster(v, threshold)
+    dedupWithinCluster(v, threshold, blockTarget)
+  }
+
+  /** Cluster assignment against constant centroids (cosine argmax
+    * projection, ties to the lowest cid; zero-norm rows excluded):
+    * (__id, cid). Exposed so callers and specs can audit cluster-size
+    * balance — the quantity that bounds SemDeDup pair work. */
+  def assignClusters(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs >= 1 centroid")
+    val unit = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
+      .withColumn("cid", assignExpr(unit, "__v"))
+      .select(col("__id"), col("cid"))
+  }
+
+  /** Cluster count that keeps SemDeDup's pair envelope LINEAR in the
+    * corpus: k = max(16, ceil(n / targetClusterSize)). With cluster sizes
+    * near the target, within-cluster pair work is Σs² ≈ n·targetClusterSize
+    * — growing with n, not n²/k. SemDeDup's own protocol scales cluster
+    * count with the corpus (Abbas et al. '23 §3 uses tens of thousands of
+    * clusters); a FIXED k makes the pair join quadratic in corpus size
+    * (measured here: k=16 went 0.98 s → 9.0 s across one 10× data step).
+    * The constant-literal assignment projection stays codegen-friendly to
+    * k in the low thousands; past that, shard the centroid set and take
+    * the per-shard argmax of argmaxes. */
+  def targetK(n: Long, targetClusterSize: Int = 4096): Int = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    math.max(16L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+  }
+
+  /** [[semanticDedupLearned]] with the cluster count scaled to the corpus
+    * (k = [[targetK]](n)) — the form a pipeline calls at scale. Seeds are
+    * the k lowest ids (deterministic); learning and the dedup tail are the
+    * standard spherical-k-means + within-cluster pair join. The count and
+    * seed scan are INDEX BUILD (once per corpus), not serving work. */
+  def semanticDedupScaled(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.4, targetClusterSize: Int = 4096,
+      iters: Int = 2, dim: Int = 64,
+      blockTarget: Option[Int] = None): DataFrame = {
+    val k = targetK(vecs.count(), targetClusterSize)
+    val seeds = vecs.select(col(idCol).cast("long").as("__id"))
+      .orderBy(col("__id")).limit(k)
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val cents = sphericalKMeans(vecs, idCol, vecCol, seeds, iters, dim)
+    semanticDedupLearned(vecs, idCol, vecCol, cents, threshold, blockTarget)
   }
 
   /** Shared within-cluster dedup tail: pair join on cluster id, exact
@@ -560,13 +620,7 @@ object Similarity {
   def cosineNearDupPairs(
       vecs: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 4, tau: Double = 0.4): DataFrame = {
-    val v = withNorm(vecs, idCol, vecCol)
-    val bucketExpr = (0 until nBits).map { k =>
-      val plane = array((0 until 64).map(d =>
-        lit(((k * 73 + d * 179) % 97 - 48).toFloat)): _*)
-      when(dot(col("__v"), plane) >= 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val buck = v.withColumn("bucket", bucketExpr)
+    val buck = signLshBuckets(vecs, idCol, vecCol, nBits)
     val a = buck.as("a"); val b = buck.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"),
@@ -575,6 +629,44 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Sign-LSH bucket assignment half of [[cosineNearDupPairs]]:
+    * (__id, __v, nrm, bucket). Exposed so callers and specs can audit
+    * bucket populations — the quantity that bounds within-bucket pair
+    * work. */
+  def signLshBuckets(
+      vecs: DataFrame, idCol: String, vecCol: String, nBits: Int): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits out of range: $nBits")
+    val v = withNorm(vecs, idCol, vecCol)
+    val bucketExpr = (0 until nBits).map { k =>
+      val plane = array((0 until 64).map(d =>
+        lit(((k * 73 + d * 179) % 97 - 48).toFloat)): _*)
+      when(dot(col("__v"), plane) >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    v.withColumn("bucket", bucketExpr)
+  }
+
+  /** Hyperplane count that keeps sign-LSH bucket populations bounded as
+    * the corpus grows: nBits = clamp(ceil(log2(n / targetBucket)), 4, 20),
+    * so the EXPECTED bucket population n / 2^nBits stays <= targetBucket
+    * and within-bucket pair work ~ n·targetBucket. A fixed bit count
+    * (dd5's fixture keeps 4 only because its corpus is tiny) leaves the
+    * self-join O(n²/2^nBits) — quadratic in corpus size. */
+  def lshBits(n: Long, targetBucket: Int = 1024): Int = {
+    require(targetBucket > 0, "targetBucket must be positive")
+    val need = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(20, math.max(4, need))
+  }
+
+  /** [[cosineNearDupPairs]] with the bit count scaled to the corpus
+    * ([[lshBits]]) — the form a pipeline calls at scale. The count is
+    * INDEX BUILD (once per corpus), not serving work. */
+  def cosineNearDupPairsScaled(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      tau: Double = 0.4, targetBucket: Int = 1024): DataFrame =
+    cosineNearDupPairs(vecs, idCol, vecCol,
+      lshBits(vecs.count(), targetBucket), tau)
 
   /** Embedding-quality outlier scoring (library form of emb1): cosine of
     * each vector to its LABEL centroid — low cosine flags candidate

@@ -262,7 +262,11 @@ object TextAnalysis {
     * the same md5 bucketing the scorer uses, so learned weights quantize
     * straight into [[hashedLinearScore]] (micro-units): train -> quantize
     * -> serve, all three distributed. Deterministic given data, seed
-    * weights (zeros), and `iters`. `labelCol` must be 0/1. */
+    * weights (zeros), and `iters`: the two cross-row float sums (per-doc
+    * margin, per-bucket gradient) accumulate in fixed-point BIGINT units
+    * (1e-12 and 1e-9 respectively), so partial-aggregation order can
+    * never move a weight — the serving-side integer-score discipline
+    * applied to training. `labelCol` must be 0/1. */
   def trainLinearClassifier(
       docs: DataFrame, idCol: String, textCol: String, labelCol: String,
       buckets: Int = 1024, iters: Int = 5, lr: Double = 0.5): Seq[Double] = {
@@ -285,17 +289,24 @@ object TextAnalysis {
       val warr = array(w.toIndexedSeq.map(lit(_)): _*)
       // margin per doc, then per-bucket gradient of the log-loss:
       // grad_b = sum_docs (sigmoid(s_d) - y_d) * x_{d,b}
+      // margins sum <= 1024 elements of |wx| * 1e12 and gradients
+      // <= n_docs elements of |g| <= 1e9 — both well inside BIGINT range
+      // for any corpus the serving side can hash (~9e9 docs)
       val grad = feats
-        .withColumn("wx", element_at(warr, col("b") + 1) * col("x"))
+        .withColumn("wx_u",
+          round(element_at(warr, col("b") + 1) * col("x") * lit(1e12), 0)
+            .cast("long"))
         .groupBy(col("doc_id"), col("y")).agg(
-          sum(col("wx")).as("s"),
+          sum(col("wx_u")).as("s_u"),
           collect_list(struct(col("b"), col("x"))).as("bx"))
         .select(col("y"), explode(col("bx")).as("p"),
-          (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("prob"))
-        .select(col("p.b").as("b"), ((col("prob") - col("y")) * col("p.x")).as("g"))
-        .groupBy(col("b")).agg(sum(col("g")).as("grad"))
+          (lit(1.0) / (lit(1.0) + exp(-col("s_u") / lit(1e12)))).as("prob"))
+        .select(col("p.b").as("b"),
+          round((col("prob") - col("y")) * col("p.x") * lit(1e9), 0)
+            .cast("long").as("g_u"))
+        .groupBy(col("b")).agg(sum(col("g_u")).as("grad_u"))
         .collect()
-      grad.foreach(r => w(r.getInt(0)) -= lr * r.getDouble(1))
+      grad.foreach(r => w(r.getInt(0)) -= lr * (r.getLong(1) / 1e9))
     }
     w.toSeq
   }

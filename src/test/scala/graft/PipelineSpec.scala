@@ -303,7 +303,12 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("KMV distinct estimate within sketch error; library form matches the query") {
-    val rows = run("ap1_approx_agg").collect()
+    val df = run("ap1_approx_agg")
+    // the query routes its k-smallest selection onto the bounded-heap
+    // physical plan (no full per-group sort of the distinct-hash stream)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getLong(1).toDouble

@@ -111,6 +111,66 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("targetK / lshBits scale index parameters with the corpus") {
+    // k sits at the floor for small corpora, then grows linearly with n
+    assert(Similarity.targetK(500, 256) == 16)
+    assert(Similarity.targetK(2000, 256) == 16)
+    assert(Similarity.targetK(20000, 256) == 79)
+    assert(Similarity.targetK(1000000, 4096) == 245)
+    // a 10x data step adds ~log2(10) bits, holding the EXPECTED bucket
+    // population at/below the target; clamps at [4, 20]
+    assert(Similarity.lshBits(500, 125) == 4)
+    assert(Similarity.lshBits(2000, 125) == 4)
+    assert(Similarity.lshBits(20000, 125) == 8)
+    assert(Similarity.lshBits(200000, 125) == 11)
+    assert(Similarity.lshBits(Long.MaxValue, 1) == 20)
+    (Seq(1000L, 10000L, 100000L, 1000000L)).foreach { n =>
+      assert(n.toDouble / (1L << Similarity.lshBits(n, 64)) <= 64.0 ||
+        Similarity.lshBits(n, 64) == 20)
+    }
+  }
+
+  test("scaled semantic dedup keeps the pair envelope linear across a 4x data step") {
+    // pair work = Σ(cluster size)²; with k = targetK(n) the PER-ROW
+    // envelope Σs²/n must stay bounded as n grows — with a FIXED k it
+    // grows linearly in n (the measured sd1 sf1 pathology)
+    def pairWork(df: org.apache.spark.sql.DataFrame, target: Int): (Long, Long, Long) = {
+      val n = df.count()
+      val k = Similarity.targetK(n, target)
+      val cents = Similarity.sphericalKMeans(
+        df, "vec_id", "embedding", seedIds = 0L until k.toLong, iters = 2)
+      val sizes = Similarity.assignClusters(df, "vec_id", "embedding", cents)
+        .groupBy(col("cid")).count().collect().map(_.getLong(1))
+      (n, k.toLong, sizes.map(s => s * s).sum)
+    }
+    val small = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val target = 50
+    val (n1, k1, w1) = pairWork(small, target) // n=500  -> k floor (16)
+    val (n2, k2, w2) = pairWork(big, target)   // n=2000 -> k=40
+    assert(k1 == 16 && k2 == 40)
+    // absolute envelope: within a constant of the balanced-cluster ideal
+    assert(w2 <= 8L * n2 * target, s"pair work $w2 vs bound ${8L * n2 * target}")
+    // linearity: the per-row envelope must not scale with n (fixed k=16
+    // would have quadrupled it: n2/16 = 125 vs n1/16 = 31 per row)
+    assert(w2.toDouble / n2 <= 3.0 * (w1.toDouble / n1),
+      s"per-row pair work grew ${w2.toDouble / n2} vs ${w1.toDouble / n1}")
+  }
+
+  test("scaled sign-LSH keeps bucket populations bounded") {
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = big.count()
+    val target = 125
+    val bits = Similarity.lshBits(n, target)
+    val sizes = Similarity.signLshBuckets(big, "vec_id", "embedding", bits)
+      .groupBy(col("bucket")).count().collect().map(_.getLong(1))
+    assert(sizes.sum == n)
+    // the expected population honors the target; correlated data clumps,
+    // so the max gets a constant allowance
+    assert(n.toDouble / (1L << bits) <= target.toDouble)
+    assert(sizes.max <= 8L * target, s"max bucket ${sizes.max}")
+  }
+
   test("int8-quantized ranking keeps high recall vs exact cosine top-5") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     graft.functions.VectorFunctions.register(spark)
