@@ -58,9 +58,13 @@ object Fixtures {
         val built = RawTables.map { t =>
           val df = spark.read.parquet(s"$sfDir/$t.parquet")
           val fixed =
-            if (t == "events")
+            if (t == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
               df.withColumn("ts",
                 org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+            else if (t == "events")
+              df.withColumn("ts",
+                org.apache.spark.sql.functions.col("ts")
+                  .cast(org.apache.spark.sql.types.TimestampType))
             else df
           t -> fixed
         }
