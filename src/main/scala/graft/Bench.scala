@@ -29,6 +29,10 @@ object Bench {
     // never sets it and times the full set)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
+        "otherwise time an empty set and report a healthy-looking total")
     if (only.nonEmpty)
       System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_ONLY=${only.toSeq.sorted.mkString(",")} " +
@@ -36,14 +40,27 @@ object Bench {
           "compared against full-bench numbers (output JSON is tagged)")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+    // failures are NEVER swallowed silently: a bench that times exceptions
+    // publishes garbage indistinguishable from a healthy run (this zeroed
+    // two driver rounds). Each failing query is reported to stderr, counted
+    // into the output JSON, and fails the process.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          failed.getOrElseUpdate(name, String.valueOf(e.getMessage).take(300))
+          System.err.println(s"[bench] $name FAILED (warmup): ${e.getMessage}")
+      }
     }
     def timedPass(): Seq[(String, Double)] = {
       System.gc()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed.getOrElseUpdate(name, String.valueOf(e.getMessage).take(300))
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -57,7 +74,13 @@ object Bench {
     val filteredTag =
       if (only.isEmpty) ""
       else s""","filtered":true,"only":"${only.toSeq.sorted.mkString(",")}""""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$filteredTag}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${failed.size}$filteredTag}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +
+          s"failed: ${failed.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -32,12 +32,14 @@ object Verify {
       f.delete(): Unit
     }
     rm(new java.io.File(graft.pipeline.PipelineQueries.annArtifactDir(sfDir)))
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -57,5 +59,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // exit nonzero AFTER the full dump so partial results + the oracle json
+    // still land for the driver — but the process visibly fails (a silent
+    // exit-0 with missing result dirs zeroed two correctness rounds).
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +
+          s"failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -283,11 +283,18 @@ class GraftScan(
       val msg = reader.getFooter.getFileMetaData.getSchema
       msg.getFields.asScala.toSeq.map { t =>
         val p = t.asPrimitiveType()
-        // raw physical mapping: timestamps surface as their int64 payload
-        // and mapping transforms convert (e.g. timestamp_micros(ts div 1000))
+        // TIMESTAMP(MICROS) int64 surfaces as TimestampType — the raw long
+        // is already the InternalRow micros-since-epoch payload. Other
+        // annotations (NANOS legacy data, plain int64) stay raw LongType
+        // and mapping transforms convert (e.g. timestamp_micros(ts div 1000)).
+        import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
         val dt = p.getPrimitiveTypeName match {
           case INT32  => IntegerType
-          case INT64  => LongType
+          case INT64  => p.getLogicalTypeAnnotation match {
+            case ts: TimestampLogicalTypeAnnotation if ts.getUnit == TimeUnit.MICROS =>
+              TimestampType
+            case _ => LongType
+          }
           case DOUBLE => DoubleType
           case FLOAT  => FloatType
           case BOOLEAN => BooleanType
@@ -452,7 +459,8 @@ class ParquetRecordIterator(path: String, fileSchema: StructType)
       if (g.getFieldRepetitionCount(i) == 0) fileRow.update(i, null)
       else f.dataType match {
         case IntegerType => fileRow.setInt(i, g.getInteger(i, 0))
-        case LongType    => fileRow.setLong(i, g.getLong(i, 0))
+        // TimestampType's internal form IS the int64 micros payload
+        case LongType | TimestampType => fileRow.setLong(i, g.getLong(i, 0))
         case DoubleType  => fileRow.setDouble(i, g.getDouble(i, 0))
         case FloatType   => fileRow.setFloat(i, g.getFloat(i, 0))
         case BooleanType => fileRow.setBoolean(i, g.getBoolean(i, 0))

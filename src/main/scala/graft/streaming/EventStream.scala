@@ -16,22 +16,41 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema of the events table with nanos-as-long ts. */
-  val rawSchema: StructType = StructType(Seq(
+  /** Raw parquet schema of the events table, parameterized on how the file
+    * stores `ts`: TIMESTAMP(NANOS) surfaces as nanos-long (under
+    * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS) as a native
+    * timestamp. */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of events parquet files. */
+  /** Streaming source over a directory of events parquet files.
+    *
+    * `readStream` requires an explicit schema, and forcing the wrong `ts`
+    * dtype is SILENT corruption (micros read as a long then `div 1000` =
+    * 1970-era garbage, no exception). So branch on the actual footer dtype
+    * via a one-time batch footer read — the same guard `Fixtures.registerRaw`
+    * applies on the batch path. On a real cluster the footer read is a
+    * driver-side metadata operation, not a data scan. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val footerTs = spark.read.parquet(dir).schema("ts").dataType
+    val stream = spark.readStream.schema(rawSchema(footerTs)).parquet(dir)
+    footerTs match {
+      case LongType => // legacy TIMESTAMP(NANOS)-as-long: truncate ns -> us
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => stream
+      case TimestampNTZType => // UTC session: identity on the micros payload
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet dtype $other (expected " +
+            "nanos-long or timestamp)")
+    }
   }
 
   /** Hourly per-type counts/sums with a 2-hour watermark — the streaming

@@ -31,7 +31,7 @@ class GraftSourceSpec extends AnyFunSuite {
         FieldMapping("event_id", "event_id"),
         FieldMapping("etype", "event_type"),
         FieldMapping("val100", "value", Transformation("{v} * 100")),
-        FieldMapping("ts", "ts", Transformation("timestamp_micros({v} div 1000)"))),
+        FieldMapping("ts", "ts")),  // events.ts is parquet timestamp[us]: identity
       defaultPermission = SourcePermission(fileCols, rows),
       fileSource = Some(FileSource("parquet", s"${TestSessions.sfDir}/events.parquet")),
       viewName = Some(view))
