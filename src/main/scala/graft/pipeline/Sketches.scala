@@ -30,7 +30,7 @@ object Sketches {
     * hash family of the oracled sketch queries (ap1/ap2). 48 bits keeps
     * every product/scale below 2^63 for both engines' BIGINT arithmetic. */
   private def hash48(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5_48(c.cast("string"))
 
   private val HashSpace: Long = 1L << 48
 
@@ -50,14 +50,17 @@ object Sketches {
     val hashed = df
       .select(col(groupCol).as("g"), hash48(col(valueCol)).as("hv"))
       .distinct()
-    val nd = hashed.groupBy("g").agg(count(lit(1)).as("exact_parts"))
-    // k smallest hashes per group on the bounded-heap plan, then the
-    // largest of those survivors is h_(k) (NULL-free: every group has >= 1)
+    // ONE pass over the distinct hashes: the bounded-heap plan keeps the k
+    // smallest per group AND counts the group's total rows (= the exact
+    // distinct count, since the input is the distinct relation). h_(k) is
+    // the max of the k survivors. The previous two-branch spelling scanned
+    // and distinct-aggregated the corpus twice to get the exact count.
     val kmin = graft.plans.TopKPerGroup(
-      hashed, keys = Seq("g"), orderBy = Seq(("hv", true)), k = k)
-    val hk = kmin.groupBy("g").agg(max(col("hv")).as("hk"))
+      hashed, keys = Seq("g"), orderBy = Seq(("hv", true)), k = k,
+      countCol = Some("__nd"))
     val scale = (k - 1).toLong * HashSpace
-    nd.join(hk, "g")
+    kmin.groupBy("g")
+      .agg(max(col("hv")).as("hk"), max(col("__nd")).as("exact_parts"))
       .select(
         col("g").as(groupCol),
         col("exact_parts"),
@@ -100,8 +103,8 @@ object Sketches {
       .groupBy("j", "bucket").agg(sum(col("c")).cast("long").as("cnt"))
 
   private def cmsBucket(j: Column, token: Column, width: Int): Column =
-    conv(substring(md5(concat(j.cast("string"), lit(":"), token)), 1, 12), 16, 10)
-      .cast("long") % width
+    graft.functions.HashFunctions.md5_48(
+      concat(j.cast("string"), lit(":"), token)) % width
 
   /** Point-estimate a set of candidate tokens against a CMS counter table:
     * estimate(t) = min over rows j of counter[j][bucket_j(t)]. The

@@ -237,7 +237,7 @@ object TextAnalysis {
     docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("token"))
       .select(col("doc_id"), element_at(warr,
-        (expr("CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT)")
+        (graft.functions.HashFunctions.md5_48(col("token"))
           % weights.length).cast("int") + 1).as("wt"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score_u6"))
@@ -277,7 +277,7 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), col(labelCol).cast("double").as("y"),
         explode(split(col(textCol), " ")).as("token"))
       .select(col("doc_id"), col("y"),
-        (expr("CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT)")
+        (graft.functions.HashFunctions.md5_48(col("token"))
           % buckets).cast("int").as("b"))
       .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("cnt"))
       .withColumn("x",

@@ -56,7 +56,7 @@ class ExtensionsSpec extends AnyFunSuite {
       val attrs = org.apache.spark.sql.graft.ColumnBridge.planOf(df).output
       val node = graft.plans.TopKPerGroupNode(
         Seq(attrs.head), Seq(SortOrder(attrs(1), Ascending)), k = 1,
-        maxPartialGroups = 1024,
+        maxPartialGroups = 1024, countAttr = None,
         org.apache.spark.sql.graft.ColumnBridge.planOf(df))
       val out = org.apache.spark.sql.graft.ColumnBridge.ofRows(s, node)
       assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==

@@ -70,6 +70,54 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(expected.exceptAll(topk).count() == 0)
   }
 
+  test("countCol stamps every row with the group's TOTAL input count") {
+    val topk = TopKPerGroup(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 3,
+      countCol = Some("__n"))
+    val expected = events.groupBy("user_id").agg(count(lit(1)).as("exp_n"))
+    // every output row of a group carries the same total = groupBy count
+    val joined = topk.select(col("user_id"), col("__n"))
+      .join(expected, "user_id")
+    assert(joined.where(col("__n") =!= col("exp_n")).count() == 0)
+    // and the row set itself is unchanged by counting
+    val plain = TopKPerGroup(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 3)
+    assert(topk.drop("__n").exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(topk.drop("__n")).count() == 0)
+  }
+
+  test("countCol survives partial-phase overflow (map-full passthrough)") {
+    // maxPartialGroups=4 forces most keys through the pass-through path,
+    // whose rows must each contribute exactly 1 to the final sum
+    val topk = TopKPerGroup(events, Seq("user_id"),
+      Seq("value" -> false, "event_id" -> true), k = 3,
+      maxPartialGroups = 4, countCol = Some("__n"))
+    val expected = events.groupBy("user_id").agg(count(lit(1)).as("exp_n"))
+    val joined = topk.select(col("user_id"), col("__n")).join(expected, "user_id")
+    assert(joined.where(col("__n") =!= col("exp_n")).count() == 0)
+  }
+
+  test("kmvDistinct plans onto TopKPerGroup in ONE pass (no second distinct branch)") {
+    graft.mesh.Fixtures.registerRaw(spark, sfDir)
+    val kmv = graft.pipeline.Sketches.kmvDistinct(
+      spark.table("lineitem"), "l_returnflag", "l_partkey", k = 64)
+    kmv.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — assert on
+    // the executed final section only
+    val plan = kmv.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.contains("TopKPerGroup "), plan)
+    // the exact count rides the TopK pass: exactly ONE parquet scan of the
+    // input (the old spelling scanned + distinct-aggregated twice), and no
+    // join reassembling a second branch
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    // correctness: exact_parts equals countDistinct
+    val expected = spark.table("lineitem").groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+    val joined = kmv.join(expected, kmv("l_returnflag") === expected("l_returnflag"))
+    assert(joined.where(col("exact_parts") =!= col("nd")).count() == 0)
+  }
+
   test("rank order within each group: first emitted row per key is the best") {
     val topk = TopKPerGroup(events, Seq("user_id"),
       Seq("value" -> false, "event_id" -> true), k = 2)
