@@ -56,7 +56,10 @@ object Fixtures {
         rawDfCache.filterKeys(_._1 eq spark).keys.foreach(rawDfCache.remove)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val built = RawTables.map { t =>
-          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          // LocalLayout: opt-in (SPARK_GRAFT_COMPACT=1) row-group
+          // compaction for scan parallelism; default passthrough — see
+          // LocalLayout's doc for the measured trade-off
+          val df = graft.sources.LocalLayout.parquet(spark, s"$sfDir/$t.parquet")
           val fixed =
             if (t == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
               df.withColumn("ts",

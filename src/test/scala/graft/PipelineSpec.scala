@@ -837,6 +837,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streamed timestamps equal the batch range (silent-corruption canary)") {
+    // forcing a wrong ts dtype onto the stream schema corrupts SILENTLY
+    // (1970-era values, no exception) — pin the streamed min/max ts to the
+    // batch table's so any schema/dtype drift in readEvents turns red here
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsrange").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val q = EventStream.readEvents(spark, dir)
+      .groupBy()
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tsrange_test").start()
+    q.processAllAvailable()
+    q.stop()
+    Fixtures.registerRaw(spark, sfDir)
+    val batch = spark.table("events")
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head
+    val streamed = spark.table("tsrange_test").head
+    assert(streamed.getTimestamp(0) == batch.getTimestamp(0) &&
+      streamed.getTimestamp(1) == batch.getTimestamp(1),
+      s"streamed ts range [${streamed.getTimestamp(0)}, ${streamed.getTimestamp(1)}] " +
+        s"!= batch [${batch.getTimestamp(0)}, ${batch.getTimestamp(1)}] — " +
+        "readEvents is mis-reading the ts dtype")
+    // absolute sanity: the generator writes this-century timestamps; a
+    // 1970-era min is the classic micros-read-as-nanos signature
+    assert(streamed.getTimestamp(0).toInstant
+      .isAfter(java.time.Instant.parse("2000-01-01T00:00:00Z")))
+  }
+
   test("streaming hourly agg agrees with the batch query") {
     // stream source needs a directory; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
