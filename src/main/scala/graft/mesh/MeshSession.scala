@@ -58,6 +58,16 @@ class MeshSession private (
     }
     returnSchema.map(EntityResolver.castToSchema(out, _)).getOrElse(out)
   }
+
+  /** [[sql]] with an x509-derived [[graft.catalog.Principal]]: the
+    * principal's certificate fingerprint IS the permission key, exactly as
+    * the reference joins `users.x509_sha256` to per-source grants
+    * (`core/src/crud/user.rs:61-79`). Source ACLs address certificate
+    * holders by listing their fingerprint in `userPermissions`. */
+  def sqlAs(principal: graft.catalog.Principal, sqlText: String,
+      withProvenance: Boolean = false,
+      returnSchema: Option[StructType] = None): DataFrame =
+    sql(sqlText, Some(principal.userKey), withProvenance, returnSchema)
 }
 
 /** Asynchronous query path (REST path, SURVEY §3.3): submitted queries are
