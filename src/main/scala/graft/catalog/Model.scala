@@ -184,12 +184,23 @@ final case class RemoteEntityMapping(
         java.util.regex.Matcher.quoteReplacement(remoteRelation))
 }
 
-/** A Relay node: catalog of entities + local sources + peered remotes. */
+/** A Relay node: catalog of entities + local sources + peered remotes.
+  *
+  * `endpoint` marks a site another PROCESS serves over the wire (the
+  * reference reaches peers through their Flight/REST endpoints rather than
+  * holding their catalogs in-process): a mesh entry with an endpoint is a
+  * peer STUB — entities only, typically fetched from the peer's own
+  * `/catalog` — and the resolver crosses the network to it
+  * ([[graft.transport.RelayClient]]) instead of recursing in-process.
+  * URL userinfo, if present (`http://token@host:port`), is sent as the
+  * `X-Graft-Token` shared secret (the sandbox stand-in for the reference's
+  * mTLS relay identity). */
 final case class Site(
     name: String,
     entities: Map[String, Entity],
     localSources: Map[String, Seq[DataSource]] = Map.empty,
-    remoteMappings: Map[String, Seq[RemoteEntityMapping]] = Map.empty)
+    remoteMappings: Map[String, Seq[RemoteEntityMapping]] = Map.empty,
+    endpoint: Option[String] = None)
 
 /** The whole data web. */
 final case class Mesh(sites: Map[String, Site]) {

@@ -42,6 +42,13 @@ object EntityResolver {
     *
     * @param withProvenance append `_source_relay_`/`_source_id_` columns
     *                       identifying the executing leaf (site, source).
+    * @param viaRelay the peer relay that forwarded this request, if any
+    *   (Requester::Relay — relay ACLs intersect the user grant); None for a
+    *   direct user request.
+    * @param alsoVisited relay names already on the request's mesh path (the
+    *   wire analogue of the in-process visited set: a peer-forwarded request
+    *   carries them in `X-Graft-Visited`, reproducing the reference's
+    *   request-uuid cycle guard `flight_server/src/flight.rs:543-555`).
     */
   def resolve(
       spark: SparkSession,
@@ -49,7 +56,9 @@ object EntityResolver {
       siteName: String,
       entityName: String,
       user: Option[String] = None,
-      withProvenance: Boolean = false): DataFrame = {
+      withProvenance: Boolean = false,
+      viaRelay: Option[String] = None,
+      alsoVisited: Set[String] = Set.empty): DataFrame = {
     // session-level reader behavior, set ONCE at the resolve entry (not
     // inside the per-source branch builder) and ONLY when a PARQUET
     // file-backed source sits on THIS entity's resolution path — CSV/JSON
@@ -62,7 +71,8 @@ object EntityResolver {
     // restoring it here would break the very scan it was set for.
     if (pathHasParquetFileSource(mesh, siteName, entityName))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    resolveRec(spark, mesh, siteName, entityName, user, withProvenance, Set(siteName))
+    resolveRec(spark, mesh, siteName, entityName, user, withProvenance,
+      alsoVisited + siteName, viaRelay)
   }
 
   /** Does the resolution path of (site, entity) — its local sources plus
@@ -99,7 +109,9 @@ object EntityResolver {
       mesh: Mesh,
       siteName: String,
       entityName: String,
-      user: Option[String] = None): Seq[(Option[String], Option[String])] = {
+      user: Option[String] = None,
+      viaRelay: Option[String] = None,
+      alsoVisited: Set[String] = Set.empty): Seq[(Option[String], Option[String])] = {
     def walk(site: String, entity: String, visited: Set[String],
         viaRelay: Option[String]): Seq[(Option[String], Option[String])] = {
       val s = mesh.site(site)
@@ -115,7 +127,15 @@ object EntityResolver {
       val remote = s.remoteMappings.getOrElse(entity, Nil)
         .filterNot(rm => visited.contains(rm.peer))
         .flatMap { rm =>
-          val sub = walk(rm.peer, rm.remoteEntity, visited + rm.peer, Some(site))
+          // an endpoint-bearing peer is served by another process: its leaf
+          // branches come over the wire (the reference's get_flight_info
+          // mesh propagation, `flight_server/src/flight.rs:194-309`)
+          val sub = mesh.sites.get(rm.peer).flatMap(_.endpoint) match {
+            case Some(url) => graft.transport.RelayClient.flightInfo(
+              url, rm.remoteEntity, user, viaRelay = site,
+              visited = visited + rm.peer)
+            case None => walk(rm.peer, rm.remoteEntity, visited + rm.peer, Some(site))
+          }
           if (sub.isEmpty) Nil
           else {
             val (keepsRelay, keepsId) = templateProvenance(spark, mesh, rm)
@@ -126,7 +146,7 @@ object EntityResolver {
         }
       local ++ remote
     }
-    walk(siteName, entityName, Set(siteName), viaRelay = None).distinct
+    walk(siteName, entityName, alsoVisited + siteName, viaRelay).distinct
   }
 
   /** Plan-only check: which provenance columns does `rm.sqlTemplate` keep?
@@ -188,10 +208,27 @@ object EntityResolver {
           // (Requester::Relay), while the originating user's identity
           // still flows for the user∩relay policy term
           // (`core/src/execute/mod.rs:150-191`)
-          val remoteDF = resolveRec(
-            spark, mesh, rm.peer, rm.remoteEntity, user, withProvenance,
-            visited + rm.peer, viaRelay = Some(siteName))
-          remoteMappedDF(spark, entity, rm, remoteDF, withProvenance)
+          mesh.sites.get(rm.peer).flatMap(_.endpoint) match {
+            case Some(url) =>
+              // WIRE hop: the peer is another process. The mapping template
+              // is rendered against the peer's entity name and EXECUTES ON
+              // THE PEER (the reference ships the mapped request to the
+              // remote relay, `core/src/execute/map_remote.rs` semantics);
+              // identity, user, and the visited set cross in headers, and
+              // the result comes back as parquet. The fetch happens at
+              // resolve time — the reference's get_flight_info + do_get
+              // are likewise issued when the scan is planned.
+              val templated = graft.transport.RelayClient.syncFetch(
+                spark, url, rm.renderSql(rm.remoteEntity), user,
+                viaRelay = siteName, visited = visited + rm.peer,
+                withProvenance = withProvenance)
+              remoteInfoProjection(entity, rm, templated, withProvenance)
+            case None =>
+              val remoteDF = resolveRec(
+                spark, mesh, rm.peer, rm.remoteEntity, user, withProvenance,
+                visited + rm.peer, viaRelay = Some(siteName))
+              remoteMappedDF(spark, entity, rm, remoteDF, withProvenance)
+          }
         }
 
     val parts = localParts ++ remoteParts
@@ -317,7 +354,18 @@ object EntityResolver {
     // view — drop it to keep a long-running session's catalog bounded
     val templated = spark.sql(rm.renderSql(viewName))
     spark.catalog.dropTempView(viewName)
+    remoteInfoProjection(entity, rm, templated, withProvenance)
+  }
 
+  /** RemoteInfoMapping renames/transforms + provenance passthrough over an
+    * already-templated remote relation — shared by the in-process path
+    * (template applied locally) and the wire path (template executed on the
+    * peer, result fetched as parquet). */
+  private[graft] def remoteInfoProjection(
+      entity: Entity,
+      rm: RemoteEntityMapping,
+      templated: DataFrame,
+      withProvenance: Boolean): DataFrame = {
     val available = templated.columns.toSet
     val projected = entity.informations.map { info =>
       rm.infoMappings.find(_.localInfo == info.name) match {

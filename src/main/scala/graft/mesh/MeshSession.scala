@@ -59,6 +59,28 @@ class MeshSession private (
     returnSchema.map(EntityResolver.castToSchema(out, _)).getOrElse(out)
   }
 
+  /** The relay-to-relay entry point behind [[graft.transport.RelayServer]]'s
+    * `/query/sync` (the Flight-path handler a peer hits,
+    * `flight_server/src/flight.rs:501-630`): same validate → resolve →
+    * substitute → execute pipeline as [[sql]], but the resolution carries
+    * the forwarding relay's identity (Requester::Relay — relay ACLs
+    * intersect user grants) and the request's visited-relay set (the wire
+    * cycle guard). */
+  private[graft] def sqlForPeer(sqlText: String, user: Option[String],
+      viaRelay: Option[String], alsoVisited: Set[String],
+      withProvenance: Boolean): DataFrame = {
+    val entity = SqlValidator.validate(sqlText, spark)
+    if (!mesh.site(siteName).entities.contains(entity))
+      throw SqlValidator.InvalidQuery(s"Entity $entity not found on relay $siteName")
+    val entityDF = EntityResolver.resolve(spark, mesh, siteName, entity, user,
+      withProvenance, viaRelay, alsoVisited)
+    QueryService.planLock.synchronized {
+      entityDF.createOrReplaceTempView(entity)
+      ViewEpoch.noteShadow()
+      spark.sql(SqlValidator.preprocess(sqlText))
+    }
+  }
+
   /** [[sql]] with an x509-derived [[graft.catalog.Principal]]: the
     * principal's certificate fingerprint IS the permission key, exactly as
     * the reference joins `users.x509_sha256` to per-source grants
@@ -199,6 +221,29 @@ class QueryService(session: MeshSession, resultDir: String) {
 
   def status(id: String): TaskState =
     Option(tasks.get(id)).getOrElse(TaskState(Failed, Some(s"unknown task $id")))
+
+  /** Whether `id` is tracked at all (vs [[status]], which reports unknown
+    * ids as Failed for the reference's status-surface parity). */
+  def isTracked(id: String): Boolean = tasks.containsKey(id)
+
+  /** S9 `do_put` ingest bookkeeping: a remote relay pushed branch `branch`'s
+    * result stream for request `id` (the reference writes the parquet and a
+    * FlightStream row per pushed stream, `flight_server/src/flight.rs:
+    * 636-705`). The bytes land under the same per-branch spill layout as
+    * locally-executed tasks, so [[results]] reads local and pushed branches
+    * uniformly; the request is readable as soon as a stream lands
+    * (stream-level completion — request-level completion stays with the
+    * originator's own task bookkeeping). */
+  private[graft] def noteIngested(id: String, branch: String): Unit = {
+    branchTasks.compute(id, (_, m) =>
+      Option(m).getOrElse(Map.empty) + ((branch, "do_put") -> TaskState(Complete, None)))
+    tasks.put(id, TaskState(Complete, None))
+  }
+
+  /** The spill directory [[results]] reads for `id` — the ingest endpoint
+    * writes pushed streams here. */
+  private[graft] def taskResultDir(id: String): String =
+    s"$resultDir/task_$id/result.parquet"
 
   /** Block until the task leaves Queued/InProgress (test convenience). */
   def await(id: String, timeoutMs: Long = 120000): TaskState = {

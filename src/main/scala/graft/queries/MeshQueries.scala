@@ -103,6 +103,54 @@ object MeshQueries {
         """SELECT event_type, count(*) AS n, sum(k) AS sum_k
           |FROM telemetry_entity
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // Federation OVER THE WIRE: a second relay surface is served on
+    // loopback TCP (`transport.RelayServer` — the reference's Flight/REST
+    // boundary), the local site registers it from its /catalog and the
+    // resolver crosses a real HTTP socket to fetch the odd-doc_id half.
+    // Provenance and per-lang aggregates must equal the plain single-table
+    // oracle — the wire must be semantically invisible.
+    "q9_wire_federation" -> { (s, dir) =>
+      import graft.catalog._
+      import graft.transport.{RelayClient, RelayServer}
+      Fixtures.registerRaw(s, dir)
+      val docCols = Set("doc_id", "text", "lang", "source", "n_chars")
+      val idMap = Fixtures.documentsEntity.informations
+        .map(i => FieldMapping(i.name, i.name))
+      def slice(id: String, filt: String) = DataSource(
+        id = id,
+        sourceSql = s"SELECT * FROM raw_documents WHERE $filt",
+        mappings = idMap,
+        defaultPermission = SourcePermission(docCols, "true"))
+      val betaMesh = Mesh(Map("beta" -> Site("beta",
+        entities = Map("documents" -> Fixtures.documentsEntity),
+        localSources = Map("documents" -> Seq(slice("docs_odd", "doc_id % 2 = 1"))))))
+      val betaSession = new graft.mesh.MeshSession(s, betaMesh, "beta")
+      val resultDir =
+        java.nio.file.Files.createTempDirectory("graft_q9_results").toString
+      val server = new RelayServer(
+        betaSession, new graft.mesh.QueryService(betaSession, resultDir))
+      try {
+        val stub = RelayClient.catalogSite(server.url)
+        val mesh = Mesh(Map(
+          "alpha" -> Site("alpha",
+            entities = Map("documents" -> Fixtures.documentsEntity),
+            localSources =
+              Map("documents" -> Seq(slice("docs_even", "doc_id % 2 = 0"))),
+            remoteMappings = Map("documents" -> Seq(
+              RemoteEntityMapping(peer = "beta", remoteEntity = "documents",
+                infoMappings = Fixtures.documentsEntity.informations
+                  .map(i => RemoteInfoMapping(i.name, i.name)))))),
+          "beta" -> stub))
+        // the wire fetch happens here (resolve-time do_get); afterwards the
+        // remote half is a local splittable parquet file and the server can go
+        graft.mesh.EntityResolver
+          .resolve(s, mesh, "alpha", "documents", withProvenance = true)
+          .groupBy(col("lang"), col(graft.mesh.EntityResolver.SourceIdCol))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"), col(graft.mesh.EntityResolver.SourceIdCol))
+      } finally server.stop()
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +209,12 @@ object MeshQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q9_wire_federation" ->
+      """SELECT lang,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'docs_even' ELSE 'docs_odd' END AS _source_id_,
+        |       count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

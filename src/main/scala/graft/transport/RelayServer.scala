@@ -1,0 +1,337 @@
+package graft.transport
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+
+import graft.catalog.ArrowLikeType
+import graft.mesh.{EntityResolver, MeshSession, QueryService}
+import graft.validation.SqlValidator
+
+/** A relay's network surface: the reference exposes every mesh interaction
+  * over the wire — Flight `get_flight_info`/`do_get` for synchronous queries
+  * (`flight_server/src/flight.rs:501-630`), a REST async path with task
+  * statuses and result retrieval (`rest_server/src/query/route.rs:149-268`),
+  * `do_put` result push from executor relays (`flight.rs:636-705`), and
+  * catalog listing for peer registration (`webengine/src/register.rs:36-90`).
+  * This serves the same surface from the JDK's built-in HTTP server (no new
+  * dependencies; zero-egress sandbox — loopback TCP only in tests), with
+  * parquet as the result encoding (the reference's own async spill format,
+  * `core/src/execute/result_manager.rs:58-92`; Arrow Flight's gRPC framing
+  * is not reproducible here without its jars):
+  *
+  *   - `GET  /catalog`                      site name + entity schemas
+  *     (Arrow-style dtype strings) — what a peer needs to build its stub
+  *     Site for [[graft.catalog.Site.endpoint]] federation
+  *   - `GET  /flightinfo?entity=E[&user=U]` leaf provenance branches across
+  *     THIS relay's subweb (get_flight_info endpoint enumeration)
+  *   - `POST /query`                        async submit {sql, user?,
+  *     request_id?} → 202 {id} (idempotent on request_id)
+  *   - `GET  /query/{id}`                   status + per-branch task states
+  *   - `GET  /query/{id}/result[?allow_partial=true]`  parquet bytes
+  *   - `GET  /query/{id}/ndjson`            NDJSON with `_relay_metadata_`
+  *   - `POST /query/sync`                   {sql, user?, with_provenance?}
+  *     → parquet bytes (the Flight do_get path; relay identity and the
+  *     visited-relay cycle guard cross in `X-Graft-Relay`/`X-Graft-Visited`)
+  *   - `PUT  /ingest/{id}/{branch}`         parquet bytes pushed by an
+  *     executor relay (do_put)
+  *
+  * Identity is carried in plaintext headers (`X-Graft-Relay`, body `user`),
+  * optionally gated by an `X-Graft-Token` shared secret — the sandbox
+  * stand-in for the reference's mTLS client certificates; the x509
+  * [[graft.catalog.Principal]] path plugs in where a TLS terminator can
+  * hand the server a verified certificate.
+  *
+  * Scale shape: only MESH RESULTS cross this wire (mapped per-source
+  * queries, typically filtered/aggregated), exactly as in the reference —
+  * bulk table scans stay on the site that owns the data, and the parquet
+  * payload streams through fixed-size buffers on both ends.
+  */
+final class RelayServer(
+    session: MeshSession,
+    service: QueryService,
+    sharedSecret: Option[String] = None,
+    bindHost: String = "127.0.0.1",
+    port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+    4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-relay-http")
+      t.setDaemon(true)
+      t
+    }))
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  def boundPort: Int = server.getAddress.getPort
+  def url: String = s"http://$bindHost:$boundPort"
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      if (sharedSecret.exists(s =>
+          ex.getRequestHeaders.getFirst("X-Graft-Token") != s)) {
+        respond(ex, 401, "application/json", errJson("invalid or missing token"))
+      } else route(ex)
+    } catch {
+      case e: SqlValidator.InvalidQuery =>
+        respond(ex, 400, "application/json", errJson(e.getMessage))
+      case e: IllegalStateException =>
+        respond(ex, 409, "application/json", errJson(e.getMessage))
+      case e: Throwable =>
+        respond(ex, 500, "application/json", errJson(String.valueOf(e.getMessage)))
+    } finally ex.close()
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripSuffix("/")
+    val method = ex.getRequestMethod
+    (method, path.split("/").toList.drop(1)) match {
+      case ("GET", "catalog" :: Nil)            => catalogJson(ex)
+      case ("GET", "flightinfo" :: Nil)         => flightInfoJson(ex)
+      case ("POST", "query" :: Nil)             => submit(ex)
+      case ("POST", "query" :: "sync" :: Nil)   => syncQuery(ex)
+      case ("GET", "query" :: id :: Nil)        => statusJson(ex, id)
+      case ("GET", "query" :: id :: "result" :: Nil) => result(ex, id)
+      case ("GET", "query" :: id :: "ndjson" :: Nil) => ndjson(ex, id)
+      case ("PUT", "ingest" :: id :: branch :: Nil)  => ingest(ex, id, branch)
+      case _ => respond(ex, 404, "application/json", errJson(s"no route: $method $path"))
+    }
+  }
+
+  // ---- handlers ---------------------------------------------------------
+
+  /** Entity names + Information schemas, the peer-registration payload
+    * (`webengine/src/register.rs:36-90` lists entities with their Arrow
+    * schemas; [[RelayClient.catalogSite]] turns this back into a stub
+    * [[graft.catalog.Site]]). */
+  private def catalogJson(ex: HttpExchange): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("site", session.siteName)
+    val ents = root.putObject("entities")
+    session.mesh.site(session.siteName).entities.foreach { case (name, e) =>
+      val infos = ents.putObject(name).putArray("informations")
+      e.informations.foreach { i =>
+        val o = infos.addObject()
+        o.put("name", i.name)
+        o.put("dtype", ArrowLikeType.fromSpark(i.dtype))
+      }
+    }
+    respond(ex, 200, "application/json", mapper.writeValueAsBytes(root))
+  }
+
+  /** get_flight_info: enumerate the leaf (relay, source) branches of an
+    * entity across this relay's subweb — recursing over the wire again if
+    * this relay's own peers are endpoint-backed. */
+  private def flightInfoJson(ex: HttpExchange): Unit = {
+    val q = queryParams(ex)
+    q.get("entity") match {
+      case None =>
+        respond(ex, 400, "application/json", errJson("missing ?entity="))
+      case Some(entity) =>
+        val user = q.get("user").filter(_.nonEmpty)
+        val (viaRelay, visited) = relayHeaders(ex)
+        val branches = EntityResolver.provenanceBranches(
+          session.spark, session.mesh, session.siteName, entity, user,
+          viaRelay, visited)
+        val arr = mapper.createArrayNode()
+        branches.foreach { case (relay, id) =>
+          val o = arr.addObject()
+          relay match {
+            case Some(r) => o.put("relay", r)
+            case None    => o.putNull("relay")
+          }
+          id match {
+            case Some(s) => o.put("source", s)
+            case None    => o.putNull("source")
+          }
+        }
+        respond(ex, 200, "application/json", mapper.writeValueAsBytes(arr))
+    }
+  }
+
+  /** POST /query: enqueue, answer 202 with the request id immediately — the
+    * REST async contract (`rest_server/src/query/route.rs:149-268`); a
+    * replayed request_id returns the tracked request without re-executing. */
+  private def submit(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val sql = reqField(body, "sql")
+    val id = service.submit(
+      sql,
+      optField(body, "user"),
+      optField(body, "request_id"))
+    val o = mapper.createObjectNode()
+    o.put("id", id)
+    respond(ex, 202, "application/json", mapper.writeValueAsBytes(o))
+  }
+
+  private def statusJson(ex: HttpExchange, id: String): Unit = {
+    if (!service.isTracked(id))
+      return respond(ex, 404, "application/json", errJson(s"unknown request $id"))
+    val st = service.status(id)
+    val o = mapper.createObjectNode()
+    o.put("id", id)
+    o.put("status", st.status.toString)
+    st.error match {
+      case Some(e) => o.put("error", e)
+      case None    => o.putNull("error")
+    }
+    val tasks = o.putArray("tasks")
+    service.branchStatus(id).toSeq.sortBy(_._1).foreach {
+      case ((relay, src), ts) =>
+        val t = tasks.addObject()
+        t.put("relay", relay)
+        t.put("source", src)
+        t.put("status", ts.status.toString)
+        ts.error match {
+          case Some(e) => t.put("error", e)
+          case None    => t.putNull("error")
+        }
+    }
+    respond(ex, 200, "application/json", mapper.writeValueAsBytes(o))
+  }
+
+  private def result(ex: HttpExchange, id: String): Unit = {
+    if (!service.isTracked(id))
+      return respond(ex, 404, "application/json", errJson(s"unknown request $id"))
+    val allowPartial =
+      queryParams(ex).get("allow_partial").exists(_.equalsIgnoreCase("true"))
+    respondParquet(ex, service.results(id, allowPartial))
+  }
+
+  private def ndjson(ex: HttpExchange, id: String): Unit = {
+    if (!service.isTracked(id))
+      return respond(ex, 404, "application/json", errJson(s"unknown request $id"))
+    val it = service.resultsNdjson(id).toLocalIterator()
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0) // chunked: stream, don't buffer the result
+    val out: OutputStream = ex.getResponseBody
+    try {
+      while (it.hasNext) {
+        out.write(it.next().getBytes(UTF_8))
+        out.write('\n')
+      }
+    } finally out.close()
+  }
+
+  /** POST /query/sync: the Flight do_get path — validate/resolve/execute
+    * with the caller relay's identity and visited set, stream parquet. */
+  private def syncQuery(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    val sql = reqField(body, "sql")
+    val withProv = Option(body.get("with_provenance")).exists(_.asBoolean(false))
+    val (viaRelay, visited) = relayHeaders(ex)
+    val df = session.sqlForPeer(sql, optField(body, "user"), viaRelay, visited, withProv)
+    respondParquet(ex, df)
+  }
+
+  /** PUT /ingest/{id}/{branch}: do_put — an executor relay pushes a
+    * completed branch's parquet; it lands in the same per-branch spill
+    * layout the local tasks use, readable via /query/{id}/result. */
+  private def ingest(ex: HttpExchange, id: String, branch: String): Unit = {
+    val safeBranch = branch.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val dir = Paths.get(service.taskResultDir(id),
+      s"${QueryService.BranchPartitionCol}=$safeBranch")
+    Files.createDirectories(dir)
+    val target = dir.resolve("pushed.parquet")
+    val in = ex.getRequestBody
+    try Files.copy(in, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    service.noteIngested(id, safeBranch)
+    respond(ex, 204, "application/json", Array.emptyByteArray)
+  }
+
+  // ---- plumbing ---------------------------------------------------------
+
+  /** Serialize a DataFrame to a single parquet stream. An empty result with
+    * zero partitions writes no part file; its schema crosses in the
+    * `X-Graft-Empty` header instead (Spark's StructType JSON). */
+  private def respondParquet(ex: HttpExchange, df: DataFrame): Unit = {
+    val tmp = Files.createTempDirectory("graft_relay_out_")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      partFile(tmp) match {
+        case Some(p) =>
+          ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.parquet")
+          ex.sendResponseHeaders(200, Files.size(p))
+          val out = ex.getResponseBody
+          try Files.copy(p, out) finally out.close()
+        case None =>
+          ex.getResponseHeaders.set("X-Graft-Empty",
+            java.util.Base64.getEncoder.encodeToString(
+              df.schema.json.getBytes(UTF_8)))
+          respond(ex, 200, "application/vnd.apache.parquet", Array.emptyByteArray)
+      }
+    } finally deleteRecursively(tmp)
+  }
+
+  private def partFile(dir: Path): Option[Path] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.getFileName.toString.endsWith(".parquet")).iterator()
+      if (it.hasNext) Some(it.next()) else None
+    } finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(deleteRecursively(_)) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
+  }
+
+  private def relayHeaders(ex: HttpExchange): (Option[String], Set[String]) = {
+    val relay = Option(ex.getRequestHeaders.getFirst("X-Graft-Relay"))
+      .filter(_.nonEmpty)
+    val visited = Option(ex.getRequestHeaders.getFirst("X-Graft-Visited"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    (relay, visited)
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map {
+      _.split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, UTF_8) ->
+              java.net.URLDecoder.decode(v, UTF_8))
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def reqField(body: JsonNode, name: String): String =
+    optField(body, name).getOrElse(
+      throw SqlValidator.InvalidQuery(s"missing required field '$name'"))
+
+  private def optField(body: JsonNode, name: String): Option[String] =
+    Option(body.get(name)).filterNot(_.isNull).map(_.asText())
+
+  private def errJson(msg: String): Array[Byte] = {
+    val o = mapper.createObjectNode()
+    o.put("error", msg)
+    mapper.writeValueAsBytes(o)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, ctype: String,
+      body: Array[Byte]): Unit = {
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, body.length.toLong)
+      val out = ex.getResponseBody
+      try out.write(body) finally out.close()
+    }
+  }
+}

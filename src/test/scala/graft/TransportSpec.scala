@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+import graft.mesh.{EntityResolver, Fixtures, MeshSession, QueryService}
+import graft.transport.{RelayClient, RelayServer}
+
+/** The wire protocol end-to-end over real loopback TCP: peer registration
+  * from `/catalog`, synchronous federation (an endpoint-backed peer in the
+  * mesh resolves over HTTP instead of in-process), relay-identity ACLs and
+  * the visited-set cycle guard crossing in headers, get_flight_info branch
+  * enumeration, the async REST path (submit/status/result/ndjson), do_put
+  * result push, token auth, and empty-result schema transport.
+  *
+  * Both ends share one JVM/SparkSession (single-process harness), but every
+  * byte of catalog, query, and result data crosses an HTTP socket — the
+  * serialization boundary is real even though the JVM is shared. */
+class TransportSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+  private def sfDir = TestSessions.sfDir
+
+  private val docCols = Set("doc_id", "text", "lang", "source", "n_chars")
+  private val identityDocMappings =
+    Fixtures.documentsEntity.informations.map(i => FieldMapping(i.name, i.name))
+  private val identityInfoMappings =
+    Fixtures.documentsEntity.informations.map(i => RemoteInfoMapping(i.name, i.name))
+
+  private def docSlice(id: String, filt: String,
+      perm: SourcePermission = SourcePermission(docCols, "true"),
+      relayPerms: Map[String, SourcePermission] = Map.empty): DataSource =
+    DataSource(
+      id = id,
+      sourceSql = s"SELECT * FROM raw_documents WHERE $filt",
+      mappings = identityDocMappings,
+      defaultPermission = perm,
+      relayPermissions = relayPerms)
+
+  /** A one-site mesh serving the odd-doc_id slice of documents. */
+  private def betaMesh(
+      src: DataSource = docSlice("docs_odd", "doc_id % 2 = 1")): Mesh =
+    Mesh(Map("beta" -> Site("beta",
+      entities = Map("documents" -> Fixtures.documentsEntity),
+      localSources = Map("documents" -> Seq(src)))))
+
+  /** Start a relay process surface over `mesh`/`site`; run `f` against it. */
+  private def withServer[A](mesh: Mesh, site: String,
+      secret: Option[String] = None)(f: RelayServer => A): A = {
+    Fixtures.registerRaw(spark, sfDir)
+    val session = new MeshSession(spark, mesh, site)
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_results").toString
+    val server = new RelayServer(session, new QueryService(session, dir), secret)
+    try f(server) finally server.stop()
+  }
+
+  /** Alpha's mesh: local even-doc slice + the peer stub REGISTERED FROM THE
+    * PEER'S OWN /catalog — alpha never sees beta's sources or data layout. */
+  private def alphaMesh(betaStub: Site): Mesh =
+    Mesh(Map(
+      "alpha" -> Site("alpha",
+        entities = Map("documents" -> Fixtures.documentsEntity),
+        localSources = Map("documents" -> Seq(docSlice("docs_even", "doc_id % 2 = 0"))),
+        remoteMappings = Map("documents" -> Seq(
+          RemoteEntityMapping(peer = "beta", remoteEntity = "documents",
+            infoMappings = identityInfoMappings)))),
+      betaStub.name -> betaStub))
+
+  /** The same two-site web resolved fully in-process (no endpoint). */
+  private def combinedMesh: Mesh =
+    Mesh(Map(
+      "alpha" -> Site("alpha",
+        entities = Map("documents" -> Fixtures.documentsEntity),
+        localSources = Map("documents" -> Seq(docSlice("docs_even", "doc_id % 2 = 0"))),
+        remoteMappings = Map("documents" -> Seq(
+          RemoteEntityMapping(peer = "beta", remoteEntity = "documents",
+            infoMappings = identityInfoMappings)))),
+      "beta" -> Site("beta",
+        entities = Map("documents" -> Fixtures.documentsEntity),
+        localSources = Map("documents" -> Seq(docSlice("docs_odd", "doc_id % 2 = 1"))))))
+
+  test("catalog registration: the peer stub carries the peer's entity schemas") {
+    withServer(betaMesh(), "beta") { server =>
+      val stub = RelayClient.catalogSite(server.url)
+      assert(stub.name == "beta")
+      assert(stub.endpoint.contains(server.url))
+      assert(stub.localSources.isEmpty)
+      assert(stub.entities.keySet == Set("documents"))
+      assert(stub.entities("documents").schema ==
+        Fixtures.documentsEntity.schema)
+    }
+  }
+
+  test("wire federation equals in-process resolution, provenance included") {
+    withServer(betaMesh(), "beta") { server =>
+      val stub = RelayClient.catalogSite(server.url)
+      val wired = EntityResolver.resolve(
+        spark, alphaMesh(stub), "alpha", "documents", withProvenance = true)
+      val inProc = EntityResolver.resolve(
+        spark, combinedMesh, "alpha", "documents", withProvenance = true)
+      val key = Seq("doc_id", EntityResolver.SourceIdCol).map(col)
+      assert(wired.orderBy(key: _*).collect().toSeq ==
+        inProc.orderBy(key: _*).collect().toSeq)
+      // provenance names beta's leaf source even though it executed remotely
+      val relays = wired.select(collect_set(col(EntityResolver.SourceRelayCol)))
+        .head.getSeq[String](0).toSet
+      assert(relays == Set("alpha", "beta"))
+    }
+  }
+
+  test("relay-identity ACL crosses the wire: beta grants alpha more than strangers") {
+    // beta's default hides text and non-en rows; the alpha relay grant opens both
+    val restricted = docSlice("docs_odd", "doc_id % 2 = 1",
+      perm = SourcePermission(docCols - "text", "lang = 'en'"),
+      relayPerms = Map("alpha" -> SourcePermission(docCols, "true")))
+    withServer(betaMesh(restricted), "beta") { server =>
+      val stub = RelayClient.catalogSite(server.url)
+      // direct (no relay identity): default policy only
+      val direct = RelayClient.syncFetch(spark, server.url,
+        "SELECT * FROM documents", user = None, viaRelay = "",
+        visited = Set.empty, withProvenance = false)
+        .where(col("doc_id").isNotNull)
+      assert(direct.where(col("text").isNotNull).count() == 0)
+      assert(direct.where(col("lang") =!= "en").count() == 0)
+      // via alpha: default ∪ relay grant — full slice, text visible
+      val viaAlpha = EntityResolver.resolve(
+        spark, alphaMesh(stub), "alpha", "documents")
+        .where(col("doc_id") % 2 === 1)
+      val rawOdd = spark.table("raw_documents").where(col("doc_id") % 2 === 1)
+      assert(viaAlpha.count() == rawOdd.count())
+      assert(viaAlpha.where(col("text").isNotNull).count() ==
+        rawOdd.where(col("text").isNotNull).count())
+    }
+  }
+
+  test("get_flight_info: branch enumeration crosses the wire") {
+    withServer(betaMesh(), "beta") { server =>
+      val stub = RelayClient.catalogSite(server.url)
+      val branches = EntityResolver.provenanceBranches(
+        spark, alphaMesh(stub), "alpha", "documents").toSet
+      assert(branches == Set(
+        (Some("alpha"), Some("docs_even")), (Some("beta"), Some("docs_odd"))))
+    }
+  }
+
+  test("cycle guard: two relays peered at each other terminate with one hop each") {
+    // beta's OWN mesh maps documents back to alpha over the wire, and vice
+    // versa — without the visited set crossing in headers this would ping
+    // forever (the reference's request-uuid dedup, flight.rs:543-555)
+    withServer(betaMesh(), "beta") { betaPlain =>
+      // alpha's process: local even slice + a wire hop to (plain) beta
+      withServer(alphaMesh(RelayClient.catalogSite(betaPlain.url)), "alpha") {
+        alphaServer =>
+          // beta's second process: local odd slice + a wire hop BACK to alpha
+          val betaBack = Mesh(Map(
+            "beta" -> Site("beta",
+              entities = Map("documents" -> Fixtures.documentsEntity),
+              localSources = Map("documents" ->
+                Seq(docSlice("docs_odd", "doc_id % 2 = 1"))),
+              remoteMappings = Map("documents" -> Seq(
+                RemoteEntityMapping(peer = "alpha", remoteEntity = "documents",
+                  infoMappings = identityInfoMappings)))),
+            "alpha" -> Site("alpha", Map("documents" -> Fixtures.documentsEntity),
+              endpoint = Some(alphaServer.url))))
+          withServer(betaBack, "beta") { betaServer =>
+            // query beta directly: beta resolves its local slice, hops to
+            // alpha; alpha's own beta-hop is cut by the visited set it
+            // received — every slice exactly once
+            val viaBeta = RelayClient.syncFetch(spark, betaServer.url,
+              "SELECT * FROM documents", user = None, viaRelay = "",
+              visited = Set.empty, withProvenance = true)
+            val total = spark.table("raw_documents").count()
+            assert(viaBeta.count() == total)
+            assert(viaBeta.select(collect_set(col(EntityResolver.SourceIdCol)))
+              .head.getSeq[String](0).toSet == Set("docs_even", "docs_odd"))
+          }
+      }
+    }
+  }
+
+  test("async REST path: submit, poll, parquet result, NDJSON provenance") {
+    withServer(combinedMesh, "alpha") { server =>
+      val id = RelayClient.submit(server.url,
+        "SELECT doc_id, lang FROM documents WHERE doc_id <= 20")
+      val st = RelayClient.await(server.url, id)
+      assert(st.status == "Complete", st.error.getOrElse(""))
+      assert(st.tasks.nonEmpty && st.tasks.forall(_.status == "Complete"))
+      val df = RelayClient.result(spark, server.url, id)
+      assert(df.where(col("doc_id") <= 20).count() == df.count())
+      assert(df.count() > 0)
+      // idempotent replay: same request_id returns the same tracked request
+      val replay = RelayClient.submit(server.url,
+        "SELECT doc_id, lang FROM documents WHERE doc_id <= 20",
+        requestId = Some(id))
+      assert(replay == id)
+      val lines = RelayClient.ndjson(server.url, id)
+      assert(lines.nonEmpty && lines.head.contains("\"_relay_metadata_\""))
+      // unknown id → 404
+      val err = intercept[RelayClient.RelayException] {
+        RelayClient.result(spark, server.url, "nope")
+      }
+      assert(err.getMessage.contains("404"))
+    }
+  }
+
+  test("do_put: a pushed branch result lands in the origin's spill and reads back") {
+    withServer(betaMesh(), "beta") { server =>
+      val pushed = spark.range(5).select(col("id").as("doc_id"))
+      RelayClient.pushResult(server.url, "req-push-1", "beta-docs_odd", pushed)
+      val got = RelayClient.result(spark, server.url, "req-push-1")
+      assert(got.select(sum("doc_id")).head.getLong(0) == 10)
+    }
+  }
+
+  test("shared-secret auth: bad token rejected, URL userinfo accepted") {
+    withServer(betaMesh(), "beta", secret = Some("s3cret")) { server =>
+      val bare = intercept[RelayClient.RelayException] {
+        RelayClient.catalogSite(server.url)
+      }
+      assert(bare.getMessage.contains("401"))
+      val authed = server.url.replace("http://", "http://s3cret@")
+      assert(RelayClient.catalogSite(authed).name == "beta")
+    }
+  }
+
+  test("empty results cross with their schema intact") {
+    withServer(betaMesh(), "beta") { server =>
+      val empty = RelayClient.syncFetch(spark, server.url,
+        "SELECT * FROM documents WHERE doc_id < 0", user = None,
+        viaRelay = "", visited = Set.empty, withProvenance = false)
+      assert(empty.count() == 0)
+      assert(empty.schema == Fixtures.documentsEntity.schema)
+    }
+  }
+
+  test("invalid SQL over the wire surfaces the validator's error as HTTP 400") {
+    withServer(betaMesh(), "beta") { server =>
+      val err = intercept[RelayClient.RelayException] {
+        RelayClient.syncFetch(spark, server.url,
+          "INSERT INTO documents VALUES (1)", user = None,
+          viaRelay = "", visited = Set.empty, withProvenance = false)
+      }
+      assert(err.getMessage.contains("400"))
+    }
+  }
+}
