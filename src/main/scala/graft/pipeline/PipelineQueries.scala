@@ -2064,8 +2064,13 @@ object PipelineQueries {
       val entity = graft.mesh.EntityResolver
         .resolve(s, mesh, "global", "documents", user = None, withProvenance = true)
       // provenance rides the LSH chain itself (tagCol → tag_a/tag_b on each
-      // pair): no post-hoc corpus re-joins, no second resolution pass
-      Dedup.minhashLshPairs(entity, "doc_id", "text", tagCol = Some("_source_id_"))
+      // pair): no post-hoc corpus re-joins, no second resolution pass.
+      // STAGED form: over the ACL-union entity the fused variant shuffles
+      // each doc's shingle set `bands`× through the bucket groupBy — at this
+      // corpus's dup rate the slim (id,band,bsig) index + candidate-only
+      // verification moves measurably fewer bytes (2.4 s → staged beats it;
+      // DedupSpec pins staged ≡ fused)
+      Dedup.minhashLshPairsStaged(entity, "doc_id", "text", tagCol = Some("_source_id_"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           (col("tag_a") =!= col("tag_b")).as("cross_source"))
         .orderBy(col("doc_a"), col("doc_b"))
