@@ -149,6 +149,67 @@ object EntityResolver {
     walk(siteName, entityName, alsoVisited + siteName, viaRelay).distinct
   }
 
+  /** R9 rendered as wire SQL: map the user's request into peer `rm.peer`'s
+    * namespace so the PEER can execute it end-to-end and push back partial
+    * results already in the origin's semantic space — the reference's
+    * `map_remote_request` before a remote task is re-POSTed
+    * (`core/src/execute/map_remote.rs:17-63`, `query_runner/src/lib.rs:184-221`).
+    *
+    * An identity hop (same entity name, default template, identity info
+    * mappings) forwards the SQL unchanged. Otherwise the hop becomes a CTE
+    * NAMED AFTER THE REMOTE ENTITY wrapping the rendered template + info
+    * transforms (each a `CAST(transform(remoteField) AS dtype) AS localInfo`
+    * projection; unmapped/unavailable infos NULL-pad exactly like
+    * `remoteInfoProjection`). The CTE carries the remote name because the
+    * peer's validator counts CTE-alias references like sqlparser-rs
+    * `visit_relations` does — a fresh alias would read as a second entity —
+    * so when local and remote names differ, the user text is re-pointed at
+    * the remote name by the same word-boundary substitution `renderSql`
+    * itself uses. Inside the (non-recursive) CTE body the self-name resolves
+    * to the peer's real entity view, standard SQL scoping. */
+  private[graft] def mapRemoteRequestSql(
+      spark: SparkSession,
+      mesh: Mesh,
+      entity: Entity,
+      rm: RemoteEntityMapping,
+      userSql: String): String = {
+    val sameName = rm.remoteEntity.equalsIgnoreCase(entity.name)
+    val identityHop = sameName &&
+      rm.renderSql(rm.remoteEntity).trim
+        .equalsIgnoreCase(s"SELECT * FROM ${rm.remoteEntity}") &&
+      entity.informations.forall { info =>
+        rm.infoMappings.exists(m => m.localInfo == info.name &&
+          m.remoteInfo == info.name && m.transform == Transformation.identity)
+      }
+    if (identityHop) return userSql
+    // which columns does the rendered template actually emit? (schema-only
+    // probe — mirrors remoteInfoProjection's runtime availability check)
+    val remoteSchema = mesh.site(rm.peer).entities(rm.remoteEntity).schema
+    val probeName = s"__graft_probe_${viewCounter.incrementAndGet()}"
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], remoteSchema)
+      .createOrReplaceTempView(probeName)
+    val available =
+      try spark.sql(rm.renderSql(probeName)).columns.toSet
+      finally spark.catalog.dropTempView(probeName)
+    val proj = entity.informations.map { info =>
+      rm.infoMappings.find(_.localInfo == info.name) match {
+        case Some(m) if available.contains(m.remoteInfo) =>
+          s"CAST(${m.transform.render(m.remoteInfo)} AS ${info.dtype.sql}) AS ${info.name}"
+        case _ => s"CAST(NULL AS ${info.dtype.sql}) AS ${info.name}"
+      }
+    }.mkString(", ")
+    val hop = s"SELECT $proj FROM (${rm.renderSql(rm.remoteEntity)}) AS __graft_hop"
+    val pointed =
+      if (sameName) userSql
+      else userSql.replaceAll(
+        s"(?i)\\b${java.util.regex.Pattern.quote(entity.name)}\\b",
+        java.util.regex.Matcher.quoteReplacement(rm.remoteEntity))
+    val trimmed = pointed.trim
+    if (trimmed.matches("(?is)^with\\b.*"))
+      s"WITH ${rm.remoteEntity} AS ($hop), ${trimmed.substring(4).trim}"
+    else s"WITH ${rm.remoteEntity} AS ($hop) $trimmed"
+  }
+
   /** Plan-only check: which provenance columns does `rm.sqlTemplate` keep?
     * Analyzes the rendered template over an empty probe view carrying the
     * remote entity schema + provenance columns — Catalyst analysis only,

@@ -109,10 +109,30 @@ class QueryService(session: MeshSession, resultDir: String) {
 
   import QueryService.pool
 
+  /** This relay's own reachable ingest endpoint — set by
+    * [[graft.transport.RelayServer]] on start. With it set, a submitted
+    * query DISTRIBUTES: endpoint-backed peers receive the mapped request as
+    * their own async task and push results straight back here (the
+    * reference's broker-backed query_runner path); without it, remote
+    * slices resolve through the local plan (pull over `/query/sync`). */
+  @volatile private[graft] var selfUrl: Option[String] = None
+
   /** Submit a query; executes on a background thread, one sub-task per leaf
     * (relay, source) branch — mirroring the reference's per-DataSource
     * `QueryTask` rows with individual statuses
     * (`core/src/model/query.rs:79-167`). Returns the request id.
+    *
+    * Async federation (`rest_server/src/query/route.rs:245-261`,
+    * `query_runner/src/lib.rs:117-221`): when a push target exists (this
+    * relay runs a [[graft.transport.RelayServer]], or the request arrived
+    * with a `callback`), each endpoint-backed peer becomes a REMOTE TASK —
+    * the request is mapped into the peer's namespace
+    * ([[EntityResolver.mapRemoteRequestSql]]) and re-POSTed async; the
+    * peer's worker executes it per ITS branches and pushes every branch
+    * result DIRECT to the originating relay's `do_put` ingest (skipping
+    * intermediate hops — the callback propagates unchanged down the chain),
+    * while this worker runs only the local branches and then awaits the
+    * peers' terminal statuses.
     *
     * @param requestId caller-supplied request uuid; a replayed id returns
     *   the already-tracked request without executing again — the
@@ -120,46 +140,156 @@ class QueryService(session: MeshSession, resultDir: String) {
     *   `flight_server/src/flight.rs:543-555`).
     * @param returnSchema caller-declared result schema, applied per branch
     *   before provenance tagging (`flight_server/src/flight.rs:565-567`).
+    * @param viaRelay the peer relay that forwarded this request
+    *   (Requester::Relay ACL evaluation), None for a direct user request.
+    * @param visited relay names already on the request's mesh path (cycle
+    *   guard, crosses in `X-Graft-Visited`).
+    * @param callback (ingest endpoint, origin request id) when another
+    *   relay originated this request: completed branches push there.
     */
   def submit(sqlText: String, user: Option[String] = None,
       requestId: Option[String] = None,
-      returnSchema: Option[StructType] = None): String = {
+      returnSchema: Option[StructType] = None,
+      viaRelay: Option[String] = None,
+      visited: Set[String] = Set.empty,
+      callback: Option[(String, String)] = None): String = {
     val id = requestId.getOrElse(java.util.UUID.randomUUID().toString)
     if (tasks.putIfAbsent(id, TaskState(Queued, None)) != null) return id
     val runnable = new Runnable {
-      override def run(): Unit = {
-        tasks.put(id, TaskState(InProgress, None))
-        try {
-          val branches = perBranchFrames(sqlText, user, returnSchema)
-          branchTasks.put(id,
-            branches.map { case (b, _) => b -> TaskState(Queued, None) }.toMap)
-          var anyFailed = false
-          branches.zipWithIndex.foreach { case ((branch, df), i) =>
-            branchTasks.compute(id, (_, m) => m + (branch -> TaskState(InProgress, None)))
-            try {
-              // per-task spill under a collision-proof partition name, so
-              // completed branches are readable even if a later one fails
-              df.write.mode("overwrite")
-                .parquet(s"$resultDir/task_$id/result.parquet/" +
-                  s"${QueryService.BranchPartitionCol}=$i")
-              branchTasks.compute(id, (_, m) => m + (branch -> TaskState(Complete, None)))
-            } catch {
-              case e: Throwable =>
-                anyFailed = true
-                branchTasks.compute(id,
-                  (_, m) => m + (branch -> TaskState(Failed, Some(e.getMessage))))
-            }
-          }
-          tasks.put(id,
-            if (anyFailed) TaskState(Failed, Some("one or more branch tasks failed"))
-            else TaskState(Complete, None))
-        } catch {
-          case e: Throwable => tasks.put(id, TaskState(Failed, Some(e.getMessage)))
-        }
-      }
+      override def run(): Unit =
+        runRequest(id, sqlText, user, returnSchema, viaRelay, visited, callback)
     }
     pool.submit(runnable)
     id
+  }
+
+  private def runRequest(id: String, sqlText: String, user: Option[String],
+      returnSchema: Option[StructType], viaRelay: Option[String],
+      visited: Set[String], callback: Option[(String, String)]): Unit = {
+    tasks.put(id, TaskState(InProgress, None))
+    try {
+      val spark = session.spark
+      val entity = SqlValidator.validate(sqlText, spark)
+      val site = session.mesh.site(session.siteName)
+      if (!site.entities.contains(entity))
+        throw SqlValidator.InvalidQuery(
+          s"Entity $entity not found on relay ${session.siteName}")
+      val visitedAll = visited + session.siteName
+      // where completed branch results should land: the origin that asked
+      // us (propagated unchanged — results skip intermediate hops,
+      // `query_runner/src/lib.rs:117-182`), or our own ingest endpoint
+      val pushTarget = callback.orElse(selfUrl.map(u => (u, id)))
+      // endpoint-backed direct peers become remote tasks when pushes can
+      // fly back; otherwise they stay in the local (pull-through) plan
+      val wirePeers = site.remoteMappings.getOrElse(entity, Nil)
+        .filterNot(rm => visitedAll.contains(rm.peer))
+        .flatMap(rm =>
+          session.mesh.sites.get(rm.peer).flatMap(_.endpoint).map(rm -> _))
+        .filter(_ => pushTarget.nonEmpty)
+      var anyFailed = false
+      val remoteTasks = wirePeers.flatMap { case (rm, url) =>
+        val (cbUrl, originId) = pushTarget.get
+        // deterministic remote id: replayed origin requests re-POST the
+        // same uuid and the peer's own dedup returns the tracked task
+        val remoteId = java.util.UUID.nameUUIDFromBytes(
+          s"$originId|${session.siteName}|${rm.peer}|${rm.remoteEntity}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+        branchTasks.compute(id, (_, m) => Option(m).getOrElse(Map.empty) +
+          ((rm.peer, "(remote)") -> TaskState(Queued, None)))
+        try {
+          val mappedSql = EntityResolver.mapRemoteRequestSql(
+            spark, session.mesh, site.entities(entity), rm, sqlText)
+          graft.transport.RelayClient.submit(url, mappedSql, user,
+            Some(remoteId), viaRelay = Some(session.siteName),
+            visited = visitedAll, callback = Some((cbUrl, originId)))
+          Some((rm.peer, url, remoteId))
+        } catch {
+          case e: Throwable =>
+            anyFailed = true
+            branchTasks.compute(id, (_, m) =>
+              m + ((rm.peer, "(remote)") -> TaskState(Failed, Some(e.getMessage))))
+            None
+        }
+      }
+      // local branches: the distributed peers are excluded from this plan
+      val branches = perBranchFrames(sqlText, user, returnSchema, viaRelay,
+        visited ++ wirePeers.map(_._1.peer))
+      branchTasks.compute(id, (_, m) => Option(m).getOrElse(Map.empty) ++
+        branches.map { case (b, _) => b -> TaskState(Queued, None) })
+      branches.zipWithIndex.foreach { case ((branch, df), i) =>
+        branchTasks.compute(id, (_, m) => m + (branch -> TaskState(InProgress, None)))
+        try {
+          // per-task spill under a collision-proof partition name, so
+          // completed branches are readable even if a later one fails
+          val spillDir = s"$resultDir/task_$id/result.parquet/" +
+            s"${QueryService.BranchPartitionCol}=$i"
+          df.write.mode("overwrite").parquet(spillDir)
+          // executor-relay role: fly the spilled branch to the origin
+          // (do_put). Empty spills (zero output partitions) carry no rows
+          // to contribute and are skipped.
+          callback.foreach { case (cbUrl, originId) =>
+            if (hasPartFile(spillDir))
+              graft.transport.RelayClient.pushResult(cbUrl, originId,
+                s"${branch._1}-${branch._2}",
+                session.spark.read.parquet(spillDir))
+          }
+          branchTasks.compute(id, (_, m) => m + (branch -> TaskState(Complete, None)))
+        } catch {
+          case e: Throwable =>
+            anyFailed = true
+            branchTasks.compute(id,
+              (_, m) => m + (branch -> TaskState(Failed, Some(e.getMessage))))
+        }
+      }
+      // await the remote fan-out: a peer is terminal only after its own
+      // branches pushed and its downstream peers completed, so polling the
+      // direct peers transitively covers the whole subweb
+      remoteTasks.foreach { case (peer, url, remoteId) =>
+        branchTasks.compute(id, (_, m) =>
+          m + ((peer, "(remote)") -> TaskState(InProgress, None)))
+        try {
+          val st = graft.transport.RelayClient.await(url, remoteId)
+          // import the peer's per-branch statuses into this request's view
+          st.tasks.foreach { t =>
+            branchTasks.compute(id, (_, m) =>
+              m + ((s"$peer/${t.relay}", t.source) ->
+                TaskState(parseStatus(t.status), t.error)))
+          }
+          if (st.status == "Complete")
+            branchTasks.compute(id, (_, m) =>
+              m + ((peer, "(remote)") -> TaskState(Complete, None)))
+          else {
+            anyFailed = true
+            branchTasks.compute(id, (_, m) =>
+              m + ((peer, "(remote)") -> TaskState(Failed,
+                st.error.orElse(Some(s"peer $peer: ${st.status}")))))
+          }
+        } catch {
+          case e: Throwable =>
+            anyFailed = true
+            branchTasks.compute(id, (_, m) =>
+              m + ((peer, "(remote)") -> TaskState(Failed, Some(e.getMessage))))
+        }
+      }
+      tasks.put(id,
+        if (anyFailed) TaskState(Failed, Some("one or more branch tasks failed"))
+        else TaskState(Complete, None))
+    } catch {
+      case e: Throwable => tasks.put(id, TaskState(Failed, Some(e.getMessage)))
+    }
+  }
+
+  private def parseStatus(s: String): Status = s match {
+    case "Queued"     => Queued
+    case "InProgress" => InProgress
+    case "Complete"   => Complete
+    case _            => Failed
+  }
+
+  private def hasPartFile(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).exists(_.exists(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
   }
 
   /** Per-branch task statuses, keyed by (relay, sourceId). */
@@ -177,7 +307,9 @@ class QueryService(session: MeshSession, resultDir: String) {
     * per-branch plan. */
   private def perBranchFrames(
       sqlText: String, user: Option[String],
-      returnSchema: Option[StructType] = None): Seq[((String, String), DataFrame)] = {
+      returnSchema: Option[StructType] = None,
+      viaRelay: Option[String] = None,
+      alsoVisited: Set[String] = Set.empty): Seq[((String, String), DataFrame)] = {
     import EntityResolver.{SourceIdCol, SourceRelayCol}
     val spark = session.spark
     val entity = SqlValidator.validate(sqlText, spark)
@@ -185,7 +317,8 @@ class QueryService(session: MeshSession, resultDir: String) {
       throw SqlValidator.InvalidQuery(
         s"Entity $entity not found on relay ${session.siteName}")
     val full = EntityResolver.resolve(
-      spark, session.mesh, session.siteName, entity, user, withProvenance = true)
+      spark, session.mesh, session.siteName, entity, user,
+      withProvenance = true, viaRelay, alsoVisited)
     // enumerate branches from the CATALOG (get_flight_info semantics,
     // `flight_server/src/flight.rs:194-309`) — no data scan runs before the
     // first branch task. Remote sql templates without SELECT * degrade
@@ -195,7 +328,8 @@ class QueryService(session: MeshSession, resultDir: String) {
     // filters below still keep every row. Sources deny-all'd for this user
     // are omitted.
     val branches = EntityResolver
-      .provenanceBranches(spark, session.mesh, session.siteName, entity, user)
+      .provenanceBranches(spark, session.mesh, session.siteName, entity, user,
+        viaRelay, alsoVisited)
       .sortBy { case (a, b) => (a.getOrElse(""), b.getOrElse("")) }
     // plan construction registers a shared-name temp view; serialize it
     // across concurrently-submitted queries (execution stays concurrent)
@@ -237,7 +371,10 @@ class QueryService(session: MeshSession, resultDir: String) {
   private[graft] def noteIngested(id: String, branch: String): Unit = {
     branchTasks.compute(id, (_, m) =>
       Option(m).getOrElse(Map.empty) + ((branch, "do_put") -> TaskState(Complete, None)))
-    tasks.put(id, TaskState(Complete, None))
+    // a pure-push request (no tracked submit) is readable as soon as a
+    // stream lands; a tracked federated request keeps its own worker's
+    // bookkeeping — an in-flight push must not stomp InProgress
+    tasks.putIfAbsent(id, TaskState(Complete, None)): Unit
   }
 
   /** The spill directory [[results]] reads for `id` — the ingest endpoint

@@ -125,11 +125,22 @@ object RelayClient {
 
   // ---- async REST path --------------------------------------------------
 
+  /** POST an async query. With `callback`, the receiving relay pushes every
+    * completed branch result to `(ingest endpoint, origin request id)` via
+    * do_put instead of only spilling locally — the reference's remote-task
+    * re-POST (`query_runner/src/lib.rs:184-221`); `viaRelay`/`visited`
+    * carry the forwarding identity and the cycle guard like the sync path. */
   def submit(endpoint: String, sql: String, user: Option[String] = None,
-      requestId: Option[String] = None): String = {
-    val req = request(endpoint, "/query")
+      requestId: Option[String] = None,
+      viaRelay: Option[String] = None,
+      visited: Set[String] = Set.empty,
+      callback: Option[(String, String)] = None): String = {
+    val req = request(endpoint, "/query", viaRelay, visited)
       .header("Content-Type", "application/json")
-      .POST(bodyJson("sql" -> Some(sql), "user" -> user, "request_id" -> requestId))
+      .POST(bodyJson(
+        "sql" -> Some(sql), "user" -> user, "request_id" -> requestId,
+        "callback_url" -> callback.map(_._1),
+        "origin_id" -> callback.map(_._2)))
       .build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
     checkOk(resp, s"POST $endpoint/query")

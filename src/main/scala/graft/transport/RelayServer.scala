@@ -73,7 +73,14 @@ final class RelayServer(
 
   def boundPort: Int = server.getAddress.getPort
   def url: String = s"http://$bindHost:$boundPort"
-  def stop(): Unit = server.stop(0)
+  // with a live ingest endpoint, this relay's async submits distribute:
+  // peers execute mapped requests and push results back here (do_put)
+  service.selfUrl = Some(
+    sharedSecret.map(s => s"http://$s@$bindHost:$boundPort").getOrElse(url))
+  def stop(): Unit = {
+    service.selfUrl = None
+    server.stop(0)
+  }
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -163,10 +170,19 @@ final class RelayServer(
   private def submit(ex: HttpExchange): Unit = {
     val body = mapper.readTree(ex.getRequestBody)
     val sql = reqField(body, "sql")
+    val (viaRelay, visited) = relayHeaders(ex)
+    val callback = for {
+      url <- optField(body, "callback_url")
+      origin <- optField(body, "origin_id")
+    } yield (url, origin)
     val id = service.submit(
       sql,
       optField(body, "user"),
-      optField(body, "request_id"))
+      optField(body, "request_id"),
+      returnSchema = None,
+      viaRelay = viaRelay,
+      visited = visited,
+      callback = callback)
     val o = mapper.createObjectNode()
     o.put("id", id)
     respond(ex, 202, "application/json", mapper.writeValueAsBytes(o))

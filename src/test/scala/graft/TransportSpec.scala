@@ -204,6 +204,112 @@ class TransportSpec extends AnyFunSuite {
     }
   }
 
+  /** Like [[withServer]] but hands back the service too (federated-async
+    * tests drive submit/status/results on the origin relay directly). */
+  private def withServerAndService[A](mesh: Mesh, site: String)(
+      f: (RelayServer, QueryService, String) => A): A = {
+    Fixtures.registerRaw(spark, sfDir)
+    val session = new MeshSession(spark, mesh, site)
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_results").toString
+    val service = new QueryService(session, dir)
+    val server = new RelayServer(session, service)
+    try f(server, service, dir) finally server.stop()
+  }
+
+  test("async federation: remote task re-POSTs to the peer, results push back (do_put)") {
+    withServer(betaMesh(), "beta") { betaServer =>
+      val stub = RelayClient.catalogSite(betaServer.url)
+      withServerAndService(alphaMesh(stub), "alpha") { (alphaServer, service, dir) =>
+        val id = RelayClient.submit(alphaServer.url,
+          "SELECT doc_id, lang FROM documents WHERE doc_id <= 20")
+        val st = RelayClient.await(alphaServer.url, id)
+        assert(st.status == "Complete", st.error.getOrElse(""))
+        // beta's slice arrived by PUSH: its branch landed as a do_put ingest
+        // under a name-keyed partition (local branches use integer keys)
+        val pushedDir = new java.io.File(
+          s"$dir/task_$id/result.parquet/${QueryService.BranchPartitionCol}=beta-docs_odd")
+        assert(pushedDir.isDirectory,
+          s"expected pushed branch dir, got: ${Option(new java.io.File(
+            s"$dir/task_$id/result.parquet").list()).toSeq.flatten.mkString(",")}")
+        val tasks = service.branchStatus(id)
+        assert(tasks.get(("beta", "(remote)"))
+          .exists(_.status == QueryService.Complete))
+        assert(tasks.get(("beta-docs_odd", "do_put"))
+          .exists(_.status == QueryService.Complete))
+        // and the unioned result equals the in-process twin
+        val got = RelayClient.result(spark, alphaServer.url, id)
+          .select("doc_id", "lang").orderBy("doc_id")
+        val want = EntityResolver.resolve(spark, combinedMesh, "alpha", "documents")
+          .where(col("doc_id") <= 20).select("doc_id", "lang").orderBy("doc_id")
+        assert(got.collect().toSeq == want.collect().toSeq)
+      }
+    }
+  }
+
+  test("federated remote request maps info transforms into the peer's namespace") {
+    // alpha's hop halves beta's n_chars — the mapped SQL must compute the
+    // transform ON BETA (map_remote_request semantics) so pushed partials
+    // arrive already in alpha's semantic space
+    val transformHop = RemoteEntityMapping(
+      peer = "beta", remoteEntity = "documents",
+      infoMappings = identityInfoMappings.map {
+        case m if m.localInfo == "n_chars" =>
+          m.copy(transform = Transformation("{v} * 2"))
+        case m => m
+      })
+    def meshWith(betaSite: Site): Mesh = Mesh(Map(
+      "alpha" -> Site("alpha",
+        entities = Map("documents" -> Fixtures.documentsEntity),
+        localSources = Map("documents" -> Seq(docSlice("docs_even", "doc_id % 2 = 0"))),
+        remoteMappings = Map("documents" -> Seq(transformHop))),
+      "beta" -> betaSite))
+    withServer(betaMesh(), "beta") { betaServer =>
+      val stub = RelayClient.catalogSite(betaServer.url)
+      withServerAndService(meshWith(stub), "alpha") { (alphaServer, service, _) =>
+        val id = RelayClient.submit(alphaServer.url,
+          "SELECT doc_id, n_chars FROM documents WHERE doc_id <= 40")
+        val st = RelayClient.await(alphaServer.url, id)
+        assert(st.status == "Complete", st.error.getOrElse(""))
+        val got = RelayClient.result(spark, alphaServer.url, id)
+          .select("doc_id", "n_chars").orderBy("doc_id")
+        val inProc = meshWith(Site("beta",
+          entities = Map("documents" -> Fixtures.documentsEntity),
+          localSources = Map("documents" -> Seq(docSlice("docs_odd", "doc_id % 2 = 1")))))
+        val want = EntityResolver.resolve(spark, inProc, "alpha", "documents")
+          .where(col("doc_id") <= 40).select("doc_id", "n_chars").orderBy("doc_id")
+        assert(got.collect().toSeq == want.collect().toSeq)
+        // sanity: odd rows really carry the doubled value
+        val odd = got.where(col("doc_id") % 2 === 1)
+        val raw = spark.table("raw_documents")
+          .where(col("doc_id") % 2 === 1 && col("doc_id") <= 40)
+          .select(col("doc_id"), (col("n_chars") * 2).as("n_chars")).orderBy("doc_id")
+        assert(odd.collect().toSeq == raw.collect().toSeq)
+      }
+    }
+  }
+
+  test("federated failure: peer task fails, allow_partial returns completed slices") {
+    val broken = docSlice("docs_broken", "doc_id % 2 = 1")
+      .copy(sourceSql = "SELECT * FROM __graft_no_such_table")
+    withServer(betaMesh(broken), "beta") { betaServer =>
+      val stub = RelayClient.catalogSite(betaServer.url)
+      withServerAndService(alphaMesh(stub), "alpha") { (alphaServer, service, _) =>
+        val id = RelayClient.submit(alphaServer.url,
+          "SELECT doc_id, lang FROM documents WHERE doc_id <= 20")
+        val st = RelayClient.await(alphaServer.url, id)
+        assert(st.status == "Failed")
+        // the whole-result read refuses, the partial read serves alpha's slice
+        intercept[RelayClient.RelayException] {
+          RelayClient.result(spark, alphaServer.url, id)
+        }
+        val partial = RelayClient.result(spark, alphaServer.url, id,
+          allowPartial = true)
+        assert(partial.count() > 0)
+        assert(partial.where(col("doc_id") % 2 === 1).count() == 0)
+      }
+    }
+  }
+
   test("do_put: a pushed branch result lands in the origin's spill and reads back") {
     withServer(betaMesh(), "beta") { server =>
       val pushed = spark.range(5).select(col("id").as("doc_id"))
