@@ -22,8 +22,13 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   *    is the engine's own JDBC driver, e.g. `jdbc:trino://host:port`);
   *    without an override they fall back to pre-registered temp views of
   *    the same name (the in-process stand-in for the zero-egress harness);
-  *  - PeerRelay endpoints/certs are parsed and ignored; the peer name links
-  *    RemoteMappings to the peer Site in the Mesh;
+  *  - PeerRelay names link RemoteMappings to the peer Site in the Mesh;
+  *    with `connectEndpointPeers`, a PeerRelay whose site is NOT among the
+  *    loaded config dirs becomes an endpoint-backed stub registered from
+  *    its live `rest_endpoint` (`/catalog` fetch — the reference's
+  *    list_flights registration), and unreachable peers are skipped with
+  *    the rest of the web functioning (the dev web's `offline_data_relay`
+  *    semantics, `flight_server/src/flight.rs:302-307`);
   *  - User identity is the x509 file's basename (stand-in for the cert
   *    fingerprint).
   */
@@ -223,14 +228,47 @@ object ConfigLoader {
     Site(siteName, entities, withUserPerms, remoteMappings)
   }
 
+  /** PeerRelay declarations under `dir`: config relay name ->
+    * `rest_endpoint`, for peers served by other processes. */
+  def peerEndpoints(dir: Path): Map[String, String] =
+    parseTree(dir).filter(_.kind == "PeerRelay").map(_.spec)
+      .flatMap(s => textOpt(s, "rest_endpoint").map(s.get("name").asText() -> _))
+      .toMap
+
   /** Assemble a Mesh from per-site config dirs. `sites` maps the mesh site
     * name -> config dir; `relayNames` maps reference relay names (used in
-    * RemoteMapping/PeerRelay docs) -> mesh site names. */
+    * RemoteMapping/PeerRelay docs) -> mesh site names.
+    *
+    * @param connectEndpointPeers register PeerRelays that are NOT among the
+    *   loaded dirs as endpoint-backed stub Sites from their live
+    *   `rest_endpoint` (each stub's entity schemas come from the peer's own
+    *   `/catalog`); unreachable peers are skipped — the mesh keeps working
+    *   without them, exactly like the reference dev web's offline relay. */
   def loadMesh(
       sites: Map[String, Path],
       relayNames: Map[String, String] = Map.empty,
-      jdbcOverrides: Map[String, JdbcSource] = Map.empty): Mesh =
-    Mesh(sites.map { case (name, dir) =>
+      jdbcOverrides: Map[String, JdbcSource] = Map.empty,
+      connectEndpointPeers: Boolean = false): Mesh = {
+    val named = sites.map { case (name, dir) =>
       name -> loadSite(name, dir, relayNames, jdbcOverrides)
-    })
+    }
+    if (!connectEndpointPeers) Mesh(named)
+    else {
+      val stubs = sites.values
+        .flatMap(peerEndpoints).toMap
+        .map { case (n, url) => relayNames.getOrElse(n, n) -> url }
+        .filterNot { case (n, _) => named.contains(n) }
+        .flatMap { case (n, url) =>
+          scala.util.Try(graft.transport.RelayClient.catalogSite(url)) match {
+            case scala.util.Success(stub) =>
+              Some(n -> stub.copy(name = n, endpoint = Some(url)))
+            case scala.util.Failure(e) =>
+              System.err.println(
+                s"[config] peer $n at $url unreachable, skipping: ${e.getMessage}")
+              None
+          }
+        }
+      Mesh(named ++ stubs)
+    }
+  }
 }

@@ -86,6 +86,7 @@ object EntityResolver {
         .exists(_.fileSource.exists(_.format == "parquet")) ||
         s.remoteMappings.getOrElse(entity, Nil)
           .filterNot(rm => visited.contains(rm.peer))
+          .filter(rm => mesh.sites.contains(rm.peer)) // offline peers skipped
           .exists(rm => walk(rm.peer, rm.remoteEntity, visited + rm.peer))
     }
     walk(siteName, entityName, Set(siteName))
@@ -126,6 +127,7 @@ object EntityResolver {
         .map(ds => (Option(site), Option(ds.id)))
       val remote = s.remoteMappings.getOrElse(entity, Nil)
         .filterNot(rm => visited.contains(rm.peer))
+        .filter(rm => knownPeer(mesh, rm))
         .flatMap { rm =>
           // an endpoint-bearing peer is served by another process: its leaf
           // branches come over the wire (the reference's get_flight_info
@@ -228,6 +230,19 @@ object EntityResolver {
     } finally spark.catalog.dropTempView(probeName)
   }
 
+  /** A RemoteEntityMapping whose peer is absent from the mesh (an offline
+    * relay whose catalog registration was skipped) contributes nothing: the
+    * rest of the web keeps working, mirroring the reference's per-peer
+    * log-and-skip (`flight_server/src/flight.rs:302-307` and the dev web's
+    * `offline_data_relay` fixture). */
+  private def knownPeer(mesh: Mesh, rm: RemoteEntityMapping): Boolean = {
+    val known = mesh.sites.contains(rm.peer)
+    if (!known)
+      System.err.println(
+        s"[resolve] peer ${rm.peer} not registered in the mesh (offline?) — skipping")
+    known
+  }
+
   /** Plan-only check: does `rowFilter` fold to constant FALSE (the
     * reference's deny-all `1 = 0` policy shape)? Evaluated by optimizing a
     * filter over a one-row, zero-column local relation — a filter that
@@ -264,6 +279,7 @@ object EntityResolver {
     val remoteParts: Seq[DataFrame] =
       site.remoteMappings.getOrElse(entityName, Nil)
         .filterNot(rm => visited.contains(rm.peer))
+        .filter(rm => knownPeer(mesh, rm))
         .map { rm =>
           // the peer sees THIS site as the direct requester
           // (Requester::Relay), while the originating user's identity

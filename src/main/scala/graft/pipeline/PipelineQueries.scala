@@ -936,6 +936,90 @@ object PipelineQueries {
         |ORDER BY tok.doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // tx11: the full Gopher repetition-filter suite (Rae et al. 2021,
+    // Table A1) over word n-grams — top-{2,3,4}-gram character fraction
+    // (char mass of the most frequent n-gram over document chars) and
+    // duplicate-{5,10}-gram character fraction (char mass of all
+    // occurrences of n-grams seen more than once; the declarative,
+    // order-independent form of the paper's covered-character count),
+    // with the conjunctive keep verdict at the paper's thresholds. One
+    // explode fans each doc into (n, gram) rows for all five n at once,
+    // then two partial-aggregable doc-local groupBys — no corpus-wide
+    // state, no joins, linear in corpus tokens at any scale. The top
+    // gram's mass rides an integer (c * 100000 + len) key so the
+    // most-frequent tie-break (longest gram) is engine-agnostic integer
+    // arithmetic, not string collation.
+    Q("tx11_gopher_repetition",
+      """WITH tok AS (SELECT doc_id, length(text) AS total_chars,
+        |              split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, total_chars, n,
+        |        concat_ws(' ', slice(w, CAST(i + 1 AS INT), n)) AS gram
+        |      FROM tok
+        |      LATERAL VIEW explode(array(2, 3, 4, 5, 10)) tn AS n
+        |      LATERAL VIEW explode(sequence(0, greatest(size(w) - n, 0))) ti AS i
+        |      WHERE i + n <= size(w)),
+        |cnt AS (SELECT doc_id, total_chars, n, gram,
+        |          count(*) AS c, max(length(gram)) AS glen
+        |        FROM g GROUP BY doc_id, total_chars, n, gram),
+        |agg AS (SELECT doc_id, total_chars, n,
+        |          max(c * 100000 + glen) AS top_key,
+        |          sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_mass
+        |        FROM cnt GROUP BY doc_id, total_chars, n),
+        |piv AS (SELECT doc_id, total_chars,
+        |          coalesce(max(CASE WHEN n = 2 THEN (top_key div 100000) * (top_key % 100000) END), 0) AS top2,
+        |          coalesce(max(CASE WHEN n = 3 THEN (top_key div 100000) * (top_key % 100000) END), 0) AS top3,
+        |          coalesce(max(CASE WHEN n = 4 THEN (top_key div 100000) * (top_key % 100000) END), 0) AS top4,
+        |          coalesce(max(CASE WHEN n = 5 THEN dup_mass END), 0) AS dup5,
+        |          coalesce(max(CASE WHEN n = 10 THEN dup_mass END), 0) AS dup10
+        |        FROM agg GROUP BY doc_id, total_chars)
+        |SELECT doc_id,
+        |  round(top2 / CAST(total_chars AS DOUBLE), 4) AS top2_char_frac,
+        |  round(top3 / CAST(total_chars AS DOUBLE), 4) AS top3_char_frac,
+        |  round(top4 / CAST(total_chars AS DOUBLE), 4) AS top4_char_frac,
+        |  round(dup5 / CAST(total_chars AS DOUBLE), 4) AS dup5_char_frac,
+        |  round(dup10 / CAST(total_chars AS DOUBLE), 4) AS dup10_char_frac,
+        |  (top2 / CAST(total_chars AS DOUBLE) <= CAST(0.20 AS DOUBLE)
+        |   AND top3 / CAST(total_chars AS DOUBLE) <= CAST(0.18 AS DOUBLE)
+        |   AND top4 / CAST(total_chars AS DOUBLE) <= CAST(0.16 AS DOUBLE)
+        |   AND dup5 / CAST(total_chars AS DOUBLE) <= CAST(0.15 AS DOUBLE)
+        |   AND dup10 / CAST(total_chars AS DOUBLE) <= CAST(0.10 AS DOUBLE)) AS keep
+        |FROM piv ORDER BY doc_id""".stripMargin,
+      """WITH tok AS (SELECT doc_id, length(text) AS total_chars,
+        |              string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, total_chars, nn.n AS n,
+        |        array_to_string(list_slice(w, i + 1, i + nn.n), ' ') AS gram
+        |      FROM tok,
+        |           (VALUES (2), (3), (4), (5), (10)) nn(n),
+        |           unnest(range(0, greatest(len(w) - nn.n + 1, 1))) AS t(i)
+        |      WHERE i + nn.n <= len(w)),
+        |cnt AS (SELECT doc_id, total_chars, n, gram,
+        |          count(*) AS c, max(length(gram)) AS glen
+        |        FROM g GROUP BY doc_id, total_chars, n, gram),
+        |agg AS (SELECT doc_id, total_chars, n,
+        |          max(c * 100000 + glen) AS top_key,
+        |          sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS dup_mass
+        |        FROM cnt GROUP BY doc_id, total_chars, n),
+        |piv AS (SELECT doc_id, total_chars,
+        |          coalesce(max(CASE WHEN n = 2 THEN (top_key // 100000) * (top_key % 100000) END), 0) AS top2,
+        |          coalesce(max(CASE WHEN n = 3 THEN (top_key // 100000) * (top_key % 100000) END), 0) AS top3,
+        |          coalesce(max(CASE WHEN n = 4 THEN (top_key // 100000) * (top_key % 100000) END), 0) AS top4,
+        |          coalesce(max(CASE WHEN n = 5 THEN dup_mass END), 0) AS dup5,
+        |          coalesce(max(CASE WHEN n = 10 THEN dup_mass END), 0) AS dup10
+        |        FROM agg GROUP BY doc_id, total_chars)
+        |SELECT doc_id,
+        |  round(top2 / CAST(total_chars AS DOUBLE), 4) AS top2_char_frac,
+        |  round(top3 / CAST(total_chars AS DOUBLE), 4) AS top3_char_frac,
+        |  round(top4 / CAST(total_chars AS DOUBLE), 4) AS top4_char_frac,
+        |  round(dup5 / CAST(total_chars AS DOUBLE), 4) AS dup5_char_frac,
+        |  round(dup10 / CAST(total_chars AS DOUBLE), 4) AS dup10_char_frac,
+        |  (top2 / CAST(total_chars AS DOUBLE) <= CAST(0.20 AS DOUBLE)
+        |   AND top3 / CAST(total_chars AS DOUBLE) <= CAST(0.18 AS DOUBLE)
+        |   AND top4 / CAST(total_chars AS DOUBLE) <= CAST(0.16 AS DOUBLE)
+        |   AND dup5 / CAST(total_chars AS DOUBLE) <= CAST(0.15 AS DOUBLE)
+        |   AND dup10 / CAST(total_chars AS DOUBLE) <= CAST(0.10 AS DOUBLE)) AS keep
+        |FROM piv ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // pd1: passage-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
     // shape, on fixed 10-word passages since the corpus has no newlines):
     // segment -> global passage-frequency (one shuffle on the passage

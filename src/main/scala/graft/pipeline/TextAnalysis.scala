@@ -79,6 +79,57 @@ object TextAnalysis {
         (distinctFrac >= minDistinctWordFrac && topFrac <= maxTopBigramFrac).as("keep"))
   }
 
+  /** The full Gopher repetition-filter suite (Rae et al. 2021, Table A1)
+    * over word n-grams — DataFrame form of tx11: per document, the
+    * character mass of the most frequent {2,3,4}-gram and the character
+    * mass of all duplicated {5,10}-grams, each over total document chars,
+    * plus the conjunctive keep verdict at the paper's thresholds.
+    *
+    * One explode fans each document into (n, gram) rows for every n at
+    * once; the two groupBys aggregate on doc-local keys (partial-agg
+    * combinable, no corpus-wide state) — linear in corpus tokens at any
+    * scale. The most-frequent tie-break (longest gram) rides an integer
+    * (count * 100000 + len) key: deterministic without string collation. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10),
+      topMax: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dupMax: Map[Int, Double] = Map(5 -> 0.15, 10 -> 0.10)): DataFrame = {
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val base = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).as("total_chars"), split(col(textCol), " ").as("w"))
+    val g = base
+      .select(col("doc_id"), col("total_chars"), col("w"),
+        explode(lit(ns.toArray)).as("n"))
+      .select(col("doc_id"), col("total_chars"), col("n"),
+        explode(sequence(lit(0), greatest(size(col("w")) - col("n"), lit(0)))).as("i"),
+        col("w"))
+      .where(col("i") + col("n") <= size(col("w")))
+      .select(col("doc_id"), col("total_chars"), col("n"),
+        concat_ws(" ", slice(col("w"), col("i") + 1, col("n"))).as("gram"))
+    val cnt = g.groupBy(col("doc_id"), col("total_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"), max(length(col("gram"))).as("glen"))
+    val agg = cnt.groupBy(col("doc_id"), col("total_chars"), col("n"))
+      .agg(
+        max(col("c") * 100000 + col("glen")).as("top_key"),
+        sum(when(col("c") > 1, col("c") * col("glen")).otherwise(0L)).as("dup_mass"))
+    val topMass = (expr("top_key div 100000") * (col("top_key") % 100000))
+    def frac(mass: Column): Column = round(mass / col("total_chars").cast("double"), 4)
+    val pivots =
+      topNs.map(n => coalesce(max(when(col("n") === n, topMass)), lit(0L)).as(s"top$n")) ++
+      dupNs.map(n => coalesce(max(when(col("n") === n, col("dup_mass"))), lit(0L)).as(s"dup$n"))
+    val piv = agg.groupBy(col("doc_id"), col("total_chars")).agg(pivots.head, pivots.tail: _*)
+    val keep = (topNs.map(n =>
+        col(s"top$n") / col("total_chars").cast("double") <= topMax(n)) ++
+      dupNs.map(n =>
+        col(s"dup$n") / col("total_chars").cast("double") <= dupMax(n)))
+      .reduce(_ && _)
+    piv.select(
+      col("doc_id") +:
+        (topNs.map(n => frac(col(s"top$n")).as(s"top${n}_char_frac")) ++
+          dupNs.map(n => frac(col(s"dup$n")).as(s"dup${n}_char_frac")) :+
+          keep.as("keep")): _*)
+  }
+
   /** Corpus-level UNIGRAM language-model scoring — the model-based quality
     * signal (CCNet-style: score each document under a model of the corpus;
     * rare-token-heavy documents score low). Two passes: (1) one groupBy

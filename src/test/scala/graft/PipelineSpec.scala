@@ -18,6 +18,30 @@ class PipelineSpec extends AnyFunSuite {
   private def run(name: String) =
     graft.SparkEntry.queries(name)(spark, sfDir)
 
+  test("gopher repetition: DataFrame form equals the SQL form; metrics behave") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val lib = graft.pipeline.TextAnalysis
+      .gopherRepetition(docs, "doc_id", "text").orderBy("doc_id")
+    val sql = run("tx11_gopher_repetition")
+    assert(lib.columns.toSeq == sql.columns.toSeq)
+    assert(lib.collect().toSeq == sql.collect().toSeq)
+    val rows = lib.collect()
+    assert(rows.nonEmpty)
+    // fractions are nonnegative; a doc made of one repeated bigram is
+    // all-duplicate mass and must be dropped
+    assert(rows.forall(r => (1 to 5).forall(i => r.getDouble(i) >= 0.0)))
+    import spark.implicits._
+    val degenerate = Seq((1L, ("ab cd " * 40).trim)).toDF("doc_id", "text")
+    val d = graft.pipeline.TextAnalysis
+      .gopherRepetition(degenerate, "doc_id", "text").head()
+    assert(d.getDouble(4) > 0.9 && d.getDouble(5) > 0.9) // dup5/dup10
+    assert(!d.getBoolean(6))
+    // join-free, doc-local: two aggregation exchanges at most, no joins
+    val plan = lib.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("minhash-LSH finds symmetric near-dup pairs with high jaccard") {
     val pairs = run("dd2_minhash_lsh").collect()
     assert(pairs.nonEmpty)

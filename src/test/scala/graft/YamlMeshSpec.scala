@@ -160,4 +160,112 @@ class YamlMeshSpec extends AnyFunSuite {
       assert(fromCode.exceptAll(fromYaml).count() == 0, s"yaml missing rows ($user)")
     }
   }
+
+  private def alphaDocYaml(liveUrl: String): String =
+    s"""api_version: v1alpha1
+       |kind: Entity
+       |spec:
+       |  name: documents
+       |  information:
+       |    - {name: doc_id, arrow_dtype: Int64}
+       |    - {name: text, arrow_dtype: Utf8}
+       |    - {name: lang, arrow_dtype: Utf8}
+       |    - {name: source, arrow_dtype: Utf8}
+       |    - {name: n_chars, arrow_dtype: Int64}
+       |---
+       |api_version: v1alpha1
+       |kind: LocalData
+       |spec:
+       |  name: alpha_conn
+       |  data_sources:
+       |    - name: docs_even
+       |      source_sql: SELECT * FROM raw_documents WHERE doc_id % 2 = 0
+       |      fields:
+       |        - {name: doc_id, path: doc_id}
+       |        - {name: text, path: text}
+       |        - {name: lang, path: lang}
+       |        - {name: source, path: source}
+       |        - {name: n_chars, path: n_chars}
+       |---
+       |api_version: v1alpha1
+       |kind: LocalMapping
+       |spec:
+       |  entity_name: documents
+       |  mappings:
+       |    - data_con_name: alpha_conn
+       |      source_mappings:
+       |        - data_source_name: docs_even
+       |          field_mappings:
+       |            - {info: doc_id, field: doc_id}
+       |            - {info: text, field: text}
+       |            - {info: lang, field: lang}
+       |            - {info: source, field: source}
+       |            - {info: n_chars, field: n_chars}
+       |---
+       |api_version: v1alpha1
+       |kind: PeerRelay
+       |spec:
+       |  name: beta_relay
+       |  rest_endpoint: "$liveUrl"
+       |---
+       |api_version: v1alpha1
+       |kind: PeerRelay
+       |spec:
+       |  name: offline_relay
+       |  rest_endpoint: "http://127.0.0.1:9"
+       |---
+       |api_version: v1alpha1
+       |kind: RemoteMapping
+       |spec:
+       |  entity_name: documents
+       |  mappings:
+       |    - relay_name: beta_relay
+       |      remote_entity_name: documents
+       |      relay_mappings:
+       |        - {local_info: doc_id, info_mapped_name: doc_id}
+       |        - {local_info: text, info_mapped_name: text}
+       |        - {local_info: lang, info_mapped_name: lang}
+       |        - {local_info: source, info_mapped_name: source}
+       |        - {local_info: n_chars, info_mapped_name: n_chars}
+       |    - relay_name: offline_relay
+       |      remote_entity_name: documents
+       |      relay_mappings:
+       |        - {local_info: doc_id, info_mapped_name: doc_id}
+       |""".stripMargin
+
+  test("PeerRelay endpoints: live peer registers from /catalog, offline peer skipped") {
+    import graft.catalog._
+    import graft.mesh.{MeshSession, QueryService}
+    import graft.transport.RelayServer
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    // the live peer: a separate relay process surface over the odd slice
+    val betaSrc = DataSource(
+      id = "docs_odd",
+      sourceSql = "SELECT * FROM raw_documents WHERE doc_id % 2 = 1",
+      mappings = Fixtures.documentsEntity.informations
+        .map(i => FieldMapping(i.name, i.name)),
+      defaultPermission = SourcePermission(
+        Set("doc_id", "text", "lang", "source", "n_chars"), "true"))
+    val betaMesh = Mesh(Map("beta" -> Site("beta",
+      Map("documents" -> Fixtures.documentsEntity),
+      Map("documents" -> Seq(betaSrc)))))
+    val betaSession = new MeshSession(spark, betaMesh, "beta")
+    val resultsDir = Files.createTempDirectory("graft_beta_results").toString
+    val server = new RelayServer(betaSession, new QueryService(betaSession, resultsDir))
+    try {
+      val root = Files.createTempDirectory("graft_yaml_peer")
+      Files.writeString(root.resolve("config.yaml"), alphaDocYaml(server.url))
+      val mesh = ConfigLoader.loadMesh(
+        Map("alpha" -> root), connectEndpointPeers = true)
+      // live peer: endpoint stub with the peer's own schemas; offline: absent
+      assert(mesh.sites.contains("beta_relay"))
+      assert(mesh.sites("beta_relay").endpoint.contains(server.url))
+      assert(mesh.sites("beta_relay").entities("documents").schema ==
+        Fixtures.documentsEntity.schema)
+      assert(!mesh.sites.contains("offline_relay"))
+      // the web functions without the offline relay: both live slices union
+      val resolved = EntityResolver.resolve(spark, mesh, "alpha", "documents")
+      assert(resolved.count() == spark.table("raw_documents").count())
+    } finally server.stop()
+  }
 }
