@@ -1699,7 +1699,78 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY label
         |             ORDER BY centroid_cos, vec_id) AS rn
         |  FROM scored) sub WHERE rn <= 10
-        |ORDER BY label, centroid_cos, vec_id""".stripMargin))
+        |ORDER BY label, centroid_cos, vec_id""".stripMargin),
+
+    // emb2: CLUSTER QUALITY via simplified silhouette (Kaufman &
+    // Rousseeuw's medoid-free variant: a = cosine distance to the OWN
+    // label centroid, b = distance to the nearest OTHER centroid,
+    // s = (b-a)/max(a,b)) — the labeling-health dashboard a curation
+    // pipeline runs before trusting label-conditioned sampling. Same
+    // integer discipline as emb1 (1e-6 vector units, integer centroids
+    // and dots; per-row silhouettes quantize to 1e-6 BIGINT before the
+    // per-label average, so cross-row sums are exact at any parallelism).
+    // Scale shape: centroids are a labels x dims model frame (broadcast);
+    // the every-(vector, centroid) scoring is |V| x k x dims projection
+    // work — linear in the corpus for fixed k, like ss2's assignment.
+    Q("emb2_cluster_silhouette",
+      """WITH v AS (SELECT vec_id, label,
+        |        transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vu
+        |      FROM embeddings),
+        |e AS (SELECT vec_id, label, pos, u
+        |      FROM v LATERAL VIEW posexplode(vu) t AS pos, u),
+        |c AS (SELECT label AS clabel, pos, sum(u) DIV count(*) AS cu
+        |      FROM e GROUP BY label, pos),
+        |dots AS (SELECT e.vec_id, e.label, c.clabel,
+        |        sum(e.u * c.cu) AS dp, sum(e.u * e.u) AS nv, sum(c.cu * c.cu) AS nc
+        |      FROM e JOIN c ON c.pos = e.pos
+        |      GROUP BY e.vec_id, e.label, c.clabel),
+        |cs AS (SELECT vec_id, label, clabel,
+        |        dp / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos
+        |      FROM dots),
+        |sil AS (SELECT vec_id, label,
+        |        max(CASE WHEN clabel = label THEN cos END) AS own,
+        |        max(CASE WHEN clabel <> label THEN cos END) AS other
+        |      FROM cs GROUP BY vec_id, label),
+        |su AS (SELECT vec_id, label,
+        |        CAST(floor(((CAST(1.0 AS DOUBLE) - other) - (CAST(1.0 AS DOUBLE) - own))
+        |          / greatest(CAST(1.0 AS DOUBLE) - own, CAST(1.0 AS DOUBLE) - other)
+        |          * 1000000) AS BIGINT) AS s_u
+        |      FROM sil)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(s_u) / (CAST(1000000.0 AS DOUBLE) * count(*)), 6) AS avg_silhouette,
+        |  CAST(sum(CASE WHEN s_u < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM su GROUP BY label ORDER BY label""".stripMargin,
+      """WITH v AS (SELECT vec_id, label,
+        |        list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vu
+        |      FROM embeddings),
+        |e AS (SELECT vec_id, label, i - 1 AS pos, vu[i] AS u
+        |      FROM v, unnest(range(1, len(vu) + 1)) AS t(i)),
+        |c AS (SELECT label AS clabel, pos, sum(u) // count(*) AS cu
+        |      FROM e GROUP BY label, pos),
+        |dots AS (SELECT e.vec_id, e.label, c.clabel,
+        |        CAST(sum(e.u * c.cu) AS BIGINT) AS dp,
+        |        CAST(sum(e.u * e.u) AS BIGINT) AS nv,
+        |        CAST(sum(c.cu * c.cu) AS BIGINT) AS nc
+        |      FROM e JOIN c ON c.pos = e.pos
+        |      GROUP BY e.vec_id, e.label, c.clabel),
+        |cs AS (SELECT vec_id, label, clabel,
+        |        dp / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))) AS cos
+        |      FROM dots),
+        |sil AS (SELECT vec_id, label,
+        |        max(CASE WHEN clabel = label THEN cos END) AS own,
+        |        max(CASE WHEN clabel <> label THEN cos END) AS other
+        |      FROM cs GROUP BY vec_id, label),
+        |su AS (SELECT vec_id, label,
+        |        CAST(floor(((CAST(1.0 AS DOUBLE) - other) - (CAST(1.0 AS DOUBLE) - own))
+        |          / greatest(CAST(1.0 AS DOUBLE) - own, CAST(1.0 AS DOUBLE) - other)
+        |          * 1000000) AS BIGINT) AS s_u
+        |      FROM sil)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(s_u) / (CAST(1000000.0 AS DOUBLE) * count(*)), 6) AS avg_silhouette,
+        |  CAST(sum(CASE WHEN s_u < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM su GROUP BY label ORDER BY label""".stripMargin))
 
   /** Encoded multimodal corpus per (session, sf): see mm2 note. Bounded:
     * switching a session to a new sf dir unpersists and drops its previous

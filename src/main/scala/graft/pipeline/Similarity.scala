@@ -703,4 +703,50 @@ object Similarity {
               sqrt(expr("aggregate(transform(carr, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double"))),
           6).as("centroid_cos"))
   }
+
+  /** Cluster-quality dashboard via simplified silhouette (emb2's library
+    * form): a = cosine distance to the OWN label centroid, b = distance to
+    * the nearest OTHER centroid, s = (b-a)/max(a,b), averaged per label
+    * with the count of negative (likely-misassigned) members.
+    *
+    * Same integer discipline as [[centroidOutliers]]: 1e-6 vector units,
+    * integer centroids and dot products; per-row silhouettes quantize to
+    * 1e-6 BIGINT before the per-label average, so every cross-row sum is
+    * exact at any parallelism. Scale shape: the labels x dims centroid
+    * frame broadcasts; the |V| x k scoring is a row-local zip_with
+    * projection over the broadcast — the corpus never shuffles before the
+    * final per-label aggregation. */
+  def clusterSilhouette(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val v = vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("vu"))
+    val cent = v
+      .select(col("label").as("clabel"), posexplode(col("vu")).as(Seq("pos", "u")))
+      .groupBy("clabel", "pos")
+      .agg(expr("sum(u) DIV count(*)").as("cu"))
+      .groupBy("clabel")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cu))), s -> s.cu)")
+        .as("carr"))
+    val cosAll = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (expr("aggregate(zip_with(vu, carr, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)") /
+          (sqrt(expr("aggregate(transform(vu, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double")) *
+            sqrt(expr("aggregate(transform(carr, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double"))))
+          .as("cos"))
+    val sil = cosAll.groupBy("vec_id", "label")
+      .agg(
+        max(when(col("clabel") === col("label"), col("cos"))).as("own"),
+        max(when(col("clabel") =!= col("label"), col("cos"))).as("other"))
+    val su = sil.select(col("vec_id"), col("label"),
+      floor(((lit(1.0) - col("other")) - (lit(1.0) - col("own"))) /
+        greatest(lit(1.0) - col("own"), lit(1.0) - col("other")) * lit(1000000.0))
+        .cast("long").as("s_u"))
+    su.groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("s_u")) / (lit(1000000.0) * count(lit(1))), 6).as("avg_silhouette"),
+        sum(when(col("s_u") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy("label")
+  }
 }

@@ -42,6 +42,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("cluster silhouette: library equals SQL; bounds and label coverage") {
+    Fixtures.registerRaw(spark, sfDir)
+    val emb = spark.table("embeddings")
+    val lib = graft.pipeline.Similarity
+      .clusterSilhouette(emb, "vec_id", "embedding", "label").orderBy("label")
+    val sql = run("emb2_cluster_silhouette")
+    assert(lib.columns.toSeq == sql.columns.toSeq)
+    assert(lib.collect().toSeq == sql.collect().toSeq)
+    val rows = sql.collect()
+    assert(rows.nonEmpty)
+    // every vector is scored exactly once; silhouettes live in [-1, 1];
+    // negative-member counts bound by cluster size
+    assert(rows.map(_.getLong(1)).sum == emb.count())
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)))
+  }
+
   test("minhash-LSH finds symmetric near-dup pairs with high jaccard") {
     val pairs = run("dd2_minhash_lsh").collect()
     assert(pairs.nonEmpty)

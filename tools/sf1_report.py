@@ -44,10 +44,21 @@ def main(sf_dir, out_dir, spark_times_file):
         path = f"{sf_dir}/{t}.parquet"
         glob_path = path if os.path.isfile(path) else f"{path}/*.parquet"
         if t == "events":
-            con.execute(
-                f"CREATE VIEW events AS SELECT * REPLACE "
-                f"(make_timestamp(ts // 1000) AS ts) "
-                f"FROM read_parquet('{glob_path}')")
+            # the derived events ts dtype follows the driver data's era:
+            # BIGINT nanos (legacy TIMESTAMP(NANOS) source) needs the
+            # ns->us conversion; a native timestamp passes through
+            ts_type = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{glob_path}') LIMIT 1"
+            ).fetchone()[0]
+            if ts_type in ("BIGINT", "HUGEINT", "INTEGER"):
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{glob_path}')")
+            else:
+                con.execute(
+                    f"CREATE VIEW events AS SELECT * "
+                    f"FROM read_parquet('{glob_path}')")
         else:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob_path}')")
