@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VectorDot, WordNGrams}
+import graft.functions.{TextEntropyStats, VectorDot, WordNGrams}
 
 /** Spark-native entry point: `SparkSessionExtensions` installer so a plain
   * `spark.sql.extensions=graft.GraftExtensions` config (no code) gives every
@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, "word_ngrams takes exactly 2 arguments")
           WordNGrams(exprs.head, exprs(1))
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("text_stats"),
+        new ExpressionInfo(classOf[TextEntropyStats].getName, "text_stats"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "text_stats takes exactly 1 argument")
+          TextEntropyStats(exprs.head)
         }))
     // whole-operator extension: bounded-heap top-k per group (no total sort)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -85,6 +85,98 @@ object WordNGrams {
   }
 }
 
+/** Native one-pass entropy statistics: `text_stats(text)` returns
+  * `struct(n_chars, distinct_chars, t_chars, n_tokens, distinct_tokens,
+  * t_tokens)` where `t_*` = Σ n_c · round(ln(n_c)·1e6) over the symbol
+  * counts — the exact integer micro-nat partial every entropy consumer
+  * (tx9) previously assembled from TWO explode→groupBy chains plus a
+  * per-doc join. One compiled pass over the string replaces five
+  * operators and two shuffles with a row-local projection: symbol
+  * counting is doc-local state, so distributing it was pure overhead.
+  *
+  * Parity contract (what the DuckDB oracle checks): characters iterate
+  * by code point like `split(text, '')`; tokens split on single spaces
+  * with limit -1 (empty tokens kept, `split(text, ' ')` semantics); the
+  * per-symbol round is Spark's `round(DOUBLE)` — HALF_UP on the
+  * shortest-decimal representation (`BigDecimal.valueOf`). An EMPTY
+  * string returns NULL: the exploded form emitted no symbol rows for it,
+  * so the document vanished through the aggregate+join — consumers
+  * filter `st IS NOT NULL` to reproduce that. */
+case class TextEntropyStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = TextEntropyStats.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"text_stats requires a string input, got $other")
+    }
+
+  override def nullSafeEval(text: Any): Any =
+    TextEntropyStats.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = graft.functions.TextEntropyStats.compute($t);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    code
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextEntropyStats =
+    copy(child = newChild)
+}
+
+object TextEntropyStats {
+  val schema: StructType = StructType(
+    Seq("n_chars", "distinct_chars", "t_chars",
+      "n_tokens", "distinct_tokens", "t_tokens")
+      .map(StructField(_, LongType, nullable = false)))
+
+  /** Σ over counts of (n, k, t): total symbols, distinct symbols, and the
+    * integer micro-nat partial Σ n_c · HALF_UP(ln(n_c)·1e6). */
+  private def fold(counts: java.util.Collection[Integer]): (Long, Long, Long) = {
+    var n = 0L; var k = 0L; var t = 0L
+    val it = counts.iterator()
+    while (it.hasNext) {
+      val nc = it.next().intValue()
+      n += nc; k += 1
+      if (nc > 1) // ln(1) = 0 — skip the BigDecimal for the common case
+        t += nc * java.math.BigDecimal.valueOf(math.log(nc.toDouble) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    (n, k, t)
+  }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    if (s.isEmpty) return null
+    val charCounts = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val prev = charCounts.get(cp)
+      charCounts.put(cp, if (prev == null) 1 else prev + 1)
+      i += Character.charCount(cp)
+    }
+    val tokCounts = new java.util.HashMap[String, Integer]()
+    val toks = s.split(" ", -1)
+    var j = 0
+    while (j < toks.length) {
+      val prev = tokCounts.get(toks(j))
+      tokCounts.put(toks(j), if (prev == null) 1 else prev + 1)
+      j += 1
+    }
+    val (cn, ck, ct) = fold(charCounts.values())
+    val (tn, tk, tt) = fold(tokCounts.values())
+    org.apache.spark.sql.catalyst.InternalRow(cn, ck, ct, tn, tk, tt)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -92,14 +184,22 @@ object TextFunctions {
   def word_ngrams(text: Column, n: Int): Column =
     column(WordNGrams(expression(text), Literal(n)))
 
-  /** Register `word_ngrams` for SQL use on this session. Idempotent: a
-    * session that already has it is left alone (re-registering is harmless
-    * but logs a replacement warning per call). */
+  def text_stats(text: Column): Column =
+    column(TextEntropyStats(expression(text)))
+
+  /** Register `word_ngrams`/`text_stats` for SQL use on this session.
+    * Idempotent: a session that already has them is left alone
+    * (re-registering is harmless but logs a replacement warning per
+    * call). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")))
       reg.createOrReplaceTempFunction(
         "word_ngrams", exprs => WordNGrams(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("text_stats")))
+      reg.createOrReplaceTempFunction(
+        "text_stats", exprs => TextEntropyStats(exprs(0)), "scala_udf")
   }
 }

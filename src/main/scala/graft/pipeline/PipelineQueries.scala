@@ -1235,33 +1235,25 @@ object PipelineQueries {
     // tx9: Shannon-entropy quality signals (character- and token-level) —
     // the compressibility proxy filter (low-entropy text is boilerplate /
     // repetition; used alongside tx2/tx5 in Gopher/Dolma-style rule
-    // stacks). H = ln N - (Σ n_c ln n_c)/N per doc; per-symbol ln's are
-    // quantized to integer micro-nats (tx7's trick) so the corpus-scale
-    // aggregation is exact integer arithmetic — order- and engine-
-    // independent; only the final per-doc combination is float. Two
-    // row-local explodes + partial-aggregable groupBys: zero pair work,
-    // scales linearly.
+    // stacks). H = ln N - (Σ n_c ln n_c)/N per doc with per-symbol ln's
+    // quantized to integer micro-nats (tx7's trick). Symbol counting is
+    // DOC-LOCAL state, so the native one-pass `text_stats` expression
+    // (graft.functions.TextEntropyStats) computes the integer partials
+    // row-locally inside codegen — the query is a pure projection, zero
+    // shuffles, where the exploded spelling paid two explode→groupBy
+    // chains plus a join (0.65 s → ~0.1 s at sf0.1; the DuckDB oracle
+    // still assembles the same integers from exploded symbols — two
+    // independent routes, one answer). The `st IS NOT NULL` filter
+    // reproduces the exploded form's empty-document drop.
     Q("tx9_entropy",
-      """WITH ch AS (SELECT doc_id, c, count(*) AS nc FROM (
-        |      -- split('') chars in ONE string pass: per-index substring(text, i, 1)
-        |      -- is O(i) on UTF-8 (no char offsets), turning the explode quadratic
-        |      -- per document — measured 2.3 s -> 0.6 s at sf0.1
-        |      SELECT /*+ REPARTITION(doc_id) */ doc_id, explode(split(text, '')) AS c
-        |      FROM documents) e GROUP BY doc_id, c),
-        |cagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
-        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
-        |         FROM ch GROUP BY doc_id),
-        |tk AS (SELECT doc_id, token, count(*) AS nc FROM (
-        |      SELECT doc_id, explode(split(text, ' ')) AS token FROM documents) e
-        |      GROUP BY doc_id, token),
-        |tagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
-        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
-        |         FROM tk GROUP BY doc_id)
-        |SELECT c.doc_id, c.n AS n_chars, c.k AS distinct_chars,
-        |       CAST(round(ln(CAST(c.n AS DOUBLE)) * 1e6 - c.t / CAST(c.n AS DOUBLE)) AS BIGINT) AS char_ent_u6,
-        |       t2.n AS n_tokens, t2.k AS distinct_tokens,
-        |       CAST(round(ln(CAST(t2.n AS DOUBLE)) * 1e6 - t2.t / CAST(t2.n AS DOUBLE)) AS BIGINT) AS token_ent_u6
-        |FROM cagg c JOIN tagg t2 ON c.doc_id = t2.doc_id ORDER BY c.doc_id""".stripMargin,
+      """WITH s AS (SELECT doc_id, text_stats(text) AS st FROM documents)
+        |SELECT doc_id, st.n_chars AS n_chars, st.distinct_chars AS distinct_chars,
+        |       CAST(round(ln(CAST(st.n_chars AS DOUBLE)) * 1e6
+        |            - st.t_chars / CAST(st.n_chars AS DOUBLE)) AS BIGINT) AS char_ent_u6,
+        |       st.n_tokens AS n_tokens, st.distinct_tokens AS distinct_tokens,
+        |       CAST(round(ln(CAST(st.n_tokens AS DOUBLE)) * 1e6
+        |            - st.t_tokens / CAST(st.n_tokens AS DOUBLE)) AS BIGINT) AS token_ent_u6
+        |FROM s WHERE st IS NOT NULL ORDER BY doc_id""".stripMargin,
       """WITH ch AS (SELECT doc_id, c, count(*) AS nc FROM (
         |      SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS c
         |      FROM documents, unnest(range(1, length(text) + 1)) AS u(i)) e GROUP BY doc_id, c),

@@ -253,25 +253,23 @@ object TextAnalysis {
     * only the final per-doc combination is float. Two row-local explodes +
     * partial-aggregable groupBys — linear at any corpus size. */
   def entropySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def ent(sym: DataFrame, prefix: String): DataFrame =
-      sym.groupBy(col("doc_id"), col("__s")).agg(count(lit(1)).as("nc"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(col("nc")).as("n"), count(lit(1)).as("k"),
-          sum(col("nc") *
-            expr("CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)")).as("t"))
-        .select(col("doc_id"),
-          col("n").as(s"n_$prefix"), col("k").as(s"distinct_$prefix"),
-          expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1e6 - t / CAST(n AS DOUBLE)) AS BIGINT)")
-            .as(s"${prefix.stripSuffix("s")}_ent_u6"))
-    val base = docs.repartition(col(idCol))
-    // split('') yields the char sequence in one string pass — indexed
-    // substring would be O(i) per char on UTF-8 (quadratic per document)
-    val chars = base.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), "")).as("__s"))
-    val toks = base.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("__s"))
-    ent(chars, "chars").join(ent(toks, "tokens"), "doc_id")
+    // symbol counting is doc-local, so the native one-pass text_stats
+    // expression (codegen'd) replaces the two explode→groupBy chains and
+    // the per-doc join this used to run — a pure projection, zero
+    // shuffles. Empty documents return a NULL struct and are dropped,
+    // exactly as the exploded form dropped them through its aggregates.
+    val st = graft.functions.TextFunctions.text_stats(col(textCol))
+    docs.select(col(idCol).as("doc_id"), st.as("st"))
+      .where(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.n_chars").as("n_chars"),
+        col("st.distinct_chars").as("distinct_chars"),
+        expr("CAST(round(ln(CAST(st.n_chars AS DOUBLE)) * 1e6 " +
+          "- st.t_chars / CAST(st.n_chars AS DOUBLE)) AS BIGINT)").as("char_ent_u6"),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.distinct_tokens").as("distinct_tokens"),
+        expr("CAST(round(ln(CAST(st.n_tokens AS DOUBLE)) * 1e6 " +
+          "- st.t_tokens / CAST(st.n_tokens AS DOUBLE)) AS BIGINT)").as("token_ent_u6"))
   }
 
   /** Hashed linear classifier scoring (library form of ml1 — the fastText-

@@ -42,6 +42,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("text_stats fusion: tx9 equals the exploded entropy spelling row-for-row") {
+    Fixtures.registerRaw(spark, sfDir)
+    val fused = run("tx9_entropy")
+    val exploded = spark.sql(
+      """WITH ch AS (SELECT doc_id, c, count(*) AS nc FROM (
+        |      SELECT doc_id, explode(split(text, '')) AS c
+        |      FROM documents) e GROUP BY doc_id, c),
+        |cagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
+        |         FROM ch GROUP BY doc_id),
+        |tk AS (SELECT doc_id, token, count(*) AS nc FROM (
+        |      SELECT doc_id, explode(split(text, ' ')) AS token FROM documents) e
+        |      GROUP BY doc_id, token),
+        |tagg AS (SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+        |           CAST(sum(nc * CAST(round(ln(CAST(nc AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS t
+        |         FROM tk GROUP BY doc_id)
+        |SELECT c.doc_id, c.n AS n_chars, c.k AS distinct_chars,
+        |       CAST(round(ln(CAST(c.n AS DOUBLE)) * 1e6 - c.t / CAST(c.n AS DOUBLE)) AS BIGINT) AS char_ent_u6,
+        |       t2.n AS n_tokens, t2.k AS distinct_tokens,
+        |       CAST(round(ln(CAST(t2.n AS DOUBLE)) * 1e6 - t2.t / CAST(t2.n AS DOUBLE)) AS BIGINT) AS token_ent_u6
+        |FROM cagg c JOIN tagg t2 ON c.doc_id = t2.doc_id ORDER BY c.doc_id""".stripMargin)
+    assert(fused.columns.toSeq == exploded.columns.toSeq)
+    assert(fused.collect().toSeq == exploded.collect().toSeq)
+    // the fusion is a pure projection: no exchange, no join in the plan
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // edge parity: empty text drops (NULL struct), single space = two
+    // empty tokens, multi-space runs keep interior empties
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, " "), (3L, "a  b"), (4L, "aa aa"))
+      .toDF("doc_id", "text")
+    val lib = graft.pipeline.TextAnalysis.entropySignals(edge, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(lib.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L)) // doc 1 dropped
+    val sp = lib(0) // " ": 1 char; tokens = ["", ""]
+    assert(sp.getLong(1) == 1 && sp.getLong(4) == 2 && sp.getLong(5) == 1)
+    val ab = lib(1) // "a  b": 4 chars; tokens = ["a", "", "b"]
+    assert(ab.getLong(4) == 3 && ab.getLong(5) == 3)
+  }
+
   test("cluster silhouette: library equals SQL; bounds and label coverage") {
     Fixtures.registerRaw(spark, sfDir)
     val emb = spark.table("embeddings")
