@@ -1373,6 +1373,49 @@ object PipelineQueries {
         |FROM s GROUP BY source ORDER BY source""".stripMargin),
 
     // ------------------------------------------------------------------
+    // sp7: QUALITY-GREEDY BUDGET FILL — select the highest-quality
+    // documents per source until a token budget fills (the "give me the
+    // best 10B tokens from each source" curation step). Quality here is
+    // the distinct-word fraction (tx5's signal) quantized to 1e-6 so the
+    // greedy order (quality DESC, doc_id) and the running token sum are
+    // exact integers — deterministic across engines and cluster sizes.
+    // One shuffle (the per-source window). At 100 TB the window's
+    // per-source partition never needs the whole source: any document in
+    // the global budget prefix is also inside its map partition's local
+    // budget prefix (better-ranked docs locally are a subset of those
+    // globally), so a per-partition pre-prune to `budget` tokens bounds
+    // the exchange — `Sampling.budgetFill(prePrune = true)` wires it.
+    Q("sp7_budget_fill",
+      """WITH d AS (SELECT doc_id, source,
+        |        CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(round(size(array_distinct(split(text, ' ')))
+        |          / CAST(size(split(text, ' ')) AS DOUBLE) * 1e6) AS BIGINT) AS quality_u6
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens, quality_u6,
+        |        sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY quality_u6 DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM d)
+        |SELECT source, doc_id, quality_u6, n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 800
+        |ORDER BY source, quality_u6 DESC, doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(round(len(list_distinct(string_split(text, ' ')))
+        |          / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1e6) AS BIGINT) AS quality_u6
+        |      FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens, quality_u6,
+        |        sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY quality_u6 DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM d)
+        |SELECT source, doc_id, quality_u6, n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 800
+        |ORDER BY source, quality_u6 DESC, doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // ts2: rolling z-score anomaly detection over hourly event counts —
     // the data-quality monitor on an ingest stream (per type: trailing-24-
     // observed-hours mean/variance from INTEGER window sums, z in 1e-4

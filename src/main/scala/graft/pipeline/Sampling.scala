@@ -147,4 +147,57 @@ object Sampling {
     df.join(broadcast(rateDf), srcCol)
       .withColumn("sampled", u < col("rate"))
   }
+
+  /** sp7's library form: fill a per-group token budget with the
+    * highest-quality documents first ("the best N tokens from each
+    * source"). Quality = distinct-word fraction quantized to 1e-6, so the
+    * greedy order (quality DESC, id) and the running token sum are exact
+    * integers — the same rows are selected on any engine or cluster size.
+    *
+    * One shuffle: the per-group window. With `prePrune`, each map
+    * partition first drops everything past a LOCAL budget prefix (sorted
+    * within the partition, no exchange): any document inside the global
+    * budget prefix is also inside its partition's local prefix — the
+    * better-ranked documents local to its partition are a subset of those
+    * globally — so the prune is lossless while bounding the exchange to
+    * ~budget tokens per (group, partition) however large the corpus. */
+  def budgetFill(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String,
+      budgetTokens: Long, prePrune: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(
+      col(groupCol).cast("string").as("source"),
+      col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      round(size(array_distinct(split(col(textCol), " "))) /
+        size(split(col(textCol), " ")).cast("double") * 1e6)
+        .cast("long").as("quality_u6"))
+    val pruned =
+      if (!prePrune) d
+      else {
+        import docs.sparkSession.implicits._
+        d.select("source", "doc_id", "n_tokens", "quality_u6")
+          .as[(String, Long, Long, Long)]
+          .sortWithinPartitions(col("source"), col("quality_u6").desc, col("doc_id"))
+          .mapPartitions { it =>
+            var cur: String = null
+            var cum = 0L
+            it.filter { case (src, _, nt, _) =>
+              if (src != cur) { cur = src; cum = 0L }
+              cum += nt
+              cum <= budgetTokens
+            }
+          }
+          .toDF("source", "doc_id", "n_tokens", "quality_u6")
+      }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_u6").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pruned
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select(col("source"), col("doc_id"), col("quality_u6"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("quality_u6").desc, col("doc_id"))
+  }
 }

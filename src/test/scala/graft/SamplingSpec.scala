@@ -17,6 +17,39 @@ class SamplingSpec extends AnyFunSuite {
     spark.table("documents")
   }
 
+  test("budgetFill equals the sp7 SQL form; pre-prune is lossless; greedy holds") {
+    import org.apache.spark.sql.functions._
+    val sql = graft.SparkEntry.queries("sp7_budget_fill")(spark, TestSessions.sfDir)
+    val lib = graft.pipeline.Sampling
+      .budgetFill(docs, "doc_id", "text", "source", budgetTokens = 800L)
+    assert(lib.columns.toSeq == sql.columns.toSeq)
+    assert(lib.collect().toSeq == sql.collect().toSeq)
+    // the per-partition pre-prune must not change the answer (losslessness
+    // of the local-budget-prefix bound)
+    val pruned = graft.pipeline.Sampling
+      .budgetFill(docs, "doc_id", "text", "source", 800L, prePrune = true)
+    assert(pruned.collect().toSeq == lib.collect().toSeq)
+    // budget respected per source; selection is quality-greedy: no
+    // unselected doc outranks a selected one within its source
+    val rows = lib.collect()
+    assert(rows.nonEmpty)
+    val maxCum = rows.groupBy(_.getString(0)).values.map(_.map(_.getLong(4)).max)
+    assert(maxCum.forall(_ <= 800L))
+    val minSelQ = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).min).toMap
+    val all = docs.select(col("source"), col("doc_id").cast("long"),
+      round(size(array_distinct(split(col("text"), " "))) /
+        size(split(col("text"), " ")).cast("double") * 1e6).cast("long"))
+      .collect()
+    val selected = rows.map(r => (r.getString(0), r.getLong(1))).toSet
+    all.filterNot(r => selected((r.getString(0), r.getLong(1)))).foreach { r =>
+      minSelQ.get(r.getString(0)).foreach { q =>
+        assert(r.getLong(2) <= q,
+          s"unselected ${r.getLong(1)} outranks selected minimum in ${r.getString(0)}")
+      }
+    }
+  }
+
   test("stratifiedSample equals the sp1 SQL form; rates are honored") {
     val lib = Sampling.stratifiedSample(
         docs, "doc_id", "lang",
