@@ -243,41 +243,58 @@ class QueryService(session: MeshSession, resultDir: String) {
       }
       // await the remote fan-out: a peer is terminal only after its own
       // branches pushed and its downstream peers completed, so polling the
-      // direct peers transitively covers the whole subweb
-      remoteTasks.foreach { case (peer, url, remoteId) =>
-        branchTasks.compute(id, (_, m) =>
-          m + ((peer, "(remote)") -> TaskState(InProgress, None)))
-        try {
-          val st = graft.transport.RelayClient.await(url, remoteId)
-          // import the peer's per-branch statuses into this request's view
-          st.tasks.foreach { t =>
+      // direct peers transitively covers the whole subweb. The wait runs
+      // on the DEDICATED poller pool, not this worker thread — a blocked
+      // origin worker would otherwise occupy a bounded-pool slot for the
+      // whole remote round-trip, and enough concurrent federated submits
+      // would starve the very executor tasks they are waiting on (any
+      // process that is both origin and executor — nested webs, or the
+      // single-JVM harness — deadlocks until timeout). Pollers sleep-poll
+      // and cost nothing; workers stay available for real work.
+      val localFailed = anyFailed
+      if (remoteTasks.isEmpty) finalizeRequest(id, localFailed)
+      else pollerPool.submit(new Runnable {
+        override def run(): Unit = {
+          var remoteFailed = localFailed
+          remoteTasks.foreach { case (peer, url, remoteId) =>
             branchTasks.compute(id, (_, m) =>
-              m + ((s"$peer/${t.relay}", t.source) ->
-                TaskState(parseStatus(t.status), t.error)))
+              m + ((peer, "(remote)") -> TaskState(InProgress, None)))
+            try {
+              val st = graft.transport.RelayClient.await(url, remoteId)
+              // import the peer's per-branch statuses into this request
+              st.tasks.foreach { t =>
+                branchTasks.compute(id, (_, m) =>
+                  m + ((s"$peer/${t.relay}", t.source) ->
+                    TaskState(parseStatus(t.status), t.error)))
+              }
+              if (st.status == "Complete")
+                branchTasks.compute(id, (_, m) =>
+                  m + ((peer, "(remote)") -> TaskState(Complete, None)))
+              else {
+                remoteFailed = true
+                branchTasks.compute(id, (_, m) =>
+                  m + ((peer, "(remote)") -> TaskState(Failed,
+                    st.error.orElse(Some(s"peer $peer: ${st.status}")))))
+              }
+            } catch {
+              case e: Throwable =>
+                remoteFailed = true
+                branchTasks.compute(id, (_, m) =>
+                  m + ((peer, "(remote)") -> TaskState(Failed, Some(e.getMessage))))
+            }
           }
-          if (st.status == "Complete")
-            branchTasks.compute(id, (_, m) =>
-              m + ((peer, "(remote)") -> TaskState(Complete, None)))
-          else {
-            anyFailed = true
-            branchTasks.compute(id, (_, m) =>
-              m + ((peer, "(remote)") -> TaskState(Failed,
-                st.error.orElse(Some(s"peer $peer: ${st.status}")))))
-          }
-        } catch {
-          case e: Throwable =>
-            anyFailed = true
-            branchTasks.compute(id, (_, m) =>
-              m + ((peer, "(remote)") -> TaskState(Failed, Some(e.getMessage))))
+          finalizeRequest(id, remoteFailed)
         }
-      }
-      tasks.put(id,
-        if (anyFailed) TaskState(Failed, Some("one or more branch tasks failed"))
-        else TaskState(Complete, None))
+      })
     } catch {
       case e: Throwable => tasks.put(id, TaskState(Failed, Some(e.getMessage)))
     }
   }
+
+  private def finalizeRequest(id: String, anyFailed: Boolean): Unit =
+    tasks.put(id,
+      if (anyFailed) TaskState(Failed, Some("one or more branch tasks failed"))
+      else TaskState(Complete, None))
 
   private def parseStatus(s: String): Status = s match {
     case "Queued"     => Queued
@@ -448,6 +465,16 @@ object QueryService {
     math.min(8, Runtime.getRuntime.availableProcessors()),
     (r: Runnable) => {
       val t = new Thread(r, "graft-query-worker")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Unbounded cached pool for remote-status polling only: pollers spend
+    * their lives in Thread.sleep, so they must never occupy a bounded
+    * worker slot (see the federated-await note in `runRequest`). */
+  private[mesh] lazy val pollerPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-remote-poller")
       t.setDaemon(true)
       t
     })

@@ -288,6 +288,26 @@ class TransportSpec extends AnyFunSuite {
     }
   }
 
+  test("federated submit storm: requests outnumbering the worker pool all complete") {
+    // origin-side awaits must not hold bounded worker slots: 10 concurrent
+    // federated submits exceed the 8-thread shared pool, and the peer's
+    // executor tasks drain through that same pool in this JVM — with
+    // blocking awaits this deadlocks until timeout (pool full of pollers
+    // starving the tasks they wait on); with the dedicated poller pool it
+    // completes promptly
+    withServer(betaMesh(), "beta") { betaServer =>
+      val stub = RelayClient.catalogSite(betaServer.url)
+      withServerAndService(alphaMesh(stub), "alpha") { (_, service, _) =>
+        val ids = (0 until 10).map { i =>
+          service.submit(s"SELECT doc_id, lang FROM documents WHERE doc_id <= ${20 + i}")
+        }
+        val states = ids.map(id => service.await(id, timeoutMs = 180000))
+        assert(states.forall(_.status == QueryService.Complete),
+          states.mkString(", "))
+      }
+    }
+  }
+
   test("federated failure: peer task fails, allow_partial returns completed slices") {
     val broken = docSlice("docs_broken", "doc_id % 2 = 1")
       .copy(sourceSql = "SELECT * FROM __graft_no_such_table")
