@@ -52,6 +52,16 @@ object ConfigLoader {
     files.flatMap(parseDocs)
   }
 
+  /** Parse a multi-document YAML string (the `POST /admin/apply` body —
+    * the same ConfigCommand stream `relayctl apply` ships,
+    * `relayctl/src/process.rs:17-68`). */
+  def parseDocsString(yaml: String): Seq[RawDoc] = {
+    val parser = new YAMLFactory().createParser(yaml)
+    val docs = mapper.readValues[JsonNode](parser, classOf[JsonNode]).readAll().asScala.toSeq
+    docs.filter(d => d.hasNonNull("kind") && d.hasNonNull("spec"))
+      .map(d => RawDoc(d.get("kind").asText(), d.get("spec")))
+  }
+
   private def textOpt(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asText())
 
@@ -80,8 +90,16 @@ object ConfigLoader {
       siteName: String,
       dir: Path,
       peerNameToSite: Map[String, String] = Map.empty,
+      jdbcOverrides: Map[String, JdbcSource] = Map.empty): Site =
+    buildSite(siteName, parseTree(dir), peerNameToSite, jdbcOverrides)
+
+  /** Build a Site from an already-parsed ConfigCommand batch — the unit an
+    * admin apply ships (loadSite = buildSite over a config tree's docs). */
+  def buildSite(
+      siteName: String,
+      docs: Seq[RawDoc],
+      peerNameToSite: Map[String, String] = Map.empty,
       jdbcOverrides: Map[String, JdbcSource] = Map.empty): Site = {
-    val docs = parseTree(dir)
     def ofKind(k: String) = docs.filter(_.kind == k).map(_.spec)
 
     // 1. Entities

@@ -199,6 +199,18 @@ object RelayClient {
     resp.body().split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  /** POST a relayctl-format ConfigCommand YAML stream to the peer's admin
+    * endpoint; returns the number of applied documents. */
+  def adminApply(endpoint: String, yaml: String): Int = {
+    val req = request(endpoint, "/admin/apply")
+      .header("Content-Type", "application/yaml")
+      .POST(HttpRequest.BodyPublishers.ofString(yaml))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    checkOk(resp, s"POST $endpoint/admin/apply")
+    mapper.readTree(resp.body()).get("applied").asInt()
+  }
+
   // ---- get_flight_info --------------------------------------------------
 
   /** Enumerate the leaf (relay, source) provenance branches entity `entity`

@@ -57,7 +57,8 @@ final class RelayServer(
     service: QueryService,
     sharedSecret: Option[String] = None,
     bindHost: String = "127.0.0.1",
-    port: Int = 0) {
+    port: Int = 0,
+    registry: Option[graft.mesh.MeshRegistry] = None) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
@@ -109,6 +110,7 @@ final class RelayServer(
       case ("GET", "query" :: id :: "result" :: Nil) => result(ex, id)
       case ("GET", "query" :: id :: "ndjson" :: Nil) => ndjson(ex, id)
       case ("PUT", "ingest" :: id :: branch :: Nil)  => ingest(ex, id, branch)
+      case ("POST", "admin" :: "apply" :: Nil)       => adminApply(ex)
       case _ => respond(ex, 404, "application/json", errJson(s"no route: $method $path"))
     }
   }
@@ -263,6 +265,31 @@ final class RelayServer(
     finally in.close()
     service.noteIngested(id, safeBranch)
     respond(ex, 204, "application/json", Array.emptyByteArray)
+  }
+
+  /** POST /admin/apply: the relayctl ConfigCommand stream as the request
+    * body (multi-document YAML — Entity / LocalData / LocalMapping /
+    * PeerRelay / RemoteMapping / User, applied in the reference's
+    * precedence order, `rest_server/src/admin/utils.rs:28-270`). Upserts
+    * merge into the live registry; the NEXT query sees the new catalog.
+    * Requires a registry-backed relay — a static-mesh relay answers 409. */
+  private def adminApply(ex: HttpExchange): Unit = registry match {
+    case None =>
+      respond(ex, 409, "application/json",
+        errJson("this relay serves a static catalog (no registry); " +
+          "admin apply requires a registry-backed session"))
+    case Some(reg) =>
+      val yaml = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val docs = graft.catalog.ConfigLoader.parseDocsString(yaml)
+      if (docs.isEmpty)
+        return respond(ex, 400, "application/json",
+          errJson("no ConfigCommand documents in request body"))
+      val site = graft.catalog.ConfigLoader.buildSite(session.siteName, docs)
+      reg.applySite(site)
+      val o = mapper.createObjectNode()
+      o.put("applied", docs.size)
+      o.put("site", session.siteName)
+      respond(ex, 200, "application/json", mapper.writeValueAsBytes(o))
   }
 
   // ---- plumbing ---------------------------------------------------------

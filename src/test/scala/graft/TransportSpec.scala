@@ -339,6 +339,71 @@ class TransportSpec extends AnyFunSuite {
     }
   }
 
+  test("admin apply over the wire: upserts land in the live registry, next query sees them") {
+    import graft.mesh.MeshRegistry
+    Fixtures.registerRaw(spark, sfDir)
+    // registry-backed relay starting from an EMPTY site
+    val registry = new MeshRegistry(Mesh(Map("gamma" -> Site("gamma", Map.empty))))
+    val session = new MeshSession(spark, registry, "gamma")
+    val dir = java.nio.file.Files.createTempDirectory("graft_admin_results").toString
+    val server = new RelayServer(session, new QueryService(session, dir),
+      registry = Some(registry))
+    try {
+      // before: no entity -> sync query rejects
+      val before = intercept[RelayClient.RelayException] {
+        RelayClient.syncFetch(spark, server.url, "SELECT * FROM documents",
+          user = None, viaRelay = "", visited = Set.empty, withProvenance = false)
+      }
+      assert(before.getMessage.contains("400"))
+      val applied = RelayClient.adminApply(server.url,
+        """api_version: v1alpha1
+          |kind: Entity
+          |spec:
+          |  name: documents
+          |  information:
+          |    - {name: doc_id, arrow_dtype: Int64}
+          |    - {name: lang, arrow_dtype: Utf8}
+          |---
+          |api_version: v1alpha1
+          |kind: LocalData
+          |spec:
+          |  name: gamma_conn
+          |  data_sources:
+          |    - name: docs_all
+          |      source_sql: SELECT * FROM raw_documents
+          |      fields:
+          |        - {name: doc_id, path: doc_id}
+          |        - {name: lang, path: lang}
+          |---
+          |api_version: v1alpha1
+          |kind: LocalMapping
+          |spec:
+          |  entity_name: documents
+          |  mappings:
+          |    - data_con_name: gamma_conn
+          |      source_mappings:
+          |        - data_source_name: docs_all
+          |          field_mappings:
+          |            - {info: doc_id, field: doc_id}
+          |            - {info: lang, field: lang}
+          |""".stripMargin)
+      assert(applied == 3)
+      // after: the same session serves the new entity, and /catalog lists it
+      val got = RelayClient.syncFetch(spark, server.url,
+        "SELECT doc_id, lang FROM documents", user = None,
+        viaRelay = "", visited = Set.empty, withProvenance = false)
+      assert(got.count() == spark.table("raw_documents").count())
+      assert(RelayClient.catalogSite(server.url).entities.keySet == Set("documents"))
+      // a static-mesh relay answers 409
+      withServer(betaMesh(), "beta") { plain =>
+        val err = intercept[RelayClient.RelayException] {
+          RelayClient.adminApply(plain.url, "kind: Entity\nspec: {name: x}")
+        }
+        assert(err.getMessage.contains("409"))
+      }
+    } finally server.stop()
+  }
+
   test("shared-secret auth: bad token rejected, URL userinfo accepted") {
     withServer(betaMesh(), "beta", secret = Some("s3cret")) { server =>
       val bare = intercept[RelayClient.RelayException] {
