@@ -339,6 +339,53 @@ class TransportSpec extends AnyFunSuite {
     }
   }
 
+  test("mapRemoteRequestSql: identity forwards verbatim; transforms wrap; CTEs merge; names re-point") {
+    Fixtures.registerRaw(spark, sfDir)
+    val entity = Fixtures.documentsEntity
+    def mapSql(rm: RemoteEntityMapping, sql: String): String =
+      EntityResolver.mapRemoteRequestSql(
+        spark, Mesh(Map("beta" -> Site("beta", Map("documents" -> entity)),
+          "docs_remote" -> Site("docs_remote", Map("docs_remote" -> entity.copy(name = "docs_remote"))))),
+        entity, rm, sql)
+    val identity = RemoteEntityMapping(peer = "beta", remoteEntity = "documents",
+      infoMappings = identityInfoMappings)
+    // identity hop: the SQL crosses unchanged
+    assert(mapSql(identity, "SELECT doc_id FROM documents") ==
+      "SELECT doc_id FROM documents")
+    // transform hop: CTE named after the remote entity, transform + casts inside
+    val doubled = identity.copy(infoMappings = identityInfoMappings.map {
+      case m if m.localInfo == "n_chars" => m.copy(transform = Transformation("{v} * 2"))
+      case m => m
+    })
+    val wrapped = mapSql(doubled, "SELECT doc_id, n_chars FROM documents")
+    assert(wrapped.startsWith("WITH documents AS (SELECT "))
+    assert(wrapped.contains("CAST((n_chars) * 2 AS BIGINT) AS n_chars"))
+    assert(wrapped.endsWith("SELECT doc_id, n_chars FROM documents"))
+    // the wrapped SQL still validates as ONE entity and ANALYZES against a
+    // registered view (the peer-side execution path)
+    assert(graft.validation.SqlValidator.validate(wrapped, spark) == "documents")
+    spark.table("raw_documents").createOrReplaceTempView("documents")
+    graft.mesh.ViewEpoch.noteShadow()
+    val out = spark.sql(wrapped)
+    assert(out.columns.toSeq == Seq("doc_id", "n_chars"))
+    assert(out.where(col("n_chars") % 2 =!= 0).count() == 0) // all doubled
+    // a user CTE merges into the hop's WITH list instead of nesting WITHs
+    val merged = mapSql(doubled,
+      "WITH t AS (SELECT doc_id FROM documents) SELECT doc_id FROM t")
+    assert(merged.matches("(?s)WITH documents AS \\(.*\\), t AS .*"))
+    assert(spark.sql(merged).count() == spark.table("raw_documents").count())
+    // differing names: user text re-points at the remote entity name
+    val renamed = RemoteEntityMapping(peer = "docs_remote",
+      remoteEntity = "docs_remote",
+      infoMappings = identityInfoMappings.map {
+        case m if m.localInfo == "n_chars" => m.copy(transform = Transformation("{v} * 2"))
+        case m => m
+      })
+    val pointed = mapSql(renamed, "SELECT documents.doc_id FROM documents")
+    assert(pointed.contains("WITH docs_remote AS ("))
+    assert(pointed.endsWith("SELECT docs_remote.doc_id FROM docs_remote"))
+  }
+
   test("admin apply over the wire: upserts land in the live registry, next query sees them") {
     import graft.mesh.MeshRegistry
     Fixtures.registerRaw(spark, sfDir)
