@@ -304,6 +304,78 @@ object PipelineQueries {
          |WHERE rnk <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // ss7: margin-based BITEXT MINING (Artetxe & Schwenk 2019, ratio
+    // margin) — the multilingual-pipeline op that mines translation pairs
+    // between two embedding spaces: a pair qualifies when x and y are
+    // each other's MUTUAL nearest neighbor and their cosine stands out
+    // against both sides' k-NN neighborhoods
+    // (margin = cos(x,y) / mean(kNN-cos of x, kNN-cos of y)). Label
+    // groups 0/1 stand in for the two languages. Determinism: cosines
+    // quantize to 1e-6 integers BEFORE the k-NN averages (a 4-double avg
+    // would be summation-order-dependent), so every downstream value is
+    // arithmetic on exact integers. Scale shape: the cross join is the
+    // BRUTE-FORCE baseline (like ss1) — at corpus scale candidates come
+    // from the IVF/PQ index family (ss3/ss6) and the margin rescoring
+    // touches only candidate pairs.
+    Q("ss7_margin_bitext",
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+         |             sqrt(${sparkDot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings WHERE label IN (0, 1)),
+         |c AS (SELECT x.vec_id AS xid, y.vec_id AS yid,
+         |        CAST(floor(${sparkDot("x.embedding", "y.embedding")}
+         |          / (x.nrm * y.nrm) * 1e6) AS BIGINT) AS cu6
+         |      FROM (SELECT * FROM v WHERE label = 0) x
+         |      CROSS JOIN (SELECT * FROM v WHERE label = 1) y),
+         |rx AS (SELECT xid, yid, cu6,
+         |         row_number() OVER (PARTITION BY xid ORDER BY cu6 DESC, yid) AS rnk
+         |       FROM c),
+         |ry AS (SELECT xid, yid, cu6,
+         |         row_number() OVER (PARTITION BY yid ORDER BY cu6 DESC, xid) AS rnk
+         |       FROM c),
+         |nx AS (SELECT xid, CAST(sum(cu6) AS BIGINT) AS ksum, CAST(count(*) AS BIGINT) AS kn
+         |       FROM rx WHERE rnk <= 4 GROUP BY xid),
+         |ny AS (SELECT yid, CAST(sum(cu6) AS BIGINT) AS ksum, CAST(count(*) AS BIGINT) AS kn
+         |       FROM ry WHERE rnk <= 4 GROUP BY yid),
+         |best AS (SELECT r1.xid, r1.yid, r1.cu6
+         |         FROM rx r1 JOIN ry r2 ON r1.xid = r2.xid AND r1.yid = r2.yid
+         |         WHERE r1.rnk = 1 AND r2.rnk = 1)
+         |SELECT b.xid, b.yid, b.cu6 AS cos_u6,
+         |       CAST(floor(b.cu6 / ((nx.ksum / CAST(nx.kn AS DOUBLE)
+         |             + ny.ksum / CAST(ny.kn AS DOUBLE)) / 2) * 1e6) AS BIGINT) AS margin_u6,
+         |       (b.cu6 / ((nx.ksum / CAST(nx.kn AS DOUBLE)
+         |             + ny.ksum / CAST(ny.kn AS DOUBLE)) / 2) >= CAST(1.05 AS DOUBLE)) AS accept
+         |FROM best b JOIN nx ON nx.xid = b.xid JOIN ny ON ny.yid = b.yid
+         |ORDER BY b.xid""".stripMargin,
+      s"""WITH v AS (SELECT vec_id, label, embedding,
+         |             sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings WHERE label IN (0, 1)),
+         |c AS (SELECT x.vec_id AS xid, y.vec_id AS yid,
+         |        CAST(floor(${duckDot("x.embedding", "y.embedding")}
+         |          / (x.nrm * y.nrm) * 1e6) AS BIGINT) AS cu6
+         |      FROM (SELECT * FROM v WHERE label = 0) x
+         |      CROSS JOIN (SELECT * FROM v WHERE label = 1) y),
+         |rx AS (SELECT xid, yid, cu6,
+         |         row_number() OVER (PARTITION BY xid ORDER BY cu6 DESC, yid) AS rnk
+         |       FROM c),
+         |ry AS (SELECT xid, yid, cu6,
+         |         row_number() OVER (PARTITION BY yid ORDER BY cu6 DESC, xid) AS rnk
+         |       FROM c),
+         |nx AS (SELECT xid, CAST(sum(cu6) AS BIGINT) AS ksum, CAST(count(*) AS BIGINT) AS kn
+         |       FROM rx WHERE rnk <= 4 GROUP BY xid),
+         |ny AS (SELECT yid, CAST(sum(cu6) AS BIGINT) AS ksum, CAST(count(*) AS BIGINT) AS kn
+         |       FROM ry WHERE rnk <= 4 GROUP BY yid),
+         |best AS (SELECT r1.xid, r1.yid, r1.cu6
+         |         FROM rx r1 JOIN ry r2 ON r1.xid = r2.xid AND r1.yid = r2.yid
+         |         WHERE r1.rnk = 1 AND r2.rnk = 1)
+         |SELECT b.xid, b.yid, b.cu6 AS cos_u6,
+         |       CAST(floor(b.cu6 / ((nx.ksum / CAST(nx.kn AS DOUBLE)
+         |             + ny.ksum / CAST(ny.kn AS DOUBLE)) / 2) * 1e6) AS BIGINT) AS margin_u6,
+         |       (b.cu6 / ((nx.ksum / CAST(nx.kn AS DOUBLE)
+         |             + ny.ksum / CAST(ny.kn AS DOUBLE)) / 2) >= CAST(1.05 AS DOUBLE)) AS accept
+         |FROM best b JOIN nx ON nx.xid = b.xid JOIN ny ON ny.yid = b.yid
+         |ORDER BY b.xid""".stripMargin),
+
+    // ------------------------------------------------------------------
     // ss4: int8 SCALAR-QUANTIZED search + exact rerank — the memory-
     // compression serving pattern: per-vector symmetric quantization
     // q_i = floor(v_i * 127 / max|v| + 0.5) shrinks the candidate scan 4x

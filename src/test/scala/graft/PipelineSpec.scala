@@ -82,6 +82,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(ab.getLong(4) == 3 && ab.getLong(5) == 3)
   }
 
+  test("margin bitext mining: pairs are mutual nearest neighbors with sane margins") {
+    val rows = run("ss7_margin_bitext").collect()
+    assert(rows.nonEmpty)
+    // mutual top-1 pairs: every x and every y appears at most once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    // quantized cosines live in [-1e6, 1e6]; accepted pairs clear the
+    // 1.05 ratio-margin threshold
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= 1000000L))
+    assert(rows.filter(_.getBoolean(4)).forall(_.getLong(3) >= 1050000L))
+  }
+
   test("cluster silhouette: library equals SQL; bounds and label coverage") {
     Fixtures.registerRaw(spark, sfDir)
     val emb = spark.table("embeddings")
