@@ -25,9 +25,11 @@ class SamplingSpec extends AnyFunSuite {
     assert(lib.columns.toSeq == sql.columns.toSeq)
     assert(lib.collect().toSeq == sql.collect().toSeq)
     // the per-partition pre-prune must not change the answer (losslessness
-    // of the local-budget-prefix bound)
+    // of the local-budget-prefix bound) — exercised across MANY partitions,
+    // where each partition sees an arbitrary slice of every source
     val pruned = graft.pipeline.Sampling
-      .budgetFill(docs, "doc_id", "text", "source", 800L, prePrune = true)
+      .budgetFill(docs.repartition(7), "doc_id", "text", "source", 800L,
+        prePrune = true)
     assert(pruned.collect().toSeq == lib.collect().toSeq)
     // budget respected per source; selection is quality-greedy: no
     // unselected doc outranks a selected one within its source
