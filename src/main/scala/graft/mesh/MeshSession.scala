@@ -169,8 +169,12 @@ class QueryService(session: MeshSession, resultDir: String) {
     tasks.put(id, TaskState(InProgress, None))
     try {
       val spark = session.spark
+      // one catalog snapshot for the whole request — a registry-backed
+      // session's mesh may change under concurrent admin applies, and the
+      // fan-out decisions must agree with the mapped SQL they produce
+      val mesh = session.mesh
       val entity = SqlValidator.validate(sqlText, spark)
-      val site = session.mesh.site(session.siteName)
+      val site = mesh.site(session.siteName)
       if (!site.entities.contains(entity))
         throw SqlValidator.InvalidQuery(
           s"Entity $entity not found on relay ${session.siteName}")
@@ -184,7 +188,7 @@ class QueryService(session: MeshSession, resultDir: String) {
       val wirePeers = site.remoteMappings.getOrElse(entity, Nil)
         .filterNot(rm => visitedAll.contains(rm.peer))
         .flatMap(rm =>
-          session.mesh.sites.get(rm.peer).flatMap(_.endpoint).map(rm -> _))
+          mesh.sites.get(rm.peer).flatMap(_.endpoint).map(rm -> _))
         .filter(_ => pushTarget.nonEmpty)
       var anyFailed = false
       val remoteTasks = wirePeers.flatMap { case (rm, url) =>
@@ -198,7 +202,7 @@ class QueryService(session: MeshSession, resultDir: String) {
           ((rm.peer, "(remote)") -> TaskState(Queued, None)))
         try {
           val mappedSql = EntityResolver.mapRemoteRequestSql(
-            spark, session.mesh, site.entities(entity), rm, sqlText)
+            spark, mesh, site.entities(entity), rm, sqlText)
           graft.transport.RelayClient.submit(url, mappedSql, user,
             Some(remoteId), viaRelay = Some(session.siteName),
             visited = visitedAll, callback = Some((cbUrl, originId)))
