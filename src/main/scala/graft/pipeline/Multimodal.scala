@@ -38,49 +38,176 @@ object Multimodal {
       // sampled "frames": evenly-spaced decoded-pixel offsets
       frameOffsets: Array[Int])
 
-  /** Encode `bytes` as a real 1-row grayscale PNG: pixel i = bytes(i).
-    * An empty input yields a single black pixel (PNG has no 0-width). */
-  def encodePng(bytes: Array[Byte]): Array[Byte] = {
-    val w = math.max(bytes.length, 1)
-    val img = new BufferedImage(w, 1, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var i = 0
-    while (i < bytes.length) { raster.setSample(i, 0, 0, bytes(i) & 0xff); i += 1 }
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
-
-  /** REAL decode via ImageIO: (width, height, gray pixels row-major).
-    * Single-band rasters read the band directly; RGB images decode to
-    * integer-mean luminance. */
-  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
-    require(img != null, "payload is not a decodable image")
-    val w = img.getWidth; val h = img.getHeight
-    val out = new Array[Byte](w * h)
-    val raster = img.getRaster
-    if (raster.getNumBands == 1) {
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
-        y += 1
-      }
-    } else {
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          out(y * w + x) =
-            ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toByte
-          x += 1
-        }
-        y += 1
+  /** Resettable, finalizer-free ImageInputStream over a byte array.
+    *
+    * The stock `MemoryCacheImageInputStream` carries a `finalize()` and a
+    * sun.java2d Disposer record; allocating one PER FRAME at
+    * many-small-frames scale floods the single finalizer thread (objects
+    * survive an extra GC cycle each, the queue backs up, and every later
+    * stage in the same executor JVM degrades — measured: the video
+    * transcode got monotonically slower within one bench run). One
+    * instance per partition, re-pointed at each frame, never touches the
+    * finalizer queue: HotSpot skips finalizer registration for an empty
+    * `finalize()` body. */
+  final class ByteArrayImageInputStream extends javax.imageio.stream.ImageInputStreamImpl {
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var len: Int = 0
+    def setBuffer(b: Array[Byte], n: Int): Unit = {
+      buf = b; len = n; streamPos = 0; bitOffset = 0
+    }
+    override def read(): Int =
+      if (streamPos >= len) -1
+      else { bitOffset = 0; val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+      if (streamPos >= len) -1
+      else {
+        bitOffset = 0
+        val n = math.min(l, len - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
       }
     }
-    (w, h, out)
+    override def length(): Long = len.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+    override protected def finalize(): Unit = ()
+  }
+
+  /** Resettable, finalizer-free seekable ImageOutputStream over a growable
+    * byte array — same rationale as [[ByteArrayImageInputStream]]. */
+  final class ByteArrayImageOutputStream extends javax.imageio.stream.ImageOutputStreamImpl {
+    private var buf = new Array[Byte](8 * 1024)
+    private var len = 0
+    def resetBuffer(): Unit = { len = 0; streamPos = 0; bitOffset = 0; flushedPos = 0 }
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    private def ensure(cap: Int): Unit =
+      if (cap > buf.length)
+        buf = java.util.Arrays.copyOf(buf, math.max(cap, buf.length * 2))
+    override def write(b: Int): Unit = {
+      flushBits()
+      val p = streamPos.toInt
+      ensure(p + 1)
+      buf(p) = b.toByte
+      streamPos += 1
+      if (streamPos.toInt > len) len = streamPos.toInt
+    }
+    override def write(b: Array[Byte], off: Int, l: Int): Unit = {
+      flushBits()
+      val p = streamPos.toInt
+      ensure(p + l)
+      System.arraycopy(b, off, buf, p, l)
+      streamPos += l
+      if (streamPos.toInt > len) len = streamPos.toInt
+    }
+    override def read(): Int =
+      if (streamPos >= len) -1
+      else { val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    override def read(b: Array[Byte], off: Int, l: Int): Int = {
+      if (streamPos >= len) -1
+      else {
+        val n = math.min(l, len - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    }
+    override def length(): Long = len.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+    override protected def finalize(): Unit = ()
+  }
+
+  /** Per-partition PNG codec: ONE reader, ONE writer, ONE stream of each
+    * direction, reused across every image in the partition. This is the
+    * "init the codec once per task" pattern a 100 TB media pipeline needs —
+    * per-image `ImageIO.read`/`write` pays a codec-registry scan plus a
+    * finalizable cache stream per call, and both costs scale with image
+    * COUNT, not pixels. */
+  final class PngCodec {
+    private val reader = newPngReader()
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    private val iis = new ByteArrayImageInputStream
+    private val ios = new ByteArrayImageOutputStream
+
+    /** Encode as a real 1-row grayscale PNG: pixel i = bytes(i).
+      * Empty input yields a single black pixel (PNG has no 0-width). */
+    def encode(bytes: Array[Byte]): Array[Byte] = {
+      val w = math.max(bytes.length, 1)
+      val img = new BufferedImage(w, 1, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < bytes.length) { raster.setSample(i, 0, 0, bytes(i) & 0xff); i += 1 }
+      encodeImage(img)
+    }
+
+    /** Encode an arbitrary BufferedImage through the reusable writer. */
+    def encodeImage(img: BufferedImage): Array[Byte] = {
+      ios.resetBuffer()
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.toByteArray
+    }
+
+    /** Decode to (width, height, gray pixels row-major); single-band
+      * rasters read band 0, RGB decodes to integer-mean luminance. */
+    def decode(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+      iis.setBuffer(png, png.length)
+      reader.setInput(iis, true, true)
+      val img = reader.read(0)
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      val raster = img.getRaster
+      if (raster.getNumBands == 1) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(y * w + x) =
+              ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (w, h, out)
+    }
+
+    /** Gray pixels only (band 0) — the hot decode path for corpus images. */
+    def decodeGray(png: Array[Byte]): Array[Byte] = decode(png)._3
+
+    def dispose(): Unit = { reader.dispose(); writer.dispose() }
+  }
+
+  /** A per-partition codec wired to dispose with the task. */
+  def taskPngCodec(): PngCodec = {
+    val codec = new PngCodec
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => codec.dispose())
+    codec
+  }
+
+  /** One-shot convenience encode (tests / single images) — see [[PngCodec]]
+    * for the batch path. */
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val c = new PngCodec
+    try c.encode(bytes) finally c.dispose()
+  }
+
+  /** One-shot REAL decode: (width, height, gray pixels row-major). Batch
+    * paths hold a [[PngCodec]] per partition instead. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val c = new PngCodec
+    try c.decode(payload) finally c.dispose()
   }
 
   /** 16-bin normalized histogram over decoded gray values. */
@@ -118,11 +245,9 @@ object Multimodal {
   def imagePhashes(records: Dataset[MediaRecord]): Dataset[(Long, Long, Double)] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      val reader = newPngReader()
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.dispose())
+      val codec = taskPngCodec()
       it.map { r =>
-        val (h, mean) = averageHash(decodeGrayWith(reader, r.payload))
+        val (h, mean) = averageHash(codec.decodeGray(r.payload))
         (r.doc_id, h, mean)
       }
     }
@@ -133,23 +258,24 @@ object Multimodal {
     * as PNG. Images at or under `targetW` pass through re-encoded. */
   def resizeImage(payload: Array[Byte], targetW: Int): Array[Byte] = {
     require(targetW > 0, "targetW must be positive")
-    val (w, h, gray) = decodeImage(payload)
-    val outW = math.min(w, targetW)
-    val img = new BufferedImage(outW, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < outW) {
-        val srcX = if (w <= targetW) x else ((x.toLong * w) / targetW).toInt
-        raster.setSample(x, y, 0, gray(y * w + srcX) & 0xff)
-        x += 1
+    val c = new PngCodec
+    try {
+      val (w, h, gray) = c.decode(payload)
+      val outW = math.min(w, targetW)
+      val img = new BufferedImage(outW, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < outW) {
+          val srcX = if (w <= targetW) x else ((x.toLong * w) / targetW).toInt
+          raster.setSample(x, y, 0, gray(y * w + srcX) & 0xff)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
-    }
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+      c.encodeImage(img)
+    } finally c.dispose()
   }
 
   /** Wrap the documents table as media records: payload = a REAL PNG image
@@ -165,8 +291,9 @@ object Multimodal {
         (col("n_chars") % 16).cast("int").as("_3"))
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { it =>
+        val codec = taskPngCodec()
         it.map { case (id, bytes, nFrames) =>
-          MediaRecord(id, encodePng(bytes),
+          MediaRecord(id, codec.encode(bytes),
             MediaMeta("image/png", math.max(bytes.length, 1), 1, nFrames))
         }
       }
@@ -195,6 +322,12 @@ object Multimodal {
     * (the last frame may be narrower). Empty input yields an empty
     * container (zero frames) — matching the oracle's ceil(len/16). */
   def encodeVideo(bytes: Array[Byte]): (Array[Byte], Int) = {
+    val c = new PngCodec
+    try encodeVideo(bytes, c) finally c.dispose()
+  }
+
+  /** Codec-reusing variant for per-partition batch transcode. */
+  def encodeVideo(bytes: Array[Byte], codec: PngCodec): (Array[Byte], Int) = {
     val n = (bytes.length + FrameWidth - 1) / FrameWidth
     val bos = new ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
@@ -202,7 +335,8 @@ object Multimodal {
     while (f < n) {
       val from = f * FrameWidth
       val until = math.min(from + FrameWidth, bytes.length)
-      val png = encodePng(java.util.Arrays.copyOfRange(bytes, from, math.max(until, from)))
+      val png = codec.encode(
+        java.util.Arrays.copyOfRange(bytes, from, math.max(until, from)))
       out.writeInt(png.length)
       out.write(png)
       f += 1
@@ -217,43 +351,19 @@ object Multimodal {
   def newPngReader(): javax.imageio.ImageReader =
     javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
 
-  /** Decode one PNG with a reusable reader: gray pixels row-major.
-    * The input stream is a direct memory-cache stream — the ImageIO
-    * factory default is a FILE-cache stream (a temp file per frame). */
-  private def decodeGrayWith(
-      reader: javax.imageio.ImageReader, png: Array[Byte]): Array[Byte] = {
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new ByteArrayInputStream(png))
-    try {
-      reader.setInput(iis, true, true)
-      val img = reader.read(0)
-      val w = img.getWidth; val h = img.getHeight
-      val out = new Array[Byte](w * h)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
-        y += 1
-      }
-      out
-    } finally iis.close()
-  }
-
   /** Decode every `stride`-th frame of a container (frame 0, stride,
     * 2*stride, ...) through the REAL ImageIO path; skipped frames are not
     * decoded (the point of frame sampling — at 100 TB the codec work is
     * the cost, so it must scale with frames KEPT, not frames stored). */
   def decodeSampledFrames(payload: Array[Byte], stride: Int): Seq[Array[Byte]] = {
-    val reader = newPngReader()
-    try decodeSampledFrames(payload, stride, reader)
-    finally reader.dispose()
+    val c = new PngCodec
+    try decodeSampledFrames(payload, stride, c)
+    finally c.dispose()
   }
 
-  /** Reader-reusing variant for per-partition batch decode. */
+  /** Codec-reusing variant for per-partition batch decode. */
   def decodeSampledFrames(
-      payload: Array[Byte], stride: Int,
-      reader: javax.imageio.ImageReader): Seq[Array[Byte]] = {
+      payload: Array[Byte], stride: Int, codec: PngCodec): Seq[Array[Byte]] = {
     require(stride > 0, "stride must be positive")
     val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
     val frames = Seq.newBuilder[Array[Byte]]
@@ -263,7 +373,7 @@ object Multimodal {
       if (f % stride == 0) {
         val png = new Array[Byte](len)
         in.readFully(png)
-        frames += decodeGrayWith(reader, png)
+        frames += codec.decodeGray(png)
       } else {
         // skipped frames are not copied either — container-parse cost
         // scales with frames kept (skipBytes is O(1) on a byte stream)
@@ -282,8 +392,9 @@ object Multimodal {
       .select(col("doc_id").cast("long").as("_1"), encode(col("text"), "utf-8").as("_2"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val codec = taskPngCodec()
         it.map { case (id, bytes) =>
-          val (payload, n) = encodeVideo(bytes)
+          val (payload, n) = encodeVideo(bytes, codec)
           VideoRecord(id, payload, n)
         }
       }
@@ -294,12 +405,10 @@ object Multimodal {
   def sampleVideoStats(records: Dataset[VideoRecord], stride: Int): Dataset[VideoFrameStats] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      // codec init once per partition; rows stream through the one reader
-      val reader = newPngReader()
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.dispose())
+      // codec init once per partition; rows stream through the one codec
+      val codec = taskPngCodec()
       it.map { r =>
-        val frames = decodeSampledFrames(r.payload, stride, reader)
+        val frames = decodeSampledFrames(r.payload, stride, codec)
         var bytes = 0L
         var sum = 0L
         frames.foreach { g =>
@@ -410,8 +519,9 @@ object Multimodal {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       // per-partition init point (ImageIO registry lookup, decoder state)
+      val codec = taskPngCodec()
       it.map { r =>
-        val (w, h, gray) = decodeImage(r.payload)
+        val (w, h, gray) = codec.decode(r.payload)
         MediaFeatures(
           r.doc_id,
           w * h,

@@ -1911,14 +1911,27 @@ object PipelineQueries {
       })
     }
 
+  /** Media corpora read the PHYSICAL parquet, not the `documents` temp
+    * view: mesh queries shadow + re-assert that view constantly, and a
+    * cached plan that references a replaced view gets uncached by the
+    * CacheManager — the persisted corpus would silently rebuild (and the
+    * rebuild, inheriting the small file's single input partition, ran the
+    * whole transcode on one thread). Reading the file keeps the cache
+    * immune to view churn; the explicit repartition sizes the transcode
+    * stage by CORES, not input bytes — the per-row codec work is the cost,
+    * so a 65 KB file must still fan out across the cluster. */
+  private def mediaDocs(s: SparkSession, dir: String) =
+    graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
   private def cachedMedia(s: SparkSession, dir: String) =
-    cachedDataset(mediaCache, s, dir)(Multimodal.toMediaRecords(s, s.table("documents")))
+    cachedDataset(mediaCache, s, dir)(Multimodal.toMediaRecords(s, mediaDocs(s, dir)))
 
   private def cachedVideo(s: SparkSession, dir: String) =
-    cachedDataset(videoCache, s, dir)(Multimodal.toVideoRecords(s, s.table("documents")))
+    cachedDataset(videoCache, s, dir)(Multimodal.toVideoRecords(s, mediaDocs(s, dir)))
 
   private def cachedAudio(s: SparkSession, dir: String) =
-    cachedDataset(audioCache, s, dir)(Multimodal.toAudioRecords(s, s.table("documents")))
+    cachedDataset(audioCache, s, dir)(Multimodal.toAudioRecords(s, mediaDocs(s, dir)))
 
   /** Learned IVF centroids per (session, sf) — lazy, independent of the
     * PQ codebooks so ss3 never pays for training it does not use. */
