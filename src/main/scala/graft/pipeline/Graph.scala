@@ -17,12 +17,13 @@ import org.apache.spark.sql.functions._
   * (mass lost to integer floor) is bounded by iters * (deg sum) * 1e-12 —
   * irrelevant at ranking granularity.
   *
-  * Scale shape: one symmetrized edge list (checkpointed once), degree and
-  * rank frames partitioned by node id; each iteration is one hash-join +
-  * partial-aggregable groupBy shuffle on node id — the canonical
-  * Pregel-style plan. Lineage is truncated per iteration (see
-  * Dedup.connectedComponents for the rationale); only the node COUNT — a
-  * model scalar — ever reaches the driver.
+  * Scale shape: one symmetrized edge list and one degree frame, each
+  * shuffled ONCE per executed plan (ReuseExchange — every iteration
+  * consumes the same hashpartitioning(node) exchange); each iteration is
+  * one hash-join + partial-aggregable groupBy shuffle on node id — the
+  * canonical Pregel-style plan. Long runs get periodic lineage truncation
+  * (`ckptEvery`, see Dedup.connectedComponents for the rationale); only
+  * the node COUNT — a model scalar — ever reaches the driver.
   */
 object Graph {
 
@@ -46,18 +47,29 @@ object Graph {
     * identical for any cadence. */
   def pageRank(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      iters: Int = 5, ckptEvery: Int = 4): DataFrame = {
+      iters: Int = 5, ckptEvery: Int = 8): DataFrame = {
     require(ckptEvery > 0, s"ckptEvery must be positive, got $ckptEvery")
+    // NOT checkpointed: every iteration scans `edges` and `deg` through the
+    // SAME hashpartitioning("a") exchange, and ReuseExchange shuffles each
+    // exactly once per executed plan — the eager localCheckpoints this used
+    // to do serialized three extra driver-blocking jobs (edges, deg, a mid-
+    // iteration rank barrier) to materialize state the execution already
+    // shares. Construction runs no jobs at all — even the node count stays
+    // in-plan as a broadcast scalar.
     val edges = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .union(pairs
         .select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
-      .localCheckpoint()
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val n = deg.count() // model scalar: node count
-    require(n > 0, "pageRank on an empty graph")
-    val base = (3L * Scale) / (20L * n) // (1-d) * Scale / n, d = 17/20
-    var rank = deg.select(col("a").as("node"), lit(Scale / n).as("r"))
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    // the node count n is a 1-row frame broadcast-crossed into each
+    // iteration, NOT a driver-side collect: DIV arithmetic on `__n` is the
+    // same integer math as a literal, and keeping it in-plan makes the
+    // whole fixed-point run a single job (an empty graph yields an empty
+    // result — zero rows never evaluate the division)
+    val nDf = edges.agg(countDistinct(col("a")).as("__n"))
+    var rank = deg.crossJoin(broadcast(nDf))
+      .select(col("a").as("node"),
+        expr(s"CAST($Scale AS BIGINT) DIV __n").as("r"))
     for (i <- 1 to iters) {
       val contrib = edges
         .join(rank.withColumnRenamed("node", "a"), "a")
@@ -69,8 +81,10 @@ object Graph {
       // caller feeds a directed list
       rank = deg.select(col("a").as("node"))
         .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nDf))
         .select(col("node"),
-          (lit(base) + expr("(17 * coalesce(s, CAST(0 AS BIGINT))) DIV 20"))
+          (expr(s"(3 * CAST($Scale AS BIGINT)) DIV (20 * __n)") +
+            expr("(17 * coalesce(s, CAST(0 AS BIGINT))) DIV 20"))
             .as("r"))
       if (i % ckptEvery == 0 && i < iters) rank = rank.localCheckpoint()
     }

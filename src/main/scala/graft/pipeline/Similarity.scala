@@ -13,10 +13,24 @@ import graft.functions.VectorFunctions.{vec_dot => dot}
   */
 object Similarity {
 
-  /** (id, vec, nrm): precomputed L2 norms. */
-  def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vecs.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+  /** (id, vec, nrm): precomputed L2 norms.
+    *
+    * The projection work downstream of here (norms, k-centroid score
+    * arrays, pair dots) is the CPU cost of every vector operator, and it
+    * runs in whatever stage SCANS the corpus — a small parquet file yields
+    * one input split, and the whole projection then runs on a single core
+    * while the rest of the cluster idles. Fan out by id hash first, but
+    * ONLY when the scan is narrower than the cluster: at real corpus scale
+    * the file index already yields thousands of splits and an extra
+    * full-corpus exchange would double I/O for nothing. */
+  def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val target = vecs.sparkSession.sparkContext.defaultParallelism
+    val fanned =
+      if (vecs.rdd.getNumPartitions < target) vecs.repartition(target, col(idCol))
+      else vecs
+    fanned.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+  }
 
   /** Exact top-k neighbours for each query id (brute force — the baseline
     * ANN variants are judged against). Ranking on round(cos, 6) with id

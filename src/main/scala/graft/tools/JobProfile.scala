@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: per-job wall time + per-stage task-time sums for one query. */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val name = args.head
+    graft.SparkEntry.queries(name)(spark, sfDir).count() // warm
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        starts(js.jobId) = System.nanoTime()
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.get(je.jobId).foreach { t0 =>
+          println(f"JOB ${je.jobId}%4d wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        println(f"  STAGE ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+          f"run=${si.taskMetrics.executorRunTime / 1e3}%.3f s " +
+          f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%.3f s  ${si.name.take(60)}")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, sfDir).count()
+    println(f"TOTAL ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    Thread.sleep(500)
+    spark.stop()
+  }
+}
