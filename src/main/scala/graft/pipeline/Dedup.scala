@@ -32,7 +32,7 @@ object Dedup {
   private def shinglesRaw(
       docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
       tagCol: Option[String] = None): DataFrame =
-    docs.repartition(col(idCol)).select(
+    Partitioning.fanOut(docs, idCol).select(
       col(idCol).as("__id") +: tagCol.map(t => col(t).as("__tag")).toSeq :+
         explode(graft.functions.TextFunctions.word_ngrams(col(textCol), n)).as("shingle"): _*)
 
@@ -239,8 +239,10 @@ object Dedup {
       else "s -> md5_48(s)"
     // spread the hashing before it runs: a small input file scans as ONE
     // partition, which would serialize the whole row-local digest chain on
-    // a single core (the raw-text shuffle is cheap next to the hashing)
-    val hs = base.repartition(col("__id"))
+    // a single core (the raw-text shuffle is cheap next to the hashing);
+    // a base that is already cluster-wide (e.g. a fanned shingle frame)
+    // passes through with no second exchange
+    val hs = Partitioning.fanOut(base, "__id")
       .withColumn("__hs", expr(s"transform(__sh, $hashLambda)"))
     val mhCols = (0 until k).map { j =>
       array_min(expr(
@@ -320,7 +322,11 @@ object Dedup {
       minhashSignatures(shinglesRaw(docs, idCol, textCol, tagCol = tagCol), k, fastHash),
       bands, k / bands)
     // candidates are tiny (pair ids only) and consumed twice: the id
-    // broadcast below and the verification join
+    // broadcast below and the verification join. EAGER checkpoint, on
+    // purpose: with a lazy one the broadcast build and the verify join
+    // race to materialize it and can each recompute the band-index
+    // aggregation (measured slower); eager guarantees the chain runs once
+    // before either consumer plans
     val cand = lshCandidatesGrouped(bandIdx).localCheckpoint()
     // verification touches only the candidate docs' shingles: semi-filter
     // the documents by the (tiny, broadcast) candidate id list and
@@ -594,7 +600,7 @@ object Dedup {
     * |tokens| aggregated rows vs |tokens|*64 in the naive explode shape.
     * Majority vote: bit b set iff 2*count_ones(b) > n_tokens. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.repartition(col(idCol)).select(col(idCol).as("__id"),
+    val tok = Partitioning.fanOut(docs, idCol).select(col(idCol).as("__id"),
       explode(split(col(textCol), " ")).as("token"))
     val halves = tok.select(col("__id"),
       expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)").as("h1"),

@@ -13,24 +13,14 @@ import graft.functions.VectorFunctions.{vec_dot => dot}
   */
 object Similarity {
 
-  /** (id, vec, nrm): precomputed L2 norms.
-    *
-    * The projection work downstream of here (norms, k-centroid score
-    * arrays, pair dots) is the CPU cost of every vector operator, and it
-    * runs in whatever stage SCANS the corpus — a small parquet file yields
-    * one input split, and the whole projection then runs on a single core
-    * while the rest of the cluster idles. Fan out by id hash first, but
-    * ONLY when the scan is narrower than the cluster: at real corpus scale
-    * the file index already yields thousands of splits and an extra
-    * full-corpus exchange would double I/O for nothing. */
-  def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val target = vecs.sparkSession.sparkContext.defaultParallelism
-    val fanned =
-      if (vecs.rdd.getNumPartitions < target) vecs.repartition(target, col(idCol))
-      else vecs
-    fanned.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+  /** (id, vec, nrm): precomputed L2 norms. Fanned out first so the
+    * vector math downstream (norms, k-centroid score arrays, pair dots)
+    * runs cluster-wide even over a single-split file — see
+    * [[Partitioning.fanOut]] for the width/pushdown rationale. */
+  def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Partitioning.fanOut(vecs, idCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
-  }
 
   /** Exact top-k neighbours for each query id (brute force — the baseline
     * ANN variants are judged against). Ranking on round(cos, 6) with id
@@ -183,9 +173,13 @@ object Similarity {
       round(dot(col("__v"), array(cv.map(lit(_)): _*)) / (col("nrm") * lit(cn)), 6)
     }.toIndexedSeq: _*)
     // array_position returns the FIRST index of the max — lowest cid wins
-    // ties (centroids are id-sorted), matching ORDER BY cc DESC, cid
+    // ties (centroids are id-sorted), matching ORDER BY cc DESC, cid.
+    // coalesce: same non-nullability guard as assignScoredExpr — without
+    // it the pair join's inferred isnotnull(cid) clones the k-dot scoring
+    // into a pre-exchange filter on the single-split scan
     val assign = v.withColumn("cid",
-      (array_position(scores, array_max(scores)) - 1).cast("int"))
+      coalesce((array_position(scores, array_max(scores)) - 1).cast("int"),
+        lit(-1)))
     dedupWithinCluster(assign, threshold, blockTarget)
   }
 
@@ -283,7 +277,11 @@ object Similarity {
       blockTarget: Option[Int] = None): DataFrame = {
     val pairs = blockTarget match {
       case None =>
-        val byCluster = assigned.repartition(col("cid"))
+        // no forced repartition(cid): for a shuffled join EnsureRequirements
+        // inserts the same hashpartitioning(cid) exchange (reused by both
+        // sides of the self-join), and when the corpus fits a broadcast the
+        // forced exchange would be a pure extra pass over the vectors
+        val byCluster = assigned
         byCluster.as("a").join(byCluster.as("b"),
             col("a.cid") === col("b.cid") && col("a.__id") < col("b.__id"))
           .select(col("a.__id").as("va"), col("b.__id").as("vb"),
@@ -376,7 +374,13 @@ object Similarity {
     val scores = array(cents.zip(bias).map { case (c, b) =>
       dot(v, array(c.map(x => lit(x.toFloat)): _*)) + lit(b)
     }: _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
+    // coalesce never fires (the array is non-empty, its max is a member)
+    // but marks cid NON-NULLABLE: otherwise a downstream join on cid
+    // infers isnotnull(cid) and predicate pushdown clones this whole
+    // k-dot scoring tree into a filter UNDER the fan-out exchange, re-
+    // scoring the corpus single-threaded in the scan stage
+    coalesce((array_position(scores, array_max(scores)) - 1).cast("int"),
+      lit(-1))
   }
 
   private def assignExpr(cents: Seq[Seq[Double]], vecCol: String): org.apache.spark.sql.Column =

@@ -17,9 +17,11 @@ object ExplainQuery {
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      df.count()
+      df.collect() // execute THIS plan so AQE prints the final form
       println(s"==== $n ====")
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      val txt = df.queryExecution.executedPlan.toString
+        .replaceAll("""\[[-0-9.,Ee \t]{40,}\]""", "[<vec>]")
+      println(txt.take(20000))
     }
     spark.stop()
   }
