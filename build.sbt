@@ -33,3 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stands in for.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// ad-hoc JVM flag experiments (GC algorithm A/Bs etc.) without editing
+// the build: SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC"
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split(" ")).map(_.trim).filter(_.nonEmpty)

@@ -73,12 +73,101 @@ object Md5Prefix48 {
   def computeString(s: UTF8String): Long = computeBytes(s.getBytes)
 }
 
+/** Native one-pass minhash signature: `minhash_sigs(shingles, k)` ==
+  * `transform(sh, s -> md5_48(s))` fed into k separate
+  * `array_min(transform(hs, h -> (h * a_j + b_j) % P))` columns — but
+  * computed in a single loop over the shingle array with a reused digest
+  * and one long[k] of running minima.
+  *
+  * The lambda spelling is semantically fine but evaluates interpreted
+  * (higher-order functions have no codegen) and allocates k+1
+  * intermediate arrays per document; measured on a 32-thread local run
+  * the allocation pressure made the signature stage scale NEGATIVELY
+  * with parallelism (per-doc cost 0.2 ms at 3 threads -> 2.3 ms at 32).
+  * This expression is allocation-free per shingle and bit-identical to
+  * the lambda spelling (HashExpressionsSpec pins it), which is in turn
+  * what the DuckDB oracles re-derive.
+  *
+  * Null elements are skipped (md5_48(null) -> null, array_min skips
+  * nulls); an empty or all-null input yields k NULL minima, matching
+  * `array_min` over an empty transform. */
+case class MinhashSigs(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"minhash_sigs needs k > 0, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSigs.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinhashSigs.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigs =
+    copy(child = newChild)
+}
+
+object MinhashSigs {
+  /** Largest prime below 2^31 — the permutation modulus (shared with
+    * Dedup's SQL spelling and the DuckDB oracles). */
+  val P: Long = 2147483647L
+
+  /** Affine-permutation constants for hash j: a_j odd and < 2^14 so that
+    * a_j * h stays < 2^62 for a 48-bit base hash, b_j < 2^16. The single
+    * source of truth — Dedup.mhA/mhB delegate here. */
+  def a(j: Int): Long = ((j * 2654435761L) % 8191) * 2 + 1
+  def b(j: Int): Long = (j * 40503L + 12289) % 65521
+
+  def compute(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = Md5Prefix48.computeString(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = (h * a(j) + b(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](k))
+    else
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(mins)
+  }
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** Column-API surface: 48-bit md5 prefix of the column rendered as-is
     * (cast to string first for non-string inputs to match the SQL family). */
   def md5_48(c: Column): Column = column(Md5Prefix48(expression(c)))
+
+  /** One-pass k-wide minhash signature over an array<string> column. */
+  def minhash_sigs(c: Column, k: Int): Column =
+    column(MinhashSigs(expression(c), k))
 
   /** Register `md5_48` for SQL use (e.g. inside `transform` lambdas) on
     * this session. Idempotent. */

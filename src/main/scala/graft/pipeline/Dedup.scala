@@ -37,13 +37,14 @@ object Dedup {
         explode(graft.functions.TextFunctions.word_ngrams(col(textCol), n)).as("shingle"): _*)
 
   /** Largest prime below 2^31 — the permutation modulus. */
-  val MinhashPrime: Long = 2147483647L
+  val MinhashPrime: Long = graft.functions.MinhashSigs.P
 
   /** Affine-permutation constants for hash j: a_j odd and < 2^14 so that
     * a_j * h stays < 2^62 for a 48-bit base hash (no BIGINT overflow in
-    * either Spark or DuckDB, which checks), b_j < 2^16. */
-  def mhA(j: Int): Long = ((j * 2654435761L) % 8191) * 2 + 1
-  def mhB(j: Int): Long = (j * 40503L + 12289) % 65521
+    * either Spark or DuckDB, which checks), b_j < 2^16. Canonical
+    * definition lives with the native MinhashSigs expression. */
+  def mhA(j: Int): Long = graft.functions.MinhashSigs.a(j)
+  def mhB(j: Int): Long = graft.functions.MinhashSigs.b(j)
 
   /** MinHash signature columns mh0..mh{k-1} per id — one groupBy pass.
     *
@@ -218,44 +219,45 @@ object Dedup {
     val tagged = tagCol.isDefined
     val tagSel = if (tagged) Seq(col("__tag")) else Seq.empty[Column]
     // row-local shingle SET (array_distinct before anything explodes) —
-    // exactly the set the staged form aggregates with collect_set; docs
-    // with no shingles vanish in both forms
-    val base = docs.select(
+    // exactly the set the staged form aggregates with collect_set. The
+    // fan-out sits UNDER the projection (docs first, shingling after) so
+    // the heavy text work runs cluster-wide even over a one-split file;
+    // docs with no shingles are dropped at the band explode below rather
+    // than by a filter here — a filter on __sh would be predicate-pushed
+    // beneath the exchange, cloning the shingling into the narrow scan
+    // stage.
+    val base = Partitioning.fanOut(docs, idCol).select(
       col(idCol).as("__id") +: tagCol.map(t => col(t).as("__tag")).toSeq :+
         array_distinct(
           graft.functions.TextFunctions.word_ngrams(col(textCol), 3)).as("__sh"): _*)
-      .where(size(col("__sh")) > 0)
-    // one base hash per shingle (transform), then k cheap affine min-passes
-    // — the same one-digest universal-hash family as minhashSignatures.
-    // (An explode + codegen'd-min-aggregate spelling of the same math was
-    // measured ~25% SLOWER end-to-end: collect_list forces the whole
-    // aggregation into ObjectHashAggregate, which costs more than these
-    // interpreted array lambdas save.)
-    // md5_48 (native Md5Prefix48, registered for lambda use) is
-    // value-identical to the conv(substring(md5)) spelling at ~1/3 the cost
+    // one base hash per shingle, k cheap affine min-passes — the same
+    // one-digest universal-hash family as minhashSignatures. The md5
+    // family runs on the native one-pass MinhashSigs expression (the
+    // lambda spelling is interpreted and allocation-bound — it scaled
+    // NEGATIVELY with local parallelism); fastHash keeps the lambda
+    // spelling since xxhash64 is only reachable as a SQL function.
     graft.functions.HashFunctions.register(docs.sparkSession)
-    val hashLambda =
-      if (fastHash) "s -> xxhash64(s) & 281474976710655"
-      else "s -> md5_48(s)"
-    // spread the hashing before it runs: a small input file scans as ONE
-    // partition, which would serialize the whole row-local digest chain on
-    // a single core (the raw-text shuffle is cheap next to the hashing);
-    // a base that is already cluster-wide (e.g. a fanned shingle frame)
-    // passes through with no second exchange
-    val hs = Partitioning.fanOut(base, "__id")
-      .withColumn("__hs", expr(s"transform(__sh, $hashLambda)"))
-    val mhCols = (0 until k).map { j =>
-      array_min(expr(
-        s"transform(__hs, h -> (h * ${mhA(j)} + ${mhB(j)}) % $MinhashPrime)"))
-        .as(s"mh$j")
-    }
-    val sigs = hs.select(Seq(col("__id")) ++ tagSel ++ Seq(col("__sh")) ++ mhCols: _*)
+    val sigs =
+      if (fastHash) {
+        val hs = base.withColumn("__hs",
+          expr("transform(__sh, s -> xxhash64(s) & 281474976710655)"))
+        hs.select(Seq(col("__id")) ++ tagSel ++ Seq(col("__sh"),
+          array((0 until k).map(j => array_min(expr(
+            s"transform(__hs, h -> (h * ${mhA(j)} + ${mhB(j)}) % $MinhashPrime)"))): _*)
+            .as("__mh")): _*)
+      } else base.select(Seq(col("__id")) ++ tagSel ++ Seq(col("__sh"),
+        graft.functions.HashFunctions.minhash_sigs(col("__sh"), k).as("__mh")): _*)
     val bandCol = (b: Int) =>
       md5(concat_ws(":", lit(b.toString) +:
-        (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*))
+        (0 until rows).map(r =>
+          element_at(col("__mh"), b * rows + r + 1).cast("string")): _*))
+    // the when-guard drops zero-shingle docs (explode of NULL emits no
+    // rows) — same vanishing as the staged form's aggregation, without a
+    // pushable predicate that would drag shingling below the exchange
     val banded = sigs.select(Seq(col("__id")) ++ tagSel ++ Seq(col("__sh")) :+
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"), bandCol(b).as("bsig"))): _*)).as("bb"): _*)
+        explode(when(size(col("__sh")) > 0,
+          array((0 until bands).map(b =>
+            struct(lit(b).as("band"), bandCol(b).as("bsig"))): _*))).as("bb"): _*)
       .select(Seq(col("__id")) ++ tagSel ++
         Seq(col("__sh"), col("bb.band"), col("bb.bsig")): _*)
     // struct ordering compares fields left-to-right, so the sort is by id

@@ -37,6 +37,46 @@ class HashExpressionsSpec extends AnyFunSuite {
       .where(col("h") < 0 || col("h") >= (1L << 48)).count() == 0)
   }
 
+  test("minhash_sigs equals the k-lambda array_min spelling; null/empty edges") {
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    graft.functions.HashFunctions.register(spark)
+    val k = 12
+    val sh = spark.table("documents").select(col("doc_id"),
+      expr("array_distinct(split(text, ' '))").as("__sh"))
+    val lambdaCols = (0 until k).map { j =>
+      expr(s"""array_min(transform(transform(__sh, s -> md5_48(s)),
+              |  h -> (h * ${graft.pipeline.Dedup.mhA(j)} +
+              |        ${graft.pipeline.Dedup.mhB(j)}) % 2147483647))"""
+        .stripMargin).as(s"ref$j")
+    }
+    val cmp = sh.select(Seq(
+      HashFunctions.minhash_sigs(col("__sh"), k).as("fast")) ++ lambdaCols: _*)
+    val mismatch = cmp.where((0 until k)
+        .map(j => element_at(col("fast"), j + 1) =!= col(s"ref$j"))
+        .reduce(_ || _)).count()
+    assert(mismatch == 0)
+    // empty array -> k nulls (array_min over an empty transform is NULL);
+    // null elements are skipped exactly like array_min's null handling
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("a")),
+      (3L, Seq("a", "b", "c"))).toDF("id", "__sh")
+      .withColumn("__sh",
+        when(col("id") === 2, array(lit(null).cast("string"), lit("a")))
+          .otherwise(col("__sh")))
+    val rows = edge.select(col("id"),
+        HashFunctions.minhash_sigs(col("__sh"), k).as("mh"),
+        expr("array_min(transform(transform(__sh, s -> md5_48(s)), " +
+          s"h -> (h * ${graft.pipeline.Dedup.mhA(0)} + " +
+          s"${graft.pipeline.Dedup.mhB(0)}) % 2147483647))").as("ref0"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Any](1).forall(_ == null), "empty -> all null")
+    rows.drop(1).foreach { r =>
+      assert(r.getSeq[Any](1).head == r.get(2), s"row $r")
+    }
+  }
+
   test("registered SQL form works inside transform lambdas") {
     graft.functions.HashFunctions.register(spark)
     val r = spark.sql(
