@@ -67,12 +67,166 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** k dot-products of a vector column against a CONSTANT centroid matrix,
+  * plus a per-centroid bias: scores[j] = vec_dot(v, cents(j)) + bias(j).
+  *
+  * Value-identical to the `array(vec_dot(v, array(lit...)) + lit(b), ...)`
+  * spelling, with two structural differences that matter at plan scale:
+  * the matrix rides as ONE reference object instead of k*dim literal
+  * nodes (a 16x64 matrix inlined four times made sd1's analysis and
+  * per-stage AQE re-optimization a visible driver cost), and the loop is
+  * codegen'd/allocation-free instead of k separate expression evals.
+  * Null vector -> null array (each per-j dot would be null). */
+case class VectorScores(
+    child: Expression,
+    cents: Seq[Seq[Float]], bias: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cents.nonEmpty && cents.size == bias.size,
+    s"vec_scores needs matching non-empty cents/bias, got ${cents.size}/${bias.size}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_scores requires array<float>, got $other")
+    }
+
+  @transient private lazy val centsArr: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val biasArr: Array[Double] = bias.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    VectorScores.compute(input.asInstanceOf[ArrayData], centsArr, biasArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centsArr, "float[][]")
+    val bRef = ctx.addReferenceObj("bias", biasArr, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorScores.compute($v, $cRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorScores =
+    copy(child = newChild)
+}
+
+object VectorScores {
+  def compute(
+      v: ArrayData, cents: Array[Array[Float]],
+      bias: Array[Double]): ArrayData = {
+    val k = cents.length
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      // same length guard as VectorDot: min of the two lengths
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      out(j) = acc + bias(j)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** k rounded cosines of (v, nrm) against a constant centroid matrix with
+  * precomputed norms: scores[j] = round(vec_dot(v, cents(j)) /
+  * (nrm * norms(j)), 6) — the seeded SemDeDup assignment page, computed
+  * like [[VectorScores]] but through the exact Round(…, 6) HALF_UP
+  * double semantics Spark's `round` applies (BigDecimal.valueOf +
+  * setScale), so results stay bit-identical to the SQL spelling and to
+  * the DuckDB oracle's replay. */
+case class VectorCosScores(
+    left: Expression, right: Expression,
+    cents: Seq[Seq[Float]], norms: Seq[Double])
+  extends BinaryExpression {
+  require(cents.nonEmpty && cents.size == norms.size,
+    s"vec_cos_scores needs matching non-empty cents/norms, got ${cents.size}/${norms.size}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_cos_scores requires (array<float>, double), got $other")
+    }
+
+  @transient private lazy val centsArr: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val normsArr: Array[Double] = norms.toArray
+
+  override def nullSafeEval(v: Any, nrm: Any): Any =
+    VectorCosScores.compute(v.asInstanceOf[ArrayData],
+      nrm.asInstanceOf[Double], centsArr, normsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("cents", centsArr, "float[][]")
+    val nRef = ctx.addReferenceObj("norms", normsArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, nrm) =>
+      s"${ev.value} = graft.functions.VectorCosScores.compute($v, $nrm, $cRef, $nRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorCosScores =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorCosScores {
+  /** Spark's Round(double, 6) HALF_UP — RoundBase's DoubleType branch. */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(
+      v: ArrayData, nrm: Double, cents: Array[Array[Float]],
+      norms: Array[Double]): ArrayData = {
+    val k = cents.length
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      out(j) = round6(acc / (nrm * norms(j)))
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** Column-API surface (Spark 4 classic Column<->Expression bridge). */
   def vec_dot(a: Column, b: Column): Column =
     column(VectorDot(expression(a), expression(b)))
+
+  /** k biased dots against a constant matrix: array<double>. */
+  def vec_scores(v: Column, cents: Seq[Seq[Float]], bias: Seq[Double]): Column =
+    column(VectorScores(expression(v), cents, bias))
+
+  /** k rounded cosines against a constant matrix with precomputed norms. */
+  def vec_cos_scores(
+      v: Column, nrm: Column, cents: Seq[Seq[Float]], norms: Seq[Double]): Column =
+    column(VectorCosScores(expression(v), expression(nrm), cents, norms))
 
   def vec_cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions.sqrt

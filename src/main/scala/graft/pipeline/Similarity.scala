@@ -169,9 +169,12 @@ object Similarity {
     // against the threshold under Spark's NaN-greatest ordering — exclude
     // such vectors explicitly; they cannot be a cosine near-duplicate
     val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
-    val scores = array(cents.map { case (_, cv, cn) =>
-      round(dot(col("__v"), array(cv.map(lit(_)): _*)) / (col("nrm") * lit(cn)), 6)
-    }.toIndexedSeq: _*)
+    // native VectorCosScores == the per-j round(vec_dot/(nrm*cn), 6)
+    // array spelling, with the matrix as one reference object (see
+    // assignScoredExpr for why the literal-tree form was a driver cost)
+    val scores = graft.functions.VectorFunctions.vec_cos_scores(
+      col("__v"), col("nrm"),
+      cents.map(_._2.toIndexedSeq).toIndexedSeq, cents.map(_._3))
     // array_position returns the FIRST index of the max — lowest cid wins
     // ties (centroids are id-sorted), matching ORDER BY cc DESC, cid.
     // coalesce: same non-nullability guard as assignScoredExpr — without
@@ -371,9 +374,13 @@ object Similarity {
   private def assignScoredExpr(
       cents: Seq[Seq[Double]], v: org.apache.spark.sql.Column,
       bias: Seq[Double]): org.apache.spark.sql.Column = {
-    val scores = array(cents.zip(bias).map { case (c, b) =>
-      dot(v, array(c.map(x => lit(x.toFloat)): _*)) + lit(b)
-    }: _*)
+    // native VectorScores: the centroid matrix rides as ONE reference
+    // object (k*dim literal nodes inlined 4x per plan made analysis and
+    // per-stage AQE re-optimization a visible driver cost) and the k dots
+    // run in a codegen'd loop — bit-identical to the per-j
+    // vec_dot(v, array(lit..)) + lit(b) spelling
+    val scores = graft.functions.VectorFunctions.vec_scores(
+      v, cents.map(_.map(_.toFloat)), bias)
     // coalesce never fires (the array is non-empty, its max is a member)
     // but marks cid NON-NULLABLE: otherwise a downstream join on cid
     // infers isnotnull(cid) and predicate pushdown clones this whole
@@ -400,8 +407,8 @@ object Similarity {
       .select(col("__id").as("qid"), col("__v").as("qv"), col("nrm").as("qn"))
     // nprobe nearest cells per query: explode the (tiny) per-query dot
     // array — queries are few, so the window touches |queries| * k rows
-    val qDots = q.withColumn("dots", array(centroids.map(c =>
-      dot(col("qv"), array(c.map(x => lit(x.toFloat)): _*))): _*))
+    val qDots = q.withColumn("dots", graft.functions.VectorFunctions.vec_scores(
+      col("qv"), centroids.map(_.map(_.toFloat)), centroids.map(_ => 0.0)))
     val probe = qDots.select(col("qid"), posexplode(col("dots")).as(Seq("cid", "cc")))
     val w0 = Window.partitionBy(col("qid")).orderBy(col("cc").desc, col("cid"))
     val probed = probe.withColumn("rnk", row_number().over(w0))
