@@ -26,11 +26,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // steady-state methodology: one untimed warmup pass over every query
-    // (JIT, codegen cache, parquet footers, broadcast reuse), then two
+    // (JIT, codegen cache, parquet footers, broadcast reuse), then three
     // timed passes taking the per-query MIN — single-pass totals on this
-    // host swing ~25% from GC/cleaner timing, and min-of-2 reports the
-    // query's actual steady-state cost rather than whichever pass caught
-    // a collection.
+    // host swing ~25-50% from GC/cleaner timing (positively skewed: a
+    // pass only ever catches EXTRA collections), and the per-query min
+    // estimates the query's actual steady-state cost. tools/duck_time.py
+    // mirrors the same warm min-of-3 so the ratio compares like with
+    // like.
     // optional comma-separated query filter (local iteration; the driver
     // never sets it and times the full set)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
@@ -70,9 +72,9 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val p1 = timedPass().toMap
-    val results = timedPass().map { case (name, t) =>
-      name -> math.min(t, p1(name))
+    val passes = Seq(timedPass().toMap, timedPass().toMap, timedPass().toMap)
+    val results = ordered.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

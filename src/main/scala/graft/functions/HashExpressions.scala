@@ -158,6 +158,56 @@ object MinhashSigs {
   }
 }
 
+/** Native md5 word pair: `md5_words(s)` == array(
+  * CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT),
+  * CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)) — the two
+  * unsigned 32-bit halves the simhash family consumes, from ONE digest
+  * with no hex rendering, substring slicing, or radix parsing (the SQL
+  * spelling digests twice and allocates three strings per half).
+  * Bit-identical to the SQL spelling (HashExpressionsSpec pins it). */
+case class Md5Words(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_words requires a string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Words.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Words.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Words =
+    copy(child = newChild)
+}
+
+object Md5Words {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val w0 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val w1 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(w0, w1))
+  }
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -168,6 +218,9 @@ object HashFunctions {
   /** One-pass k-wide minhash signature over an array<string> column. */
   def minhash_sigs(c: Column, k: Int): Column =
     column(MinhashSigs(expression(c), k))
+
+  /** Both unsigned 32-bit md5 halves from one digest: array<long>[2]. */
+  def md5_words(c: Column): Column = column(Md5Words(expression(c)))
 
   /** Register `md5_48` for SQL use (e.g. inside `transform` lambdas) on
     * this session. Idempotent. */

@@ -604,9 +604,15 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = Partitioning.fanOut(docs, idCol).select(col(idCol).as("__id"),
       explode(split(col(textCol), " ")).as("token"))
-    val halves = tok.select(col("__id"),
-      expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)").as("h1"),
-      expr("CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)").as("h2"))
+    // native Md5Words: both 32-bit halves from ONE digest, no hex
+    // rendering/conv parse — value-identical to the SQL spelling the
+    // oracle replays (the two-expression form digested twice and
+    // allocated three strings per half, GC-bound at 32 threads)
+    val halves = tok
+      .select(col("__id"),
+        graft.functions.HashFunctions.md5_words(col("token")).as("__w"))
+      .select(col("__id"),
+        element_at(col("__w"), 1).as("h1"), element_at(col("__w"), 2).as("h2"))
     // hex char i holds bits (31-4i)..(28-4i) of its half, so logical bit b
     // (char b div 4, in-char bit 3 - b%4) is physical bit 31-b / 63-b
     val bitSums = (0 until 64).map { b =>

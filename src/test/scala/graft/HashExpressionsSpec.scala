@@ -77,6 +77,19 @@ class HashExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_words equals the conv(substring(md5)) halves on corpus tokens") {
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val tok = spark.table("documents")
+      .select(explode(split(col("text"), " ")).as("token")).limit(5000)
+    val mismatch = tok.select(
+        HashFunctions.md5_words(col("token")).as("w"),
+        expr("CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT)").as("r1"),
+        expr("CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)").as("r2"))
+      .where(element_at(col("w"), 1) =!= col("r1") ||
+        element_at(col("w"), 2) =!= col("r2")).count()
+    assert(mismatch == 0)
+  }
+
   test("registered SQL form works inside transform lambdas") {
     graft.functions.HashFunctions.register(spark)
     val r = spark.sql(

@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Warm min-of-2 DuckDB timing over a Verify dump's oracle_sql.json.
+"""Warm min-of-3 DuckDB timing over a Verify dump's oracle_sql.json.
 
 Usage: python3 tools/duck_time.py <sfDir> <verifyOutDir>
 
-Mirrors the Spark Bench methodology (one warmup pass, then two timed
+Mirrors the Spark Bench methodology (one warmup pass, then three timed
 passes taking the per-query min) so the sf0.1 ratio compares like with
 like. Prints one JSON line {"total": sec, "queries": {...}}.
 """
@@ -41,9 +41,8 @@ def main(sf_dir, out_dir):
             out[n] = time.time() - t0
         return out
 
-    p1 = timed()
-    p2 = timed()
-    qs = {n: min(p1[n], p2[n]) for n in names}
+    passes = [timed(), timed(), timed()]
+    qs = {n: min(p[n] for p in passes) for n in names}
     print(json.dumps({"total": sum(qs.values()), "queries": qs}))
 
 
