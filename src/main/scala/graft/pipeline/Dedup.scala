@@ -320,9 +320,7 @@ object Dedup {
     // per-document attribute, e.g. mesh provenance) rides the chain as
     // `__tag` and emerges as (tag_a, tag_b) on each pair — no post-hoc
     // re-join against the corpus.
-    val bandIdx = bandSignatures(
-      minhashSignatures(shinglesRaw(docs, idCol, textCol, tagCol = tagCol), k, fastHash),
-      bands, k / bands)
+    val bandIdx = bandIndexRowLocal(docs, idCol, textCol, k, bands, fastHash, tagCol)
     // candidates are tiny (pair ids only) and consumed twice: the id
     // broadcast below and the verification join. EAGER checkpoint, on
     // purpose: with a lazy one the broadcast build and the verify join
@@ -395,9 +393,48 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, fastHash: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    bandSignatures(
-      minhashSignatures(shinglesRaw(docs, idCol, textCol), k, fastHash), bands, k / bands)
+    bandIndexRowLocal(docs, idCol, textCol, k, bands, fastHash, tagCol = None)
       .withColumn("hash_family", lit(hashFamily(fastHash)))
+  }
+
+  /** The slim (id[, __tag], band, bsig) band index computed ROW-LOCALLY:
+    * one projection from text to k minhash minima (min over the raw
+    * multiset == min over the distinct set, so there is no distinct, no
+    * per-shingle explode, and no per-doc aggregation — the corpus's only
+    * shuffle stays the consumer's bucket groupBy). The md5 family runs on
+    * the native one-pass [[graft.functions.MinhashSigs]]; values are
+    * identical to the exploded minhashSignatures spelling (DedupSpec's
+    * staged ≡ fused assertion covers the whole chain). Zero-shingle docs
+    * drop at the when-guarded band explode — a filter here would be
+    * predicate-pushed beneath the fan-out exchange, dragging the whole
+    * signature projection into the narrow scan stage. */
+  private def bandIndexRowLocal(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, fastHash: Boolean,
+      tagCol: Option[String]): DataFrame = {
+    val rows = k / bands
+    val tagSel = tagCol.map(_ => col("__tag")).toSeq
+    graft.functions.HashFunctions.register(docs.sparkSession)
+    val grams = graft.functions.TextFunctions.word_ngrams(col(textCol), 3)
+    val mh =
+      if (fastHash) {
+        val hs = transform(grams,
+          s => xxhash64(s).bitwiseAND(lit(281474976710655L)))
+        array((0 until k).map(j => array_min(transform(hs,
+          h => (h * lit(mhA(j)) + lit(mhB(j))) % lit(MinhashPrime)))): _*)
+      } else graft.functions.HashFunctions.minhash_sigs(grams, k)
+    val sigs = Partitioning.fanOut(docs, idCol).select(
+      col(idCol).as("__id") +: tagCol.map(t => col(t).as("__tag")).toSeq :+
+        mh.as("__mh"): _*)
+    val bandCol = (b: Int) =>
+      md5(concat_ws(":", lit(b.toString) +:
+        (0 until rows).map(r =>
+          element_at(col("__mh"), b * rows + r + 1).cast("string")): _*))
+    sigs.select(Seq(col("__id")) ++ tagSel :+
+        explode(when(element_at(col("__mh"), 1).isNotNull,
+          array((0 until bands).map(b =>
+            struct(lit(b).as("band"), bandCol(b).as("bsig"))): _*))).as("bb"): _*)
+      .select(Seq(col("__id")) ++ tagSel :+ col("bb.band") :+ col("bb.bsig"): _*)
   }
 
   /** Incremental ingest dedup: near-dup pairs between a NEW batch and an
