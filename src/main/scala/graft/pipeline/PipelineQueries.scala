@@ -2455,6 +2455,30 @@ object PipelineQueries {
       Dedup.connectedComponents(cachedPairs(s, dir)).orderBy(col("doc_id"))
     }),
 
+    // sp8: LEAKAGE-SAFE train/val/test split — sp5's deterministic
+    // md5-threshold split keyed by the near-dup CLUSTER instead of the
+    // document, so near-duplicates never straddle train and eval (the
+    // contamination n-gram decontamination can miss at paraphrase level).
+    // Composes the stored dedup artifacts: verified pairs -> connected
+    // components -> group key -> split. The oracle replays the whole
+    // chain (recursive-CTE closure + the same md5 hex threshold) in
+    // DuckDB; the no-straddle invariant itself is spec-pinned on the
+    // pair list (SamplingSpec).
+    "sp8_leakage_split" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val clusters = Dedup.connectedComponents(cachedPairs(s, dir))
+      Sampling.leakageSafeSplit(s.table("documents"), "doc_id", clusters)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_group")).as("n_groups"),
+          sum(when(col("split_group") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_regrouped"),
+          min(col("doc_id")).as("first_doc"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"))
+    }),
+
     // gr1: PageRank over the near-dup similarity graph (graft.pipeline
     // .Graph) — centrality-weighted canonical-representative selection for
     // template families. Integer fixed-point arithmetic end to end
@@ -2817,6 +2841,34 @@ object PipelineQueries {
            |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
            |SELECT node AS doc_id, min(label) AS cluster_id
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+      // the sp8 chain end-to-end: recursive closure over the verified
+      // pair list -> per-doc group key (cluster id, else own id) -> sp5's
+      // md5 hex-threshold split on the GROUP key -> per-split rollup
+      "sp8_leakage_split" ->
+        s"""WITH RECURSIVE $duckPairsChain,
+           |reach(node, label) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+           |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |g AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS grp
+           |      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+           |s AS (SELECT doc_id, grp,
+           |        CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val'
+           |             ELSE 'test' END AS split
+           |      FROM (SELECT doc_id, grp,
+           |              CAST(('0x' || substring(md5(concat('sp8:',
+           |                   CAST(grp AS VARCHAR))), 1, 2)) AS INT) AS h
+           |            FROM g))
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           |       CAST(sum(CASE WHEN grp <> doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_regrouped,
+           |       min(doc_id) AS first_doc,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
       // five fixed-point power iterations as chained join-agg CTEs — the
       // integer arithmetic (see Graph.pageRank) makes each layer

@@ -96,6 +96,31 @@ object Sampling {
       when(h < trainUpTo, "train").when(h < valUpTo, "val").otherwise("test"))
   }
 
+  /** Cluster-aware (leakage-safe) train/val/test split: every document
+    * splits by the hash of its near-dup GROUP key — its cluster id when
+    * a dedup run put it in a near-dup cluster, its own id otherwise — so
+    * near-duplicates can never straddle train and eval. This is the
+    * split-level guarantee that keeps held-out metrics honest: a test
+    * document whose near-duplicate sits in train is contamination that
+    * post-hoc n-gram decontamination (dc1/dc2) may miss when the overlap
+    * is paraphrase-level. `clusters` is the (doc_id, cluster_id) frame a
+    * dedup run stores ([[Dedup.connectedComponents]] output); at scale
+    * it is read back as stored state and hash-joined on doc id — one
+    * join on top of [[withSplit]]'s zero-shuffle projection. Adds
+    * `split_group` (the group key) and `splitCol`. */
+  def leakageSafeSplit(
+      docs: DataFrame, idCol: String, clusters: DataFrame,
+      trainUpTo: Int = 204, valUpTo: Int = 230,
+      salt: String = "sp8", splitCol: String = "split"): DataFrame = {
+    val cl = clusters.select(
+      col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_lbl"))
+    val keyed = docs.join(cl, col(idCol) === col("__cc_id"), "left")
+      .withColumn("split_group",
+        coalesce(col("__cc_lbl"), col(idCol).cast("long")))
+      .drop("__cc_id", "__cc_lbl")
+    withSplit(keyed, "split_group", trainUpTo, valUpTo, salt, splitCol)
+  }
+
   /** Deterministic shard id in [0, nShards) for training-shard export:
     * derived from the row's hash draw, so shards are balanced and stable
     * across runs/retries. Writing becomes

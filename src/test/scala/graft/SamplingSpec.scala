@@ -171,6 +171,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac("val") / total > 0.05 && frac("test") / total > 0.05)
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles splits; rates hold") {
+    import graft.pipeline.Dedup
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val clusters = Dedup.connectedComponents(pairs)
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", clusters)
+      .select(col("doc_id"), col("split"), col("split_group"))
+    // THE guarantee: both ends of every verified near-dup pair land in
+    // the same split (follows from cluster-keyed hashing + component
+    // correctness, asserted end-to-end here)
+    val straddling = pairs.select(col("doc_a"), col("doc_b"))
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .where(col("sa") =!= col("sb")).count()
+    assert(straddling == 0, s"$straddling near-dup pairs straddle splits")
+    // clustered docs adopt their keeper's group key
+    val badGroup = split.join(clusters, "doc_id")
+      .where(col("split_group") =!= col("cluster_id")).count()
+    assert(badGroup == 0)
+    // group-keyed hashing still lands near the 80/10/10 envelope
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = frac.values.sum.toDouble
+    assert(frac("train") / total > 0.7 && frac("train") / total < 0.9)
+    assert(frac("val") / total > 0.03 && frac("test") / total > 0.05)
+  }
+
   test("curated shards export via partitionBy and read back identically") {
     import graft.pipeline.Curation
     val curated = Curation.curate(docs, "doc_id", "text", "lang")
