@@ -52,6 +52,27 @@ object Curation {
   val UrlPattern = "https?://[^ ]+"
   val TagPattern = "<[^>]*>"
 
+  /** Corpus snapshot diff — the dataset-versioning primitive an
+    * incremental training-data build runs between two corpus versions:
+    * per document, whether it was ADDED, REMOVED, CHANGED (same id,
+    * different content hash) or UNCHANGED. One full outer join on the
+    * id; content comparison is md5 on each side, so the diff never
+    * ships document bodies — at 100 TB each side reduces to (id, 16-byte
+    * hash) before the only shuffle. Returns (id, status) with status in
+    * {added, removed, changed, unchanged}. */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"), md5(col(textCol)).as("__oh"))
+    val n = newDocs.select(col(idCol).as("__id"), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   def cleanText(df: DataFrame, textCol: String): DataFrame = {
     val stripped = regexp_replace(col(textCol), TagPattern, " ")
     df.withColumn("__s1", stripped)

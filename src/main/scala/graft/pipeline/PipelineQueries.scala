@@ -722,6 +722,46 @@ object PipelineQueries {
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin),
 
     // ------------------------------------------------------------------
+    // cd1: corpus snapshot diff — the dataset-versioning primitive
+    // between two corpus builds: added/removed/changed/unchanged per
+    // document, compared by content hash so bodies never shuffle. The
+    // two versions derive deterministically in-query (tc1/mm2
+    // precedent): v1 lacks doc_id%17=3, v2 lacks doc_id%19=7 and
+    // revises doc_id%13=5. Routed through Curation.snapshotDiff
+    // (LibraryApiSpec pins equality with this SQL form).
+    Q("cd1_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents
+        |            WHERE doc_id % 17 <> 3),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 5 THEN concat(text, ' rev2')
+        |                  ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 19 <> 7),
+        |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |        CASE WHEN v1.h IS NULL THEN 'added'
+        |             WHEN v2.h IS NULL THEN 'removed'
+        |             WHEN v1.h <> v2.h THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents
+        |            WHERE doc_id % 17 <> 3),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 5 THEN concat(text, ' rev2')
+        |                  ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 19 <> 7),
+        |d AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |        CASE WHEN v1.h IS NULL THEN 'added'
+        |             WHEN v2.h IS NULL THEN 'removed'
+        |             WHEN v1.h <> v2.h THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM d GROUP BY status ORDER BY status""".stripMargin),
+
+    // ------------------------------------------------------------------
     // sp4: source-weighted corpus mixing — the training-data "mixture
     // weights" step (Pile/LLaMA-style recipes): premium sources repeat
     // 2.5x, one noisy source keeps 0.25x, the rest 1x. floor(w) full
@@ -2453,6 +2493,25 @@ object PipelineQueries {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
       Dedup.connectedComponents(cachedPairs(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // cd1 routes through the library snapshot diff (LibraryApiSpec
+    // proves equality with the SQL form): each side reduces to
+    // (id, md5) before the single full-outer-join shuffle
+    "cd1_snapshot_diff" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      val v1 = docs.where(col("doc_id") % 17 =!= 3)
+      val v2 = docs.where(col("doc_id") % 19 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("status"))
     }),
 
     // sp8: LEAKAGE-SAFE train/val/test split — sp5's deterministic

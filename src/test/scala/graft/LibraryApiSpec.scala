@@ -309,6 +309,30 @@ class LibraryApiSpec extends AnyFunSuite {
       s"ring ranks not uniform: ${ringRanks.mkString(", ")}")
   }
 
+  test("snapshotDiff == cd1 SQL form; statuses partition both versions") {
+    Fixtures.registerRaw(spark, sfDir)
+    assertSame(
+      q("cd1_snapshot_diff"),
+      spark.sql(graft.pipeline.PipelineQueries.sparkSqlFor("cd1_snapshot_diff")))
+    // row-level invariants: statuses partition the union of both versions
+    val docs = spark.table("documents")
+    val v1 = docs.where(col("doc_id") % 17 =!= 3)
+    val v2 = docs.where(col("doc_id") % 19 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val d = graft.pipeline.Curation.snapshotDiff(v1, v2, "doc_id", "text")
+    assert(d.count() ==
+      v1.select("doc_id").union(v2.select("doc_id")).distinct().count())
+    assert(d.where(col("status") === "added").count() ==
+      v2.join(v1, Seq("doc_id"), "left_anti").count())
+    assert(d.where(col("status") === "removed").count() ==
+      v1.join(v2, Seq("doc_id"), "left_anti").count())
+    assert(d.where(col("status") === "changed").count() ==
+      docs.where(col("doc_id") % 13 === 5 && col("doc_id") % 17 =!= 3 &&
+        col("doc_id") % 19 =!= 7).count())
+  }
+
   test("duplicatedSpans == dd8; centroidOutliers == emb1") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
