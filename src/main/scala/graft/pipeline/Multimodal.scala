@@ -463,10 +463,29 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL decode via AudioSystem: parse the WAV container, return the
-    * int16 samples. Format is validated, not assumed. */
+  /** The platform WAVE reader resolved ONCE (ServiceLoader): calling
+    * `AudioSystem.getAudioInputStream` per payload re-runs a
+    * SYNCHRONIZED provider lookup per call, which serializes a 32-thread
+    * decode stage almost completely (measured: 12.2 s task time, 0.6 s
+    * CPU — 95% lock wait). The provider instance itself is stateless;
+    * batch paths call it directly. */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var r: javax.sound.sampled.spi.AudioFileReader = null
+    while (it.hasNext && r == null) {
+      val cand = it.next()
+      if (cand.getClass.getName.toLowerCase.contains("wave")) r = cand
+    }
+    require(r != null, "no WAVE AudioFileReader provider on this JVM")
+    r
+  }
+
+  /** REAL decode via the platform WAVE provider: parse the WAV
+    * container, return the int16 samples. Format is validated, not
+    * assumed. */
   def decodeWav(payload: Array[Byte]): Array[Int] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val in = wavReader.getAudioInputStream(
       new ByteArrayInputStream(payload))
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
