@@ -61,8 +61,15 @@ object Bench {
       }
     }
     def timedPass(): Seq[(String, Double)] = {
-      System.gc()
       ordered.map { case (name, fn) =>
+        // JMH-style hygiene: collect BEFORE each timed window, outside it.
+        // A long session otherwise accumulates dead plan/shuffle/broadcast
+        // state that the ContextCleaner only drains after a driver GC (a
+        // 48g heap rarely collects organically), and queries late in the
+        // pass absorb the accumulated debt — measured up to 17x inflation
+        // on a 103-query sf1 session vs the same query in a fresh JVM.
+        System.gc()
+        Thread.sleep(100) // let the ContextCleaner drain OUTSIDE the window
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
