@@ -27,6 +27,49 @@ class VectorDotSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("vec_scores equals the per-centroid dot spelling bit-for-bit") {
+    import graft.functions.VectorFunctions.{vec_dot, vec_scores}
+    val e = spark.read.parquet(s"${TestSessions.sfDir}/embeddings.parquet")
+    // deterministic "centroids" drawn from the data itself
+    val cents = e.orderBy("vec_id").limit(7).collect()
+      .map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val bias = cents.indices.map(j => j * 0.125 - 0.375)
+    val perJ = cents.zip(bias).map { case (c, b) =>
+      vec_dot(col("embedding"), array(c.map(lit(_)): _*)) + lit(b)
+    }
+    val mismatch = e.select(
+        vec_scores(col("embedding"), cents, bias).as("fast"),
+        array(perJ: _*).as("slow"))
+      .where(cents.indices
+        .map(j => element_at(col("fast"), j + 1) =!= element_at(col("slow"), j + 1))
+        .reduce(_ || _)).count()
+    assert(mismatch == 0)
+    // null vector -> null array
+    val r = e.select(vec_scores(lit(null).cast("array<float>"), cents, bias)).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("vec_cos_scores equals round(vec_dot/(nrm*cn), 6) bit-for-bit") {
+    import graft.functions.VectorFunctions.{vec_dot, vec_cos_scores}
+    val e = spark.read.parquet(s"${TestSessions.sfDir}/embeddings.parquet")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions
+        .vec_dot(col("embedding"), col("embedding"))))
+    val rows = e.orderBy("vec_id").limit(5).collect()
+    val cents = rows.map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq
+    val norms = rows.map(_.getAs[Double]("nrm")).toIndexedSeq
+    val perJ = cents.zip(norms).map { case (c, cn) =>
+      round(vec_dot(col("embedding"), array(c.map(lit(_)): _*))
+        / (col("nrm") * lit(cn)), 6)
+    }
+    val mismatch = e.where(col("nrm") > 0).select(
+        vec_cos_scores(col("embedding"), col("nrm"), cents, norms).as("fast"),
+        array(perJ: _*).as("slow"))
+      .where(cents.indices
+        .map(j => element_at(col("fast"), j + 1) =!= element_at(col("slow"), j + 1))
+        .reduce(_ || _)).count()
+    assert(mismatch == 0)
+  }
+
   test("null vectors propagate null; Column API cosine is 1.0 on self") {
     VectorFunctions.register(spark)
     val r = spark.sql(
