@@ -2107,6 +2107,17 @@ object PipelineQueries {
       })
     }
 
+  /** tok2's trained BPE merge table per (session, sf): driver-side model
+    * state (10 string pairs), same contract as the centroid caches. */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(String, String)]]
+
+  private def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    cacheLock.synchronized {
+      mergeCache.getOrElseUpdate((s, dir),
+        TextAnalysis.bpeTrain(s.table("documents"), "doc_id", "text", 10)._1)
+    }
+
   /** sd1's seed centroids per (session, sf): driver-side model state only
     * (16 x 64 floats + norms), same contract as centroidCache. */
   private val sdCentCache = scala.collection.concurrent.TrieMap
@@ -2509,6 +2520,24 @@ object PipelineQueries {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
       Dedup.connectedComponents(cachedPairs(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // tok2: BPE ENCODE with the trained merge table (the tokenizer
+    // serving phase; tok1/bpeTrain is the training side). The merge
+    // table is memoized MODEL STATE per (session, sf) — train once,
+    // encode many. Greedy iterative merging has no DuckDB SQL spelling,
+    // so this is the suite's one rows-only driver check; correctness is
+    // pinned by the train/encode duality (encoding the training corpus
+    // reproduces bpeTrain's tokenization row-for-row, LibraryApiSpec)
+    // and the flat-token round-trip.
+    "tok2_bpe_encode" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val merges = cachedMerges(s, dir)
+      TextAnalysis.bpeEncode(s.table("documents"), "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          md5(concat_ws("", col("toks"))).as("tok_stream_md5"))
+        .orderBy(col("doc_id"))
     }),
 
     // cd1 routes through the library snapshot diff (LibraryApiSpec

@@ -423,6 +423,44 @@ object TextAnalysis {
     (merges.toSeq, cur.toDF("doc_id", "toks"))
   }
 
+  /** BPE ENCODE (the serving phase of [[bpeTrain]], Sennrich '16 apply):
+    * tokenize new text with an already-learned merge table by applying
+    * the merges IN TRAINING ORDER, each as one greedy left-to-right pass
+    * — exactly the per-round transform training ran, so encoding the
+    * training corpus reproduces the trained tokenization row-for-row
+    * (LibraryApiSpec pins it). Purely row-local: the merge table is tiny
+    * MODEL STATE shipped in the task closure, each document encodes
+    * independently, no shuffle at any corpus size. Split semantics match
+    * Spark's `split(text, ' ')` (trailing empties kept). Returns
+    * (doc_id, toks). Greedy iterative merging has no DuckDB SQL
+    * spelling, so the driver gate records a rows-only check for tok2 —
+    * correctness is pinned by the train/encode duality spec instead. */
+  def bpeEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        var toks: Array[String] = text.split(" ", -1)
+        var m = 0
+        while (m < ms.length) {
+          val (a, b) = ms(m)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += a + " " + b; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.toArray
+          m += 1
+        }
+        (id, toks.toSeq)
+      }.toDF("doc_id", "toks")
+  }
+
   /** WINNOWING fingerprints (MOSS), staged as two expressions — single
     * source for the tx6 driver query and its guarantee spec. The gram
     * array MUST be materialized into a column before the window pass:

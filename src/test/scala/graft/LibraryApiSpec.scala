@@ -309,6 +309,35 @@ class LibraryApiSpec extends AnyFunSuite {
       s"ring ranks not uniform: ${ringRanks.mkString(", ")}")
   }
 
+  test("bpeEncode in training order reproduces bpeTrain's tokenization; round-trips") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents").limit(200)
+    val (merges, trained) =
+      graft.pipeline.TextAnalysis.bpeTrain(docs, "doc_id", "text", 8)
+    assert(merges.nonEmpty)
+    val encoded =
+      graft.pipeline.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    // duality: the serving-phase encode of the TRAINING corpus equals the
+    // tokenization training itself produced (two implementations — the
+    // corpus-wide iterative transform vs the per-doc ordered apply)
+    val t = trained.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val e = encoded.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(t.toSeq == e.toSeq)
+    // flat round-trip: splitting every phrase token back on spaces
+    // reconstructs the original word stream
+    val bad = encoded.join(docs, "doc_id")
+      .where(expr("flatten(transform(toks, t -> split(t, ' '))) <> split(text, ' ')"))
+      .count()
+    assert(bad == 0)
+    // zero merges = plain word split
+    val z = graft.pipeline.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", Seq.empty).join(docs, "doc_id")
+      .where(expr("toks <> split(text, ' ')")).count()
+    assert(z == 0)
+  }
+
   test("snapshotDiff == cd1 SQL form; statuses partition both versions") {
     Fixtures.registerRaw(spark, sfDir)
     assertSame(
