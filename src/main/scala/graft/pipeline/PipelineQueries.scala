@@ -2407,12 +2407,16 @@ object PipelineQueries {
         .resolve(s, mesh, "global", "documents", user = None, withProvenance = true)
       // provenance rides the LSH chain itself (tagCol → tag_a/tag_b on each
       // pair): no post-hoc corpus re-joins, no second resolution pass.
-      // STAGED form: over the ACL-union entity the fused variant shuffles
-      // each doc's shingle set `bands`× through the bucket groupBy — at this
-      // corpus's dup rate the slim (id,band,bsig) index + candidate-only
-      // verification moves measurably fewer bytes (2.4 s → staged beats it;
-      // DedupSpec pins staged ≡ fused)
-      Dedup.minhashLshPairsStaged(entity, "doc_id", "text", tagCol = Some("_source_id_"))
+      // FUSED form (again): round 6 switched dm2 to staged because the
+      // fused variant's interpreted lambda minhash made its single big
+      // stage the bottleneck; with the native one-pass MinhashSigs the
+      // fused chain is one job with no materialization barrier and beats
+      // staged's checkpoint + broadcast choreography at this scale
+      // (2.36 s staged vs 1.57 s fused, warm min-of-3). DedupSpec pins
+      // staged ≡ fused, so either form is the same answer; huge corpora
+      // with low dup rates still prefer minhashLshPairsStaged (slim index,
+      // candidate-only verification).
+      Dedup.minhashLshPairs(entity, "doc_id", "text", tagCol = Some("_source_id_"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           (col("tag_a") =!= col("tag_b")).as("cross_source"))
         .orderBy(col("doc_a"), col("doc_b"))
