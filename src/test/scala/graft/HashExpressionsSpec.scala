@@ -90,6 +90,47 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(mismatch == 0)
   }
 
+  test("property: MinhashSigs/Md5Words match direct digest math on arbitrary unicode") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // pure-JVM property (no Spark job per case): the eval helpers the
+    // expression and its codegen both call, against digest math done here
+    // from scratch — arbitrary unicode including surrogates-free strings
+    val genStr = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ':', '#', 'é', '中', 'ß', '€', '\t')))
+      .map(_.mkString)
+    def md5bytes(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val pWords = Prop.forAll(genStr) { s =>
+      val d = md5bytes(s)
+      val w = graft.functions.Md5Words
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      def be(off: Int) = (0 until 4).map(i => (d(off + i) & 0xffL) << (24 - 8 * i)).sum
+      w.getLong(0) == be(0) && w.getLong(1) == be(4)
+    }
+    val k = 12
+    val pSigs = Prop.forAll(Gen.listOf(genStr)) { shingles =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        shingles.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val got = graft.functions.MinhashSigs.compute(arr, k)
+      if (shingles.isEmpty) (0 until k).forall(got.isNullAt)
+      else (0 until k).forall { j =>
+        val exp = shingles.map { s =>
+          val d = md5bytes(s)
+          val h = (0 until 6).map(i => (d(i) & 0xffL) << (40 - 8 * i)).sum
+          (h * graft.functions.MinhashSigs.a(j) +
+            graft.functions.MinhashSigs.b(j)) % graft.functions.MinhashSigs.P
+        }.min
+        got.getLong(j) == exp
+      }
+    }
+    Seq(pWords, pSigs).foreach { p =>
+      val res = check(Parameters.default.withMinSuccessfulTests(300), p)
+      assert(res.passed, res.status.toString)
+    }
+  }
+
   test("registered SQL form works inside transform lambdas") {
     graft.functions.HashFunctions.register(spark)
     val r = spark.sql(
