@@ -299,6 +299,29 @@ object EntityResolver {
                 spark, url, rm.renderSql(rm.remoteEntity), user,
                 viaRelay = siteName, visited = visited + rm.peer,
                 withProvenance = withProvenance)
+              // On the WIRE path the peer appends provenance itself when
+              // asked (sqlForPeer resolves with withProvenance=true before
+              // applying the template), so unless the mapping template
+              // itself drops the columns (a legitimate choice the
+              // plan-only templateProvenance probe detects), a payload
+              // missing them is a protocol fault. Degrading to NULL here
+              // (as the in-process projection legitimately does for
+              // provenance-dropping templates) would silently flip result
+              // hashes while keeping row counts/schema intact — fail
+              // loudly with the fetched schema instead.
+              if (withProvenance) {
+                val (keepsRelay, keepsId) = templateProvenance(spark, mesh, rm)
+                val expected = Seq(
+                  SourceRelayCol -> keepsRelay, SourceIdCol -> keepsId)
+                  .collect { case (c, true) => c }
+                val got = templated.columns.toSet
+                val missing = expected.filterNot(got)
+                if (missing.nonEmpty)
+                  throw new IllegalStateException(
+                    s"wire fetch from peer '${rm.peer}' ($url) requested " +
+                      s"provenance but the payload lacks ${missing.mkString(", ")}; " +
+                      s"fetched schema: ${templated.schema.simpleString}")
+              }
               remoteInfoProjection(entity, rm, templated, withProvenance)
             case None =>
               val remoteDF = resolveRec(

@@ -472,6 +472,51 @@ class TransportSpec extends AnyFunSuite {
     }
   }
 
+  test("a peer that strips requested provenance fails loudly, never NULL-degrades") {
+    // Provenance silently degrading to NULL on the wire keeps row counts and
+    // schema intact while flipping every provenance-grouped hash — the one
+    // failure mode that is invisible to rows/schema gates. The resolver must
+    // refuse the payload instead. Fake peer: serves real parquet for
+    // /query/sync but WITHOUT the provenance columns it was asked for.
+    Fixtures.registerRaw(spark, sfDir)
+    val stripped = java.nio.file.Files.createTempDirectory("graft_noprov")
+    spark.table("raw_documents").where("doc_id % 2 = 1")
+      .coalesce(1).write.mode("overwrite").parquet(stripped.toString)
+    val parquetBytes = java.nio.file.Files.list(stripped).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var payload: Array[Byte] = null
+    parquetBytes.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet"))
+        payload = java.nio.file.Files.readAllBytes(p)
+    }
+    assert(payload != null)
+    val fake = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    fake.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.add("Content-Type", "application/vnd.apache.parquet")
+      ex.sendResponseHeaders(200, payload.length.toLong)
+      ex.getResponseBody.write(payload)
+      ex.close()
+    })
+    fake.start()
+    try {
+      val url = s"http://127.0.0.1:${fake.getAddress.getPort}"
+      val stub = Site("beta",
+        entities = Map("documents" -> Fixtures.documentsEntity),
+        endpoint = Some(url))
+      val err = intercept[IllegalStateException] {
+        EntityResolver.resolve(
+          spark, alphaMesh(stub), "alpha", "documents", withProvenance = true)
+      }
+      assert(err.getMessage.contains("lacks"))
+      assert(err.getMessage.contains(EntityResolver.SourceIdCol))
+      // without provenance the same payload is acceptable
+      val plain = EntityResolver.resolve(
+        spark, alphaMesh(stub), "alpha", "documents", withProvenance = false)
+      assert(plain.count() == spark.table("raw_documents").count())
+    } finally fake.stop(0)
+  }
+
   test("invalid SQL over the wire surfaces the validator's error as HTTP 400") {
     withServer(betaMesh(), "beta") { server =>
       val err = intercept[RelayClient.RelayException] {
