@@ -2112,10 +2112,26 @@ object PipelineQueries {
   private val mergeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(String, String)]]
 
+  private val mergesWritten = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Boolean]
+
   private def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     cacheLock.synchronized {
-      mergeCache.getOrElseUpdate((s, dir),
+      val ms = mergeCache.getOrElseUpdate((s, dir),
         TextAnalysis.bpeTrain(s.table("documents"), "doc_id", "text", 10)._1)
+      // Spill the merge table next to the ANN artifacts (same contract:
+      // trained model state is WRITTEN state, and tok2's oracle replays
+      // serving from it — Verify clears the dir up front so the oracle
+      // can only ever replay merges trained by its own run).
+      mergesWritten.getOrElseUpdate((s, dir), {
+        import s.implicits._
+        ms.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+          .toDF("idx", "left_tok", "right_tok")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"${annArtifactDir(dir)}/merges.parquet")
+        true
+      })
+      ms
     }
 
   /** sd1's seed centroids per (session, sf): driver-side model state only
@@ -2529,11 +2545,11 @@ object PipelineQueries {
     // tok2: BPE ENCODE with the trained merge table (the tokenizer
     // serving phase; tok1/bpeTrain is the training side). The merge
     // table is memoized MODEL STATE per (session, sf) — train once,
-    // encode many. Greedy iterative merging has no DuckDB SQL spelling,
-    // so this is the suite's one rows-only driver check; correctness is
-    // pinned by the train/encode duality (encoding the training corpus
-    // reproduces bpeTrain's tokenization row-for-row, LibraryApiSpec)
-    // and the flat-token round-trip.
+    // encode many — and spilled as a stored artifact so the DuckDB
+    // oracle replays the same merges (bpeEncodeOracle's recursive-CTE
+    // replace chain); the train/encode duality (encoding the training
+    // corpus reproduces bpeTrain's tokenization row-for-row,
+    // LibraryApiSpec) pins the algorithm itself.
     "tok2_bpe_encode" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
@@ -2717,6 +2733,42 @@ object PipelineQueries {
     * ADC, pages top-20 by raw approx, reranks full-precision from the
     * embeddings table, and emits the top-5 — the identical serving
     * algorithm over identical stored state, independently executed. */
+  /** tok2's DuckDB oracle: replay the STORED merge table (trained by this
+    * run's bpeTrain, spilled by [[cachedMerges]]) over the corpus with a
+    * recursive CTE — one level per merge, in training order. The token
+    * stream is encoded as a delimiter string (`\x01tok\x02` per token, so
+    * `\x01` counts tokens and patterns can never match across token
+    * boundaries), and each merge round is ONE `replace()`: SQL replace's
+    * left-to-right continue-after-replacement scan is exactly the greedy
+    * non-overlapping pass `TextAnalysis.bpeEncode` runs per merge
+    * (verified: `(a,a,a)` with pair `(a,a)` gives `(a a), a` in both).
+    * The fingerprint hashes tokens joined by `\x01` (the same separator
+    * the Spark query's `concat_ws` uses — unambiguous, since merged
+    * tokens contain spaces): dropping `\x02` leaves exactly that
+    * `\x01`-joined stream after the leading delimiter is stripped. Two
+    * different executions of the same algorithm, one answer — the same
+    * stored-model-parity contract as the ss3/ss5/ss6 oracles. */
+  private def bpeEncodeOracle(art: String): String = {
+    val merges = s"read_parquet('$art/merges.parquet/*.parquet')"
+    s"""WITH RECURSIVE m AS (SELECT idx, left_tok, right_tok FROM $merges),
+       |enc AS (
+       |  SELECT doc_id, 0 AS it,
+       |         chr(1) || replace(text, ' ', chr(2) || chr(1)) || chr(2) AS s
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT e.doc_id, e.it + 1,
+       |         replace(e.s,
+       |                 chr(1) || m.left_tok || chr(2) || chr(1) || m.right_tok || chr(2),
+       |                 chr(1) || m.left_tok || ' ' || m.right_tok || chr(2))
+       |  FROM enc e JOIN m ON m.idx = e.it)
+       |SELECT doc_id,
+       |       CAST(length(s) - length(replace(s, chr(1), '')) AS INTEGER) AS n_tokens,
+       |       md5(substring(replace(s, chr(2), ''), 2)) AS tok_stream_md5
+       |FROM enc
+       |WHERE it = (SELECT count(*) FROM m)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def pqAdcOracle(ivf: Boolean, art: String): String = {
     val idx = s"read_parquet('$art/index.parquet/*.parquet')"
     val books = s"read_parquet('$art/books.parquet/*.parquet')"
@@ -2823,6 +2875,7 @@ object PipelineQueries {
       "ss5_pq_topk" -> pqAdcOracle(ivf = false, annArtifactDir(sfDir)),
       "ss6_ivfpq_topk" -> pqAdcOracle(ivf = true, annArtifactDir(sfDir)),
       "ss3_ivf_learned" -> learnedIvfOracle(annArtifactDir(sfDir)),
+      "tok2_bpe_encode" -> bpeEncodeOracle(annArtifactDir(sfDir)),
 
       // dc2 = dc1's exact contract served through the Bloom-pruned path
       "dc2_bloom_decontamination" ->

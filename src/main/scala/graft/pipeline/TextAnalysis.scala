@@ -432,16 +432,23 @@ object TextAnalysis {
     * MODEL STATE shipped in the task closure, each document encodes
     * independently, no shuffle at any corpus size. Split semantics match
     * Spark's `split(text, ' ')` (trailing empties kept). Returns
-    * (doc_id, toks). Greedy iterative merging has no DuckDB SQL
-    * spelling, so the driver gate records a rows-only check for tok2 —
-    * correctness is pinned by the train/encode duality spec instead. */
+    * (doc_id, toks). Correctness is pinned twice: the train/encode
+    * duality spec (LibraryApiSpec), and the tok2 driver oracle, which
+    * replays the STORED merge table in DuckDB (one `replace()` pass per
+    * merge over a delimiter-string encoding — see
+    * `PipelineQueries.bpeEncodeOracle`). */
   def bpeEncode(
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.toArray
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // null text encodes as empty (matching the other row-local stages'
+    // null tolerance); a null id cannot unbox into (Long, String) and
+    // would NPE the whole job, so those rows are dropped up front
+    docs.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
       .map { case (id, text) =>
         var toks: Array[String] = text.split(" ", -1)
         var m = 0
