@@ -19,6 +19,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // this suite's exchanges are mostly far below one task's worth of
+      // data; with parallelismFirst (the default) AQE keeps ~cpus tasks
+      // per kB-sized shuffle purely for parallelism, and the per-task
+      // scheduling overhead dominates sub-second queries. Size-first
+      // coalescing collapses those to one task while leaving real
+      // (≥ advisory size) exchanges at full width.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }

@@ -18,8 +18,25 @@ import graft.catalog._
   * apply), and [[listEntities]] is the list_flights analogue. */
 class MeshRegistry(initial: Mesh) {
   @volatile private var current: Mesh = initial
+  @volatile private var persistTo: Option[java.nio.file.Path] = None
 
   def mesh: Mesh = current
+
+  /** Snapshot the catalog to `path` now and after every subsequent
+    * mutation (atomic temp+rename writes) — the reference's Postgres
+    * durability for entities/mappings at single-binary scope
+    * (`core/src/schema.rs:90-145`). Restore with
+    * [[graft.catalog.MeshStateStore.readMesh]] before constructing the
+    * registry ([[graft.tools.RelayMain]] does both). Endpoint-backed peer
+    * STUBS persist too: a restarted relay re-serves its mesh without
+    * re-fetching peer catalogs (and re-registers live peers on top). */
+  def attachPersistence(path: java.nio.file.Path): Unit = synchronized {
+    persistTo = Some(path)
+    MeshStateStore.writeMesh(current, path)
+  }
+
+  private def persist(): Unit =
+    persistTo.foreach(MeshStateStore.writeMesh(current, _))
 
   /** The `list_flights` ticket payloads for one site: every entity name
     * with its typed Information list. */
@@ -72,5 +89,6 @@ class MeshRegistry(initial: Mesh) {
     synchronized {
       val s = current.sites.getOrElse(siteName, Site(siteName, Map.empty))
       current = Mesh(current.sites + (siteName -> f(s)))
+      persist()
     }
 }

@@ -107,6 +107,50 @@ class QueryService(session: MeshSession, resultDir: String) {
   private val branchTasks =
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), TaskState]]()
 
+  // Request/task durability (the reference's Postgres rows,
+  // `core/src/schema.rs:120-145`, at single-binary scope): terminal
+  // transitions snapshot the maps to tasks.json beside the result spill
+  // (atomic temp+rename), and a restarted service restores them — completed
+  // requests keep their statuses and their results stay readable. Requests
+  // caught NON-terminal by a restart surface as Failed with an explicit
+  // reason (their worker thread is gone; the reference's runner would
+  // likewise never complete a task whose process died) — the caller
+  // re-submits, and per-branch spill from the first attempt is overwritten
+  // idempotently.
+  private val statePath = java.nio.file.Paths.get(resultDir, "tasks.json")
+  private val stateLock = new Object
+  locally {
+    if (java.nio.file.Files.exists(statePath)) {
+      val (ts, bs) = graft.catalog.MeshStateStore.readTasks(statePath)
+      ts.foreach { case (id, (st, err)) =>
+        val restored = parseStatus(st) match {
+          case Complete => TaskState(Complete, err)
+          case Failed   => TaskState(Failed, err)
+          case _ => TaskState(Failed,
+            Some("relay restarted while the request was in flight"))
+        }
+        tasks.put(id, restored)
+      }
+      bs.foreach { case (id, m) =>
+        branchTasks.put(id, m.map { case (k, (st, err)) =>
+          k -> TaskState(parseStatus(st), err)
+        })
+      }
+    }
+  }
+
+  private def persistState(): Unit = stateLock.synchronized {
+    import scala.jdk.CollectionConverters._
+    graft.catalog.MeshStateStore.writeTasks(
+      tasks.asScala.toMap.map { case (id, t) =>
+        id -> (t.status.toString, t.error)
+      },
+      branchTasks.asScala.toMap.map { case (id, m) =>
+        id -> m.map { case (k, t) => k -> (t.status.toString, t.error) }
+      },
+      statePath)
+  }
+
   import QueryService.pool
 
   /** This relay's own reachable ingest endpoint — set by
@@ -291,14 +335,18 @@ class QueryService(session: MeshSession, resultDir: String) {
         }
       })
     } catch {
-      case e: Throwable => tasks.put(id, TaskState(Failed, Some(e.getMessage)))
+      case e: Throwable =>
+        tasks.put(id, TaskState(Failed, Some(e.getMessage)))
+        persistState()
     }
   }
 
-  private def finalizeRequest(id: String, anyFailed: Boolean): Unit =
+  private def finalizeRequest(id: String, anyFailed: Boolean): Unit = {
     tasks.put(id,
       if (anyFailed) TaskState(Failed, Some("one or more branch tasks failed"))
       else TaskState(Complete, None))
+    persistState()
+  }
 
   private def parseStatus(s: String): Status = s match {
     case "Queued"     => Queued
@@ -395,7 +443,8 @@ class QueryService(session: MeshSession, resultDir: String) {
     // a pure-push request (no tracked submit) is readable as soon as a
     // stream lands; a tracked federated request keeps its own worker's
     // bookkeeping — an in-flight push must not stomp InProgress
-    tasks.putIfAbsent(id, TaskState(Complete, None)): Unit
+    tasks.putIfAbsent(id, TaskState(Complete, None))
+    persistState()
   }
 
   /** The spill directory [[results]] reads for `id` — the ingest endpoint

@@ -839,35 +839,40 @@ object PipelineQueries {
         |ORDER BY revenue_e4 DESC, n_name""".stripMargin),
 
     // ------------------------------------------------------------------
-    // q33: TPC-H Q18-shape — large-order detection: an IN-subquery over a
-    // grouped HAVING (planned as a semi-join against the partial agg), a
-    // 3-way join, and a deterministic top-100. Quantities are integer-
-    // valued, so sums compare exactly.
+    // q33: TPC-H Q18-shape — large-order detection. The textbook spelling
+    // (IN-subquery over a grouped HAVING + re-aggregating the joined
+    // lineitems) scans and shuffles lineitem TWICE: Catalyst does not
+    // share the grouped subquery with the outer agg. Since customer⋈orders
+    // is 1:1 per order, the outer sum over joined lineitems IS the
+    // per-order sum — so aggregate lineitem ONCE in a CTE and reuse it as
+    // both the HAVING filter and the join payload: one lineitem shuffle,
+    // and the filtered order list (> 160) is small enough to broadcast
+    // into orders at any scale factor. Same text on both engines.
     Q("q33_tpch_q18_join",
-      """SELECT c_name, c_custkey, o_orderkey,
+      """WITH oq AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 160)
+        |SELECT c_name, c_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
-        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |  CAST(round(oq.qty) AS BIGINT) AS sum_qty
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE o_orderkey IN (
-        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(l_quantity) > 160)
-        |GROUP BY 1, 2, 3, 4, 5
+        |JOIN oq ON o_orderkey = oq.l_orderkey
         |ORDER BY totalprice_cents DESC, o_orderkey
         |LIMIT 100""".stripMargin,
-      """SELECT c_name, c_custkey, o_orderkey,
+      """WITH oq AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 160)
+        |SELECT c_name, c_custkey, o_orderkey,
         |  CAST(o_orderdate AS DATE) AS orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
-        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |  CAST(round(oq.qty) AS BIGINT) AS sum_qty
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE o_orderkey IN (
-        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(l_quantity) > 160)
-        |GROUP BY 1, 2, 3, 4, 5
+        |JOIN oq ON o_orderkey = oq.l_orderkey
         |ORDER BY totalprice_cents DESC, o_orderkey
         |LIMIT 100""".stripMargin),
 
@@ -2197,18 +2202,20 @@ object PipelineQueries {
       Fixtures.registerRaw(s, dir)
       val li = s.table("lineitem")
       val kmv = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
+      // the sample is consumed twice by the median selection (histogram
+      // pass + target-bucket pass); localCheckpoint materializes the
+      // md5-filtered 10% ONCE so the 100%-scan hash filter doesn't run
+      // per consumer (lineage recompute doubled the dominant cost)
       val samp = Sketches
         .hashSample(li, Seq("l_orderkey", "l_linenumber"), oneIn = 10)
         .select(col("l_returnflag"), col("l_extendedprice").as("price"))
-      val wOrd = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag")).orderBy(col("price"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_returnflag"))
-      val med = samp
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .where(col("rn") === expr("(n + 1) DIV 2"))
-        .select(col("l_returnflag"), round(col("price"), 2).as("p50_sample"))
+        .localCheckpoint()
+      // exact sampled median by two-level selection (groupedLowerMedian):
+      // the sample never pays a per-group window sort — the previous
+      // spelling ran TWO window passes over the whole sample with one
+      // task per returnflag
+      val med = Sketches.groupedLowerMedian(samp, "l_returnflag", "price")
+        .select(col("l_returnflag"), round(col("p50"), 2).as("p50_sample"))
       kmv.join(med, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("kmv_parts"),
           col("p50_sample"))

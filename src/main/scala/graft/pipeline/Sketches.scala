@@ -78,6 +78,49 @@ object Sketches {
     df.where(hash48(key) % oneIn === 0)
   }
 
+  /** EXACT per-group lower median (the element at rank `(n+1) div 2` in
+    * ascending order — a real data value, never an interpolation) by
+    * two-level distributed selection instead of a per-group sort:
+    *
+    *  1. histogram pass — one map-side-combined groupBy over
+    *     `(group, floor(value/bucketWidth))`: the stream crosses the wire
+    *     as bucket counts, O(range/bucketWidth) rows per group;
+    *  2. locate — cumulative counts over the tiny histogram frame find
+    *     the single bucket holding the target rank (and the rank offset
+    *     within it);
+    *  3. select — only THAT bucket's rows (≈ n/buckets of the group) join
+    *     the broadcast target and pay a sort.
+    *
+    * A per-group window sort (`row_number` over the whole group) degrades
+    * to one task per group doing an O(n log n) sort of everything — the
+    * plan that stops scaling first in a grouped-median query; Spark's
+    * exact `percentile` buffers a value→count map per group in executor
+    * memory, the other non-starter at corpus scale. Here no task ever
+    * holds more than one bucket of one group. Value ties are immaterial:
+    * any row at the target rank carries the same value. */
+  def groupedLowerMedian(
+      df: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Double = 1024.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(groupCol), col(valueCol),
+      floor(col(valueCol) / bucketWidth).cast("long").as("__bkt"))
+    val hist = b.groupBy(col(groupCol), col("__bkt")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val tgt = cum
+      .where(expr("cum - c < (n + 1) DIV 2 AND cum >= (n + 1) DIV 2"))
+      .select(col(groupCol), col("__bkt"),
+        expr("(n + 1) DIV 2 - (cum - c)").as("__r_in"))
+    val wIn = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    b.join(broadcast(tgt), Seq(groupCol, "__bkt"))
+      .withColumn("__rn", row_number().over(wIn))
+      .where(col("__rn") === col("__r_in"))
+      .select(col(groupCol), col(valueCol).as("p50"))
+  }
+
   /** CMS counter table for a token column: depth rows of md5-derived
     * hashes, width buckets each. Counters are additive (partial-aggregable,
     * order-independent); the returned frame is (j, bucket, cnt) with

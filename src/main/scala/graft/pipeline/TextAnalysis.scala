@@ -189,11 +189,19 @@ object TextAnalysis {
   /** Corpus-level BIGRAM language-model scoring (library form of tx10,
     * extending [[unigramLm]] to first-order context): add-one-smoothed
     * P(w2|w1) from corpus bigram/unigram counts, per-document NLL in
-    * integer micro-nats. Unlike the unigram model, the bigram count frame
-    * is NOT broadcast — over a web corpus it is itself huge, so document
-    * bigrams hash-join the model on the (w1,w2) key and the per-doc sum
-    * partial-aggregates; only the vocabulary size is a driver scalar. */
-  def bigramLm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * integer micro-nats.
+    *
+    * `broadcastModel` gates the model join the same way
+    * [[graft.pipeline.Curation.bloomDecontaminate]] gates its gram set:
+    * a bounded-vocabulary model (default) broadcasts — the scored stream
+    * then never re-shuffles at all — while a web-corpus model (itself
+    * huge) must pass `false` to hash-join distributed on the (w1, w2)
+    * key. The gate must be EXPLICIT either way: Catalyst's size estimate
+    * under the model's scalar cross-join is garbage, and left to itself
+    * the planner broadcast-collected the STREAM-side frame (measured:
+    * the whole per-doc bigram frame through the driver). */
+  def bigramLm(docs: DataFrame, idCol: String, textCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("w"))
     val bg = toks.where(expr("size(w) >= 2"))
@@ -201,32 +209,39 @@ object TextAnalysis {
         explode(expr("sequence(0, size(w) - 2)")).as("i"), col("w"))
       .select(col("doc_id"), expr("element_at(w, i + 1)").as("w1"),
         expr("element_at(w, i + 2)").as("w2"))
-    // the unigram-context counts ride a WINDOW over the distinct-bigram
-    // frame: summing cb per w1 equals counting the raw stream per w1, and
-    // the window keeps the model build one LINEAR chain — the corpus
-    // bigram stream explodes and shuffles exactly once (for cb), then
-    // only the distinct-bigram-sized frame re-exchanges on w1. The
-    // previous spelling aggregated the raw stream twice (cb and cu each
-    // paid a full-stream exchange) — at web scale the second full-stream
-    // exchange dominated the model build (sf1: 5.6 s -> 3.7 s).
-    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // vocabulary size rides the plan as a broadcast 1-row frame — no
     // driver collect, no separate job; the countDistinct subtree runs
     // inside the same action
     val vdf = docs.select(explode(split(col(textCol), " ")).as("token"))
       .agg(countDistinct(col("token")).as("v"))
-    // score each DISTINCT bigram once on the model side, then join the
-    // bigram stream against the finished model in ONE (w1, w2) hash join
-    val wCtx = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
-    val model = cb.withColumn("cu", sum(col("cb")).over(wCtx))
-      .crossJoin(broadcast(vdf))
+    // The bigram STREAM is exploded ONCE and crosses the wire ONCE: an
+    // exchange anchored on doc_id (ReusedExchange serves all three
+    // consumers below). Per-doc bigram counts (g3) then aggregate
+    // exchange-free, and — decisively — the FINAL per-doc rollup is also
+    // exchange-free (HashPartitioning(doc_id) satisfies its required
+    // distribution), so the scored stream never re-shuffles. The model
+    // side aggregates g3 down to distinct-bigram/context frames whose
+    // exchanges ship combined partials (vocab²-bounded, kilobytes per
+    // partition at any corpus size). The model join re-exchanges NOTHING
+    // when the model broadcasts (`broadcastModel`, the default); for a
+    // web-scale vocabulary where it cannot, the g3-side (w1,w2) exchange
+    // is the one extra stream-frame shuffle — the irreducible cost of a
+    // distributed model join, same as the previous spelling paid. The
+    // previous spelling also exploded the stream twice (cb subtree +
+    // join subtree) and re-shuffled the scored stream for the rollup.
+    val part = bg.repartition(col("doc_id"))
+    val g3 = part.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    val cb = g3.groupBy("w1", "w2").agg(sum(col("k")).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val model = cb.join(cu, "w1").crossJoin(broadcast(vdf))
       .select(col("w1"), col("w2"),
         expr("CAST(floor(ln((cb + 1) / CAST(cu + v AS DOUBLE)) * 1e6) AS BIGINT)")
           .as("lp"))
-    bg.join(model, Seq("w1", "w2"))
+    val modelSide = if (broadcastModel) broadcast(model) else model.hint("shuffle_hash")
+    g3.join(modelSide, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        (-sum(col("lp"))).cast("long").as("nll_u6"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (-sum(col("k") * col("lp"))).cast("long").as("nll_u6"))
   }
 
   /** TF-IDF document scoring (library form of tx8): the document-frequency

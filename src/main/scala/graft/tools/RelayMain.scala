@@ -66,9 +66,19 @@ object RelayMain {
       System.err.println(s"[relay] registered $fmt $path as view $view")
     }
 
-    val mesh = ConfigLoader.loadMesh(
-      Map(site -> Paths.get(configDir)), connectEndpointPeers = true)
+    // durable catalog: an existing snapshot under the results dir IS the
+    // catalog (admin applies since first boot survive restarts — the
+    // reference's Postgres-backed crud); the config tree only seeds first
+    // boot. Every subsequent mutation re-snapshots atomically.
+    val meshSnapshot = Paths.get(results, "state", "mesh.json")
+    val mesh =
+      if (java.nio.file.Files.exists(meshSnapshot)) {
+        System.err.println(s"[relay] restoring catalog from $meshSnapshot")
+        graft.catalog.MeshStateStore.readMesh(meshSnapshot)
+      } else ConfigLoader.loadMesh(
+        Map(site -> Paths.get(configDir)), connectEndpointPeers = true)
     val registry = new MeshRegistry(mesh)
+    registry.attachPersistence(meshSnapshot)
     val session = new MeshSession(spark, registry, site)
     val service = new QueryService(session, results)
     val server = new RelayServer(session, service,

@@ -62,8 +62,14 @@ final class RelayServer(
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
-    4,
+  // CACHED pool, not fixed: a federation hop HOLDS its server thread while
+  // it calls the next peer (sync /query/sync and /flightinfo recursion), so
+  // a fixed-width pool deadlocks once concurrent chains outnumber threads —
+  // every thread blocked on a downstream relay whose own request is queued
+  // behind it. Growth is bounded in practice by concurrent client count
+  // (threads idle 60 s then die); heavy work runs on Spark's scheduler, not
+  // these threads, so oversubscription here is cheap.
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
     (r: Runnable) => {
       val t = new Thread(r, "graft-relay-http")
       t.setDaemon(true)

@@ -17,12 +17,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // (sketches and learned-model variants whose exact values are not
     // SQL-expressible; each has spec-based verification instead)
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // Every query is oracled EXCEPT tok2 (BPE encode): greedy iterative
-    // merging has no DuckDB SQL spelling, so its driver check is
-    // rows-only BY DESIGN and its correctness is pinned by the
-    // train/encode duality in LibraryApiSpec. Anything else appearing
-    // here is config drift that silently downgrades the gate.
-    assert((q -- o) == Set("tok2_bpe_encode"),
+    // EVERY query is oracled — tok2 (BPE encode) was the last rows-only
+    // hold-out until its stored-merge-table replay oracle landed
+    // (PipelineQueries.bpeEncodeOracle: one recursive-CTE replace pass
+    // per trained merge). Anything appearing here is config drift that
+    // silently downgrades the driver's gate to rows-only.
+    assert((q -- o).isEmpty,
       s"undocumented rows-only queries: ${(q -- o).mkString(", ")}")
   }
 

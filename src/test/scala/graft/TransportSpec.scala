@@ -472,6 +472,83 @@ class TransportSpec extends AnyFunSuite {
     }
   }
 
+  test("durability: a restarted relay serves completed request statuses and results") {
+    Fixtures.registerRaw(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_durable").toString
+    // first life: run an async request to completion, then stop the server
+    val mesh = betaMesh()
+    val session1 = new MeshSession(spark, mesh, "beta")
+    val server1 = new RelayServer(session1, new QueryService(session1, dir))
+    val id =
+      try {
+        val id = RelayClient.submit(server1.url,
+          "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")
+        val st = RelayClient.await(server1.url, id)
+        assert(st.status == "Complete")
+        id
+      } finally server1.stop()
+    // second life: NEW session/service over the same results dir — the
+    // reference's restart against its Postgres request rows
+    val session2 = new MeshSession(spark, mesh, "beta")
+    val server2 = new RelayServer(session2, new QueryService(session2, dir))
+    try {
+      val st = RelayClient.status(server2.url, id)
+      assert(st.status == "Complete")
+      assert(st.tasks.nonEmpty) // per-branch statuses restored too
+      val rows = RelayClient.result(spark, server2.url, id)
+      assert(rows.count() > 0)
+    } finally server2.stop()
+    // a request caught NON-terminal by the restart fails loudly, not hangs
+    graft.catalog.MeshStateStore.writeTasks(
+      Map("stuck-id" -> (("InProgress", None))),
+      Map.empty, java.nio.file.Paths.get(dir, "tasks.json"))
+    val session3 = new MeshSession(spark, mesh, "beta")
+    val service3 = new QueryService(session3, dir)
+    val st3 = service3.status("stuck-id")
+    assert(st3.status == QueryService.Failed)
+    assert(st3.error.exists(_.contains("restarted")))
+  }
+
+  test("pool: a 3-relay wire chain survives 8 concurrent sync clients") {
+    // every hop HOLDS its server thread while calling the next peer — a
+    // fixed-width pool deadlocks or stalls once concurrent chains exceed
+    // it; the cached pool must drain all clients well within the timeout
+    Fixtures.registerRaw(spark, sfDir)
+    val gammaMesh = Mesh(Map("gamma" -> Site("gamma",
+      entities = Map("documents" -> Fixtures.documentsEntity),
+      localSources = Map("documents" -> Seq(docSlice("docs_g", "doc_id % 3 = 2"))))))
+    withServer(gammaMesh, "gamma") { gammaSrv =>
+      val gStub = RelayClient.catalogSite(gammaSrv.url)
+      val betaChain = Mesh(Map(
+        "beta" -> Site("beta",
+          entities = Map("documents" -> Fixtures.documentsEntity),
+          localSources = Map("documents" -> Seq(docSlice("docs_b", "doc_id % 3 = 1"))),
+          remoteMappings = Map("documents" -> Seq(
+            RemoteEntityMapping(peer = "gamma", remoteEntity = "documents",
+              infoMappings = identityInfoMappings)))),
+        "gamma" -> gStub))
+      withServer(betaChain, "beta") { betaSrv =>
+        val expected = spark.table("raw_documents")
+          .where("doc_id % 3 = 1 OR doc_id % 3 = 2").count()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          val futures = (1 to 8).map { _ =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              override def call(): Long =
+                RelayClient.syncFetch(spark, betaSrv.url,
+                  "SELECT * FROM documents", user = None,
+                  viaRelay = "", visited = Set.empty,
+                  withProvenance = false).count()
+            })
+          }
+          futures.foreach { f =>
+            assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS) == expected)
+          }
+        } finally pool.shutdownNow()
+      }
+    }
+  }
+
   test("a peer that strips requested provenance fails loudly, never NULL-degrades") {
     // Provenance silently degrading to NULL on the wire keeps row counts and
     // schema intact while flipping every provenance-grouped hash — the one
