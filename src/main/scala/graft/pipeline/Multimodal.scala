@@ -468,16 +468,29 @@ object Multimodal {
     * SYNCHRONIZED provider lookup per call, which serializes a 32-thread
     * decode stage almost completely (measured: 12.2 s task time, 0.6 s
     * CPU — 95% lock wait). The provider instance itself is stateless;
-    * batch paths call it directly. */
+    * batch paths call it directly.
+    *
+    * Selection is by PROBING, not by class name: OpenJDK registers
+    * several providers whose names contain "wave" (WaveFloatFileReader,
+    * WaveExtensibleFileReader) that reject the PCM16 containers
+    * [[encodeWav]] produces, and ServiceLoader order is unspecified — so
+    * each candidate is tried against a real sample payload and the first
+    * that decodes it wins (AudioSystem's own try-next-provider loop,
+    * done once instead of per call). */
   private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val probe = encodeWav(Array[Byte](0, 1, 2, 3))
     val it = java.util.ServiceLoader
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
     var r: javax.sound.sampled.spi.AudioFileReader = null
     while (it.hasNext && r == null) {
       val cand = it.next()
-      if (cand.getClass.getName.toLowerCase.contains("wave")) r = cand
+      try {
+        cand.getAudioInputStream(new ByteArrayInputStream(probe)).close()
+        r = cand
+      } catch { case _: Exception => () }
     }
-    require(r != null, "no WAVE AudioFileReader provider on this JVM")
+    require(r != null,
+      "no AudioFileReader provider on this JVM accepts PCM16 WAVE")
     r
   }
 

@@ -29,11 +29,23 @@ import org.apache.spark.sql.functions.col
 object Partitioning {
 
   /** Hash-repartition `df` by `byCol` up to the default parallelism iff
-    * it is currently narrower; identity otherwise. The partition probe
-    * plans the frame driver-side but runs no job. */
+    * it is currently narrower; identity otherwise.
+    *
+    * The width probe (`df.rdd.getNumPartitions`) runs no job ONLY for
+    * exchange-free plans: under AQE, converting a frame whose plan
+    * contains exchanges to an RDD materializes its query stages — real
+    * shuffle jobs at construction time, discarded when the consumer
+    * re-plans the returned frame. So plans that already contain an
+    * exchange pass through UNPROBED: their exchange already spreads rows
+    * cluster-wide, which is exactly the condition fanOut exists to
+    * establish. */
   def fanOut(df: DataFrame, byCol: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, col(byCol))
   }
 }

@@ -114,9 +114,15 @@ object Sampling {
       salt: String = "sp8", splitCol: String = "split"): DataFrame = {
     val cl = clusters.select(
       col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_lbl"))
+    // the group key is TYPE-STABLE: both alternatives render as strings
+    // before coalescing. `cast(id as long)` would NULL out every
+    // unclustered doc when the id column is a non-numeric string — they
+    // would all hash the same NULL draw and silently pile into one split
+    // bucket. Numeric ids render identically either way ("5" == cast of
+    // 5L), so the md5 draws — and the DuckDB oracle — are unchanged.
     val keyed = docs.join(cl, col(idCol) === col("__cc_id"), "left")
       .withColumn("split_group",
-        coalesce(col("__cc_lbl"), col(idCol).cast("long")))
+        coalesce(col("__cc_lbl").cast("string"), col(idCol).cast("string")))
       .drop("__cc_id", "__cc_lbl")
     withSplit(keyed, "split_group", trainUpTo, valUpTo, salt, splitCol)
   }
