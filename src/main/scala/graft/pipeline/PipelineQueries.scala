@@ -2354,6 +2354,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // emb1 routes through the library operator (oracle: the SQL form in
+    // DuckDB): the centroid frame broadcasts and scoring is a row-local
+    // zip_with, so the corpus never joins the exploded dimension frame
+    // (the SQL form's e⋈c join re-shuffles |V|·dims rows); the per-label
+    // bottom-10 runs on the TopKPerGroup bounded-heap plan instead of a
+    // full window sort.
+    "emb1_centroid_outliers" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val scored = Similarity.centroidOutliers(
+        s.table("embeddings"), "vec_id", "embedding", "label")
+      graft.plans.TopKPerGroup(scored, keys = Seq("label"),
+          orderBy = Seq("centroid_cos" -> true, "vec_id" -> true), k = 10)
+        .select(col("label"), col("vec_id"), col("centroid_cos"))
+        .orderBy(col("label"), col("centroid_cos"), col("vec_id"))
+    }),
+
     // dc1 routes through the library operator (LibraryApiSpec proves it
     // equals the SQL form): row-local gram dedup (array_distinct before
     // the explode — no corpus-wide distinct shuffle) and an explicit

@@ -233,6 +233,21 @@ final class RelayServer(
   private def ndjson(ex: HttpExchange, id: String): Unit = {
     if (!service.isTracked(id))
       return respond(ex, 404, "application/json", errJson(s"unknown request $id"))
+    // NDJSON renders row-by-row THROUGH THE DRIVER (toLocalIterator —
+    // the reference serializes its JSON export server-side too,
+    // `rest_server/src/query/utils.rs:57-169`); a guard keeps a caller
+    // from siphoning a full-corpus result through this one process —
+    // past the cap, fetch the parquet spill (`/query/{id}/result`)
+    // instead, which streams files without row materialization.
+    val cap = sys.env.get("GRAFT_NDJSON_MAX_ROWS").map(_.toLong)
+      .getOrElse(1000000L)
+    // parquet count() answers from footer metadata — no row scan
+    val n = service.results(id, allowPartial = false).count()
+    if (n > cap)
+      return respond(ex, 413, "application/json", errJson(
+        s"result has $n rows, over the NDJSON export cap of $cap; " +
+          "fetch /query/" + id + "/result (parquet) instead or raise " +
+          "GRAFT_NDJSON_MAX_ROWS"))
     val it = service.resultsNdjson(id).toLocalIterator()
     ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
     ex.sendResponseHeaders(200, 0) // chunked: stream, don't buffer the result
