@@ -221,17 +221,26 @@ object MeshStateStore {
 
   /** (request id -> state, request id -> branch states). Status crosses as
     * its case-object name; branch keys as relay + NUL + source (relay names
-    * may contain the '/' a path-ish separator would split on). */
+    * may contain the '/' a path-ish separator would split on). `specs`
+    * optionally carries each request's submission payload (flat
+    * string-map: sql/user/...) so a restarted service can RE-RUN requests
+    * caught non-terminal — the reference's broker redelivery against its
+    * persisted request rows. */
   def writeTasks(
       tasks: Map[String, (String, Option[String])],
       branches: Map[String, Map[(String, String), (String, Option[String])]],
-      path: Path): Unit = {
+      path: Path,
+      specs: Map[String, Map[String, String]] = Map.empty): Unit = {
     val root = mapper.createObjectNode()
     val ts = root.putObject("tasks")
     tasks.toSeq.sortBy(_._1).foreach { case (id, (status, err)) =>
       val o = ts.putObject(id)
       o.put("status", status)
       err.foreach(o.put("error", _))
+      specs.get(id).foreach { sp =>
+        val s = o.putObject("spec")
+        sp.toSeq.sortBy(_._1).foreach { case (k, v) => s.put(k, v) }
+      }
     }
     val bs = root.putObject("branches")
     branches.toSeq.sortBy(_._1).foreach { case (id, m) =>
@@ -249,17 +258,30 @@ object MeshStateStore {
   def readTasks(path: Path): (
       Map[String, (String, Option[String])],
       Map[String, Map[(String, String), (String, Option[String])]]) = {
+    val (t, b, _) = readTasksWithSpecs(path)
+    (t, b)
+  }
+
+  def readTasksWithSpecs(path: Path): (
+      Map[String, (String, Option[String])],
+      Map[String, Map[(String, String), (String, Option[String])]],
+      Map[String, Map[String, String]]) = {
     val root = mapper.readTree(Files.readString(path, UTF_8))
     def stateOf(n: JsonNode): (String, Option[String]) =
       (n.get("status").asText(), Option(n.get("error")).map(_.asText()))
     val tasks = root.get("tasks").properties().asScala
       .map(e => e.getKey -> stateOf(e.getValue)).toMap
+    val specs = root.get("tasks").properties().asScala.flatMap { e =>
+      Option(e.getValue.get("spec")).map(s =>
+        e.getKey -> s.properties().asScala
+          .map(f => f.getKey -> f.getValue.asText()).toMap)
+    }.toMap
     val branches = root.get("branches").properties().asScala.map { e =>
       e.getKey -> e.getValue.properties().asScala.map { b =>
         val Array(relay, src) = b.getKey.split("\u0000", 2)
         (relay, src) -> stateOf(b.getValue)
       }.toMap
     }.toMap
-    (tasks, branches)
+    (tasks, branches, specs)
   }
 }

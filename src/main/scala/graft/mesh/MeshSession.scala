@@ -108,33 +108,56 @@ class QueryService(session: MeshSession, resultDir: String) {
     new java.util.concurrent.ConcurrentHashMap[String, Map[(String, String), TaskState]]()
 
   // Request/task durability (the reference's Postgres rows,
-  // `core/src/schema.rs:120-145`, at single-binary scope): terminal
-  // transitions snapshot the maps to tasks.json beside the result spill
-  // (atomic temp+rename), and a restarted service restores them — completed
-  // requests keep their statuses and their results stay readable. Requests
-  // caught NON-terminal by a restart surface as Failed with an explicit
-  // reason (their worker thread is gone; the reference's runner would
-  // likewise never complete a task whose process died) — the caller
-  // re-submits, and per-branch spill from the first attempt is overwritten
-  // idempotently.
+  // `core/src/schema.rs:120-145`, at single-binary scope): submissions and
+  // terminal transitions snapshot the maps to tasks.json beside the result
+  // spill (atomic temp+rename), and a restarted service restores them —
+  // completed requests keep their statuses and their results stay
+  // readable. Requests caught NON-terminal by a restart RE-RUN from their
+  // persisted submission spec (the reference's broker redelivery against
+  // its request rows); snapshots predating spec capture surface as Failed
+  // with an explicit reason instead. Branch spill from the first attempt
+  // is overwritten idempotently on the re-run.
   private val statePath = java.nio.file.Paths.get(resultDir, "tasks.json")
   private val stateLock = new Object
+  private val specs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
   locally {
     if (java.nio.file.Files.exists(statePath)) {
-      val (ts, bs) = graft.catalog.MeshStateStore.readTasks(statePath)
+      val (ts, bs, sp) = graft.catalog.MeshStateStore.readTasksWithSpecs(statePath)
+      sp.foreach { case (id, m) => specs.put(id, m) }
+      val requeue = scala.collection.mutable.ArrayBuffer.empty[String]
       ts.foreach { case (id, (st, err)) =>
         val restored = parseStatus(st) match {
           case Complete => TaskState(Complete, err)
           case Failed   => TaskState(Failed, err)
+          case _ if sp.contains(id) =>
+            requeue += id
+            TaskState(Queued, None)
           case _ => TaskState(Failed,
             Some("relay restarted while the request was in flight"))
         }
         tasks.put(id, restored)
       }
       bs.foreach { case (id, m) =>
-        branchTasks.put(id, m.map { case (k, (st, err)) =>
-          k -> TaskState(parseStatus(st), err)
-        })
+        if (!requeue.contains(id))
+          branchTasks.put(id, m.map { case (k, (st, err)) =>
+            k -> TaskState(parseStatus(st), err)
+          })
+      }
+      requeue.foreach { id =>
+        val m = sp(id)
+        val runnable = new Runnable {
+          override def run(): Unit = runRequest(
+            id,
+            m("sql"),
+            m.get("user"),
+            m.get("return_schema").map(StructType.fromDDL),
+            m.get("via_relay"),
+            m.get("visited").map(_.split(",").toSet).getOrElse(Set.empty),
+            for (u <- m.get("callback_url"); i <- m.get("callback_id"))
+              yield (u, i))
+        }
+        pool.submit(runnable): Unit
       }
     }
   }
@@ -148,7 +171,8 @@ class QueryService(session: MeshSession, resultDir: String) {
       branchTasks.asScala.toMap.map { case (id, m) =>
         id -> m.map { case (k, t) => k -> (t.status.toString, t.error) }
       },
-      statePath)
+      statePath,
+      specs.asScala.toMap)
   }
 
   import QueryService.pool
@@ -199,6 +223,18 @@ class QueryService(session: MeshSession, resultDir: String) {
       callback: Option[(String, String)] = None): String = {
     val id = requestId.getOrElse(java.util.UUID.randomUUID().toString)
     if (tasks.putIfAbsent(id, TaskState(Queued, None)) != null) return id
+    // capture the submission payload BEFORE execution starts: it is what
+    // a restarted service re-runs when this request is caught mid-flight
+    specs.put(id, Map("sql" -> sqlText) ++
+      user.map("user" -> _) ++
+      returnSchema.map(s => "return_schema" -> s.toDDL) ++
+      viaRelay.map("via_relay" -> _) ++
+      (if (visited.nonEmpty) Map("visited" -> visited.mkString(","))
+       else Map.empty) ++
+      callback.map { case (u, i) =>
+        Map("callback_url" -> u, "callback_id" -> i)
+      }.getOrElse(Map.empty))
+    persistState()
     val runnable = new Runnable {
       override def run(): Unit =
         runRequest(id, sqlText, user, returnSchema, viaRelay, visited, callback)

@@ -498,15 +498,26 @@ class TransportSpec extends AnyFunSuite {
       val rows = RelayClient.result(spark, server2.url, id)
       assert(rows.count() > 0)
     } finally server2.stop()
-    // a request caught NON-terminal by the restart fails loudly, not hangs
+    // a request caught NON-terminal by the restart: with a persisted
+    // submission spec it RE-RUNS (broker redelivery semantics); a
+    // spec-less entry (pre-spec snapshot) fails loudly instead of hanging
     graft.catalog.MeshStateStore.writeTasks(
-      Map("stuck-id" -> (("InProgress", None))),
-      Map.empty, java.nio.file.Paths.get(dir, "tasks.json"))
+      Map(
+        "stuck-id" -> (("InProgress", None)),
+        "redo-id" -> (("InProgress", None))),
+      Map.empty, java.nio.file.Paths.get(dir, "tasks.json"),
+      specs = Map("redo-id" -> Map(
+        "sql" -> "SELECT count(*) AS n FROM documents")))
     val session3 = new MeshSession(spark, mesh, "beta")
     val service3 = new QueryService(session3, dir)
     val st3 = service3.status("stuck-id")
     assert(st3.status == QueryService.Failed)
     assert(st3.error.exists(_.contains("restarted")))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (service3.status("redo-id").status != QueryService.Complete &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(service3.status("redo-id").status == QueryService.Complete)
+    assert(service3.results("redo-id").count() > 0)
   }
 
   test("pool: a 3-relay wire chain survives 8 concurrent sync clients") {
