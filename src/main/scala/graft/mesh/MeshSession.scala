@@ -121,6 +121,18 @@ class QueryService(session: MeshSession, resultDir: String) {
   private val stateLock = new Object
   private val specs =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  /** This relay's own reachable ingest endpoint — set by
+    * [[graft.transport.RelayServer]] on start. With it set, a submitted
+    * query DISTRIBUTES: endpoint-backed peers receive the mapped request as
+    * their own async task and push results straight back here (the
+    * reference's broker-backed query_runner path); without it, remote
+    * slices resolve through the local plan (pull over `/query/sync`).
+    * Declared BEFORE the restore block below: requeued requests start on
+    * the worker pool during construction and read this field — a later
+    * initializer would leave them a null, not a None. */
+  @volatile private[graft] var selfUrl: Option[String] = None
+
   locally {
     if (java.nio.file.Files.exists(statePath)) {
       val (ts, bs, sp) = graft.catalog.MeshStateStore.readTasksWithSpecs(statePath)
@@ -176,14 +188,6 @@ class QueryService(session: MeshSession, resultDir: String) {
   }
 
   import QueryService.pool
-
-  /** This relay's own reachable ingest endpoint — set by
-    * [[graft.transport.RelayServer]] on start. With it set, a submitted
-    * query DISTRIBUTES: endpoint-backed peers receive the mapped request as
-    * their own async task and push results straight back here (the
-    * reference's broker-backed query_runner path); without it, remote
-    * slices resolve through the local plan (pull over `/query/sync`). */
-  @volatile private[graft] var selfUrl: Option[String] = None
 
   /** Submit a query; executes on a background thread, one sub-task per leaf
     * (relay, source) branch — mirroring the reference's per-DataSource
