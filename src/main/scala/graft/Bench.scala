@@ -97,7 +97,9 @@ object Bench {
     // capture is guaranteed to retain them (JSON key order is irrelevant
     // to the parser). Full-precision doubles with a leading total produced
     // a `parsed: null` round-7 artifact.
-    def sec3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
