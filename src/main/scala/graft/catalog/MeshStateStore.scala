@@ -84,7 +84,8 @@ object MeshStateStore {
       val m = ms.addObject()
       m.put("info", fm.info)
       m.put("field_path", fm.fieldPath)
-      if (!fm.transform.isIdentity) m.set[ObjectNode]("transform", transformNode(fm.transform)): Unit
+      if (fm.transform != Transformation.identity)
+        m.set[ObjectNode]("transform", transformNode(fm.transform)): Unit
     }
     o.set[ObjectNode]("default_permission", permNode(ds.defaultPermission)): Unit
     permMap(o, "user_permissions", ds.userPermissions)
@@ -165,7 +166,7 @@ object MeshStateStore {
         val io = ims.addObject()
         io.put("local_info", im.localInfo)
         io.put("remote_info", im.remoteInfo)
-        if (!im.transform.isIdentity)
+        if (im.transform != Transformation.identity)
           io.set[ObjectNode]("transform", transformNode(im.transform)): Unit
       }
       r

@@ -97,6 +97,22 @@ class MeshStateSpec extends AnyFunSuite {
     assert(MeshStateStore.readTasks(p) == ((tasks, branches)))
   }
 
+  test("the reference dev-web configs survive a snapshot round-trip verbatim") {
+    // config-tree -> Mesh -> snapshot -> restore must be a fixed point on
+    // the reference's own relay definitions (decimals, transforms,
+    // per-user permissions, CSV file sources — the full surface)
+    val refDeploy = java.nio.file.Paths.get("/root/reference/deploy/development")
+    org.scalatest.Assertions.assume(java.nio.file.Files.isDirectory(refDeploy))
+    val relays = Seq("global_data_relay", "na_data_relay", "na_us_data_relay",
+      "emea_data_relay", "apac_data_relay")
+    val mesh = Mesh(relays.map { r =>
+      r -> ConfigLoader.loadSite(r, refDeploy.resolve(r).resolve("data_modeling"))
+    }.toMap)
+    val p = tmp("refmesh.json")
+    MeshStateStore.writeMesh(mesh, p)
+    assert(MeshStateStore.readMesh(p) == mesh)
+  }
+
   test("registry persistence: every upsert re-snapshots; restore sees the mutation") {
     val p = tmp("mesh.json")
     val reg = new graft.mesh.MeshRegistry(richMesh)
