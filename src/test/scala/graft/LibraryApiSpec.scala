@@ -268,6 +268,39 @@ class LibraryApiSpec extends AnyFunSuite {
       TextAnalysis.bigramLm(docs, "doc_id", "text")
         .select("doc_id", "n_bigrams", "nll_u6").orderBy("doc_id"),
       spark.sql(graft.pipeline.PipelineQueries.sparkSqlFor("tx10_bigram_lm")))
+    // the web-scale model path (broadcastModel=false: shuffled hash join
+    // on (w1,w2) instead of a broadcast) must score identically — it is
+    // the shape a corpus-sized model actually runs
+    assertSame(
+      TextAnalysis.bigramLm(docs, "doc_id", "text", broadcastModel = false)
+        .select("doc_id", "n_bigrams", "nll_u6").orderBy("doc_id"),
+      TextAnalysis.bigramLm(docs, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "nll_u6").orderBy("doc_id"))
+  }
+
+  test("groupedLowerMedian == per-group sort rank at any bucket width, ties included") {
+    import spark.implicits._
+    // adversarial layout: duplicate values straddling bucket boundaries,
+    // negative values, a single-element group, and an even-sized group
+    // (lower median, never interpolation)
+    val rows = Seq(
+      ("a", 1023.0), ("a", 1024.0), ("a", 1024.0), ("a", 1025.0), ("a", -7.0),
+      ("b", 5.5), ("b", 5.5), ("b", 9.25), ("b", 2.0),
+      ("c", 42.0),
+      ("d", -2048.0), ("d", -1.0), ("d", 0.0), ("d", 1.0), ("d", 2048.5),
+      ("d", 2048.5), ("d", 4096.0)
+    ).toDF("g", "v")
+    val naive = rows.as[(String, Double)].collect().groupBy(_._1).map {
+      case (g, xs) =>
+        val sorted = xs.map(_._2).sorted
+        g -> sorted(((sorted.length + 1) / 2) - 1)
+    }
+    for (width <- Seq(1.0, 7.0, 1024.0, 100000.0)) {
+      val got = graft.pipeline.Sketches
+        .groupedLowerMedian(rows, "g", "v", bucketWidth = width)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == naive, s"bucketWidth=$width")
+    }
   }
 
   test("pageRank: integer ranks are exact on a hand-computed graph; mass is conserved") {
