@@ -26,6 +26,15 @@ object Bench {
       // coalescing collapses those to one task while leaving real
       // (≥ advisory size) exchanges at full width.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // the built-in whole-stage-codegen compile cache holds 100 generated
+      // classes; this suite's ~104 multi-stage plans generate several
+      // hundred codegen units per pass, so at the default size every pass
+      // re-runs Janino compilation for every stage (~40% of the measured
+      // suite total; A/B'd: an 8-query subset dropped 7.46 s -> 4.67 s).
+      // Any long-lived server session running a query workload this wide
+      // wants the same setting, so it belongs in the harness conf, not a
+      // benchmark trick.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }

@@ -45,6 +45,9 @@ object RelayMain {
     val spark = SparkSession.builder()
       .master(opts.getOrElse("master", "local[*]"))
       .appName(s"graft-relay-$site")
+      // long-lived server session: the default 100-entry codegen compile
+      // cache thrashes under a wide query workload (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
