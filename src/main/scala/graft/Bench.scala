@@ -26,6 +26,15 @@ object Bench {
       // coalescing collapses those to one task while leaving real
       // (≥ advisory size) exchanges at full width.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // with size-first coalescing, the 64 MB default advisory size
+      // collapses EVERY local exchange to one task — sub-second queries
+      // want that, but the handful of queries with real MB-scale shuffles
+      // (tx10/dd2/dm2) then serialize ~1 s of compute on one core. 4 MB
+      // keeps those exchanges a few tasks wide while kB exchanges still
+      // collapse to one (A/B'd: suite 23.9 s -> 21.3 s). A real cluster
+      // at real scale keeps the 64 MB default — this is the local-mode
+      // sweet spot, sized to the sf0.1 fixture.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       // the built-in whole-stage-codegen compile cache holds 100 generated
       // classes; this suite's ~104 multi-stage plans generate several
       // hundred codegen units per pass, so at the default size every pass

@@ -202,13 +202,20 @@ object TextAnalysis {
     * the whole per-doc bigram frame through the driver). */
   def bigramLm(docs: DataFrame, idCol: String, textCol: String,
       broadcastModel: Boolean = true): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("w"))
-    val bg = toks.where(expr("size(w) >= 2"))
+    // bigram extraction rides the native one-pass word_ngrams expression:
+    // the previous index-explode spelling carried the WHOLE token array
+    // through every exploded row (O(tokens²) bytes per document through
+    // the generator), where a gram string is O(tokens) total. A document
+    // with <2 words emits its whole (spaceless) token list as the single
+    // "gram" — the contains-space filter reproduces the old size(w)>=2
+    // guard exactly (tokens themselves can never contain a space, so a
+    // real bigram always has exactly one).
+    val bg = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.word_ngrams(col(textCol), 2)).as("g"))
+      .where(col("g").contains(" "))
       .select(col("doc_id"),
-        explode(expr("sequence(0, size(w) - 2)")).as("i"), col("w"))
-      .select(col("doc_id"), expr("element_at(w, i + 1)").as("w1"),
-        expr("element_at(w, i + 2)").as("w2"))
+        substring_index(col("g"), " ", 1).as("w1"),
+        expr("substring(g, instr(g, ' ') + 1)").as("w2"))
     // vocabulary size rides the plan as a broadcast 1-row frame — no
     // driver collect, no separate job; the countDistinct subtree runs
     // inside the same action

@@ -15,6 +15,7 @@ object TimeQueries {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       // see Bench: keep the codegen compile cache wide enough for the
       // whole suite so timings match the Bench session's steady state
       .config("spark.sql.codegen.cache.maxEntries", "10000")
