@@ -221,34 +221,34 @@ object TextAnalysis {
     // inside the same action
     val vdf = docs.select(explode(split(col(textCol), " ")).as("token"))
       .agg(countDistinct(col("token")).as("v"))
-    // The bigram STREAM is exploded ONCE and crosses the wire ONCE: an
-    // exchange anchored on doc_id (ReusedExchange serves all three
-    // consumers below). Per-doc bigram counts (g3) then aggregate
-    // exchange-free, and — decisively — the FINAL per-doc rollup is also
-    // exchange-free (HashPartitioning(doc_id) satisfies its required
-    // distribution), so the scored stream never re-shuffles. The model
-    // side aggregates g3 down to distinct-bigram/context frames whose
-    // exchanges ship combined partials (vocab²-bounded, kilobytes per
-    // partition at any corpus size). The model join re-exchanges NOTHING
-    // when the model broadcasts (`broadcastModel`, the default); for a
-    // web-scale vocabulary where it cannot, the g3-side (w1,w2) exchange
-    // is the one extra stream-frame shuffle — the irreducible cost of a
-    // distributed model join, same as the previous spelling paid. The
-    // previous spelling also exploded the stream twice (cb subtree +
-    // join subtree) and re-shuffled the scored stream for the rollup.
-    val part = bg.repartition(col("doc_id"))
-    val g3 = part.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-    val cb = g3.groupBy("w1", "w2").agg(sum(col("k")).as("cb"))
+    // The bigram STREAM never fully shuffles in the broadcast path: the
+    // model side aggregates the stream down to distinct-bigram/context
+    // frames with map-side combine (the (w1,w2) exchange ships combined
+    // partials — vocab²-bounded, kilobytes per partition at any corpus
+    // size), and the scoring side joins the broadcast model directly on
+    // top of the scan+explode, so the per-doc rollup's groupBy(doc_id)
+    // also combines map-side and ships only one partial row per
+    // (partition, document). The corpus is scanned+exploded twice (model
+    // pass + scoring pass) — strictly cheaper than the previous
+    // spelling's repartition(doc_id), which wrote and re-read the ENTIRE
+    // raw bigram stream through one full shuffle to anchor a per-doc
+    // pre-aggregation whose 600k-group hash table cost more than the
+    // instances it saved. For a web-scale vocabulary that cannot
+    // broadcast (`broadcastModel = false`), the scoring join instead
+    // hash-shuffles the stream on (w1, w2) — the irreducible cost of a
+    // distributed model join, and still exactly one full-stream
+    // exchange.
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
     val model = cb.join(cu, "w1").crossJoin(broadcast(vdf))
       .select(col("w1"), col("w2"),
         expr("CAST(floor(ln((cb + 1) / CAST(cu + v AS DOUBLE)) * 1e6) AS BIGINT)")
           .as("lp"))
     val modelSide = if (broadcastModel) broadcast(model) else model.hint("shuffle_hash")
-    g3.join(modelSide, Seq("w1", "w2"))
+    bg.join(modelSide, Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(sum(col("k")).as("n_bigrams"),
-        (-sum(col("k") * col("lp"))).cast("long").as("nll_u6"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp"))).cast("long").as("nll_u6"))
   }
 
   /** TF-IDF document scoring (library form of tx8): the document-frequency
