@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the host's full width: the driver may not set
+    // SPARK_GRAFT_CPUS, and a silent local[4] would publish numbers a
+    // third slower than the machine can do
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // optional conf overrides for tuning experiments:
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (applied last, wins)
     val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq

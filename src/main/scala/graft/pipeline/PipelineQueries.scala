@@ -1793,6 +1793,118 @@ object PipelineQueries {
         |FROM nw n LEFT JOIN dw d2 ON d2.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin),
 
+    // dd9: duplicated-span EXCISION — the transform dd8 only diagnoses
+    // (Lee et al. 2022 dedup-by-removal): every 15-token window that
+    // also occurs in a LOWER-id document is cut from this document's
+    // token stream; the first occurrence keeps its text. Emits the
+    // cleaned text for EVERY document (a fully-covered doc returns
+    // empty, never a dropped row). Ownership = one digest groupBy;
+    // only foreign-dup windows (sparse) explode into covered positions;
+    // the rebuild is one per-doc agg with an ordered token join.
+    Q("dd9_span_excision",
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |toks AS (SELECT doc_id, p, tok FROM d LATERAL VIEW posexplode(w) t AS p, tok),
+        |dw AS (SELECT doc_id, i, md5(array_join(slice(w, i + 1, 15), ' ')) AS gh
+        |      FROM (SELECT * FROM d WHERE size(w) >= 15) dd
+        |      LATERAL VIEW explode(sequence(0, size(w) - 15)) t AS i),
+        |own AS (SELECT gh, min(doc_id) AS own FROM dw GROUP BY gh),
+        |fd AS (SELECT w2.doc_id, w2.i FROM dw w2
+        |      JOIN own o ON o.gh = w2.gh WHERE o.own < w2.doc_id),
+        |cov AS (SELECT DISTINCT doc_id, i + j AS p
+        |      FROM fd LATERAL VIEW explode(sequence(0, 14)) s AS j)
+        |SELECT t.doc_id, count(*) AS n_tokens, count(c.p) AS n_removed,
+        |       array_join(transform(array_sort(collect_list(
+        |         CASE WHEN c.p IS NULL THEN struct(t.p, t.tok) END)),
+        |         s -> s.tok), ' ') AS text_clean
+        |FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |toks AS (SELECT doc_id, p, w[p + 1] AS tok
+        |      FROM d, unnest(range(0, len(w))) AS t(p)),
+        |dw AS (SELECT doc_id, i, md5(array_to_string(list_slice(w, i + 1, i + 15), ' ')) AS gh
+        |      FROM d, unnest(range(0, len(w) - 14)) AS t(i) WHERE len(w) >= 15),
+        |own AS (SELECT gh, min(doc_id) AS own FROM dw GROUP BY gh),
+        |fd AS (SELECT w2.doc_id, w2.i FROM dw w2
+        |      JOIN own o ON o.gh = w2.gh WHERE o.own < w2.doc_id),
+        |cov AS (SELECT DISTINCT doc_id, i + j AS p
+        |      FROM fd, unnest(range(0, 15)) AS s(j))
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(c.p) AS BIGINT) AS n_removed,
+        |       coalesce(string_agg(CASE WHEN c.p IS NULL THEN t.tok END,
+        |         ' ' ORDER BY t.p), '') AS text_clean
+        |FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+    // tx12: CCNet-style perplexity filtering (Wenzek et al. 2020) — an
+    // add-one-smoothed bigram LM trained on the trusted src0 slice (the
+    // Wikipedia analogue), applied OUT-OF-DOMAIN to every document
+    // (unseen bigram/context => cb = 0 / cu = 0 vs the reference
+    // vocabulary), per-token perplexity in integer micro-nats, and
+    // per-language head/middle/tail tertiles — the canonical web-crawl
+    // quality-stratification step. ntile ties break on doc_id, so the
+    // bucketing is engine-deterministic.
+    Q("tx12_perplexity_filter",
+      """WITH ref AS (SELECT split(text, ' ') AS w FROM documents
+        |      WHERE source = 'src0' AND size(split(text, ' ')) >= 2),
+        |rb AS (SELECT element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2
+        |      FROM ref LATERAL VIEW explode(sequence(0, size(w) - 2)) t AS i),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM rb GROUP BY w1, w2),
+        |cu AS (SELECT w1, count(*) AS cu FROM rb GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT token) AS v FROM (
+        |        SELECT explode(split(text, ' ')) AS token FROM documents
+        |        WHERE source = 'src0')),
+        |d AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+        |      WHERE size(split(text, ' ')) >= 2),
+        |db AS (SELECT doc_id, element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2
+        |      FROM d LATERAL VIEW explode(sequence(0, size(w) - 2)) t AS i),
+        |sc AS (SELECT g.doc_id,
+        |        CAST(floor(ln((coalesce(b.cb, 0) + 1) /
+        |          CAST(coalesce(u.cu, 0) + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+        |      FROM db g
+        |      LEFT JOIN cb b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |      LEFT JOIN cu u ON u.w1 = g.w1
+        |      CROSS JOIN vv),
+        |pp AS (SELECT doc_id, CAST(-sum(lp) AS BIGINT) DIV count(*) AS ppl_u6
+        |      FROM sc GROUP BY doc_id)
+        |SELECT doc_id, lang, ppl_u6,
+        |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |         AS ppl_bucket
+        |FROM (SELECT p.doc_id, d2.lang, p.ppl_u6,
+        |             ntile(3) OVER (PARTITION BY d2.lang
+        |               ORDER BY p.ppl_u6, p.doc_id) AS t
+        |      FROM pp p JOIN documents d2 ON d2.doc_id = p.doc_id) x
+        |ORDER BY doc_id""".stripMargin,
+      """WITH ref AS (SELECT string_split(text, ' ') AS w FROM documents
+        |      WHERE source = 'src0' AND len(string_split(text, ' ')) >= 2),
+        |rb AS (SELECT w[i + 1] AS w1, w[i + 2] AS w2
+        |      FROM ref, unnest(range(0, len(w) - 1)) AS t(i)),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM rb GROUP BY w1, w2),
+        |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM rb GROUP BY w1),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |        WHERE source = 'src0')),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |db AS (SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+        |      FROM d, unnest(range(0, len(w) - 1)) AS t(i)),
+        |sc AS (SELECT g.doc_id,
+        |        CAST(floor(ln((coalesce(b.cb, 0) + 1) /
+        |          CAST(coalesce(u.cu, 0) + vv.v AS DOUBLE)) * 1e6) AS BIGINT) AS lp
+        |      FROM db g
+        |      LEFT JOIN cb b ON b.w1 = g.w1 AND b.w2 = g.w2
+        |      LEFT JOIN cu u ON u.w1 = g.w1
+        |      CROSS JOIN vv),
+        |pp AS (SELECT doc_id, CAST(-sum(lp) AS BIGINT) // count(*) AS ppl_u6
+        |      FROM sc GROUP BY doc_id)
+        |SELECT doc_id, lang, ppl_u6,
+        |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |         AS ppl_bucket
+        |FROM (SELECT p.doc_id, d2.lang, p.ppl_u6,
+        |             ntile(3) OVER (PARTITION BY d2.lang
+        |               ORDER BY p.ppl_u6, p.doc_id) AS t
+        |      FROM pp p JOIN documents d2 ON d2.doc_id = p.doc_id) x
+        |ORDER BY doc_id""".stripMargin),
+
     // emb1: embedding-quality outlier scoring — cosine of each vector to
     // its LABEL centroid, ranked ascending within the label (low cosine =
     // candidate mislabel/noise, the embedding-space analogue of tx2's
@@ -2351,6 +2463,29 @@ object PipelineQueries {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
       TextAnalysis.bigramLm(s.table("documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // tx12 routes through the library operator (LibraryApiSpec proves it
+    // equals the SQL form): the src0 reference model broadcasts, the
+    // scored stream never fully shuffles (two broadcast left joins over
+    // the scan + a map-side-combined per-doc rollup), and only the
+    // one-row-per-doc score frame pays the per-language tertile window.
+    "tx12_perplexity_filter" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      TextAnalysis.perplexityFilter(s.table("documents"), "doc_id", "text",
+          "lang", refFilter = col("source") === "src0")
+        .orderBy(col("doc_id"))
+    }),
+
+    // dd9 routes through the library operator (LibraryApiSpec proves it
+    // equals the SQL form): fixed-width digest ownership, sparse covered-
+    // position explode, one per-doc rebuild aggregation.
+    "dd9_span_excision" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Dedup.exciseSpans(s.table("documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 

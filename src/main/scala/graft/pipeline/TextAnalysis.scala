@@ -251,6 +251,69 @@ object TextAnalysis {
         (-sum(col("lp"))).cast("long").as("nll_u6"))
   }
 
+  /** CCNet-style perplexity filtering (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * train a language model on a trusted REFERENCE slice (`refFilter` —
+    * CCNet's Wikipedia analogue), score every document's per-token
+    * perplexity under that model, and bucket documents per language into
+    * head / middle / tail perplexity tertiles — the canonical
+    * quality-stratification step of a web-crawl training-data pipeline.
+    *
+    * The model is the add-one-smoothed bigram LM of [[bigramLm]], but
+    * trained on the reference slice only and applied OUT-OF-DOMAIN:
+    * unseen bigrams/contexts score with cb = 0 / cu = 0 against the
+    * reference vocabulary. Scores are integer micro-nats per bigram
+    * (`ppl_u6 = nll_u6 DIV n_bigrams` — order-independent, engine-exact);
+    * documents with fewer than two tokens have no bigram probability and
+    * are dropped, exactly as in [[bigramLm]].
+    *
+    * Scale shape: the reference model aggregates with map-side combine
+    * and broadcasts (gate it with `broadcastModel = false` for a
+    * web-scale reference corpus — same Catalyst-misestimate rationale as
+    * [[bigramLm]]); the scored stream then never fully shuffles — two
+    * broadcast left joins on top of the scan and a map-side-combined
+    * per-doc rollup. The tertile window runs over the doc-level score
+    * frame (one row per document), partitioned by language — the same
+    * per-language global ordering CCNet itself computes. */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, refFilter: Column,
+      broadcastModel: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          explode(graft.functions.TextFunctions.word_ngrams(col(textCol), 2)).as("g"))
+        .where(col("g").contains(" "))
+        .select(col("doc_id"),
+          substring_index(col("g"), " ", 1).as("w1"),
+          expr("substring(g, instr(g, ' ') + 1)").as("w2"))
+    val ref = docs.where(refFilter)
+    val cb = bigrams(ref).groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("cu"))
+    val vdf = ref.select(explode(split(col(textCol), " ")).as("token"))
+      .agg(countDistinct(col("token")).as("v"))
+    val cbSide = if (broadcastModel) broadcast(cb) else cb.hint("shuffle_hash")
+    val cuSide = if (broadcastModel) broadcast(cu) else cu.hint("shuffle_hash")
+    val scored = bigrams(docs)
+      .join(cbSide, Seq("w1", "w2"), "left")
+      .join(cuSide, Seq("w1"), "left")
+      .crossJoin(broadcast(vdf))
+      .select(col("doc_id"),
+        expr("CAST(floor(ln((coalesce(cb, 0) + 1) / " +
+          "CAST(coalesce(cu, 0) + v AS DOUBLE)) * 1e6) AS BIGINT)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-sum(col("lp"))).cast("long").as("nll_u6"))
+    val pp = scored.select(col("doc_id"),
+      expr("nll_u6 DIV n_bigrams").as("ppl_u6"))
+    val lang = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl_u6"), col("doc_id"))
+    pp.join(lang, "doc_id")
+      .withColumn("__t", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("ppl_u6"),
+        when(col("__t") === 1, "head").when(col("__t") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** TF-IDF document scoring (library form of tx8): the document-frequency
     * model aggregates to a VOCABULARY-sized table, checkpointed and
     * broadcast back over the token stream — the corpus never shuffles for

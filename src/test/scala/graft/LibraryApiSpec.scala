@@ -278,6 +278,62 @@ class LibraryApiSpec extends AnyFunSuite {
         .select("doc_id", "n_bigrams", "nll_u6").orderBy("doc_id"))
   }
 
+  test("Dedup.exciseSpans == dd9 SQL form; owner keeps text, copies lose the span") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    assertSame(
+      Dedup.exciseSpans(docs, "doc_id", "text").orderBy("doc_id"),
+      spark.sql(graft.pipeline.PipelineQueries.sparkSqlFor("dd9_span_excision")))
+    // semantic edges on a crafted corpus: the lowest-id occurrence keeps
+    // its text, a later copy loses EXACTLY the covered positions, and a
+    // document shorter than the window passes through unchanged
+    import spark.implicits._
+    val span = (1 to 15).map(i => s"w$i").mkString(" ")
+    val tiny = Seq(
+      (1L, s"$span tail1 tail2"),
+      (2L, s"lead1 lead2 $span"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(tiny, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_clean") == s"$span tail1 tail2")
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+    assert(out(1).getAs[String]("text_clean") == "lead1 lead2")
+    assert(out(1).getAs[Long]("n_removed") == 15L)
+    assert(out(2).getAs[String]("text_clean") == "short doc")
+    // a fully-covered document returns an empty row, never a dropped one
+    val full = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val fo = Dedup.exciseSpans(full, "doc_id", "text").orderBy("doc_id").collect()
+    assert(fo.length == 2 && fo(1).getAs[String]("text_clean") == ""
+      && fo(1).getAs[Long]("n_removed") == 15L)
+  }
+
+  test("TextAnalysis.perplexityFilter == tx12 SQL form; per-language tertiles ordered") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val lib = TextAnalysis.perplexityFilter(docs, "doc_id", "text", "lang",
+      col("source") === "src0").orderBy("doc_id")
+    assertSame(lib,
+      spark.sql(graft.pipeline.PipelineQueries.sparkSqlFor("tx12_perplexity_filter")))
+    // the web-scale model path must score and bucket identically
+    assertSame(lib,
+      TextAnalysis.perplexityFilter(docs, "doc_id", "text", "lang",
+        col("source") === "src0", broadcastModel = false).orderBy("doc_id"))
+    // structural: per language, tertile sizes differ by at most one and
+    // every head perplexity <= every tail perplexity
+    val sizes = lib.groupBy("lang", "ppl_bucket").count()
+      .groupBy("lang").agg(max("count").as("mx"), min("count").as("mn"))
+      .collect()
+    sizes.foreach(r =>
+      assert(r.getAs[Long]("mx") - r.getAs[Long]("mn") <= 1,
+        s"unbalanced tertiles for ${r.getAs[String]("lang")}"))
+    val order = lib.groupBy("lang").agg(
+      max(when(col("ppl_bucket") === "head", col("ppl_u6"))).as("maxh"),
+      min(when(col("ppl_bucket") === "tail", col("ppl_u6"))).as("mint"))
+      .collect()
+    order.foreach(r =>
+      assert(r.getAs[Long]("maxh") <= r.getAs[Long]("mint")))
+  }
+
   test("groupedLowerMedian == per-group sort rank at any bucket width, ties included") {
     import spark.implicits._
     // adversarial layout: duplicate values straddling bucket boundaries,
