@@ -2314,18 +2314,15 @@ object PipelineQueries {
       Fixtures.registerRaw(s, dir)
       val li = s.table("lineitem")
       val kmv = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
-      // the sample is consumed twice by the median selection (histogram
-      // pass + target-bucket pass); localCheckpoint materializes the
-      // md5-filtered 10% ONCE so the 100%-scan hash filter doesn't run
-      // per consumer (lineage recompute doubled the dominant cost)
+      // groupedLowerMedian scans its input exactly once (the bucket agg
+      // is the only materialization), so the md5-filtered sample needs
+      // no checkpoint of its own any more
       val samp = Sketches
         .hashSample(li, Seq("l_orderkey", "l_linenumber"), oneIn = 10)
         .select(col("l_returnflag"), col("l_extendedprice").as("price"))
-        .localCheckpoint()
-      // exact sampled median by two-level selection (groupedLowerMedian):
-      // the sample never pays a per-group window sort — the previous
-      // spelling ran TWO window passes over the whole sample with one
-      // task per returnflag
+      // exact sampled median by one-pass bucketed selection
+      // (groupedLowerMedian): the sample never pays a per-group window
+      // sort, and the 100%-scan hash filter runs once
       val med = Sketches.groupedLowerMedian(samp, "l_returnflag", "price")
         .select(col("l_returnflag"), round(col("p50"), 2).as("p50_sample"))
       kmv.join(med, "l_returnflag")

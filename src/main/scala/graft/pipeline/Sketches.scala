@@ -80,45 +80,52 @@ object Sketches {
 
   /** EXACT per-group lower median (the element at rank `(n+1) div 2` in
     * ascending order — a real data value, never an interpolation) by
-    * two-level distributed selection instead of a per-group sort:
+    * ONE-PASS bucketed selection:
     *
-    *  1. histogram pass — one map-side-combined groupBy over
-    *     `(group, floor(value/bucketWidth))`: the stream crosses the wire
-    *     as bucket counts, O(range/bucketWidth) rows per group;
-    *  2. locate — cumulative counts over the tiny histogram frame find
-    *     the single bucket holding the target rank (and the rank offset
-    *     within it);
-    *  3. select — only THAT bucket's rows (≈ n/buckets of the group) join
-    *     the broadcast target and pay a sort.
+    *  1. bucket pass — one map-side-combined groupBy over
+    *     `(group, floor(value/bucketWidth))` aggregates each bucket's
+    *     count AND its row-locally-sorted value array; the aggregated
+    *     bucket frame is localCheckpointed (it is the only
+    *     materialization — the INPUT stream is scanned exactly once);
+    *  2. locate — cumulative counts over the values-free projection of
+    *     that frame (buckets × groups rows, kilobytes) find the single
+    *     bucket holding the target rank and the rank offset within it;
+    *  3. pick — the broadcast target joins back to the checkpointed
+    *     bucket frame and `element_at` reads the answer out of the one
+    *     matching bucket's sorted array. No second scan, no sort of
+    *     anything wider than one bucket.
     *
     * A per-group window sort (`row_number` over the whole group) degrades
     * to one task per group doing an O(n log n) sort of everything — the
     * plan that stops scaling first in a grouped-median query; Spark's
     * exact `percentile` buffers a value→count map per group in executor
     * memory, the other non-starter at corpus scale. Here no task ever
-    * holds more than one bucket of one group. Value ties are immaterial:
-    * any row at the target rank carries the same value. */
+    * holds more than its own buckets of the stream (bucket occupancy is
+    * the declared memory envelope — size `bucketWidth` to the value
+    * distribution), and the only window runs over bucket COUNTS. Value
+    * ties are immaterial: any row at the target rank carries the same
+    * value. */
   def groupedLowerMedian(
       df: DataFrame, groupCol: String, valueCol: String,
       bucketWidth: Double = 1024.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = df.select(col(groupCol), col(valueCol),
       floor(col(valueCol) / bucketWidth).cast("long").as("__bkt"))
-    val hist = b.groupBy(col(groupCol), col("__bkt")).agg(count(lit(1)).as("c"))
+    val hist = b.groupBy(col(groupCol), col("__bkt"))
+      .agg(count(lit(1)).as("c"),
+        sort_array(collect_list(col(valueCol))).as("__vals"))
+      .localCheckpoint()
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
     val wAll = Window.partitionBy(col(groupCol))
-    val cum = hist
+    val tgt = hist.select(col(groupCol), col("__bkt"), col("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
-    val tgt = cum
       .where(expr("cum - c < (n + 1) DIV 2 AND cum >= (n + 1) DIV 2"))
       .select(col(groupCol), col("__bkt"),
         expr("(n + 1) DIV 2 - (cum - c)").as("__r_in"))
-    val wIn = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-    b.join(broadcast(tgt), Seq(groupCol, "__bkt"))
-      .withColumn("__rn", row_number().over(wIn))
-      .where(col("__rn") === col("__r_in"))
-      .select(col(groupCol), col(valueCol).as("p50"))
+    hist.join(broadcast(tgt), Seq(groupCol, "__bkt"))
+      .select(col(groupCol),
+        expr("element_at(__vals, CAST(__r_in AS INT))").as("p50"))
   }
 
   /** CMS counter table for a token column: depth rows of md5-derived

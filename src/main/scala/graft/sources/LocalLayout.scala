@@ -20,13 +20,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * on physical row order, which no mesh/pipeline operator does (every
   * oracled query orders deterministically; the driver compare sorts).
   *
-  * Default OFF for the shared fixture tables: measured at sf0.1 the mesh
-  * queries already parallelize their scans through the 3-way slice union,
-  * and per-query A/B showed the extra task/footer setup cancels the decode
-  * win (net ±0.1 s). It pays where a SINGLE scan feeds heavy per-row
-  * compute (2x on md5-filter stages — LocalLayoutSpec's profile shape), so
-  * it stays available per-session via SPARK_GRAFT_COMPACT=1 or the
-  * explicit [[compacted]] entry point.
+  * Default ON since round 8 (opt out per-session with
+  * SPARK_GRAFT_COMPACT=0): the original A/B that measured it neutral
+  * (±0.1 s) predates the codegen-cache fix — with Janino recompilation
+  * no longer drowning every stage, the serial-decode stages are a real
+  * share of the suite again, and the full-bench A/B now reads
+  * 21.4 s → 20.7 s at sf0.1 (ap1's md5-filter scan alone 0.81 → 0.61).
+  * The rewrite is cached per (path, mtime, size) so repeated sessions
+  * pay it once, during warmup.
   */
 object LocalLayout {
 
@@ -47,11 +48,11 @@ object LocalLayout {
     } finally reader.close()
   }
 
-  /** Env-gated entry the fixtures use: passthrough unless
-    * SPARK_GRAFT_COMPACT=1 opts the session in. */
+  /** Env-gated entry the fixtures use: compaction on by default,
+    * SPARK_GRAFT_COMPACT=0 opts the session out. */
   def parquet(spark: SparkSession, path: String): DataFrame =
-    if (sys.env.get("SPARK_GRAFT_COMPACT").contains("1")) compacted(spark, path)
-    else spark.read.parquet(path)
+    if (sys.env.get("SPARK_GRAFT_COMPACT").contains("0")) spark.read.parquet(path)
+    else compacted(spark, path)
 
   /** Read `path` as parquet, compacting when eligible (see object doc). */
   def compacted(spark: SparkSession, path: String): DataFrame = {

@@ -60,11 +60,17 @@ class LocalLayoutSpec extends AnyFunSuite {
     assert(second.inputFiles.toSet != firstFiles)
   }
 
-  test("env-gated default is passthrough (fixtures keep the original files)") {
-    // SPARK_GRAFT_COMPACT is unset in tests: LocalLayout.parquet must read
-    // the original path (compaction is an explicit opt-in per session)
+  test("env-gated default compacts an eligible file (round 8: opt-out flips it off)") {
+    // SPARK_GRAFT_COMPACT is unset in tests: since round 8 the default is
+    // compaction ON for eligible files (the driver's bench session sets no
+    // env), and SPARK_GRAFT_COMPACT=0 is the opt-out
     val path = writeSingleGroup(150000)
     val df = LocalLayout.parquet(spark, path)
-    assert(df.inputFiles.exists(_.contains(new java.io.File(path).getName)))
+    assert(!df.inputFiles.exists(_.contains(new java.io.File(path).getName)),
+      "expected the default entry point to serve the compacted cache copy")
+    // an INELIGIBLE file (too small) still passes through untouched
+    val small = writeSingleGroup(1000)
+    val sm = LocalLayout.parquet(spark, small)
+    assert(sm.inputFiles.exists(_.contains(new java.io.File(small).getName)))
   }
 }
