@@ -253,6 +253,34 @@ object Multimodal {
     }
   }
 
+  /** Image-text PAIR MINING — the curation step of a contrastive
+    * (CLIP-style) training set build: join each image's perceptual hash
+    * (off the REAL decode path, [[imagePhashes]]) with its caption,
+    * gate captions on token count, and keep ONE exemplar per
+    * (image-phash, exact-caption) duplicate group — the near-dup-image ×
+    * duplicate-caption pairs that poison contrastive batches collapse to
+    * their lowest-id representative.
+    *
+    * Scale shape: phashing is partition-preserving mapPartitions over
+    * the media corpus; the caption side is a row-local projection; dedup
+    * is ONE hash groupBy on (phash, caption-md5) + a semi join back.
+    * Nothing quadratic, nothing driver-side. */
+  def mineImageTextPairs(media: Dataset[MediaRecord], docs: DataFrame,
+      minTokens: Int = 5, maxTokens: Int = 256): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ph = imagePhashes(media).toDF("doc_id", "phash", "mean_px")
+      .select(col("doc_id"), col("phash"))
+    val cap = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("cap_md5"))
+      .where(col("n_tokens").between(minTokens, maxTokens))
+    val pairs = ph.join(cap, "doc_id")
+    val keep = pairs.groupBy("phash", "cap_md5")
+      .agg(min(col("doc_id")).as("doc_id"))
+    pairs.join(keep, Seq("phash", "cap_md5", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("phash"), col("n_tokens"))
+  }
+
   /** Real image resize: decode, nearest-neighbour sample each row to
     * `targetW` columns (column i reads source column i*w/targetW), re-encode
     * as PNG. Images at or under `targetW` pass through re-encoded. */

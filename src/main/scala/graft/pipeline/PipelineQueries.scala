@@ -2684,6 +2684,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // mm7: image-text PAIR MINING (CLIP-style contrastive-set curation) —
+    // join each image's perceptual hash (REAL decode path) with its
+    // caption, gate captions on token count, and collapse
+    // (image-phash, exact-caption) duplicate groups to their lowest-id
+    // exemplar. Oracle re-derives the phash character-wise (the mm5
+    // derivation) and replays the gate + dedup in SQL.
+    "mm7_pair_mining" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Multimodal.mineImageTextPairs(cachedMedia(s, dir), s.table("documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dd7: near-dup pairs -> dedup CLUSTERS via iterative min-label
     // connected components (cluster id = min doc id; the keep/drop
     // decision a dedup pipeline actually ships). In a pipeline the
@@ -3116,6 +3129,32 @@ object PipelineQueries {
           |               ELSE ord(substr(text, CAST((j * length(text)) // 8 + 1 AS INT), 1)) END) AS px
           |      FROM documents) s
           |ORDER BY doc_id""".stripMargin,
+
+      // mm7: the mm5 character-wise phash derivation + caption gate +
+      // (phash, caption-md5) exemplar dedup
+      "mm7_pair_mining" ->
+        """WITH p AS (SELECT doc_id,
+          |  CAST(coalesce(list_sum(list_transform(range(0, 8),
+          |       j -> CASE WHEN px[CAST(j + 1 AS INT)] > list_sum(px) / 8.0
+          |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS phash
+          |FROM (SELECT doc_id,
+          |        list_transform(range(0, 8),
+          |          j -> CASE WHEN length(text) = 0 THEN 0
+          |               ELSE ord(substr(text, CAST((j * length(text)) // 8 + 1 AS INT), 1)) END) AS px
+          |      FROM documents) s),
+          |cap AS (SELECT doc_id, source,
+          |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |        md5(text) AS cap_md5
+          |      FROM documents
+          |      WHERE len(string_split(text, ' ')) BETWEEN 5 AND 256),
+          |pr AS (SELECT c.doc_id, c.source, p.phash, c.n_tokens, c.cap_md5
+          |      FROM cap c JOIN p ON p.doc_id = c.doc_id),
+          |keep AS (SELECT phash, cap_md5, min(doc_id) AS doc_id
+          |      FROM pr GROUP BY phash, cap_md5)
+          |SELECT pr.doc_id, pr.source, pr.phash, pr.n_tokens
+          |FROM pr JOIN keep k ON k.phash = pr.phash
+          |  AND k.cap_md5 = pr.cap_md5 AND k.doc_id = pr.doc_id
+          |ORDER BY pr.doc_id""".stripMargin,
 
       // character-wise re-derivation of the frame-sampled decode: frame f
       // covers bytes [f*16, (f+1)*16); sampled frames are f = 0, 2, 4, ...

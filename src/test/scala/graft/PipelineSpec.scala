@@ -779,6 +779,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(pw == 100 && pgray.toSeq == payload.toSeq) // pass-through under target
   }
 
+  test("mm7 pair mining: duplicate (phash, caption) collapses to min id; gate filters") {
+    import spark.implicits._
+    // doc 1/3 are a true duplicate pair (same image content AND caption),
+    // doc 2 is a distinct pair (different caption => different md5 group,
+    // whatever its phash), doc 4 fails the token gate
+    val cap = (1 to 9).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, cap, "s1"), (3L, cap, "s2"),
+      (2L, cap.toUpperCase, "s1"),
+      (4L, "too short", "s1")).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val media = graft.pipeline.Multimodal.toMediaRecords(spark, docs)
+    val out = graft.pipeline.Multimodal.mineImageTextPairs(media, docs)
+      .orderBy("doc_id").collect()
+    // doc 3 collapsed into doc 1; doc 4 gated out; doc 2 kept
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.getAs[Long]("n_tokens") == 9L))
+  }
+
   test("video container: frame packing round-trips; stride skips frames") {
     val payload = (0 until 100).map(_.toByte).toArray
     val (container, n) = Multimodal.encodeVideo(payload)
