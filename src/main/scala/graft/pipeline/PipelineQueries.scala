@@ -945,6 +945,40 @@ object PipelineQueries {
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // ev3: user-journey transition mining — the first-order Markov
+    // transition matrix over per-user event sequences (the structure a
+    // product-analytics path/flow report and a behavioral-cloning data
+    // prep both start from). Per user, events order by (ts, event_id)
+    // (a deterministic total order — ts alone can tie); lead() pairs
+    // each event with its successor; transition probabilities are
+    // per-mille integers (n*1000 DIV row-total of the from-state). The
+    // window partitions by user_id, so sequences shard across executors
+    // like q21's sessionization; the transition frame is |types|² rows.
+    Q("ev3_markov_transitions",
+      """WITH tr AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS to_type
+        |      FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(c.n * 1000 DIV t.tot AS BIGINT) AS pm
+        |FROM c JOIN t ON t.from_type = c.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
+      """WITH tr AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |      FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM tr
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST(c.n * 1000 // t.tot AS BIGINT) AS pm
+        |FROM c JOIN t ON t.from_type = c.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin),
+
+    // ------------------------------------------------------------------
     // sp3: token-budget SEQUENCE PACKING — assign documents to ~2000-token
     // packs (the chunking a training dataloader consumes), deterministic
     // under retry. Packing is a running token sum bucketed by budget,
