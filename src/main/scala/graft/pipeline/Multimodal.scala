@@ -274,11 +274,16 @@ object Multimodal {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         md5(col("text")).as("cap_md5"))
       .where(col("n_tokens").between(minTokens, maxTokens))
-    val pairs = ph.join(cap, "doc_id")
-    val keep = pairs.groupBy("phash", "cap_md5")
-      .agg(min(col("doc_id")).as("doc_id"))
-    pairs.join(keep, Seq("phash", "cap_md5", "doc_id"), "left_semi")
-      .select(col("doc_id"), col("source"), col("phash"), col("n_tokens"))
+    // ONE consumption of the joined frame: a group-then-semi-join spelling
+    // would reference it twice, and the decode subtree feeding `ph` is not
+    // materialized — it would re-decode the whole corpus per reference.
+    // min over the struct orders by doc_id first (unique), so the
+    // aggregate picks the lowest-id exemplar row atomically.
+    ph.join(cap, "doc_id")
+      .groupBy("phash", "cap_md5")
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+        col("phash"), col("k.n_tokens").as("n_tokens"))
   }
 
   /** Real image resize: decode, nearest-neighbour sample each row to
