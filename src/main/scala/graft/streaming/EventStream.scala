@@ -229,6 +229,61 @@ object EventStream {
       .toDF("event_type", "hr_epoch", "n", "z_u4", "anomaly")
   }
 
+  final case class SeqEvent(
+      user_id: Long, event_id: Long, tsUs: Long, event_type: String)
+  final case class LastEvent(tsUs: Long, event_id: Long, event_type: String)
+
+  /** Streaming twin of batch ev3 (Markov journey transitions): per-user
+    * ValueState carries only the LAST event seen (three fields — the
+    * minimal sessionless journey state), and each arriving event emits
+    * its (previous → current) transition. Within a batch, rows sort by
+    * the batch query's (ts, event_id) total order; across batches the
+    * carried state stitches the sequence, so multi-batch streaming
+    * transition counts EQUAL the batch lead()-window counts
+    * (PipelineSpec) as long as each key's events arrive in order —
+    * upstream that is a watermark-ordered source, exactly the
+    * [[AnomalyProcessor]] contract. */
+  private class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SeqEvent, (String, String)] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+
+    @transient private var last: ValueState[LastEvent] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[LastEvent](
+        "last", org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[SeqEvent],
+        timerValues: TimerValues): Iterator[(String, String)] = {
+      var prev = if (last.exists()) Option(last.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      rows.toIndexedSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+        prev.foreach(p => out += ((p.event_type, e.event_type)))
+        prev = Some(LastEvent(e.tsUs, e.event_id, e.event_type))
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** Per-user journey transition stream — see [[TransitionProcessor]].
+    * Requires the RocksDB state store. */
+  def transitionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsUs", "event_type")
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("from_type", "to_type")
+  }
+
   /** `runningUserStats` on the transformWithState API. The session must run
     * the RocksDB state store provider (the API requires it). */
   def runningUserStatsTws(spark: SparkSession, events: DataFrame): DataFrame = {

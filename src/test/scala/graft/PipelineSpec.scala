@@ -232,6 +232,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming journey transitions equal batch ev3 counts across micro-batches") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // events in global (ts, event_id) order — per-key order follows —
+      // fed in 3 micro-batches so transitions must stitch across the cut
+      val ev = spark.sql(
+        """SELECT user_id, event_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tsUs,
+          |       event_type
+          |FROM events ORDER BY tsUs, event_id""".stripMargin)
+        .as[(Long, Long, Long, String)].collect()
+      val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)](spark)
+      val src = ms.toDF.toDF("user_id", "event_id", "tsUs", "event_type")
+        .selectExpr("user_id", "event_id",
+          "timestamp_micros(tsUs) AS ts", "event_type")
+      val q = graft.streaming.EventStream.transitionStream(spark, src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("transition_stream").start()
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(ev.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      q.stop()
+      val streamed = spark.table("transition_stream")
+        .groupBy("from_type", "to_type").count()
+      val batch = graft.SparkEntry.queries("ev3_markov_transitions")(spark, sfDir)
+        .select(col("from_type"), col("to_type"), col("n").as("count"))
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("trainLinearClassifier separates a planted vocabulary; quantized weights serve") {
     import spark.implicits._
     // planted signal: positive docs speak 'good'-family tokens, negative
