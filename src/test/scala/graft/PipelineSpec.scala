@@ -838,6 +838,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n_tokens") == 9L))
   }
 
+  test("property: exciseSpans equals a brute-force reference on random corpora") {
+    import spark.implicits._
+    // tiny alphabet + short window so duplicate windows actually occur;
+    // seeded RNG keeps the trials reproducible
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("a", "b", "c")
+    val k = 3
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val wins = docs.flatMap { case (id, _) =>
+        val w = toks(id)
+        if (w.length >= k)
+          (0 to w.length - k).map(i => (id, i, w.slice(i, i + k).mkString(" ")))
+        else Seq.empty
+      }
+      val owner = wins.groupBy(_._3).map { case (g, ws) => g -> ws.map(_._1).min }
+      val covered = wins
+        .filter { case (id, _, g) => owner(g) < id }
+        .groupBy(_._1)
+        .map { case (id, ws) =>
+          id -> ws.flatMap { case (_, i, _) => i until i + k }.toSet }
+      docs.map { case (id, _) =>
+        val w = toks(id)
+        val cov = covered.getOrElse(id, Set.empty[Int])
+        val kept = w.zipWithIndex.collect { case (t, p) if !cov(p) => t }
+        id -> (w.length.toLong, cov.size.toLong, kept.mkString(" "))
+      }.toMap
+    }
+    (1 to 12).foreach { trial =>
+      val docs = (0 until (3 + rnd.nextInt(5))).map { id =>
+        val n = rnd.nextInt(12)
+        (id.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(3))).mkString(" "))
+      }
+      val exp = reference(docs)
+      val got = graft.pipeline.Dedup
+        .exciseSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got == exp, s"trial $trial: corpus=$docs\n got=$got\n exp=$exp")
+    }
+  }
+
   test("video container: frame packing round-trips; stride skips frames") {
     val payload = (0 until 100).map(_.toByte).toArray
     val (container, n) = Multimodal.encodeVideo(payload)
