@@ -123,6 +123,33 @@ object RelayClient {
     fetchParquet(spark, req, s"POST $endpoint/query/sync")
   }
 
+  /** [[syncFetch]] over the Arrow IPC stream encoding — the Flight
+    * do_get body framing (see [[ArrowCodec]]). The stream deserializes
+    * on the client driver (it is row-capped server-side), so this is
+    * the small-result / interoperability path; bulk entity fetches use
+    * the splittable parquet route. */
+  def syncFetchArrow(spark: SparkSession, endpoint: String, sql: String,
+      user: Option[String], viaRelay: String, visited: Set[String],
+      withProvenance: Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val req = request(endpoint, "/query/sync", Some(viaRelay), visited)
+      .header("Content-Type", "application/json")
+      .header("Accept", ArrowCodec.ContentType)
+      .POST(bodyJson(
+        "sql" -> Some(sql),
+        "user" -> user,
+        "with_provenance" -> Some(withProvenance.toString)))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+    checkOk(resp, s"POST $endpoint/query/sync (arrow)")
+    val ct = resp.headers().firstValue("Content-Type").orElse("")
+    require(ct == ArrowCodec.ContentType,
+      s"peer did not negotiate arrow (got '$ct')")
+    val (schema, rows) =
+      ArrowCodec.read(new java.io.ByteArrayInputStream(resp.body()))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   // ---- async REST path --------------------------------------------------
 
   /** POST an async query. With `callback`, the receiving relay pushes every

@@ -261,14 +261,43 @@ final class RelayServer(
   }
 
   /** POST /query/sync: the Flight do_get path — validate/resolve/execute
-    * with the caller relay's identity and visited set, stream parquet. */
+    * with the caller relay's identity and visited set, stream parquet —
+    * or, when the caller negotiates `Accept:
+    * application/vnd.apache.arrow.stream` (or sends `format: "arrow"`),
+    * the Arrow IPC stream a Flight do_get body actually is (see
+    * [[ArrowCodec]]; row-capped like the NDJSON export — parquet stays
+    * the bulk path). */
   private def syncQuery(ex: HttpExchange): Unit = {
     val body = mapper.readTree(ex.getRequestBody)
     val sql = reqField(body, "sql")
     val withProv = Option(body.get("with_provenance")).exists(_.asBoolean(false))
     val (viaRelay, visited) = relayHeaders(ex)
     val df = session.sqlForPeer(sql, optField(body, "user"), viaRelay, visited, withProv)
-    respondParquet(ex, df)
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    val wantsArrow = accept.contains("arrow") ||
+      Option(body.get("format")).exists(_.asText("") == "arrow")
+    if (wantsArrow) respondArrow(ex, df) else respondParquet(ex, df)
+  }
+
+  /** Serialize a result as one Arrow IPC stream. Driver-side like the
+    * NDJSON export, and capped the same way: past the cap the caller
+    * must fetch the splittable parquet instead. */
+  private def respondArrow(ex: HttpExchange, df: DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    val cap = sys.props.get("graft.arrow.maxRows")
+      .orElse(sys.env.get("GRAFT_ARROW_MAX_ROWS")).getOrElse("1000000").toLong
+    val n = df.count()
+    if (n > cap) {
+      respond(ex, 413, "application/json",
+        errJson(s"result has $n rows > arrow cap $cap; " +
+          "negotiate parquet instead or raise GRAFT_ARROW_MAX_ROWS"))
+      return
+    }
+    ex.getResponseHeaders.set("Content-Type", ArrowCodec.ContentType)
+    ex.sendResponseHeaders(200, 0)
+    val out = ex.getResponseBody
+    try ArrowCodec.write(df.schema, df.toLocalIterator().asScala, out)
+    finally out.close()
   }
 
   /** PUT /ingest/{id}/{branch}: do_put — an executor relay pushes a

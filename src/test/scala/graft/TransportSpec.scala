@@ -605,6 +605,63 @@ class TransportSpec extends AnyFunSuite {
     } finally fake.stop(0)
   }
 
+  test("arrow codec: every carried type round-trips, nulls included") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("s", ShortType), StructField("d", DoubleType),
+      StructField("f", FloatType), StructField("str", StringType),
+      StructField("b", BooleanType), StructField("dt", DateType),
+      StructField("ts", TimestampType), StructField("bin", BinaryType)))
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456")
+    val rows = Seq(
+      Row(7L, 3, 2.toShort, 1.5d, 0.25f, "héllo",
+        true, java.sql.Date.valueOf("2024-06-01"), ts, Array[Byte](1, 2, 3)),
+      Row(null, null, null, null, null, null, null, null, null, null))
+    val out = new java.io.ByteArrayOutputStream()
+    graft.transport.ArrowCodec.write(schema, rows.iterator, out, batchSize = 1)
+    val (gotSchema, got) = graft.transport.ArrowCodec.read(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    assert(gotSchema == schema)
+    assert(got.length == 2)
+    // binary needs deep comparison; compare the rest structurally
+    assert(got(0).toSeq.dropRight(1) == rows(0).toSeq.dropRight(1))
+    assert(java.util.Arrays.equals(got(0).getAs[Array[Byte]](9), Array[Byte](1, 2, 3)))
+    assert(got(1).toSeq.forall(_ == null))
+    // the type surface is closed: anything else fails loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.transport.ArrowCodec.write(
+        StructType(Seq(StructField("a", ArrayType(LongType)))),
+        Iterator.empty, new java.io.ByteArrayOutputStream())
+    }
+    assert(err.getMessage.contains("parquet"))
+  }
+
+  test("arrow wire negotiation: do_get body equals the parquet result; cap enforced") {
+    withServer(betaMesh(), "beta") { server =>
+      val sql = "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
+      val viaArrow = RelayClient.syncFetchArrow(spark, server.url, sql,
+        user = None, viaRelay = "", visited = Set.empty, withProvenance = false)
+      val viaParquet = RelayClient.syncFetch(spark, server.url, sql,
+        user = None, viaRelay = "", visited = Set.empty, withProvenance = false)
+      assert(viaArrow.schema.map(f => (f.name, f.dataType)) ==
+        viaParquet.schema.map(f => (f.name, f.dataType)))
+      assert(viaArrow.orderBy("doc_id").collect().toSeq ==
+        viaParquet.orderBy("doc_id").collect().toSeq)
+      // past the row cap the server refuses and points at the parquet path
+      sys.props("graft.arrow.maxRows") = "3"
+      try {
+        val err = intercept[RelayClient.RelayException] {
+          RelayClient.syncFetchArrow(spark, server.url, sql,
+            user = None, viaRelay = "", visited = Set.empty,
+            withProvenance = false)
+        }
+        assert(err.getMessage.contains("413"))
+      } finally sys.props.remove("graft.arrow.maxRows")
+    }
+  }
+
   test("invalid SQL over the wire surfaces the validator's error as HTTP 400") {
     withServer(betaMesh(), "beta") { server =>
       val err = intercept[RelayClient.RelayException] {
