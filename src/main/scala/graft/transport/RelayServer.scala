@@ -21,9 +21,11 @@ import graft.validation.SqlValidator
   * catalog listing for peer registration (`webengine/src/register.rs:36-90`).
   * This serves the same surface from the JDK's built-in HTTP server (no new
   * dependencies; zero-egress sandbox — loopback TCP only in tests), with
-  * parquet as the result encoding (the reference's own async spill format,
-  * `core/src/execute/result_manager.rs:58-92`; Arrow Flight's gRPC framing
-  * is not reproducible here without its jars):
+  * parquet as the bulk result encoding (the reference's own async spill
+  * format, `core/src/execute/result_manager.rs:58-92`) and, negotiated on
+  * the sync path, the Arrow IPC stream a Flight `do_get` body carries
+  * ([[ArrowCodec]] — the payload framing is the reference's own; only the
+  * gRPC carrier + mTLS remain unreproducible without flight-core jars):
   *
   *   - `GET  /catalog`                      site name + entity schemas
   *     (Arrow-style dtype strings) — what a peer needs to build its stub
@@ -36,8 +38,9 @@ import graft.validation.SqlValidator
   *   - `GET  /query/{id}/result[?allow_partial=true]`  parquet bytes
   *   - `GET  /query/{id}/ndjson`            NDJSON with `_relay_metadata_`
   *   - `POST /query/sync`                   {sql, user?, with_provenance?}
-  *     → parquet bytes (the Flight do_get path; relay identity and the
-  *     visited-relay cycle guard cross in `X-Graft-Relay`/`X-Graft-Visited`)
+  *     → parquet bytes, or the Arrow IPC stream when negotiated (the
+  *     Flight do_get path; relay identity and the visited-relay cycle
+  *     guard cross in `X-Graft-Relay`/`X-Graft-Visited`)
   *   - `PUT  /ingest/{id}/{branch}`         parquet bytes pushed by an
   *     executor relay (do_put)
   *
