@@ -91,4 +91,53 @@ object Graph {
     rank.join(deg.withColumnRenamed("a", "node"), "node")
       .select(col("node").as("doc_id"), col("deg"), col("r").as("rank_p12"))
   }
+
+  /** Synchronous label propagation over a pair list — community detection
+    * on the near-dup similarity graph (Raghavan et al. 2007, made fully
+    * deterministic): every node starts labeled with its own id, and each
+    * of `iters` synchronous rounds relabels every node with the most
+    * frequent label among its neighbors AND itself (a self-loop carries
+    * the node's current label into the vote), ties broken toward the
+    * SMALLEST label. Communities differ from [[Dedup.connectedComponents]]
+    * reachability: a node bridging two dense families joins the family
+    * that dominates its neighborhood rather than gluing both into one
+    * cluster — the structure a template-family report wants.
+    *
+    * Determinism: the vote is pure integer counting with a total-order
+    * tie-break, so any engine replays it exactly — the DuckDB oracle
+    * unrolls the same rounds as chained CTEs and hash-matches.
+    *
+    * Scale shape: per round, ONE hash join (neighbor labels, keyed on
+    * node id) + one partial-aggregable groupBy on (node, label) + a
+    * row_number window over the same node-id partitioning — all shuffles
+    * on the node key, nothing quadratic, nothing driver-side. Labels are
+    * one row per node per round; `ckptEvery` bounds lineage like
+    * [[pageRank]] (placement cannot change the integer votes). */
+  def labelPropagation(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      iters: Int = 4, ckptEvery: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ckptEvery > 0, s"ckptEvery must be positive, got $ckptEvery")
+    val sym = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+    val nodes = sym.select(col("a")).distinct()
+    // self-loops: the node's own current label gets one vote per round
+    val edges = sym.union(nodes.select(col("a"), col("a").as("b")))
+    var lab = nodes.select(col("a").as("node"), col("a").as("label"))
+    val byVote = Window.partitionBy(col("a"))
+      .orderBy(col("n").desc, col("label").asc)
+    for (i <- 1 to iters) {
+      lab = edges
+        .join(lab.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(byVote))
+        .where(col("rnk") === 1)
+        .select(col("a").as("node"), col("label"))
+      if (i % ckptEvery == 0 && i < iters) lab = lab.localCheckpoint()
+    }
+    lab.select(col("node").as("doc_id"), col("label").as("community"))
+  }
 }

@@ -286,6 +286,53 @@ object Multimodal {
         col("phash"), col("k.n_tokens").as("n_tokens"))
   }
 
+  /** Image NEAR-DUPLICATE pair mining over perceptual hashes — the visual
+    * analogue of dd6's simhash banding: hash every image off the REAL
+    * decode path ([[averageHash]] at `bits` samples for enough hamming
+    * head-room), split each hash into `bands` equal bit-bands, bucket-join
+    * on (band, band-value), and verify candidates with the exact popcount
+    * hamming distance. Pigeonhole guarantee: `maxHamming < bands`, so any
+    * pair within the threshold agrees on at least one full band and is
+    * found by the bucket join — never an all-pairs comparison.
+    *
+    * Scale shape: decode + hash is partition-preserving mapPartitions;
+    * the (doc_id, phash) frame — 16 bytes/row, corpus-cardinality — is
+    * localCheckpointed because the self-join references it twice and the
+    * decode subtree must not run twice (at warehouse scale it is a stored
+    * artifact of the media ingest, like the dedup pair list); banding is
+    * a row-local explode; the candidate join is a hash join on the band
+    * bucket; verification is row-local integer popcount. Band width
+    * scales with hash width — 8-bit bands here, 16-bit on a 64-bit
+    * production hash — so bucket cardinality grows with corpus entropy
+    * instead of collapsing. */
+  def phashNearDupPairs(records: Dataset[MediaRecord], bits: Int = 48,
+      bands: Int = 6, maxHamming: Int = 5): DataFrame = {
+    import records.sparkSession.implicits._
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val ph = records.mapPartitions { it =>
+      val codec = taskPngCodec()
+      it.map(r => (r.doc_id, averageHash(codec.decodeGray(r.payload), bits)._1))
+    }.toDF("doc_id", "phash").localCheckpoint()
+    val banded = ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bv", expr(s"shiftright(phash, band * $bandBits) & $mask"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
+      col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb")).distinct()
+      .withColumn("hamming",
+        expr("bit_count(pa ^ pb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Real image resize: decode, nearest-neighbour sample each row to
     * `targetW` columns (column i reads source column i*w/targetW), re-encode
     * as PNG. Images at or under `targetW` pass through re-encoded. */

@@ -119,6 +119,46 @@ object PipelineQueries {
     s"""v AS (SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |      FROM embeddings)""".stripMargin
 
+  /** ss8's shared SQL shape (one text, two dialects via the dot
+    * renderer): exact top-5 vs IVF top-5 (ss2's fixed-seed layout —
+    * 16 cells from vec_id < 16, nprobe = 2), joined on (qid, vec_id)
+    * to count hits. */
+  private def annRecallSql(vecs: String, dot: (String, String) => String): String =
+    s"""WITH $vecs,
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY round(${dot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+       |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 5),
+       |probe AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |               ORDER BY round(${dot("q.qe", "c.ce")} / (q.qn * c.cn), 6) DESC, c.cid) AS rnk
+       |    FROM q CROSS JOIN cent c) p WHERE rnk <= 2),
+       |iv AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM (SELECT q.qid, e.vec_id,
+       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+       |          FROM q JOIN probe p ON p.qid = q.qid
+       |          JOIN assign a ON a.cid = p.cid
+       |          JOIN v e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid) c) t
+       |    WHERE rnk <= 5),
+       |ex AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM (SELECT q.qid, e.vec_id,
+       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+       |          FROM q CROSS JOIN v e WHERE e.vec_id <> q.qid) c) t
+       |    WHERE rnk <= 5)
+       |SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(iv.vec_id) AS BIGINT) AS hits,
+       |       CAST(count(iv.vec_id) * 20 AS BIGINT) AS recall_pct
+       |FROM ex LEFT JOIN iv ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
+       |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
+
   private val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -302,6 +342,21 @@ object PipelineQueries {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
          |  FROM c) t
          |WHERE rnk <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ss8: ANN RECALL@K EVAL — the index-quality dashboard every
+    // approximate-retrieval deployment tunes against: per query, how many
+    // of the exact brute-force top-5 does the IVF index (ss2's
+    // fixed-seed variant: 16 cells, nprobe=2) actually return? Recall is
+    // integer hits-of-5 (×20 = percent), so the result hash-matches in
+    // any engine. Both rankings quantize cosines to 1e-6 before ranking
+    // (the ss-family determinism rule). Scale shape: the exact side is
+    // the teaching baseline (like ss1) — at corpus scale the eval runs
+    // over a SAMPLE of queries, and the index side reuses the stored
+    // cells; the comparison itself is a key-join on (qid, vec_id).
+    Q("ss8_ann_recall",
+      annRecallSql(sparkVecs, sparkDot),
+      annRecallSql(duckVecs, duckDot)),
 
     // ------------------------------------------------------------------
     // ss7: margin-based BITEXT MINING (Artetxe & Schwenk 2019, ratio
@@ -2822,6 +2877,48 @@ object PipelineQueries {
       Graph.pageRank(cachedPairs(s, dir)).orderBy(col("doc_id"))
     }),
 
+    // gr2: label-propagation COMMUNITIES over the same near-dup graph —
+    // deterministic synchronous LPA (majority vote incl. a self-loop,
+    // ties to the smallest label, 4 rounds). Distinct from dd7's
+    // reachability closure: a bridge node joins the family that dominates
+    // its neighborhood instead of merging both families. The oracle
+    // unrolls the identical rounds as chained CTEs over the shared
+    // duckPairsChain edge list — pure integer voting, one answer.
+    "gr2_label_propagation" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Graph.labelPropagation(cachedPairs(s, dir)).orderBy(col("doc_id"))
+    }),
+
+    // sp9: frequency-weighted SOFT dedup (Sampling.softDedup): keep each
+    // near-dup cluster member with probability ~1/cluster_size via the
+    // deterministic md5 draw, carrying weight = cluster_size for loss
+    // reweighting — the downweight-instead-of-drop alternative to cp1's
+    // hard dedup. Serves from the stored cluster artifact like sp8; the
+    // oracle replays closure -> sizes -> the same integer draw test.
+    "sp9_soft_dedup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Sampling.softDedup(s.table("documents"), "doc_id", cachedClusters(s, dir))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("kept"), col("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // mm8: image near-dup pairs via banded perceptual hashes — dd6's
+    // simhash banding on the REAL decode path: 48-bit average-hash,
+    // 6 × 8-bit bands, hamming <= 5 verified by exact popcount
+    // (pigeonhole: any qualifying pair agrees on a full band, so the
+    // bucket join finds it without all-pairs). The oracle re-derives the
+    // 48 sampled pixels character-wise (lossless PNG round-trip, the mm5
+    // derivation) and replays banding + popcount in SQL.
+    "mm8_image_neardup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Multimodal.phashNearDupPairs(cachedMedia(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // cp1: the full corpus-curation composition (graft.pipeline.Curation):
     // language filter -> quality gate -> exact dedup (min-id keeper) ->
     // 50% deterministic sample -> 4-way shard. The oracle reproduces the
@@ -3290,6 +3387,82 @@ object PipelineQueries {
            |SELECT d.a AS doc_id, d.deg, r5.r AS rank_p12
            |FROM deg d JOIN r5 ON r5.node = d.a ORDER BY doc_id""".stripMargin
       },
+
+      // four synchronous label-propagation rounds unrolled as chained
+      // CTEs: per round, count each node's neighborhood labels (self-loop
+      // included) and keep the (count DESC, label ASC) winner — pure
+      // integer voting, bit-identical to Graph.labelPropagation.
+      // MATERIALIZED per layer for the same inlining reason as gr1.
+      "gr2_label_propagation" -> {
+        val iterCtes = (1 to 4).map { i =>
+          s"""l$i AS MATERIALIZED (SELECT a AS node, label FROM (
+             |    SELECT e.a, l.label, count(*) AS n,
+             |           row_number() OVER (PARTITION BY e.a
+             |             ORDER BY count(*) DESC, l.label) AS rnk
+             |    FROM e2 e JOIN l${i - 1} l ON l.node = e.b
+             |    GROUP BY e.a, l.label) t
+             |  WHERE rnk = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckPairsChain,
+           |nodes AS MATERIALIZED (SELECT DISTINCT a FROM edges),
+           |e2 AS MATERIALIZED (SELECT a, b FROM edges
+           |      UNION ALL SELECT a, a FROM nodes),
+           |l0 AS (SELECT a AS node, a AS label FROM nodes),
+           |$iterCtes
+           |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
+           |FROM l4 ORDER BY doc_id""".stripMargin
+      },
+
+      // sp9: recursive closure -> cluster sizes -> the same integer draw
+      // test (draw * size < 256) Sampling.softDedup runs
+      "sp9_soft_dedup" ->
+        s"""WITH RECURSIVE $duckPairsChain,
+           |reach(node, label) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+           |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+           |       FROM cl GROUP BY cluster_id),
+           |j AS (SELECT d.doc_id,
+           |        coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+           |        coalesce(sz.n, 1) AS cluster_size,
+           |        CAST(('0x' || substring(md5(concat('sp9:',
+           |             CAST(d.doc_id AS VARCHAR))), 1, 2)) AS INT) AS h
+           |      FROM documents d
+           |      LEFT JOIN cl ON cl.doc_id = d.doc_id
+           |      LEFT JOIN sz ON sz.cluster_id = cl.cluster_id)
+           |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           |       h * cluster_size < 256 AS kept,
+           |       CAST(CASE WHEN h * cluster_size < 256 THEN cluster_size
+           |            ELSE 0 END AS BIGINT) AS weight
+           |FROM j ORDER BY doc_id""".stripMargin,
+
+      // mm8: the mm5 character-wise phash derivation widened to 48
+      // sampled pixels, then the same banding + exact popcount hamming
+      // verify (xor(), not ^ — DuckDB's ^ is POWER)
+      "mm8_image_neardup" ->
+        """WITH p AS (SELECT doc_id,
+          |  CAST(coalesce(list_sum(list_transform(range(0, 48),
+          |       j -> CASE WHEN px[CAST(j + 1 AS INT)] > list_sum(px) / 48.0
+          |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS phash
+          |FROM (SELECT doc_id,
+          |        list_transform(range(0, 48),
+          |          j -> CASE WHEN length(text) = 0 THEN 0
+          |               ELSE ord(substr(text, CAST((j * length(text)) // 48 + 1 AS INT), 1)) END) AS px
+          |      FROM documents) s),
+          |bands AS (SELECT doc_id, phash, band,
+          |        (phash >> CAST(band * 8 AS INT)) & 255 AS bv
+          |      FROM p, unnest(range(0, 6)) AS t(band)),
+          |cand AS (SELECT DISTINCT a.doc_id AS da, a.phash AS pa,
+          |               b.doc_id AS db, b.phash AS pb
+          |         FROM bands a JOIN bands b
+          |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          |SELECT da AS doc_a, db AS doc_b,
+          |       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
+          |ORDER BY doc_a, doc_b""".stripMargin,
 
       "cp1_curation" ->
         """WITH gated AS (

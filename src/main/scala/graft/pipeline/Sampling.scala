@@ -127,6 +127,44 @@ object Sampling {
     withSplit(keyed, "split_group", trainUpTo, valUpTo, salt, splitCol)
   }
 
+  /** Frequency-weighted SOFT dedup — downweight near-duplicate clusters
+    * instead of dropping them (the SemDeDup/Dolma-style alternative to
+    * hard dedup: duplicated content is informative about importance, so
+    * keep each cluster's expected contribution at ~one document). Every
+    * doc keeps with probability ceil(256/n)/256 ≈ 1/n where n is its
+    * near-dup cluster size (unclustered docs: n = 1, always kept), via
+    * the deterministic per-doc md5 draw — reproducible on any cluster
+    * size or retry, like every sampler here. Kept docs carry
+    * `weight` = n so a loss-reweighting consumer can restore each
+    * cluster's total mass instead of flattening it.
+    *
+    * `clusters` is the stored (doc_id, cluster_id) dedup artifact
+    * ([[Dedup.connectedComponents]] output) — ≪ corpus-sized. Scale
+    * shape: one groupBy over the cluster frame for sizes, one hash join
+    * of docs against the labeled frame (broadcast when small — Catalyst
+    * decides), then a row-local draw: the corpus itself never shuffles.
+    * The keep test is integer arithmetic (`draw * n < 256`), exact in
+    * both engines. */
+  def softDedup(
+      docs: DataFrame, idCol: String, clusters: DataFrame,
+      salt: String = "sp9"): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__cc_n"))
+    val cl = clusters.join(sizes, "cluster_id")
+      .select(col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_lbl"),
+        col("__cc_n"))
+    docs.join(cl, col(idCol) === col("__cc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("__cc_lbl"), col(idCol).cast("long")))
+      .withColumn("cluster_size", coalesce(col("__cc_n"), lit(1L)))
+      .withColumn("kept",
+        conv(hexDraw(col(idCol), salt), 16, 10).cast("long") *
+          col("cluster_size") < 256)
+      .withColumn("weight",
+        when(col("kept"), col("cluster_size")).otherwise(lit(0L)))
+      .drop("__cc_id", "__cc_lbl", "__cc_n")
+  }
+
   /** Deterministic shard id in [0, nShards) for training-shard export:
     * derived from the row's hash draw, so shards are balanced and stable
     * across runs/retries. Writing becomes

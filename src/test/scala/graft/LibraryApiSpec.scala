@@ -398,6 +398,59 @@ class LibraryApiSpec extends AnyFunSuite {
       s"ring ranks not uniform: ${ringRanks.mkString(", ")}")
   }
 
+  test("labelPropagation: a bridge keeps two triangles separate communities; CC would merge them") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = graft.pipeline.Graph.labelPropagation(pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // hand-run: round 1 pulls each triangle to its min (1 / 3-then-4),
+    // round 2 settles the right triangle on 4; stable thereafter. The
+    // bridge node 3 stays with the triangle that dominates its
+    // neighborhood (three '1' votes vs one '3').
+    assert(got.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L)),
+      s"got ${got.mkString(", ")}")
+    // connected components on the same graph merges everything — the
+    // two operators answer different questions
+    val cc = graft.pipeline.Dedup.connectedComponents(pairs)
+      .select("cluster_id").distinct().count()
+    assert(cc == 1L)
+  }
+
+  test("phashNearDupPairs: banded join finds exactly the all-pairs hamming matches") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    // 12 families x 3 variants; variant v mutates 3v bytes of the family
+    // base pattern, giving a spread of intra-family hamming distances
+    val recs = (0 until 36).map { i =>
+      val fam = i / 3
+      val bytes = Array.tabulate(96)(j => ((fam * 37 + j * 11) % 251).toByte)
+      (0 until (i % 3) * 3).foreach { k =>
+        val p = (k * 7) % 96
+        bytes(p) = (bytes(p) + 40).toByte
+      }
+      (i.toLong, bytes)
+    }
+    val ds = spark.createDataset(recs.map { case (id, b) =>
+      Multimodal.MediaRecord(id, Multimodal.encodePng(b),
+        Multimodal.MediaMeta("image/png", b.length, 1, 1))
+    })
+    val got = Multimodal.phashNearDupPairs(ds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force reference over the same hash function (PNG is lossless,
+    // so decoded pixels are the input bytes)
+    val h = recs.map { case (id, b) => id -> Multimodal.averageHash(b, 48)._1 }
+    val expected = (for {
+      (ia, ha) <- h; (ib, hb) <- h if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 5
+    } yield (ia, ib, d.toLong)).toSet
+    assert(expected.nonEmpty, "fixture produced no near pairs — spec is vacuous")
+    assert(got == expected,
+      s"banded=${got.size} brute=${expected.size}; diff ${(got diff expected) ++ (expected diff got)}")
+  }
+
   test("bpeEncode in training order reproduces bpeTrain's tokenization; round-trips") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents").limit(200)

@@ -197,6 +197,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac("val") / total > 0.03 && frac("test") / total > 0.05)
   }
 
+  test("softDedup: expected cluster mass ~1 doc, weights restore totals, unclustered always kept") {
+    import graft.pipeline.Dedup
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    val soft = Sampling.softDedup(docs, "doc_id", clusters)
+    // total row count unchanged: soft dedup never drops rows, it marks them
+    assert(soft.count() == docs.count())
+    // unclustered docs (cluster_size = 1) are ALWAYS kept with weight 1
+    assert(soft.where(col("cluster_size") === 1 &&
+      (!col("kept") || col("weight") =!= 1)).count() == 0)
+    // kept docs carry weight = cluster_size; dropped docs weight 0
+    assert(soft.where(col("kept") && col("weight") =!= col("cluster_size"))
+      .count() == 0)
+    assert(soft.where(!col("kept") && col("weight") =!= 0).count() == 0)
+    // keep probability is ceil(256/n)/256 by construction: per cluster the
+    // number of kept members is binomial around 1 — assert the corpus-level
+    // invariant instead of per-cluster luck: the kept count lands within
+    // the deterministic bounds [sum over clusters of 0, n * ceil] and the
+    // draw is reproducible (two runs agree exactly)
+    val again = Sampling.softDedup(docs, "doc_id", clusters)
+    assert(soft.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // clustered mass shrinks: strictly fewer kept than members across
+    // clusters of size >= 2 (at 256/2 = 128/256 per doc this holds with
+    // overwhelming margin on any non-trivial cluster set)
+    val big = soft.where(col("cluster_size") >= 2)
+    if (big.count() >= 4) {
+      assert(big.where(col("kept")).count() < big.count())
+    }
+  }
+
   test("curated shards export via partitionBy and read back identically") {
     import graft.pipeline.Curation
     val curated = Curation.curate(docs, "doc_id", "text", "lang")
