@@ -108,15 +108,16 @@ object Graph {
     * unrolls the same rounds as chained CTEs and hash-matches.
     *
     * Scale shape: per round, ONE hash join (neighbor labels, keyed on
-    * node id) + one partial-aggregable groupBy on (node, label) + a
-    * row_number window over the same node-id partitioning — all shuffles
-    * on the node key, nothing quadratic, nothing driver-side. Labels are
-    * one row per node per round; `ckptEvery` bounds lineage like
-    * [[pageRank]] (placement cannot change the integer votes). */
+    * node id) + two partial-aggregable groupBys — the (node, label) vote
+    * count, then an argmax-by-struct per node (`max(struct(n, -label))`
+    * picks highest count then smallest label WITHOUT the sort a
+    * row_number window would pay) — all shuffles on the node key,
+    * nothing quadratic, nothing driver-side. Labels are one row per node
+    * per round; `ckptEvery` bounds lineage like [[pageRank]] (placement
+    * cannot change the integer votes). */
   def labelPropagation(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      iters: Int = 4, ckptEvery: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      iters: Int = 4, ckptEvery: Int = 8): DataFrame = {
     require(ckptEvery > 0, s"ckptEvery must be positive, got $ckptEvery")
     val sym = pairs
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
@@ -126,16 +127,17 @@ object Graph {
     // self-loops: the node's own current label gets one vote per round
     val edges = sym.union(nodes.select(col("a"), col("a").as("b")))
     var lab = nodes.select(col("a").as("node"), col("a").as("label"))
-    val byVote = Window.partitionBy(col("a"))
-      .orderBy(col("n").desc, col("label").asc)
     for (i <- 1 to iters) {
+      // argmax by struct: lexicographic max = highest vote count, then
+      // smallest label (labels are nonnegative ids, so -label orders
+      // reversed) — same winner as ORDER BY n DESC, label ASC
       lab = edges
         .join(lab.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a"), col("label"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rnk", row_number().over(byVote))
-        .where(col("rnk") === 1)
-        .select(col("a").as("node"), col("label"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("w"))
+        .select(col("a").as("node"), (-col("w.nl")).as("label"))
       if (i % ckptEvery == 0 && i < iters) lab = lab.localCheckpoint()
     }
     lab.select(col("node").as("doc_id"), col("label").as("community"))
