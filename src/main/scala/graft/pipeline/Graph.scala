@@ -142,4 +142,50 @@ object Graph {
     }
     lab.select(col("node").as("doc_id"), col("label").as("community"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over a pair
+    * list — the graph-density signal that separates genuine template
+    * families (dense, near-clique neighborhoods) from chains of
+    * borderline matches (sparse bridges) in the near-dup graph.
+    *
+    * Triangles enumerate as ordered triples a < b < c over the directed
+    * (lower→higher) edge list: E(a,b) ⋈ E(b,c) ⋈ E(a,c) — each triangle
+    * found exactly once, via two hash joins on edge endpoints (the
+    * standard distributed algorithm; at extreme skew the classic
+    * refinement orients edges by degree instead of id, same plan shape).
+    * Each triple then votes +1 to its three corners in one explode +
+    * groupBy. The clustering coefficient is the per-mille integer
+    * `2000·T DIV (deg·(deg-1))` (0 for degree-1 nodes) — exact integer
+    * arithmetic, so any engine reproduces it bit-for-bit.
+    *
+    * Returns (doc_id, deg, triangles, clustering_pm) for every node in
+    * the pair list. Scale: nothing quadratic in the corpus — work is
+    * bounded by the near-dup EDGE list (≪ corpus) and its wedge count;
+    * all joins/aggs are hash-partitioned on node/edge keys. */
+  def triangleStats(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    // directed lower->higher ids; dedup defensively so a repeated input
+    // pair cannot double-count wedges
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          expr("2000 * coalesce(triangles, CAST(0 AS BIGINT)) DIV (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("clustering_pm"))
+  }
 }

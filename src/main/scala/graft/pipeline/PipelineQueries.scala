@@ -2890,6 +2890,47 @@ object PipelineQueries {
       Graph.labelPropagation(cachedPairs(s, dir)).orderBy(col("doc_id"))
     }),
 
+    // emb3: embedding-space drift between two corpus snapshots
+    // (Similarity.embeddingDrift) — per-label membership churn + the v1×v2
+    // integer-centroid cosine (emb1's 1e-6 quantization discipline).
+    // Snapshots are deterministic membership slices of the embeddings
+    // table (the cd1 pattern); the oracle re-derives centroids and churn
+    // from the same slices.
+    "emb3_drift_report" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val emb = s.table("embeddings")
+      val v1 = emb.where(col("vec_id") % 17 =!= 3)
+      val v2 = emb.where(col("vec_id") % 19 =!= 7)
+      Similarity.embeddingDrift(v1, v2, "vec_id", "embedding", "label")
+        .orderBy(col("label"))
+    }),
+
+    // ap3: grouped histogram quantiles (Sketches.histogramQuantiles) —
+    // the deterministic stand-in for approx_percentile/t-digest: exact
+    // IEEE binning (floor(value*10)), one partial-aggregable
+    // (group, bin) count shuffle, integer rank resolution over the bin
+    // frame. Reported as bin indices so both engines hash-match.
+    "ap3_histogram_quantiles" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Sketches.histogramQuantiles(s.table("events"), "event_type", "value")
+        .orderBy(col("event_type"))
+    }),
+
+    // gr3: per-node triangle counts + local clustering coefficient over
+    // the near-dup graph — density separates genuine template families
+    // (near-cliques) from chains of borderline matches (sparse bridges).
+    // Ordered-triple enumeration (a<b<c) over the directed edge list via
+    // two hash joins, one explode+groupBy for per-corner counts,
+    // per-mille integer coefficient. Oracle replays the identical joins
+    // over the shared pair chain.
+    "gr3_triangle_stats" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Graph.triangleStats(cachedPairs(s, dir)).orderBy(col("doc_id"))
+    }),
+
     // sp9: frequency-weighted SOFT dedup (Sampling.softDedup): keep each
     // near-dup cluster member with probability ~1/cluster_size via the
     // deterministic md5 draw, carrying weight = cluster_size for loss
@@ -3412,6 +3453,77 @@ object PipelineQueries {
            |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
            |FROM l4 ORDER BY doc_id""".stripMargin
       },
+
+      // emb3: the emb1 integer-centroid derivation per snapshot slice +
+      // exact integer dots for the centroid cosine + membership-flag
+      // churn counts
+      "emb3_drift_report" ->
+        """WITH b AS (SELECT vec_id, label,
+          |        list_transform(embedding,
+          |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vu
+          |      FROM embeddings),
+          |e AS (SELECT vec_id, label, i - 1 AS pos, vu[i] AS u
+          |      FROM b, unnest(range(1, len(vu) + 1)) AS t(i)),
+          |c1 AS (SELECT label, pos, sum(u) // count(*) AS c1
+          |       FROM e WHERE vec_id % 17 <> 3 GROUP BY label, pos),
+          |c2 AS (SELECT label, pos, sum(u) // count(*) AS c2
+          |       FROM e WHERE vec_id % 19 <> 7 GROUP BY label, pos),
+          |cs AS (SELECT c1.label,
+          |        round(CAST(sum(c1.c1 * c2.c2) AS BIGINT) /
+          |          (sqrt(CAST(sum(c1.c1 * c1.c1) AS DOUBLE)) *
+          |           sqrt(CAST(sum(c2.c2 * c2.c2) AS DOUBLE))), 6) AS centroid_cos
+          |      FROM c1 JOIN c2 ON c2.label = c1.label AND c2.pos = c1.pos
+          |      GROUP BY c1.label),
+          |mem AS (SELECT label,
+          |        CAST(count(CASE WHEN vec_id % 17 <> 3 THEN 1 END) AS BIGINT) AS n1,
+          |        CAST(count(CASE WHEN vec_id % 19 <> 7 THEN 1 END) AS BIGINT) AS n2,
+          |        CAST(count(CASE WHEN vec_id % 19 <> 7 AND vec_id % 17 = 3 THEN 1 END) AS BIGINT) AS n_added,
+          |        CAST(count(CASE WHEN vec_id % 17 <> 3 AND vec_id % 19 = 7 THEN 1 END) AS BIGINT) AS n_removed
+          |      FROM b GROUP BY label)
+          |SELECT m.label, m.n1, m.n2, m.n_added, m.n_removed, cs.centroid_cos
+          |FROM mem m LEFT JOIN cs ON cs.label = m.label
+          |ORDER BY m.label""".stripMargin,
+
+      // ap3: identical binning + integer rank resolution in DuckDB SQL
+      "ap3_histogram_quantiles" ->
+        """WITH h AS (SELECT event_type,
+          |        CAST(floor(value * 10) AS BIGINT) AS bin,
+          |        CAST(count(*) AS BIGINT) AS c
+          |      FROM events GROUP BY event_type, bin),
+          |cm AS (SELECT event_type, bin, c,
+          |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+          |        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          |      FROM h)
+          |SELECT event_type, max(n) AS n,
+          |       min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) AS p50_bin,
+          |       min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin END) AS p90_bin,
+          |       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) AS p99_bin
+          |FROM cm GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // gr3: ordered-triple triangle enumeration + per-corner counts +
+      // the same per-mille integer coefficient, over the shared pair
+      // chain (pairs already carries da < db)
+      "gr3_triangle_stats" ->
+        s"""WITH $duckPairsChain,
+           |e AS MATERIALIZED (SELECT DISTINCT da AS a, db AS b FROM pairs),
+           |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |        SELECT a AS node FROM e UNION ALL SELECT b FROM e) u
+           |        GROUP BY node),
+           |tri AS (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+           |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+           |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+           |        SELECT ta AS node FROM tri
+           |        UNION ALL SELECT tb FROM tri
+           |        UNION ALL SELECT tc FROM tri) u GROUP BY node)
+           |SELECT d.node AS doc_id, d.deg,
+           |       coalesce(p.triangles, 0) AS triangles,
+           |       CAST(CASE WHEN d.deg >= 2
+           |            THEN 2000 * coalesce(p.triangles, 0) // (d.deg * (d.deg - 1))
+           |            ELSE 0 END AS BIGINT) AS clustering_pm
+           |FROM deg d LEFT JOIN pn p ON p.node = d.node
+           |ORDER BY doc_id""".stripMargin,
 
       // sp9: recursive closure -> cluster sizes -> the same integer draw
       // test (draw * size < 256) Sampling.softDedup runs

@@ -729,6 +729,48 @@ object Similarity {
           6).as("centroid_cos"))
   }
 
+  /** Embedding-space DRIFT report between two corpus snapshots — the
+    * monitoring pass a pipeline runs after re-ingest/re-embedding to see
+    * whether each label's population and centroid moved (membership churn
+    * + per-label centroid cosine). Same integer discipline as
+    * [[centroidOutliers]]: vectors quantize to 1e-6 BIGINT units, per-
+    * (label, dim) centroids are integer means (`sum DIV count`), and the
+    * v1×v2 centroid cosine is exact integer dots under an IEEE
+    * sqrt/divide/round — any engine reproduces it bit-for-bit.
+    *
+    * Scale shape: each snapshot is scanned ONCE into a labels × dims
+    * integer-centroid frame (partial-aggregable posexplode + groupBy);
+    * the cosine joins two model-sized frames; membership churn is one
+    * full-outer join on (id, label) carrying ids only — the vectors
+    * never shuffle for it. */
+  def embeddingDrift(
+      v1: DataFrame, v2: DataFrame,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    def centroid(df: DataFrame, out: String) = df
+      .select(col(labelCol).as("label"),
+        posexplode(expr(
+          s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+          .as(Seq("pos", "u")))
+      .groupBy("label", "pos")
+      .agg(expr("sum(u) DIV count(*)").as(out))
+    val cos = centroid(v1, "c1").join(centroid(v2, "c2"), Seq("label", "pos"))
+      .groupBy("label")
+      .agg(round(
+        sum(col("c1") * col("c2")) /
+          (sqrt(sum(col("c1") * col("c1")).cast("double")) *
+            sqrt(sum(col("c2") * col("c2")).cast("double"))), 6)
+        .as("centroid_cos"))
+    val mem = v1.select(col(idCol).as("id"), col(labelCol).as("label"),
+        lit(1).as("in1"))
+      .join(v2.select(col(idCol).as("id"), col(labelCol).as("label"),
+        lit(1).as("in2")), Seq("id", "label"), "full_outer")
+      .groupBy("label")
+      .agg(count(col("in1")).as("n1"), count(col("in2")).as("n2"),
+        count(when(col("in2").isNotNull && col("in1").isNull, 1)).as("n_added"),
+        count(when(col("in1").isNotNull && col("in2").isNull, 1)).as("n_removed"))
+    mem.join(cos, Seq("label"), "left")
+  }
+
   /** Cluster-quality dashboard via simplified silhouette (emb2's library
     * form): a = cosine distance to the OWN label centroid, b = distance to
     * the nearest OTHER centroid, s = (b-a)/max(a,b), averaged per label

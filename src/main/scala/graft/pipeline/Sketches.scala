@@ -128,6 +128,41 @@ object Sketches {
         expr("element_at(__vals, CAST(__r_in AS INT))").as("p50"))
   }
 
+  /** Grouped histogram QUANTILES (p50/p90/p99-style) from fixed-width
+    * bins — the monitoring-dashboard percentile the engine-native
+    * approx_percentile/t-digest would serve, rebuilt deterministic:
+    * bin = floor(value · binsPerUnit) is exact IEEE arithmetic in any
+    * engine, the per-(group, bin) count is ONE partial-aggregable
+    * shuffle bounded by groups × occupied bins (not rows), and each
+    * quantile resolves to the first bin whose cumulative count reaches
+    * rank ceil(n·q/100) — all integer math over the bin frame, so the
+    * result hash-gates like the other sketches. Reported value is the
+    * BIN INDEX (caller divides by binsPerUnit for the edge): integers
+    * end to end, no float quantile interpolation to disagree across
+    * engines. Scale: no task holds more than its bin counts; the windows
+    * run over the histogram, never the stream. */
+  def histogramQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      binsPerUnit: Int = 10, qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be in [1,100], got $qs")
+    val hist = df
+      .select(col(groupCol),
+        floor(col(valueCol) * binsPerUnit).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val qCols = qs.map(q =>
+      min(when(expr(s"cum >= ($q * n + 99) DIV 100"), col("bin")))
+        .as(s"p${q}_bin"))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
+
   /** CMS counter table for a token column: depth rows of md5-derived
     * hashes, width buckets each. Counters are additive (partial-aggregable,
     * order-independent); the returned frame is (j, bucket, cnt) with

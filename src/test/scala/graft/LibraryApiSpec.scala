@@ -419,6 +419,66 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(cc == 1L)
   }
 
+  test("histogramQuantiles: hand-computed ranks; bin index is the first bin reaching ceil(qn/100)") {
+    import spark.implicits._
+    // group g: values 0.05, 0.15, ..., 0.95 -> bins 0..9, one count each,
+    // n = 10. rank(50) = ceil(500/100) = 5 -> bin 4 (cum 5);
+    // rank(90) = 9 -> bin 8; rank(99) = ceil(990/100) = 10 -> bin 9.
+    val rows = (0 until 10).map(i => ("g", i / 10.0 + 0.05)) :+ ("h", 3.27)
+    val df = rows.toDF("grp", "v")
+    val got = graft.pipeline.Sketches
+      .histogramQuantiles(df, "grp", "v")
+      .orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // single-value group h: every quantile is its only bin (32)
+    assert(got.toSeq == Seq(("g", 10L, 4L, 8L, 9L), ("h", 1L, 32L, 32L, 32L)),
+      s"got ${got.mkString(", ")}")
+  }
+
+  test("embeddingDrift: identical snapshots give cos 1 and zero churn; disjoint members count as churn") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.5f), 0), (2L, Seq(0.4f, 0.6f), 0),
+      (3L, Seq(-0.5f, 0.25f), 1), (4L, Seq(-0.3f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val same = graft.pipeline.Similarity
+      .embeddingDrift(emb, emb, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+    same.foreach { r =>
+      assert(r.getLong(1) == 2 && r.getLong(2) == 2 &&
+        r.getLong(3) == 0 && r.getLong(4) == 0)
+      assert(math.abs(r.getDouble(5) - 1.0) < 1e-6, s"cos ${r.getDouble(5)}")
+    }
+    // drop one member per label from v2: n_removed counts it, the
+    // centroid moves (label-0 vectors are not collinear)
+    val v2 = emb.where($"vec_id" % 2 === 0)
+    val drift = graft.pipeline.Similarity
+      .embeddingDrift(emb, v2, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+    drift.foreach { r =>
+      assert(r.getLong(1) == 2 && r.getLong(2) == 1 &&
+        r.getLong(3) == 0 && r.getLong(4) == 1)
+    }
+    assert(drift(0).getDouble(5) < 1.0)
+  }
+
+  test("triangleStats: K4 plus a pendant — hand-computed counts and coefficients") {
+    import spark.implicits._
+    // K4 over 1..4 (every node: deg 3, 3 triangles, coefficient
+    // 2000*3/(3*2) = 1000) plus pendant 5-1 (node 1: deg 4, still 3
+    // triangles, 2000*3/(4*3) = 500; node 5: deg 1, 0, 0). Feed some
+    // pairs reversed and one duplicated — orientation + dedup must hide both.
+    val pairs = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (3L, 4L), (5L, 1L)).toDF("doc_a", "doc_b")
+    val got = graft.pipeline.Graph.triangleStats(pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 3L, 500L), (2L, 3L, 3L, 1000L), (3L, 3L, 3L, 1000L),
+      (4L, 3L, 3L, 1000L), (5L, 1L, 0L, 0L)),
+      s"got ${got.mkString(", ")}")
+  }
+
   test("phashNearDupPairs: banded join finds exactly the all-pairs hamming matches") {
     import spark.implicits._
     import graft.pipeline.Multimodal
