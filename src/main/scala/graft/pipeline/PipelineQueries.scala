@@ -2321,6 +2321,20 @@ object PipelineQueries {
   private val mergesWritten = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Boolean]
 
+  /** tok3's trained unigram vocabulary per (session, sf): driver-side
+    * model state (~300 (piece, micro-log) entries). No spill needed —
+    * unlike the BPE merge table, the vocabulary is a pure deterministic
+    * function of the corpus, so the oracle re-derives it in SQL. */
+  private val unigramVocabCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Map[String, Long]]
+
+  private def cachedUnigramVocab(s: SparkSession, dir: String): Map[String, Long] =
+    cacheLock.synchronized {
+      unigramVocabCache.getOrElseUpdate((s, dir),
+        TextAnalysis.unigramVocab(s.table("documents"), "doc_id", "text")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+
   private def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     cacheLock.synchronized {
       val ms = mergeCache.getOrElseUpdate((s, dir),
@@ -2890,6 +2904,26 @@ object PipelineQueries {
       Graph.labelPropagation(cachedPairs(s, dir)).orderBy(col("doc_id"))
     }),
 
+    // tok3: UNIGRAM-LM tokenizer segmentation (the SentencePiece model
+    // family; Kudo 2018) — completes the tokenizer suite next to BPE
+    // train/encode (tok1/tok2): vocabulary = all single chars + top-256
+    // substrings of the 64-char prefixes with integer micro-log probs
+    // (TextAnalysis.unigramVocab, driver-side model state like tok2's
+    // merges), segmentation = row-local Viterbi under the broadcast
+    // vocabulary (zero shuffle at any corpus size). The gate segments a
+    // deterministic 10% doc sample so the oracle's recursive window-DP
+    // (64 iterations, one row per sampled doc carrying the last-6
+    // dp states) stays bounded; the library segments anything.
+    "tok3_unigram_segment" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val voc = cachedUnigramVocab(s, dir)
+      TextAnalysis.unigramSegment(
+        s.table("documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text", voc)
+        .orderBy(col("doc_id"))
+    }),
+
     // emb3: embedding-space drift between two corpus snapshots
     // (Similarity.embeddingDrift) — per-label membership churn + the v1×v2
     // integer-centroid cosine (emb1's 1e-6 quantization discipline).
@@ -3453,6 +3487,51 @@ object PipelineQueries {
            |SELECT node AS doc_id, CAST(label AS BIGINT) AS community
            |FROM l4 ORDER BY doc_id""".stripMargin
       },
+
+      // tok3: vocabulary re-derived from the same prefixes (counts ->
+      // top-256 rank -> micro-log probs), then the Viterbi DP replayed
+      // as a recursive WINDOW-DP: each iteration advances every sampled
+      // doc one character, carrying the last 6 dp (score, n_tokens)
+      // states as lists; the candidate argmax key (score*8 + k) is
+      // collision-free for k <= 7 and identical to the Scala DP's.
+      "tok3_unigram_segment" ->
+        """WITH RECURSIVE
+          |pre AS (SELECT doc_id, substr(coalesce(text, ''), 1, 64) AS t FROM documents),
+          |sub AS (SELECT substr(p.t, CAST(ii.i AS INT), CAST(kk.k AS INT)) AS piece,
+          |               kk.k AS k, CAST(count(*) AS BIGINT) AS cnt
+          |        FROM pre p,
+          |             unnest(range(1, 7)) AS kk(k),
+          |             unnest(range(1, greatest(length(p.t) - kk.k + 2, 1))) AS ii(i)
+          |        GROUP BY piece, kk.k),
+          |chars AS (SELECT piece, cnt FROM sub WHERE k = 1),
+          |longs AS (SELECT piece, cnt FROM (
+          |          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rnk
+          |          FROM sub WHERE k >= 2) r WHERE rnk <= 256),
+          |voc0 AS (SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM longs),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM voc0),
+          |voc AS (SELECT piece,
+          |          CAST(floor(ln(cnt / (SELECT tot FROM tot)) * 1000000) AS BIGINT) AS lp
+          |        FROM voc0),
+          |seg AS (
+          |  SELECT doc_id, 0 AS pos, [CAST(0 AS BIGINT)] AS ws, [CAST(0 AS BIGINT)] AS wt,
+          |         t AS txt, length(t) AS n
+          |  FROM pre WHERE doc_id % 10 = 0
+          |  UNION ALL
+          |  SELECT doc_id, pos + 1,
+          |         list_prepend(ns, ws[1:5]), list_prepend(nt, wt[1:5]), txt, n
+          |  FROM (
+          |    SELECT s.doc_id, s.pos, s.txt, s.n, s.ws, s.wt,
+          |           arg_max(s.ws[CAST(t.k AS INT)] + v.lp,
+          |                   (s.ws[CAST(t.k AS INT)] + v.lp) * 8 + t.k) AS ns,
+          |           arg_max(s.wt[CAST(t.k AS INT)] + 1,
+          |                   (s.ws[CAST(t.k AS INT)] + v.lp) * 8 + t.k) AS nt
+          |    FROM seg s
+          |    JOIN unnest(range(1, 7)) AS t(k) ON t.k <= s.pos + 1
+          |    JOIN voc v ON v.piece = substr(s.txt, CAST(s.pos + 2 - t.k AS INT), CAST(t.k AS INT))
+          |    WHERE s.pos < s.n
+          |    GROUP BY s.doc_id, s.pos, s.txt, s.n, s.ws, s.wt) g)
+          |SELECT doc_id, wt[1] AS n_tokens, ws[1] AS score
+          |FROM seg WHERE pos = n ORDER BY doc_id""".stripMargin,
 
       // emb3: the emb1 integer-centroid derivation per snapshot slice +
       // exact integer dots for the centroid cosine + membership-flag

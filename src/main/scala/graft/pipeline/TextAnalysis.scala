@@ -553,6 +553,98 @@ object TextAnalysis {
       }.toDF("doc_id", "toks")
   }
 
+  /** Unigram-LM tokenizer VOCABULARY (the SentencePiece/Kudo-2018 model
+    * family, deterministic): candidate pieces are every substring of
+    * length 1..`maxPieceLen` of each doc's `prefixLen`-char prefix; the
+    * vocabulary keeps ALL single characters (so segmentation can never
+    * dead-end) plus the `topK` most frequent longer pieces
+    * (count DESC, piece ASC — a total order), with integer micro-log
+    * probabilities lp = floor(ln(cnt/total)·1e6) over the selected
+    * vocabulary mass. Every step is count/rank/ln arithmetic both engines
+    * replay bit-for-bit (the tx7/tx10 micro-log discipline).
+    *
+    * Scale shape: one substring explode (prefix-bounded: ≤ prefixLen ×
+    * maxPieceLen rows per doc) into one partial-aggregable count groupBy;
+    * the rank window runs over the candidate VOCABULARY frame, not the
+    * corpus. Returns (piece, lp) — model state, vocabulary-sized. */
+  def unigramVocab(
+      docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 64, maxPieceLen: Int = 6, topK: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = docs.select(
+      expr(s"substring(coalesce($textCol, ''), 1, $prefixLen)").as("t"))
+    val sub = pre
+      .select(col("t"), explode(sequence(lit(1), lit(maxPieceLen))).as("k"))
+      .where(length(col("t")) >= col("k"))
+      .select(col("t"), col("k"),
+        explode(expr("sequence(1, length(t) - k + 1)")).as("i"))
+      .select(expr("substring(t, i, k)").as("piece"), col("k"))
+      .groupBy(col("piece"), col("k")).agg(count(lit(1)).as("cnt"))
+    val chars = sub.where(col("k") === 1).select(col("piece"), col("cnt"))
+    val longs = sub.where(col("k") >= 2)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece").asc)))
+      .where(col("rnk") <= topK).select(col("piece"), col("cnt"))
+    val voc0 = chars.union(longs)
+    val tot = voc0.agg(sum(col("cnt")).as("__tot"))
+    voc0.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        floor(log(col("cnt") / col("__tot")) * 1000000).cast("long").as("lp"))
+  }
+
+  /** Viterbi max-likelihood segmentation under a unigram vocabulary (the
+    * tokenizer SERVING phase, like [[bpeEncode]] for BPE): per doc, the
+    * dynamic program dp[p] = max over piece lengths k of
+    * dp[p-k] + lp(piece ending at p), ties broken toward the LONGER
+    * piece (the argmax key dp·8+k is collision-free for k ≤ 7, and the
+    * DuckDB oracle replays the identical key). Returns
+    * (doc_id, n_tokens, score) for the `prefixLen`-char prefix.
+    *
+    * Row-local compute under a broadcast vocabulary — zero shuffle at
+    * any corpus size; the prefix bound is what makes the cross-engine
+    * oracle replay tractable (the library itself accepts any length).
+    * Single characters are always in a [[unigramVocab]] trained on the
+    * same prefixes, so the DP never dead-ends. */
+  def unigramSegment(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocab: Map[String, Long],
+      prefixLen: Int = 64, maxPieceLen: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    docs.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .map { case (id, text0) =>
+        val text = text0.substring(0, math.min(prefixLen, text0.length))
+        val v = bc.value
+        val n = text.length
+        val ws = new Array[Long](n + 1)
+        val wt = new Array[Long](n + 1)
+        var p = 1
+        while (p <= n) {
+          var bestKey = Long.MinValue
+          var bs = 0L
+          var bt = 0L
+          var k = 1
+          while (k <= maxPieceLen && k <= p) {
+            v.get(text.substring(p - k, p)) match {
+              case Some(lp) =>
+                val sc = ws(p - k) + lp
+                val key = sc * 8 + k
+                if (key > bestKey) { bestKey = key; bs = sc; bt = wt(p - k) + 1 }
+              case None =>
+            }
+            k += 1
+          }
+          ws(p) = bs
+          wt(p) = bt
+          p += 1
+        }
+        (id, wt(n), ws(n))
+      }.toDF("doc_id", "n_tokens", "score")
+  }
+
   /** WINNOWING fingerprints (MOSS), staged as two expressions — single
     * source for the tx6 driver query and its guarantee spec. The gram
     * array MUST be materialized into a column before the window pass:
