@@ -129,6 +129,13 @@ object Bench {
       if (only.isEmpty) ""
       else s""","filtered":true,"only":"${only.toSeq.sorted.mkString(",")}""""
     println(s"""{"queries":$qs,"sf":"$sfDir","errors":${failed.size}$filteredTag,"metric":"total","unit":"sec","value":${sec3(total)}}""")
+    // The per-query line above exceeds the driver's ~4 KB stdout tail
+    // capture, so a tail slice cuts off its head and the object never
+    // parses (rounds 7 AND 8 published `parsed: null`). Repeat the
+    // headline as its OWN short line LAST: a tail capture then always
+    // contains at least one complete JSON object carrying the gate
+    // number. Same keys, no per-query map.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":${failed.size}$filteredTag,"nqueries":${results.size},"value":${sec3(total)}}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(

@@ -4,6 +4,40 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Canonical cell rendering for the diagnostic dump: NULL marker, shortest
+    * round-trip form for floats (Java's Double.toString), ISO timestamps via
+    * the session's UTC zone, everything else toString. Arrays/structs render
+    * via Row.toString — stable for our result shapes. */
+  private def cell(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.lang.Double => d.toString
+    case f: java.lang.Float => f.toString
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ",", "]")
+    case other => other.toString
+  }
+
+  /** Dump the written result parquet as schema line + up to `cap` rows of
+    * tab-joined canonical cells, in file order (= compare hash order). */
+  private def dumpRows(spark: SparkSession, parquetDir: String,
+      outFile: String, cap: Int = 1000): Unit = {
+    val df = spark.read.parquet(parquetDir)
+    val sb = new StringBuilder
+    sb.append(df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+      .mkString("\t")).append('\n')
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      if (n < cap)
+        sb.append((0 until r.length).map(i => cell(r.get(i))).mkString("\t"))
+          .append('\n')
+      n += 1
+    }
+    if (n > cap) sb.append(s"... ${n - cap} more rows (total $n)\n")
+    Files.writeString(Paths.get(outFile), sb.toString): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name filter (local iteration;
@@ -40,9 +74,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Value-level evidence next to the parquet: a deterministic
+        // plain-text dump (row order as written, canonical rendering,
+        // capped) so a hash-red driver row carries the exact differing
+        // cells instead of only a boolean. Read BACK the written file —
+        // the dump must reflect exactly the bytes the compare hashes,
+        // and re-running fn() would re-execute the query (q9 spins a
+        // relay server per call).
+        dumpRows(spark, s"$outDir/$name", s"$outDir/$name/rows.txt")
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

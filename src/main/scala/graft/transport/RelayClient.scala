@@ -314,7 +314,36 @@ object RelayClient {
           .asInstanceOf[StructType]
         spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
       case None =>
-        spark.read.parquet(tmp.toString)
+        val df = spark.read.parquet(tmp.toString)
+        logFetched(what, tmp, df)
+        df
+    }
+  }
+
+  /** Diagnostic stderr line for every wire fetch: row count, schema, and
+    * per-column min/max of the fetched payload. Only mesh RESULTS cross the
+    * wire (small by design), and federation divergence has historically been
+    * observable only in the driver's sandbox — this makes the fetched values
+    * auditable from the run log. Disable with GRAFT_WIRE_QUIET=1. */
+  private def logFetched(what: String, tmp: Path, df: DataFrame): Unit = {
+    if (sys.env.get("GRAFT_WIRE_QUIET").exists(_ == "1")) return
+    try {
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      val cols = df.columns
+      val aggs = count(lit(1)).as("__n") +:
+        cols.flatMap(c => Seq(min(df(c)).as(s"min_$c"), max(df(c)).as(s"max_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def short(v: Any): String =
+        if (v == null) "NULL" else { val s = v.toString; if (s.length > 40) s.take(40) + "…" else s }
+      val stats = cols.zipWithIndex.map { case (c, i) =>
+        s"$c=[${short(r.get(1 + 2 * i))}..${short(r.get(2 + 2 * i))}]"
+      }.mkString(" ")
+      System.err.println(
+        s"[wire] $what -> $tmp rows=${r.getLong(0)} " +
+          s"schema=${df.schema.simpleString.take(300)} $stats")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[wire] $what -> $tmp (stats failed: ${e.getMessage})")
     }
   }
 

@@ -47,6 +47,18 @@ def main(sf_dir, out_dir):
             failures += 1
             continue
         ok = True
+        # Arrow TYPE parity, not just value equality: the driver hashes
+        # values, and e.g. DuckDB's sum(BIGINT) -> HUGEINT surfaces as
+        # decimal128(38,0) vs Spark's int64 — Python compares
+        # Decimal(123) == 123 as True, so a value-level check alone
+        # masked q9's three-round driver hash mismatch. Cast the oracle
+        # (e.g. CAST(sum(x) AS BIGINT)) until types agree.
+        gtypes = {f.name: str(f.type) for f in got.schema}
+        etypes = {f.name: str(f.type) for f in exp.schema}
+        for c in sorted(set(gtypes) & set(etypes)):
+            if gtypes[c] != etypes[c]:
+                print(f"[compare] {name}: TYPE MISMATCH {c}: spark={gtypes[c]} oracle={etypes[c]}")
+                ok = False
         if sorted(got.column_names) != sorted(exp.column_names):
             print(f"[compare] {name}: COLUMN MISMATCH got={sorted(got.column_names)} exp={sorted(exp.column_names)}")
             ok = False
