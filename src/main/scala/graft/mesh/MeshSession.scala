@@ -122,6 +122,31 @@ class QueryService(session: MeshSession, resultDir: String) {
   private val specs =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
 
+  // Terminal-request retention: a long-lived relay's history otherwise
+  // grows without bound AND is re-serialized wholesale on every submit /
+  // terminal transition (persistState rewrites the full snapshot). Past
+  // the bound, the OLDEST terminal requests are evicted — status queries
+  // for them answer "unknown" (the reference's result GC does the same to
+  // its task rows) and their specs/branch states drop from the snapshot.
+  // In-flight requests are never evicted.
+  private val maxRetained: Int = sys.props.get("graft.tasks.maxRetained")
+    .orElse(sys.env.get("GRAFT_TASKS_MAX_RETAINED")).map(_.toInt)
+    .getOrElse(1000)
+  private val terminalOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Record `id` reaching a terminal state and evict past retention. */
+  private def noteTerminal(id: String): Unit = {
+    terminalOrder.add(id)
+    while (terminalOrder.size > maxRetained) {
+      val old = terminalOrder.poll()
+      if (old != null) {
+        tasks.remove(old)
+        branchTasks.remove(old)
+        specs.remove(old)
+      }
+    }
+  }
+
   /** This relay's own reachable ingest endpoint — set by
     * [[graft.transport.RelayServer]] on start. With it set, a submitted
     * query DISTRIBUTES: endpoint-backed peers receive the mapped request as
@@ -149,6 +174,10 @@ class QueryService(session: MeshSession, resultDir: String) {
             Some("relay restarted while the request was in flight"))
         }
         tasks.put(id, restored)
+        // restored terminal requests re-enter the retention queue so a
+        // restarted long-lived relay still evicts its oldest history
+        if (restored.status == Complete || restored.status == Failed)
+          noteTerminal(id)
       }
       bs.foreach { case (id, m) =>
         if (!requeue.contains(id))
@@ -377,6 +406,7 @@ class QueryService(session: MeshSession, resultDir: String) {
     } catch {
       case e: Throwable =>
         tasks.put(id, TaskState(Failed, Some(e.getMessage)))
+        noteTerminal(id)
         persistState()
     }
   }
@@ -385,6 +415,7 @@ class QueryService(session: MeshSession, resultDir: String) {
     tasks.put(id,
       if (anyFailed) TaskState(Failed, Some("one or more branch tasks failed"))
       else TaskState(Complete, None))
+    noteTerminal(id)
     persistState()
   }
 
@@ -483,7 +514,8 @@ class QueryService(session: MeshSession, resultDir: String) {
     // a pure-push request (no tracked submit) is readable as soon as a
     // stream lands; a tracked federated request keeps its own worker's
     // bookkeeping — an in-flight push must not stomp InProgress
-    tasks.putIfAbsent(id, TaskState(Complete, None))
+    if (tasks.putIfAbsent(id, TaskState(Complete, None)) == null)
+      noteTerminal(id)
     persistState()
   }
 

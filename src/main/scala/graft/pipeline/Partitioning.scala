@@ -35,14 +35,18 @@ object Partitioning {
     * exchange-free plans: under AQE, converting a frame whose plan
     * contains exchanges to an RDD materializes its query stages — real
     * shuffle jobs at construction time, discarded when the consumer
-    * re-plans the returned frame. So plans that already contain an
-    * exchange pass through UNPROBED: their exchange already spreads rows
-    * cluster-wide, which is exactly the condition fanOut exists to
-    * establish. */
+    * re-plans the returned frame. So plans that already contain a
+    * SHUFFLE exchange pass through UNPROBED: that exchange already
+    * spreads rows cluster-wide, which is exactly the condition fanOut
+    * exists to establish. The test is ShuffleExchangeLike, NOT the
+    * Exchange base class: BroadcastExchangeExec extends Exchange too,
+    * and a narrow frame whose only exchange is a broadcast-join build
+    * side (docs joined to a small broadcast lookup) spreads nothing —
+    * it must still be probed and widened. */
   def fanOut(df: DataFrame, byCol: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val hasExchange = df.queryExecution.sparkPlan
-      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
       .isDefined
     if (hasExchange) df
     else if (df.rdd.getNumPartitions >= target) df

@@ -2417,15 +2417,16 @@ object PipelineQueries {
       Fixtures.registerRaw(s, dir)
       val li = s.table("lineitem")
       val kmv = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
-      // groupedLowerMedian scans its input exactly once (the bucket agg
-      // is the only materialization), so the md5-filtered sample needs
-      // no checkpoint of its own any more
+      // groupedLowerMedian scans the sample twice (count histogram, then
+      // a target-bucket-pruned pick pass) — both scans are codegen'd
+      // filter+project over the parquet, cheaper than materializing the
+      // sampled values into per-bucket arrays
       val samp = Sketches
         .hashSample(li, Seq("l_orderkey", "l_linenumber"), oneIn = 10)
         .select(col("l_returnflag"), col("l_extendedprice").as("price"))
-      // exact sampled median by one-pass bucketed selection
-      // (groupedLowerMedian): the sample never pays a per-group window
-      // sort, and the 100%-scan hash filter runs once
+      // exact sampled median by bucketed selection (groupedLowerMedian):
+      // the sample never pays a per-group window sort — only the single
+      // target bucket per group reaches the row_number window
       val med = Sketches.groupedLowerMedian(samp, "l_returnflag", "price")
         .select(col("l_returnflag"), round(col("p50"), 2).as("p50_sample"))
       kmv.join(med, "l_returnflag")
@@ -3617,7 +3618,7 @@ object PipelineQueries {
            |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
            |       FROM cl GROUP BY cluster_id),
            |j AS (SELECT d.doc_id,
-           |        coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+           |        CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR) AS cluster_id,
            |        coalesce(sz.n, 1) AS cluster_size,
            |        CAST(('0x' || substring(md5(concat('sp9:',
            |             CAST(d.doc_id AS VARCHAR))), 1, 2)) AS INT) AS h

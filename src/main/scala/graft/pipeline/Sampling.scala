@@ -153,9 +153,13 @@ object Sampling {
     val cl = clusters.join(sizes, "cluster_id")
       .select(col("doc_id").as("__cc_id"), col("cluster_id").as("__cc_lbl"),
         col("__cc_n"))
+    // cluster identity renders as STRING for the same reason split_group
+    // does above: a non-numeric doc id cast to long is NULL, which would
+    // silently erase cluster identity for every unclustered doc. Numeric
+    // labels render identically either way ("5" == cast of 5L).
     docs.join(cl, col(idCol) === col("__cc_id"), "left")
       .withColumn("cluster_id",
-        coalesce(col("__cc_lbl"), col(idCol).cast("long")))
+        coalesce(col("__cc_lbl").cast("string"), col(idCol).cast("string")))
       .withColumn("cluster_size", coalesce(col("__cc_n"), lit(1L)))
       .withColumn("kept",
         conv(hexDraw(col(idCol), salt), 16, 10).cast("long") *

@@ -80,31 +80,32 @@ object Sketches {
 
   /** EXACT per-group lower median (the element at rank `(n+1) div 2` in
     * ascending order — a real data value, never an interpolation) by
-    * ONE-PASS bucketed selection:
+    * bucketed selection in two bounded passes:
     *
-    *  1. bucket pass — one map-side-combined groupBy over
-    *     `(group, floor(value/bucketWidth))` aggregates each bucket's
-    *     count AND its row-locally-sorted value array; the aggregated
-    *     bucket frame is localCheckpointed (it is the only
-    *     materialization — the INPUT stream is scanned exactly once);
-    *  2. locate — cumulative counts over the values-free projection of
-    *     that frame (buckets × groups rows, kilobytes) find the single
+    *  1. histogram pass — one map-side-combined groupBy over
+    *     `(group, floor(value/bucketWidth))` counts each bucket; the
+    *     shuffled state is COUNTS ONLY (groups × occupied buckets rows,
+    *     kilobytes — never row values);
+    *  2. locate — cumulative counts over that histogram find the single
     *     bucket holding the target rank and the rank offset within it;
-    *  3. pick — the broadcast target joins back to the checkpointed
-    *     bucket frame and `element_at` reads the answer out of the one
-    *     matching bucket's sorted array. No second scan, no sort of
-    *     anything wider than one bucket.
+    *  3. pick pass — re-scan the input pruned by a BROADCAST join
+    *     against the one target bucket per group (everything outside it
+    *     drops at the scan stage), then `row_number` within the group
+    *     reads off the `__r_in`-th value. The window input is one
+    *     bucket's occupancy per group — the declared memory envelope,
+    *     sized by `bucketWidth` — not the group.
     *
     * A per-group window sort (`row_number` over the whole group) degrades
     * to one task per group doing an O(n log n) sort of everything — the
     * plan that stops scaling first in a grouped-median query; Spark's
     * exact `percentile` buffers a value→count map per group in executor
-    * memory, the other non-starter at corpus scale. Here no task ever
-    * holds more than its own buckets of the stream (bucket occupancy is
-    * the declared memory envelope — size `bucketWidth` to the value
-    * distribution), and the only window runs over bucket COUNTS. Value
-    * ties are immaterial: any row at the target rank carries the same
-    * value. */
+    * memory, the other non-starter at corpus scale. An earlier spelling
+    * here aggregated each bucket's sorted VALUE ARRAY in pass 1 to avoid
+    * the second scan — one scan, but every row traveled the shuffle
+    * inside a collect_list cell (an unbounded-array memory hazard and
+    * the measured residual cost); two cheap codegen'd scans beat one
+    * scan that materializes the stream. Value ties are immaterial: any
+    * row at the target rank carries the same value. */
   def groupedLowerMedian(
       df: DataFrame, groupCol: String, valueCol: String,
       bucketWidth: Double = 1024.0): DataFrame = {
@@ -112,20 +113,20 @@ object Sketches {
     val b = df.select(col(groupCol), col(valueCol),
       floor(col(valueCol) / bucketWidth).cast("long").as("__bkt"))
     val hist = b.groupBy(col(groupCol), col("__bkt"))
-      .agg(count(lit(1)).as("c"),
-        sort_array(collect_list(col(valueCol))).as("__vals"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
     val wAll = Window.partitionBy(col(groupCol))
-    val tgt = hist.select(col(groupCol), col("__bkt"), col("c"))
+    val tgt = hist
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
       .where(expr("cum - c < (n + 1) DIV 2 AND cum >= (n + 1) DIV 2"))
       .select(col(groupCol), col("__bkt"),
         expr("(n + 1) DIV 2 - (cum - c)").as("__r_in"))
-    hist.join(broadcast(tgt), Seq(groupCol, "__bkt"))
-      .select(col(groupCol),
-        expr("element_at(__vals, CAST(__r_in AS INT))").as("p50"))
+    b.join(broadcast(tgt), Seq(groupCol, "__bkt"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .where(col("__rn") === col("__r_in"))
+      .select(col(groupCol), col(valueCol).as("p50"))
   }
 
   /** Grouped histogram QUANTILES (p50/p90/p99-style) from fixed-width

@@ -609,6 +609,11 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       vocab: Map[String, Long],
       prefixLen: Int = 64, maxPieceLen: Int = 6): DataFrame = {
+    // the dp·8+k argmax key packs the piece length into the low 3 bits —
+    // collision-free only for k ≤ 7; a wider limit would silently corrupt
+    // the tie-break rather than fail
+    require(maxPieceLen >= 1 && maxPieceLen <= 7,
+      s"maxPieceLen must be in 1..7 (tie-break key packs k into 3 bits), got $maxPieceLen")
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab)
@@ -637,6 +642,16 @@ object TextAnalysis {
             }
             k += 1
           }
+          // a trained vocab always contains every single char of its own
+          // corpus prefixes, so a dead-end means vocab and input come from
+          // different corpora — fail loudly instead of silently resetting
+          // the dp to score 0 (which would publish a plausible-looking but
+          // meaningless segmentation)
+          if (bestKey == Long.MinValue)
+            throw new IllegalArgumentException(
+              s"unigramSegment dead-end at doc $id pos $p: no vocab piece " +
+                s"ends here (char '${text.charAt(p - 1)}'); the vocabulary " +
+                "was trained on a different corpus than this input")
           ws(p) = bs
           wt(p) = bt
           p += 1

@@ -33,6 +33,16 @@ object ArrowCodec {
 
   val ContentType = "application/vnd.apache.arrow.stream"
 
+  /** The exact type set [[arrowField]] encodes — callers (the relay's
+    * content negotiation) use this to REJECT an unsupported result schema
+    * before any response bytes are committed, instead of discovering the
+    * IllegalArgumentException mid-stream after the 200 header. */
+  def supports(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | DoubleType | FloatType |
+         StringType | BooleanType | DateType | TimestampType | BinaryType => true
+    case _ => false
+  }
+
   private def arrowField(f: StructField): Field = {
     val t = f.dataType match {
       case LongType => new ArrowType.Int(64, true)

@@ -32,6 +32,14 @@ object RelayClient {
     .connectTimeout(Duration.ofSeconds(10))
     .build()
 
+  /** This process's client certificate (PEM), sent urlencoded in
+    * `X-Graft-Client-Cert` on every request when set — the client half of
+    * the reference's cert-header mTLS mode (the reference's FlightRelay
+    * likewise holds ONE process-wide `client_cert`,
+    * `flight_server/src/flight.rs:135-141`). A cert-authenticating peer
+    * fingerprints it for identity; peers without cert auth ignore it. */
+  @volatile var clientCertPem: Option[String] = None
+
   /** Per-request parts derived from an endpoint URL: the clean base URI and
     * the token header, if the URL carries userinfo. */
   private def endpointParts(endpoint: String): (String, Option[String]) = {
@@ -49,6 +57,8 @@ object RelayClient {
     var b = HttpRequest.newBuilder(URI.create(base + path))
       .timeout(Duration.ofMinutes(10))
     token.foreach(t => b = b.header("X-Graft-Token", t))
+    clientCertPem.foreach(pem =>
+      b = b.header("X-Graft-Client-Cert", urlEnc(pem)))
     viaRelay.foreach(r => b = b.header("X-Graft-Relay", r))
     if (visited.nonEmpty)
       b = b.header("X-Graft-Visited", visited.toSeq.sorted.mkString(","))

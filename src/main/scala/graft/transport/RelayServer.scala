@@ -44,11 +44,13 @@ import graft.validation.SqlValidator
   *   - `PUT  /ingest/{id}/{branch}`         parquet bytes pushed by an
   *     executor relay (do_put)
   *
-  * Identity is carried in plaintext headers (`X-Graft-Relay`, body `user`),
-  * optionally gated by an `X-Graft-Token` shared secret — the sandbox
-  * stand-in for the reference's mTLS client certificates; the x509
-  * [[graft.catalog.Principal]] path plugs in where a TLS terminator can
-  * hand the server a verified certificate.
+  * Identity: with `certAuth` set, the client's x509 certificate crosses
+  * urlencoded in `X-Graft-Client-Cert` and its SHA-256 fingerprint is the
+  * identity — trusted-relay origination and user ACLs key off the
+  * fingerprint exactly as the reference's cert-header mTLS mode does
+  * (see [[authenticate]]). Without it, identity is the plaintext
+  * `X-Graft-Relay` header / body `user`, optionally gated by an
+  * `X-Graft-Token` shared secret (open test configuration).
   *
   * Scale shape: only MESH RESULTS cross this wire (mapped per-source
   * queries, typically filtered/aggregated), exactly as in the reference —
@@ -61,7 +63,10 @@ final class RelayServer(
     sharedSecret: Option[String] = None,
     bindHost: String = "127.0.0.1",
     port: Int = 0,
-    registry: Option[graft.mesh.MeshRegistry] = None) {
+    registry: Option[graft.mesh.MeshRegistry] = None,
+    certAuth: Option[graft.catalog.PrincipalRegistry] = None) {
+
+  import RelayServer.Auth
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
@@ -97,7 +102,10 @@ final class RelayServer(
       if (sharedSecret.exists(s =>
           ex.getRequestHeaders.getFirst("X-Graft-Token") != s)) {
         respond(ex, 401, "application/json", errJson("invalid or missing token"))
-      } else route(ex)
+      } else authenticate(ex) match {
+        case Left(err) => respond(ex, 401, "application/json", errJson(err))
+        case Right(auth) => route(ex, auth)
+      }
     } catch {
       case e: SqlValidator.InvalidQuery =>
         respond(ex, 400, "application/json", errJson(e.getMessage))
@@ -107,14 +115,84 @@ final class RelayServer(
         respond(ex, 500, "application/json", errJson(String.valueOf(e.getMessage)))
     } finally ex.close()
 
-  private def route(ex: HttpExchange): Unit = {
+  /** Certificate-fingerprint authentication — the reference's cert-header
+    * mTLS mode (`flight_server/src/flight.rs:92-125` `extract_certs_header`
+    * + `core/src/pki/mod.rs:34-55` `parse_urlencoded_pemstr`): this HTTP
+    * carrier has no TLS layer, so the client's PEM certificate crosses
+    * urlencoded in `X-Graft-Client-Cert` exactly as it would behind the
+    * reference's TLS-terminating proxy. The SHA-256 fingerprint of the
+    * presented certificate IS the identity:
+    *
+    *  - a forwarded request (`X-Graft-Relay` set) must present a
+    *    fingerprint registered as that TRUSTED RELAY — the reference's
+    *    `verify_query_origination_information` relay arm
+    *    (`core/src/execute/utils.rs:71-94`);
+    *  - a direct request is a USER: upserted by fingerprint
+    *    (`db.upsert_user_by_fingerprint`) and the fingerprint becomes the
+    *    ACL key for the query — any `user` field in the body is ignored
+    *    (identity comes from the certificate, never from a claim).
+    *
+    * Error strings keep the reference's shapes so clients see the same
+    * failure taxonomy. No-op when `certAuth` is None (the shared-secret /
+    * open test configurations).
+    *
+    * The verified identity is RETURNED and threaded through routing —
+    * never stored on the exchange: `HttpExchange.setAttribute` writes to
+    * the CONTEXT-shared attribute map in the JDK server, so a per-request
+    * identity stored there would leak into every later request on the
+    * same context. */
+  private def authenticate(ex: HttpExchange): Either[String, Auth] =
+    certAuth match {
+      case None => Right(Auth(None))
+      case Some(reg) =>
+        val pemHeader = Option(ex.getRequestHeaders.getFirst("X-Graft-Client-Cert"))
+          .filter(_.nonEmpty)
+        pemHeader match {
+          case None => Left("Expected client cert, found none")
+          case Some(enc) =>
+            val principal =
+              try Right(graft.catalog.Principal.fromPem(
+                java.net.URLDecoder.decode(enc, UTF_8)))
+              catch {
+                case _: Throwable =>
+                  Left("Found client cert, but unable to parse")
+              }
+            principal.flatMap { p =>
+              Option(ex.getRequestHeaders.getFirst("X-Graft-Relay"))
+                .filter(_.nonEmpty) match {
+                case Some(claimedSite) =>
+                  reg.relayFor(p.x509Sha256) match {
+                    case Some(site) if site == claimedSite =>
+                      // a relay hop carries the ORIGIN user's identity in
+                      // the body (the user∩relay policy term) — the relay's
+                      // own fingerprint is not a user
+                      Right(Auth(None))
+                    case _ => Left(
+                      "Rejecting query request from unrecognized relay " +
+                        s"with fingerprint ${p.x509Sha256} and dn: ${p.x509Subject}")
+                  }
+                case None =>
+                  val user = reg.upsert(p)
+                  Right(Auth(Some(user.userKey)))
+              }
+            }
+        }
+    }
+
+  /** The effective user for ACL evaluation: the authenticated certificate
+    * fingerprint when cert auth is on (a relay hop has none — the origin
+    * user's identity crosses in the body), else the body's claimed user. */
+  private def effectiveUser(auth: Auth, bodyUser: Option[String]): Option[String] =
+    if (certAuth.isEmpty) bodyUser else auth.user.orElse(bodyUser)
+
+  private def route(ex: HttpExchange, auth: Auth): Unit = {
     val path = ex.getRequestURI.getPath.stripSuffix("/")
     val method = ex.getRequestMethod
     (method, path.split("/").toList.drop(1)) match {
       case ("GET", "catalog" :: Nil)            => catalogJson(ex)
-      case ("GET", "flightinfo" :: Nil)         => flightInfoJson(ex)
-      case ("POST", "query" :: Nil)             => submit(ex)
-      case ("POST", "query" :: "sync" :: Nil)   => syncQuery(ex)
+      case ("GET", "flightinfo" :: Nil)         => flightInfoJson(ex, auth)
+      case ("POST", "query" :: Nil)             => submit(ex, auth)
+      case ("POST", "query" :: "sync" :: Nil)   => syncQuery(ex, auth)
       case ("GET", "query" :: id :: Nil)        => statusJson(ex, id)
       case ("GET", "query" :: id :: "result" :: Nil) => result(ex, id)
       case ("GET", "query" :: id :: "ndjson" :: Nil) => ndjson(ex, id)
@@ -148,13 +226,13 @@ final class RelayServer(
   /** get_flight_info: enumerate the leaf (relay, source) branches of an
     * entity across this relay's subweb — recursing over the wire again if
     * this relay's own peers are endpoint-backed. */
-  private def flightInfoJson(ex: HttpExchange): Unit = {
+  private def flightInfoJson(ex: HttpExchange, auth: Auth): Unit = {
     val q = queryParams(ex)
     q.get("entity") match {
       case None =>
         respond(ex, 400, "application/json", errJson("missing ?entity="))
       case Some(entity) =>
-        val user = q.get("user").filter(_.nonEmpty)
+        val user = effectiveUser(auth, q.get("user").filter(_.nonEmpty))
         val (viaRelay, visited) = relayHeaders(ex)
         val branches = EntityResolver.provenanceBranches(
           session.spark, session.mesh, session.siteName, entity, user,
@@ -178,7 +256,7 @@ final class RelayServer(
   /** POST /query: enqueue, answer 202 with the request id immediately — the
     * REST async contract (`rest_server/src/query/route.rs:149-268`); a
     * replayed request_id returns the tracked request without re-executing. */
-  private def submit(ex: HttpExchange): Unit = {
+  private def submit(ex: HttpExchange, auth: Auth): Unit = {
     val body = mapper.readTree(ex.getRequestBody)
     val sql = reqField(body, "sql")
     val (viaRelay, visited) = relayHeaders(ex)
@@ -188,7 +266,7 @@ final class RelayServer(
     } yield (url, origin)
     val id = service.submit(
       sql,
-      optField(body, "user"),
+      effectiveUser(auth, optField(body, "user")),
       optField(body, "request_id"),
       returnSchema = None,
       viaRelay = viaRelay,
@@ -270,12 +348,13 @@ final class RelayServer(
     * the Arrow IPC stream a Flight do_get body actually is (see
     * [[ArrowCodec]]; row-capped like the NDJSON export — parquet stays
     * the bulk path). */
-  private def syncQuery(ex: HttpExchange): Unit = {
+  private def syncQuery(ex: HttpExchange, auth: Auth): Unit = {
     val body = mapper.readTree(ex.getRequestBody)
     val sql = reqField(body, "sql")
     val withProv = Option(body.get("with_provenance")).exists(_.asBoolean(false))
     val (viaRelay, visited) = relayHeaders(ex)
-    val df = session.sqlForPeer(sql, optField(body, "user"), viaRelay, visited, withProv)
+    val df = session.sqlForPeer(
+      sql, effectiveUser(auth, optField(body, "user")), viaRelay, visited, withProv)
     val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
     val wantsArrow = accept.contains("arrow") ||
       Option(body.get("format")).exists(_.asText("") == "arrow")
@@ -284,23 +363,46 @@ final class RelayServer(
 
   /** Serialize a result as one Arrow IPC stream. Driver-side like the
     * NDJSON export, and capped the same way: past the cap the caller
-    * must fetch the splittable parquet instead. */
+    * must fetch the splittable parquet instead.
+    *
+    * Status codes are decided BEFORE any response byte is committed:
+    * an unsupported column type answers 406 (the codec's type set is
+    * checked against the schema up front, not discovered mid-stream
+    * after a 200), and the cap answers 413 — the encoded stream is
+    * buffered (this is the negotiated small-result path; bulk results
+    * take parquet) and the single toLocalIterator execution replaces
+    * the old count()-then-iterate double execution. */
   private def respondArrow(ex: HttpExchange, df: DataFrame): Unit = {
     import scala.jdk.CollectionConverters._
     val cap = sys.props.get("graft.arrow.maxRows")
       .orElse(sys.env.get("GRAFT_ARROW_MAX_ROWS")).getOrElse("1000000").toLong
-    val n = df.count()
-    if (n > cap) {
+    val bad = df.schema.fields.filterNot(f => ArrowCodec.supports(f.dataType))
+    if (bad.nonEmpty) {
+      respond(ex, 406, "application/json",
+        errJson("arrow transport does not carry " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ") +
+          "; fetch the parquet result instead"))
+      return
+    }
+    val it = df.toLocalIterator().asScala
+    var n = 0L
+    val limited = new Iterator[org.apache.spark.sql.Row] {
+      def hasNext: Boolean = n < cap && it.hasNext
+      def next(): org.apache.spark.sql.Row = { n += 1; it.next() }
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    ArrowCodec.write(df.schema, limited, buf)
+    if (it.hasNext) {
       respond(ex, 413, "application/json",
-        errJson(s"result has $n rows > arrow cap $cap; " +
+        errJson(s"result exceeds the arrow cap of $cap rows; " +
           "negotiate parquet instead or raise GRAFT_ARROW_MAX_ROWS"))
       return
     }
+    val bytes = buf.toByteArray
     ex.getResponseHeaders.set("Content-Type", ArrowCodec.ContentType)
-    ex.sendResponseHeaders(200, 0)
+    ex.sendResponseHeaders(200, bytes.length.toLong)
     val out = ex.getResponseBody
-    try ArrowCodec.write(df.schema, df.toLocalIterator().asScala, out)
-    finally out.close()
+    try out.write(bytes) finally out.close()
   }
 
   /** PUT /ingest/{id}/{branch}: do_put — an executor relay pushes a
@@ -430,4 +532,12 @@ final class RelayServer(
       try out.write(body) finally out.close()
     }
   }
+}
+
+object RelayServer {
+  /** The verified per-request identity certificate auth produced: the
+    * authenticated USER fingerprint for a direct request, None for a
+    * trusted relay hop (whose origin user crosses in the body) and for
+    * servers without cert auth. */
+  private final case class Auth(user: Option[String])
 }

@@ -462,6 +462,69 @@ class TransportSpec extends AnyFunSuite {
     }
   }
 
+  test("certificate-fingerprint auth: cert is identity, unknown relays rejected") {
+    Fixtures.registerRaw(spark, sfDir)
+    // ACL keyed by CERT FINGERPRINT: the default grant sees nothing
+    // (filter false); alice's fingerprint is granted the odd slice. A
+    // body-claimed user name must be irrelevant — identity comes from the
+    // presented certificate alone.
+    val src = DataSource(
+      id = "docs_acl",
+      sourceSql = "SELECT * FROM raw_documents",
+      mappings = identityDocMappings,
+      defaultPermission = SourcePermission(docCols, "false"),
+      userPermissions = Map(
+        CertFixtures.aliceFp -> SourcePermission(docCols, "doc_id % 2 = 1")))
+    val mesh = Mesh(Map("beta" -> Site("beta",
+      entities = Map("documents" -> Fixtures.documentsEntity),
+      localSources = Map("documents" -> Seq(src)))))
+    val reg = new PrincipalRegistry
+    reg.registerRelay(CertFixtures.relayFp, "alpha")
+    val session = new MeshSession(spark, mesh, "beta")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cert_srv").toString
+    val server = new RelayServer(session, new QueryService(session, dir),
+      certAuth = Some(reg))
+    def fetch(viaRelay: String, user: Option[String] = None) =
+      RelayClient.syncFetch(spark, server.url,
+        "SELECT doc_id FROM documents", user = user,
+        viaRelay = viaRelay, visited = Set.empty, withProvenance = false)
+    try {
+      // 1. no certificate: the reference's exact error shape
+      val bare = intercept[RelayClient.RelayException] { fetch("") }
+      assert(bare.getMessage.contains("401"))
+      assert(bare.getMessage.contains("Expected client cert, found none"))
+      // 2. unparseable certificate
+      RelayClient.clientCertPem = Some("-----BEGIN CERTIFICATE-----\nnope\n-----END CERTIFICATE-----")
+      val garbage = intercept[RelayClient.RelayException] { fetch("") }
+      assert(garbage.getMessage.contains("unable to parse"))
+      // 3. direct user: alice's FINGERPRINT is the ACL key — the odd slice
+      // comes back even though the body claims a user with no grant
+      RelayClient.clientCertPem = Some(CertFixtures.alicePem)
+      val rows = fetch("", user = Some("mallory-claim"))
+      assert(rows.count() > 0)
+      assert(rows.where(col("doc_id") % 2 === 0).count() == 0)
+      // ...and the registry auto-upserted alice (the reference's
+      // upsert_user_by_fingerprint on every direct request)
+      assert(reg.get(CertFixtures.aliceFp).isDefined)
+      // 4. forwarded request with a NON-relay cert: rejected with the
+      // reference's unrecognized-relay shape
+      val notRelay = intercept[RelayClient.RelayException] { fetch("alpha") }
+      assert(notRelay.getMessage.contains("unrecognized relay"))
+      assert(notRelay.getMessage.contains(CertFixtures.aliceFp))
+      // 5. forwarded request with the TRUSTED relay cert claiming its own
+      // site: authenticates (zero rows — relay hops get only the default
+      // grant here — but the request is authorized, not 401)
+      RelayClient.clientCertPem = Some(CertFixtures.relayPem)
+      assert(fetch("alpha").count() == 0)
+      // 6. trusted cert claiming a DIFFERENT site: rejected
+      val wrongSite = intercept[RelayClient.RelayException] { fetch("gamma") }
+      assert(wrongSite.getMessage.contains("unrecognized relay"))
+    } finally {
+      RelayClient.clientCertPem = None
+      server.stop()
+    }
+  }
+
   test("empty results cross with their schema intact") {
     withServer(betaMesh(), "beta") { server =>
       val empty = RelayClient.syncFetch(spark, server.url,
