@@ -53,6 +53,10 @@ object Bench {
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-fetch wire diagnostics (row counts + min/max stats) are a
+    // Verify-time tool; inside a timed window they add a whole extra
+    // aggregation job to every federation query
+    sys.props("graft.wire.quiet") = "1"
 
     // steady-state methodology: one untimed warmup pass over every query
     // (JIT, codegen cache, parquet footers, broadcast reuse), then three

@@ -202,6 +202,15 @@ object MeshStateStore {
         }.toSeq).toMap).getOrElse(Map.empty),
       endpoint = Option(n.get("endpoint")).map(_.asText()))
 
+  /** One site's catalog as a standalone JSON document — the unit a
+    * row-per-site store ([[JdbcStateBackend]]) persists, reusing the
+    * snapshot codec verbatim so both backends are value-compatible. */
+  def siteJson(site: Site): String =
+    mapper.writeValueAsString(siteNode(site))
+
+  def siteFromJson(doc: String): Site =
+    siteOf(mapper.readTree(doc))
+
   def writeMesh(mesh: Mesh, path: Path): Unit = {
     val root = mapper.createObjectNode()
     val sites = root.putObject("sites")

@@ -18,7 +18,7 @@ import graft.catalog._
   * apply), and [[listEntities]] is the list_flights analogue. */
 class MeshRegistry(initial: Mesh) {
   @volatile private var current: Mesh = initial
-  @volatile private var persistTo: Option[java.nio.file.Path] = None
+  @volatile private var persistFn: Option[Mesh => Unit] = None
 
   def mesh: Mesh = current
 
@@ -31,12 +31,20 @@ class MeshRegistry(initial: Mesh) {
     * STUBS persist too: a restarted relay re-serves its mesh without
     * re-fetching peer catalogs (and re-registers live peers on top). */
   def attachPersistence(path: java.nio.file.Path): Unit = synchronized {
-    persistTo = Some(path)
+    persistFn = Some(m => MeshStateStore.writeMesh(m, path))
     MeshStateStore.writeMesh(current, path)
   }
 
-  private def persist(): Unit =
-    persistTo.foreach(MeshStateStore.writeMesh(current, _))
+  /** Snapshot through a pluggable [[graft.catalog.StateBackend]] instead
+    * of a fixed file path — the JDBC backend makes catalog upserts
+    * visible to every service over the same database URL (the reference's
+    * shared-Postgres deployment shape). */
+  def attachPersistence(backend: graft.catalog.StateBackend): Unit = synchronized {
+    persistFn = Some(backend.persistMesh)
+    backend.persistMesh(current)
+  }
+
+  private def persist(): Unit = persistFn.foreach(_(current))
 
   /** The `list_flights` ticket payloads for one site: every entity name
     * with its typed Information list. */

@@ -100,7 +100,8 @@ class MeshSession private (
   * `_relay_metadata_` provenance per record
   * (`rest_server/src/query/utils.rs:57-169`).
   */
-class QueryService(session: MeshSession, resultDir: String) {
+class QueryService(session: MeshSession, resultDir: String,
+    stateBackend: Option[graft.catalog.StateBackend] = None) {
   import QueryService._
 
   private val tasks = new java.util.concurrent.ConcurrentHashMap[String, TaskState]()
@@ -117,7 +118,10 @@ class QueryService(session: MeshSession, resultDir: String) {
   // its request rows); snapshots predating spec capture surface as Failed
   // with an explicit reason instead. Branch spill from the first attempt
   // is overwritten idempotently on the re-run.
-  private val statePath = java.nio.file.Paths.get(resultDir, "tasks.json")
+  // pluggable durability: JSON snapshot beside the spill by default, a
+  // shared SQL database when the relay opts in (see StateBackend)
+  private val backend: graft.catalog.StateBackend = stateBackend.getOrElse(
+    new graft.catalog.FileStateBackend(java.nio.file.Paths.get(resultDir)))
   private val stateLock = new Object
   private val specs =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
@@ -159,8 +163,7 @@ class QueryService(session: MeshSession, resultDir: String) {
   @volatile private[graft] var selfUrl: Option[String] = None
 
   locally {
-    if (java.nio.file.Files.exists(statePath)) {
-      val (ts, bs, sp) = graft.catalog.MeshStateStore.readTasksWithSpecs(statePath)
+    backend.restoreTasks().foreach { case (ts, bs, sp) =>
       sp.foreach { case (id, m) => specs.put(id, m) }
       val requeue = scala.collection.mutable.ArrayBuffer.empty[String]
       ts.foreach { case (id, (st, err)) =>
@@ -205,14 +208,13 @@ class QueryService(session: MeshSession, resultDir: String) {
 
   private def persistState(): Unit = stateLock.synchronized {
     import scala.jdk.CollectionConverters._
-    graft.catalog.MeshStateStore.writeTasks(
+    backend.persistTasks(
       tasks.asScala.toMap.map { case (id, t) =>
         id -> (t.status.toString, t.error)
       },
       branchTasks.asScala.toMap.map { case (id, m) =>
         id -> m.map { case (k, t) => k -> (t.status.toString, t.error) }
       },
-      statePath,
       specs.asScala.toMap)
   }
 

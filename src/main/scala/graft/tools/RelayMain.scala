@@ -14,7 +14,7 @@ import graft.transport.RelayServer
   * Usage:
   *   runMain graft.tools.RelayMain --site NAME --config DIR
   *     [--port N] [--bind HOST] [--results DIR] [--secret TOKEN]
-  *     [--master URL] [--register PATH[:VIEW]]...
+  *     [--master URL] [--register PATH[:VIEW]]... [--state-jdbc URL]
   *
   * The config DIR is a relayctl-format tree (Entity / LocalData /
   * LocalMapping / PeerRelay / RemoteMapping / User). PeerRelay
@@ -69,21 +69,31 @@ object RelayMain {
       System.err.println(s"[relay] registered $fmt $path as view $view")
     }
 
-    // durable catalog: an existing snapshot under the results dir IS the
-    // catalog (admin applies since first boot survive restarts — the
-    // reference's Postgres-backed crud); the config tree only seeds first
-    // boot. Every subsequent mutation re-snapshots atomically.
-    val meshSnapshot = Paths.get(results, "state", "mesh.json")
-    val mesh =
-      if (java.nio.file.Files.exists(meshSnapshot)) {
-        System.err.println(s"[relay] restoring catalog from $meshSnapshot")
-        graft.catalog.MeshStateStore.readMesh(meshSnapshot)
-      } else ConfigLoader.loadMesh(
+    // durable catalog: existing state IS the catalog (admin applies since
+    // first boot survive restarts — the reference's Postgres-backed crud);
+    // the config tree only seeds first boot. Every subsequent mutation
+    // re-persists. Default backend is the JSON snapshot under the results
+    // dir; --state-jdbc URL switches BOTH catalog and request state to a
+    // shared SQL database (the reference's multi-relay Postgres shape —
+    // every relay process over the same URL sees one store).
+    val backend: graft.catalog.StateBackend = opts.get("state-jdbc") match {
+      case Some(url) =>
+        System.err.println(s"[relay] state backend: jdbc $url")
+        new graft.catalog.JdbcStateBackend(url)
+      case None =>
+        new graft.catalog.FileStateBackend(Paths.get(results, "state"))
+    }
+    val mesh = backend.restoreMesh() match {
+      case Some(m) =>
+        System.err.println("[relay] restoring catalog from state backend")
+        m
+      case None => ConfigLoader.loadMesh(
         Map(site -> Paths.get(configDir)), connectEndpointPeers = true)
+    }
     val registry = new MeshRegistry(mesh)
-    registry.attachPersistence(meshSnapshot)
+    registry.attachPersistence(backend)
     val session = new MeshSession(spark, registry, site)
-    val service = new QueryService(session, results)
+    val service = new QueryService(session, results, Some(backend))
     val server = new RelayServer(session, service,
       sharedSecret = opts.get("secret"), bindHost = bind, port = port,
       registry = Some(registry))

@@ -336,7 +336,8 @@ object RelayClient {
     * observable only in the driver's sandbox — this makes the fetched values
     * auditable from the run log. Disable with GRAFT_WIRE_QUIET=1. */
   private def logFetched(what: String, tmp: Path, df: DataFrame): Unit = {
-    if (sys.env.get("GRAFT_WIRE_QUIET").exists(_ == "1")) return
+    if (sys.env.get("GRAFT_WIRE_QUIET").exists(_ == "1") ||
+        sys.props.get("graft.wire.quiet").exists(_ == "1")) return
     try {
       import org.apache.spark.sql.functions.{count, lit, max, min}
       val cols = df.columns
