@@ -56,21 +56,27 @@ case class Md5Prefix48(child: Expression) extends UnaryExpression {
 }
 
 object Md5Prefix48 {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+  def computeBytes(bytes: Array[Byte]): Long =
+    FastMd5.hash48(bytes, bytes.length)
+
+  // per-thread input scratch: UTF8String.getBytes copies a slice-backed
+  // value into a FRESH array per call — on the minhash hot path that is
+  // one allocation per shingle; writing into a reused buffer instead
+  // keeps the digest loop allocation-free end to end
+  private val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
   }
 
-  def computeBytes(bytes: Array[Byte]): Long = {
-    val md = digest.get()
-    md.reset()
-    val d = md.digest(bytes)
-    // first 6 bytes big-endian == conv(substring(hex, 1, 12), 16, 10)
-    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
-      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  def computeString(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var buf = scratch.get()
+    if (buf.length < n) {
+      buf = new Array[Byte](java.lang.Integer.highestOneBit(n) * 2)
+      scratch.set(buf)
+    }
+    s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    FastMd5.hash48(buf, n)
   }
-
-  def computeString(s: UTF8String): Long = computeBytes(s.getBytes)
 }
 
 /** Native one-pass minhash signature: `minhash_sigs(shingles, k)` ==

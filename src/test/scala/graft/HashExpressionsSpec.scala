@@ -25,8 +25,13 @@ class HashExpressionsSpec extends AnyFunSuite {
 
   test("md5_48 equals the SQL spelling on edge inputs") {
     import spark.implicits._
-    val edge = Seq("", "a", "é中文 mixed", " leading", "trailing ",
-      "1234567890", ":", "a:b:c").toDF("s")
+    // the length cases cover every MD5 padding branch: within one block,
+    // the 0x80/length split at 55/56, exact block multiples, and
+    // multi-block tails (a custom compression loop fails exactly here)
+    val edge = (Seq("", "a", "é中文 mixed", " leading", "trailing ",
+      "1234567890", ":", "a:b:c") ++
+      Seq(1, 54, 55, 56, 57, 63, 64, 65, 119, 120, 121, 128, 300)
+        .map(n => "x" * n)).toDF("s")
     val mismatch = edge.select(
         HashFunctions.md5_48(col("s")).as("fast"),
         expr("CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)").as("ref"))
