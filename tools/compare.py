@@ -27,7 +27,11 @@ def norm_cell(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver data is one file per table; MakeScale-derived dirs hold
+        # part files
+        path = f"{sf_dir}/{t}.parquet"
+        glob_path = path if os.path.isfile(path) else f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob_path}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
     for name in sorted(os.listdir(out_dir)):
