@@ -344,6 +344,47 @@ object PipelineQueries {
          |WHERE rnk <= 10 ORDER BY qid, cos DESC, vec_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // dc3: SEMANTIC decontamination — dc1/dc2 catch verbatim n-gram
+    // overlap; paraphrased eval leakage needs the embedding-space check
+    // (the "semantic dedup against the benchmark" pass of modern data
+    // builds). Every corpus vector reports its nearest EVAL-set vector;
+    // cos ≥ 0.25 flags it with the eval item it leaks. Scale shape:
+    // the eval side is benchmark suites — tiny vs the corpus — so it
+    // broadcasts and the corpus side is ONE scan with a row-local argmax
+    // over the broadcast eval matrix (the ss1 cross-join here is the
+    // oracle-replayable spelling of exactly that plan; Catalyst
+    // broadcasts the 2%-slice side). Determinism: cosines quantize to
+    // 1e-6 with eval-id tiebreak before the argmax. Eval stand-in:
+    // vec_id % 50 = 7.
+    Q("dc3_semantic_decontamination",
+      s"""WITH $sparkVecs,
+         |ev AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
+         |       WHERE vec_id % 50 = 7),
+         |hit AS (SELECT e.vec_id, q.qid,
+         |               round(${sparkDot("e.embedding", "q.qe")} / (e.nrm * q.qn), 6) AS cos
+         |        FROM v e CROSS JOIN ev q WHERE e.vec_id % 50 <> 7)
+         |SELECT vec_id, qid AS eval_id, cos AS max_cos
+         |FROM (SELECT vec_id, qid, cos,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY cos DESC, qid) AS rnk
+         |      FROM hit) t
+         |WHERE rnk = 1 AND cos >= 0.25
+         |ORDER BY vec_id""".stripMargin,
+      s"""WITH $duckVecs,
+         |ev AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
+         |       WHERE vec_id % 50 = 7),
+         |hit AS (SELECT e.vec_id, q.qid,
+         |               round(${duckDot("e.embedding", "q.qe")} / (e.nrm * q.qn), 6) AS cos
+         |        FROM v e CROSS JOIN ev q WHERE e.vec_id % 50 <> 7)
+         |SELECT vec_id, qid AS eval_id, cos AS max_cos
+         |FROM (SELECT vec_id, qid, cos,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY cos DESC, qid) AS rnk
+         |      FROM hit) t
+         |WHERE rnk = 1 AND cos >= 0.25
+         |ORDER BY vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // ss8: ANN RECALL@K EVAL — the index-quality dashboard every
     // approximate-retrieval deployment tunes against: per query, how many
     // of the exact brute-force top-5 does the IVF index (ss2's
@@ -1032,6 +1073,41 @@ object PipelineQueries {
         |       CAST(c.n * 1000 // t.tot AS BIGINT) AS pm
         |FROM c JOIN t ON t.from_type = c.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ev4: rolling ACTIVE-USER ratios (DAU/WAU stickiness) — the
+    // engagement dashboard every event pipeline serves. Spark windows
+    // have no COUNT(DISTINCT) frame, so WAU comes from the day-range
+    // join of the DAYS dimension (tiny — one row per calendar day,
+    // broadcast) against the deduped (day, user) relation: each row
+    // lands in at most 7 day-groups, linear in |du|, and |du| ≪ |events|
+    // after the first dedup — the only corpus-wide shuffle. Stickiness
+    // is integer per-mille ((1000·dau) div wau): no float division to
+    // disagree across engines.
+    Q("ev4_active_user_ratios",
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+        |wau AS (SELECT a.d, count(DISTINCT b.user_id) AS wau
+        |        FROM days a JOIN du b
+        |          ON b.d <= a.d AND b.d >= date_sub(a.d, 6)
+        |        GROUP BY a.d)
+        |SELECT dau.d, dau.dau, wau.wau,
+        |       CAST((1000 * dau.dau) div wau.wau AS BIGINT) AS stickiness_pm
+        |FROM dau JOIN wau ON dau.d = wau.d
+        |ORDER BY dau.d""".stripMargin,
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+        |wau AS (SELECT a.d, CAST(count(DISTINCT b.user_id) AS BIGINT) AS wau
+        |        FROM days a JOIN du b
+        |          ON b.d <= a.d AND b.d >= a.d - INTERVAL 6 DAY
+        |        GROUP BY a.d)
+        |SELECT dau.d, dau.dau, wau.wau,
+        |       CAST((1000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_pm
+        |FROM dau JOIN wau ON dau.d = wau.d
+        |ORDER BY dau.d""".stripMargin),
 
     // ------------------------------------------------------------------
     // sp3: token-budget SEQUENCE PACKING — assign documents to ~2000-token
