@@ -1741,6 +1741,88 @@ object PipelineQueries {
         |             / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE))) > 3) AS anomaly
         |FROM w WHERE k >= 12 ORDER BY event_type, hr""".stripMargin),
 
+    // ------------------------------------------------------------------
+    // ts3: SEASONAL-baseline anomaly — ts2's rolling window flags level
+    // shifts but fires on every daily peak; the ops-dashboard form
+    // compares each hour against its OWN hour-of-day seasonal profile
+    // (mean/std per (event_type, hour-of-day) across the corpus).
+    // Two partial-aggregable groupBys + one broadcast join of the tiny
+    // (types × 24)-row profile back onto the hourly series; z quantizes
+    // to 1e-4 integers (inputs are integer counts, so the float ops are
+    // bit-identical across engines — the ts2 determinism argument).
+    Q("ts3_seasonal_anomaly",
+      """WITH b AS (SELECT event_type,
+        |         CAST(unix_timestamp(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr,
+        |         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |         count(*) AS n
+        |       FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT event_type, hod,
+        |        CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss,
+        |        CAST(count(*) AS BIGINT) AS k
+        |      FROM b GROUP BY 1, 2)
+        |SELECT b.event_type, b.hr AS hr_epoch, CAST(b.n AS BIGINT) AS n,
+        |       CAST(round(p.s / CAST(p.k AS DOUBLE) * 1e4) AS BIGINT) AS baseline_u4,
+        |       CAST(round((b.n - p.s / CAST(p.k AS DOUBLE))
+        |             / sqrt((p.ss - p.s * p.s / CAST(p.k AS DOUBLE)) / p.k + CAST(1 AS DOUBLE)) * 1e4) AS BIGINT) AS z_u4,
+        |       (abs((b.n - p.s / CAST(p.k AS DOUBLE))
+        |             / sqrt((p.ss - p.s * p.s / CAST(p.k AS DOUBLE)) / p.k + CAST(1 AS DOUBLE))) > 3) AS anomaly
+        |FROM b JOIN p ON b.event_type = p.event_type AND b.hod = p.hod
+        |WHERE p.k >= 5
+        |ORDER BY b.event_type, b.hr""".stripMargin,
+      """WITH b AS (SELECT event_type,
+        |         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS hr,
+        |         CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |         count(*) AS n
+        |       FROM events GROUP BY 1, 2, 3),
+        |p AS (SELECT event_type, hod,
+        |        CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss,
+        |        CAST(count(*) AS BIGINT) AS k
+        |      FROM b GROUP BY 1, 2)
+        |SELECT b.event_type, b.hr AS hr_epoch, CAST(b.n AS BIGINT) AS n,
+        |       CAST(round(p.s / CAST(p.k AS DOUBLE) * 1e4) AS BIGINT) AS baseline_u4,
+        |       CAST(round((b.n - p.s / CAST(p.k AS DOUBLE))
+        |             / sqrt((p.ss - p.s * p.s / CAST(p.k AS DOUBLE)) / p.k + CAST(1 AS DOUBLE)) * 1e4) AS BIGINT) AS z_u4,
+        |       (abs((b.n - p.s / CAST(p.k AS DOUBLE))
+        |             / sqrt((p.ss - p.s * p.s / CAST(p.k AS DOUBLE)) / p.k + CAST(1 AS DOUBLE))) > 3) AS anomaly
+        |FROM b JOIN p ON b.event_type = p.event_type AND b.hod = p.hod
+        |WHERE p.k >= 5
+        |ORDER BY b.event_type, b.hr""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // tok4: VOCABULARY Zipf / coverage report — the tokenizer-design
+    // diagnostic (how many distinct tokens cover 50/90/99% of the
+    // stream?): top-100 tokens by frequency with cumulative coverage in
+    // per-mille. Scale shape: the corpus pays ONE explode + groupBy
+    // (partial-aggregable word counts); the ranking windows run over the
+    // VOCABULARY — bounded by distinct words, not corpus rows — so the
+    // single-partition window is a report-sized frame, never the stream.
+    // Integer math end to end ((1000·cum) div total).
+    Q("tok4_vocab_coverage",
+      """WITH t AS (SELECT tok FROM documents
+        |           LATERAL VIEW explode(split(text, ' ')) x AS tok
+        |           WHERE tok <> ''),
+        |c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+        |r AS (SELECT tok, n,
+        |        row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+        |        sum(n) OVER () AS total,
+        |        sum(n) OVER (ORDER BY n DESC, tok
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, tok, CAST(n AS BIGINT) AS n,
+        |       CAST((1000 * cum) div total AS BIGINT) AS coverage_pm
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY tok),
+        |r AS (SELECT tok, n,
+        |        row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+        |        sum(n) OVER () AS total,
+        |        sum(n) OVER (ORDER BY n DESC, tok
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, tok, CAST(n AS BIGINT) AS n,
+        |       CAST((1000 * cum) // total AS BIGINT) AS coverage_pm
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin),
+
     // ap1: approximate aggregates as DETERMINISTIC sketches — KMV
     // (k-minimum-values, Bar-Yossef et al. RANDOM'02) distinct-count
     // estimate + a hash-Bernoulli sampled median. Unlike HLL++/t-digest
