@@ -48,6 +48,15 @@ object Bench {
       // wants the same setting, so it belongs in the harness conf, not a
       // benchmark trick.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // single-JVM local mode: shuffle "transfer" is memory/disk with no
+      // network, so lz4 encode/decode on every shuffle/broadcast block is
+      // pure overhead — A/B'd -10% on the shuffle-bound subset, neutral
+      // on the MB-exchange queries. A real cluster keeps compression
+      // (network-bound); this is a local-mode setting like the 4 MB
+      // advisory size.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }

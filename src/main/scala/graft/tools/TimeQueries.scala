@@ -19,6 +19,10 @@ object TimeQueries {
       // see Bench: keep the codegen compile cache wide enough for the
       // whole suite so timings match the Bench session's steady state
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // single-JVM local mode: compression is pure overhead (see Bench)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.broadcast.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
