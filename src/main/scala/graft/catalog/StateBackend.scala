@@ -120,9 +120,19 @@ final class JdbcStateBackend(url: String) extends StateBackend {
     catch { case e: Throwable => c.rollback(); throw e }
   }
 
+  // Site names THIS instance has written (same scoping rationale as
+  // writtenIds below): a relay re-snapshotting its catalog must not
+  // delete site rows another relay over the same database owns.
+  private val writtenSites =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   override def persistMesh(mesh: Mesh): Unit = tx { c =>
-    val del = c.createStatement()
-    try del.executeUpdate("DELETE FROM graft_sites") finally del.close()
+    import scala.jdk.CollectionConverters._
+    val gone = writtenSites.asScala.toSet -- mesh.sites.keySet
+    val del = c.prepareStatement("DELETE FROM graft_sites WHERE name = ?")
+    try (mesh.sites.keySet ++ gone).foreach { name =>
+      del.setString(1, name); del.executeUpdate(): Unit
+    } finally del.close()
     val ins = c.prepareStatement(
       "INSERT INTO graft_sites (name, doc) VALUES (?, ?)")
     try mesh.sites.foreach { case (name, site) =>
@@ -130,6 +140,8 @@ final class JdbcStateBackend(url: String) extends StateBackend {
       ins.setString(2, MeshStateStore.siteJson(site))
       ins.executeUpdate(): Unit
     } finally ins.close()
+    gone.foreach(writtenSites.remove(_))
+    mesh.sites.keySet.foreach(writtenSites.add(_))
   }
 
   override def restoreMesh(): Option[Mesh] = withConn { c =>
@@ -146,15 +158,33 @@ final class JdbcStateBackend(url: String) extends StateBackend {
     } finally st.close()
   }
 
+  // Request ids THIS instance has ever written — the eviction scope.
+  // persistTasks receives a service's full in-memory snapshot; rows the
+  // snapshot no longer carries are deleted ONLY if this instance wrote
+  // them (its service evicted them past retention). A blanket
+  // delete-and-reinsert would clobber rows a CONCURRENT service over the
+  // same database owns — the exact sharing the reference's one-Postgres
+  // deployment provides (each relay upserts its own request rows,
+  // `core/src/crud/query.rs`).
+  private val writtenIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   override def persistTasks(
       tasks: Map[String, (String, Option[String])],
       branches: Map[String, Map[(String, String), (String, Option[String])]],
       specs: Map[String, Map[String, String]]): Unit = tx { c =>
-    val del = c.createStatement()
+    import scala.jdk.CollectionConverters._
+    val evicted = writtenIds.asScala.toSet -- tasks.keySet
+    val delT = c.prepareStatement("DELETE FROM graft_tasks WHERE id = ?")
+    val delB = c.prepareStatement("DELETE FROM graft_branches WHERE id = ?")
     try {
-      del.executeUpdate("DELETE FROM graft_tasks")
-      del.executeUpdate("DELETE FROM graft_branches")
-    } finally del.close()
+      // per-id replace: delete THIS request's rows, insert the current
+      // state — portable upsert, scoped so other services' rows survive
+      (tasks.keySet ++ branches.keySet ++ evicted).foreach { id =>
+        delT.setString(1, id); delT.executeUpdate(): Unit
+        delB.setString(1, id); delB.executeUpdate(): Unit
+      }
+    } finally { delT.close(); delB.close() }
     val it = c.prepareStatement(
       "INSERT INTO graft_tasks (id, status, error, spec) VALUES (?, ?, ?, ?)")
     try tasks.foreach { case (id, (status, err)) =>
@@ -177,6 +207,8 @@ final class JdbcStateBackend(url: String) extends StateBackend {
         ib.executeUpdate(): Unit
       }
     } finally ib.close()
+    evicted.foreach(writtenIds.remove(_))
+    (tasks.keySet ++ branches.keySet).foreach(writtenIds.add(_))
   }
 
   override def restoreTasks(): Option[(

@@ -138,7 +138,10 @@ class QueryService(session: MeshSession, resultDir: String,
     .getOrElse(1000)
   private val terminalOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  /** Record `id` reaching a terminal state and evict past retention. */
+  /** Record `id` reaching a terminal state and evict past retention —
+    * tracking AND the result spill (the reference's result-manager GC
+    * removes the stored stream with the task row; keeping orphan spill
+    * would grow disk without bound exactly like the snapshot). */
   private def noteTerminal(id: String): Unit = {
     terminalOrder.add(id)
     while (terminalOrder.size > maxRetained) {
@@ -147,6 +150,11 @@ class QueryService(session: MeshSession, resultDir: String,
         tasks.remove(old)
         branchTasks.remove(old)
         specs.remove(old)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$resultDir/task_$old"))
       }
     }
   }

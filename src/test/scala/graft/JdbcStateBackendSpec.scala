@@ -132,4 +132,36 @@ class JdbcStateBackendSpec extends AnyFunSuite {
     reg.attachPersistence(new JdbcStateBackend(url))
     assert(new JdbcStateBackend(url).restoreMesh().contains(mesh))
   }
+
+  test("concurrent services never clobber each other's rows") {
+    derbyReady
+    val url = freshUrl("graftstate_concurrent")
+    // two LIVE backend instances persisting interleaved snapshots: each
+    // must upsert only its own requests — a blanket rewrite would delete
+    // the other's rows between its persists
+    val a = new JdbcStateBackend(url)
+    val b = new JdbcStateBackend(url)
+    a.persistTasks(Map("ra" -> (("Complete", None))), Map.empty,
+      Map("ra" -> Map("sql" -> "SELECT 1 FROM documents")))
+    b.persistTasks(Map("rb" -> (("InProgress", None))), Map.empty, Map.empty)
+    a.persistTasks(Map("ra" -> (("Complete", None))), Map.empty,
+      Map("ra" -> Map("sql" -> "SELECT 1 FROM documents")))
+    val (tasks1, _, _) = new JdbcStateBackend(url).restoreTasks().get
+    assert(tasks1.keySet == Set("ra", "rb"))
+    // eviction stays instance-scoped: a's next snapshot without ra drops
+    // ra (a owns it) but leaves rb (b owns it) untouched
+    a.persistTasks(Map.empty, Map.empty, Map.empty)
+    val (tasks2, _, _) = new JdbcStateBackend(url).restoreTasks().get
+    assert(tasks2.keySet == Set("rb"))
+    // same for the catalog: two relays persisting DIFFERENT site sets
+    // over one database coexist
+    val siteA = Site("sa", Map("e" -> Entity("e", Seq(
+      Information("x", org.apache.spark.sql.types.LongType)))))
+    val siteB = Site("sb", Map("e" -> Entity("e", Seq(
+      Information("x", org.apache.spark.sql.types.LongType)))))
+    a.persistMesh(Mesh(Map("sa" -> siteA)))
+    b.persistMesh(Mesh(Map("sb" -> siteB)))
+    assert(new JdbcStateBackend(url).restoreMesh().get.sites.keySet ==
+      Set("sa", "sb"))
+  }
 }
