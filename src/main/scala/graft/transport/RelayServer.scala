@@ -197,7 +197,7 @@ final class RelayServer(
       case ("GET", "query" :: id :: "result" :: Nil) => result(ex, id)
       case ("GET", "query" :: id :: "ndjson" :: Nil) => ndjson(ex, id)
       case ("PUT", "ingest" :: id :: branch :: Nil)  => ingest(ex, id, branch)
-      case ("POST", "admin" :: "apply" :: Nil)       => adminApply(ex)
+      case ("POST", "admin" :: "apply" :: Nil)       => adminApply(ex, auth)
       case _ => respond(ex, 404, "application/json", errJson(s"no route: $method $path"))
     }
   }
@@ -428,12 +428,26 @@ final class RelayServer(
     * precedence order, `rest_server/src/admin/utils.rs:28-270`). Upserts
     * merge into the live registry; the NEXT query sees the new catalog.
     * Requires a registry-backed relay — a static-mesh relay answers 409. */
-  private def adminApply(ex: HttpExchange): Unit = registry match {
+  private def adminApply(ex: HttpExchange, auth: Auth): Unit = registry match {
     case None =>
       respond(ex, 409, "application/json",
         errJson("this relay serves a static catalog (no registry); " +
           "admin apply requires a registry-backed session"))
     case Some(reg) =>
+      // config mutation is the reference's is_admin-gated surface
+      // (`rest_server/src/admin`): under cert auth only a principal whose
+      // stored attributes carry is_admin may apply — auto-upserted users
+      // default to NOT admin, so trust is granted out-of-band
+      // (PrincipalRegistry.register / setAttributes), never self-claimed
+      certAuth.foreach { preg =>
+        val isAdmin = auth.user.flatMap(preg.get)
+          .exists(_.attributes.isAdmin)
+        if (!isAdmin)
+          return respond(ex, 403, "application/json",
+            errJson("admin apply requires an is_admin principal; " +
+              auth.user.map(u => s"principal $u is not an admin")
+                .getOrElse("relay-forwarded requests cannot apply config")))
+      }
       val yaml = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val docs = graft.catalog.ConfigLoader.parseDocsString(yaml)
       if (docs.isEmpty)

@@ -89,7 +89,7 @@ class ProcessRelaySpec extends AnyFunSuite {
   }
 
   private def launchRelay(cfg: Path, results: Path, port: Int,
-      cwd: Path, log: Path): Process = {
+      cwd: Path, log: Path, extraArgs: Seq[String] = Nil): Process = {
     // this forked test JVM's classpath already carries the compiled
     // classes + the Spark jars — hand the child the same one
     val cp = System.getProperty("java.class.path")
@@ -98,7 +98,7 @@ class ProcessRelaySpec extends AnyFunSuite {
         "-Xmx4g", "-cp", cp, "graft.tools.RelayMain",
         "--site", "beta", "--config", cfg.toString,
         "--port", port.toString, "--results", results.toString,
-        "--master", "local[4]")
+        "--master", "local[4]") ++ extraArgs
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(cwd.toFile)
     pb.redirectErrorStream(true)
@@ -173,6 +173,42 @@ class ProcessRelaySpec extends AnyFunSuite {
       awaitCatalog(url)
       // the SECOND process, booted on the same results dir, still knows
       // the request and serves its spilled result
+      assert(RelayClient.status(url, id).status == "Complete")
+      assert(RelayClient.result(spark, url, id).count() > 0)
+    } finally {
+      proc.destroy()
+      proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
+  }
+
+  test("--state-jdbc: a relay restart restores request state from the database") {
+    val root = Files.createTempDirectory("graft_procjdbc")
+    val cfg = Files.createDirectory(root.resolve("config"))
+    val results = Files.createDirectory(root.resolve("results"))
+    val cwd = Files.createDirectory(root.resolve("cwd"))
+    writeConfig(cfg)
+    // ON-DISK embedded Derby: dies with neither process, so sequential
+    // lives share it exactly like the reference's Postgres (two
+    // SIMULTANEOUS processes would need a networked RDBMS — embedded
+    // Derby is single-process; the backend is a URL swap)
+    val jdbcUrl = s"jdbc:derby:${root.resolve("statedb")};create=true"
+    val port = freePort()
+    val url = s"http://127.0.0.1:$port"
+    var proc = launchRelay(cfg, results, port, cwd, root.resolve("relay1.log"),
+      Seq("--state-jdbc", jdbcUrl))
+    try {
+      awaitCatalog(url)
+      val id = RelayClient.submit(url,
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")
+      assert(RelayClient.await(url, id).status == "Complete")
+      proc.destroy()
+      assert(proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      // no JSON snapshot exists — the DATABASE must be the carrier
+      assert(!Files.exists(results.resolve("tasks.json")))
+      assert(!Files.exists(results.resolve("state").resolve("tasks.json")))
+      proc = launchRelay(cfg, results, port, cwd, root.resolve("relay2.log"),
+        Seq("--state-jdbc", jdbcUrl))
+      awaitCatalog(url)
       assert(RelayClient.status(url, id).status == "Complete")
       assert(RelayClient.result(spark, url, id).count() > 0)
     } finally {

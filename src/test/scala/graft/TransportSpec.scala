@@ -480,10 +480,12 @@ class TransportSpec extends AnyFunSuite {
       localSources = Map("documents" -> Seq(src)))))
     val reg = new PrincipalRegistry
     reg.registerRelay(CertFixtures.relayFp, "alpha")
-    val session = new MeshSession(spark, mesh, "beta")
+    // registry-backed so the /admin surface is live (case 7 below)
+    val meshReg = new graft.mesh.MeshRegistry(mesh)
+    val session = new MeshSession(spark, meshReg, "beta")
     val dir = java.nio.file.Files.createTempDirectory("graft_cert_srv").toString
     val server = new RelayServer(session, new QueryService(session, dir),
-      certAuth = Some(reg))
+      certAuth = Some(reg), registry = Some(meshReg))
     def fetch(viaRelay: String, user: Option[String] = None) =
       RelayClient.syncFetch(spark, server.url,
         "SELECT doc_id FROM documents", user = user,
@@ -519,6 +521,26 @@ class TransportSpec extends AnyFunSuite {
       // 6. trusted cert claiming a DIFFERENT site: rejected
       val wrongSite = intercept[RelayClient.RelayException] { fetch("gamma") }
       assert(wrongSite.getMessage.contains("unrecognized relay"))
+      // 7. the /admin surface is is_admin-gated under cert auth: alice
+      // (auto-upserted, NOT admin) is refused; after out-of-band
+      // promotion the same certificate applies config
+      RelayClient.clientCertPem = Some(CertFixtures.alicePem)
+      val entityYaml =
+        """api_version: v1alpha1
+          |kind: Entity
+          |spec:
+          |  name: notes
+          |  information:
+          |    - {name: note_id, arrow_dtype: Int64}""".stripMargin
+      val denied = intercept[RelayClient.RelayException] {
+        RelayClient.adminApply(server.url, entityYaml)
+      }
+      assert(denied.getMessage.contains("403"))
+      assert(denied.getMessage.contains("not an admin"))
+      reg.register(reg.get(CertFixtures.aliceFp).get.copy(
+        attributes = PrincipalAttributes(isAdmin = true)))
+      assert(RelayClient.adminApply(server.url, entityYaml) == 1)
+      assert(meshReg.mesh.site("beta").entities.contains("notes"))
     } finally {
       RelayClient.clientCertPem = None
       server.stop()
