@@ -64,12 +64,16 @@ object Verify {
     // Clear this sf's stored-ANN artifacts up front: the ss3/ss5/ss6 parity
     // oracles must only ever score index state written by THIS run —
     // artifacts surviving in /tmp from a previous build would otherwise
-    // validate (or spuriously fail against) an outdated model.
+    // validate (or spuriously fail against) an outdated model. FULL runs
+    // only: a subset run (local iteration) that cleared them without
+    // re-running the artifact-writing queries would break the compare of
+    // every OTHER query's stale-but-valid dump for no reason.
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    rm(new java.io.File(graft.pipeline.PipelineQueries.annArtifactDir(sfDir)))
+    if (only.isEmpty)
+      rm(new java.io.File(graft.pipeline.PipelineQueries.annArtifactDir(sfDir)))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
