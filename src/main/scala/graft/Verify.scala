@@ -12,6 +12,10 @@ object Verify {
     case null => "NULL"
     case d: java.lang.Double => d.toString
     case f: java.lang.Float => f.toString
+    // java.sql.Timestamp.toString renders in the JVM DEFAULT zone, which
+    // nothing pins to UTC — render the instant itself so the dump is
+    // comparable against the UTC values the driver actually hashes
+    case t: java.sql.Timestamp => t.toInstant.toString
     case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
     case s: scala.collection.Seq[_] => s.map(cell).mkString("[", ",", "]")
     case other => other.toString

@@ -14,7 +14,15 @@ import java.sql.{Connection, DriverManager}
   *    reference's actual deployment shape, where every relay process
   *    reads/writes one Postgres (`core/src/schema.rs:90-145`: entities/
   *    mappings in catalog tables, `queries`/`query_tasks` rows for
-  *    request state). Multiple services over one URL see one store.
+  *    request state).
+  *
+  * Rows in the shared database are OWNER-SCOPED (owner = the relay/site
+  * name): a relay restores, re-runs, and evicts only its own requests —
+  * never another live relay's — while [[StateBackend.lookupTask]] serves
+  * any relay's request STATUS read-only, which is the sharing the
+  * reference's one-Postgres deployment actually provides (each relay
+  * writes its own `queries` rows, all relays can read all of them,
+  * `core/src/crud/query.rs`).
   *
   * Both backends carry the SAME documents (the JSON codec is shared), so
   * switching backends — or migrating file → database — is a data copy,
@@ -27,18 +35,38 @@ trait StateBackend {
       tasks: Map[String, (String, Option[String])],
       branches: Map[String, Map[(String, String), (String, Option[String])]],
       specs: Map[String, Map[String, String]]): Unit
+
+  /** This owner's persisted request state. Iteration order of the task
+    * map is FIRST-PERSIST order (oldest first) where the backend records
+    * it ([[JdbcStateBackend]]'s seq column); the file backend yields its
+    * snapshot's id-sorted order — the retention queue rebuilt from a
+    * restore is therefore exact for the database backend and
+    * deterministic-but-approximate for file snapshots. */
   def restoreTasks(): Option[(
       Map[String, (String, Option[String])],
       Map[String, Map[(String, String), (String, Option[String])]],
       Map[String, Map[String, String]])]
+
+  /** Read-only status lookup across ALL owners — how a relay answers for
+    * a request another relay over the same store executed. None for
+    * single-owner backends. */
+  def lookupTask(id: String): Option[(String, Option[String])] = None
+
+  /** Read-only branch states across all owners (empty when unknown). */
+  def lookupBranches(id: String): Map[(String, String), (String, Option[String])] =
+    Map.empty
 }
 
-/** The JSON-snapshot backend: `mesh.json` + `tasks.json` under `dir`,
-  * written atomically — exactly the single-binary durability the relay
-  * had before this interface existed. */
-final class FileStateBackend(dir: Path) extends StateBackend {
+/** The JSON-snapshot backend: `mesh.json` + `tasks.json`, written
+  * atomically — exactly the single-binary durability the relay had
+  * before this interface existed. `tasksFile` overrides the task
+  * snapshot location (RelayMain keeps its historical
+  * `<results>/tasks.json` so pre-existing deployments restore their
+  * request state after an upgrade). */
+final class FileStateBackend(dir: Path, tasksFile: Option[Path] = None)
+    extends StateBackend {
   private val meshPath = dir.resolve("mesh.json")
-  private val tasksPath = dir.resolve("tasks.json")
+  private val tasksPath = tasksFile.getOrElse(dir.resolve("tasks.json"))
 
   override def persistMesh(mesh: Mesh): Unit =
     MeshStateStore.writeMesh(mesh, meshPath)
@@ -60,53 +88,67 @@ final class FileStateBackend(dir: Path) extends StateBackend {
     else None
 }
 
-/** SQL-database state: one row per site (`graft_sites`), per request
-  * (`graft_tasks`) and per branch task (`graft_branches`) — the
-  * reference's Postgres shape at the granularity that matters for
-  * sharing: any service over the same URL sees every other's catalog
-  * upserts and request statuses (`core/src/schema.rs:90-145`,
-  * `core/src/crud/query.rs`).
+/** SQL-database state: one row per (owner, site), (owner, request) and
+  * (owner, branch task) — the reference's Postgres shape. A relay's
+  * persists replace only ITS OWN rows (owner-scoped full rewrite, bounded
+  * by the service's terminal-request retention), so concurrent relays
+  * over one database never clobber each other; any relay can READ any
+  * request's status via [[lookupTask]]/[[lookupBranches]]. Each catalog
+  * is likewise stored per owner — a relay restarts into its own catalog,
+  * never a peer's stub of it.
   *
   * Documents reuse [[MeshStateStore]]'s JSON codec (a site row carries
   * the site doc; a task row carries status/error/spec), so file and
-  * database state are interchangeable. Writes replace state
-  * transactionally; volumes are bounded by the service's terminal-request
-  * retention, so the per-transition rewrite stays rows-not-history sized.
+  * database state are interchangeable. `seq` records first-persist order
+  * per request, so a restarted relay rebuilds its retention queue oldest
+  * first.
   *
   * Works against any JDBC database. The test harness uses embedded Derby
-  * — which shares within ONE process only (the sandbox ships no Derby
-  * network server); a multi-PROCESS mesh points the same code at a
+  * — which shares within ONE process at a time (the sandbox ships no
+  * Derby network server); a multi-PROCESS mesh points the same code at a
   * networked RDBMS URL (the reference uses Postgres) — strictly a URL
   * swap, no code change. */
-final class JdbcStateBackend(url: String) extends StateBackend {
+final class JdbcStateBackend(url: String, owner: String = "default")
+    extends StateBackend {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  locally { // create-if-absent schema, first connection wins
-    withConn { c =>
-      val existing = {
-        val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
-        val names = scala.collection.mutable.Set.empty[String]
-        while (rs.next()) names += rs.getString("TABLE_NAME").toUpperCase
-        rs.close()
-        names
-      }
+  locally {
+    // create-if-absent schema. Two processes starting against one
+    // database race the existence check, so a duplicate-table error from
+    // the loser is EXPECTED — swallow it iff the table exists afterwards.
+    def ensure(ddl: String, table: String): Unit = withConn { c =>
       val st = c.createStatement()
-      try {
-        if (!existing("GRAFT_SITES"))
-          st.executeUpdate(
-            "CREATE TABLE graft_sites (name VARCHAR(255) PRIMARY KEY, doc CLOB)")
-        if (!existing("GRAFT_TASKS"))
-          st.executeUpdate(
-            "CREATE TABLE graft_tasks (id VARCHAR(255) PRIMARY KEY, " +
-              "status VARCHAR(32), error CLOB, spec CLOB)")
-        if (!existing("GRAFT_BRANCHES"))
-          st.executeUpdate(
-            "CREATE TABLE graft_branches (id VARCHAR(255), relay VARCHAR(255), " +
-              "src VARCHAR(255), status VARCHAR(32), error CLOB, " +
-              "PRIMARY KEY (id, relay, src))")
+      try st.executeUpdate(ddl)
+      catch {
+        case e: java.sql.SQLException =>
+          if (!tableExists(c, table)) throw e
       } finally st.close()
     }
+    withConn { c =>
+      if (!tableExists(c, "GRAFT_SITES"))
+        ensure("CREATE TABLE graft_sites (owner VARCHAR(255), " +
+          "name VARCHAR(255), doc CLOB, PRIMARY KEY (owner, name))",
+          "GRAFT_SITES")
+      if (!tableExists(c, "GRAFT_TASKS"))
+        ensure("CREATE TABLE graft_tasks (owner VARCHAR(255), " +
+          "id VARCHAR(255), status VARCHAR(32), error CLOB, spec CLOB, " +
+          "seq BIGINT, PRIMARY KEY (owner, id))", "GRAFT_TASKS")
+      if (!tableExists(c, "GRAFT_BRANCHES"))
+        ensure("CREATE TABLE graft_branches (owner VARCHAR(255), " +
+          "id VARCHAR(255), relay VARCHAR(255), src VARCHAR(255), " +
+          "status VARCHAR(32), error CLOB, " +
+          "PRIMARY KEY (owner, id, relay, src))", "GRAFT_BRANCHES")
+    }
+  }
+
+  private def tableExists(c: Connection, name: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    try {
+      while (rs.next()) if (rs.getString("TABLE_NAME").equalsIgnoreCase(name))
+        return true
+      false
+    } finally rs.close()
   }
 
   private def withConn[A](f: Connection => A): A = {
@@ -120,34 +162,46 @@ final class JdbcStateBackend(url: String) extends StateBackend {
     catch { case e: Throwable => c.rollback(); throw e }
   }
 
-  // Site names THIS instance has written (same scoping rationale as
-  // writtenIds below): a relay re-snapshotting its catalog must not
-  // delete site rows another relay over the same database owns.
-  private val writtenSites =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // first-persist sequence per request id, preserved across persists (a
+  // snapshot rewrite must not reset arrival order) and reloaded on
+  // construction so restarts continue the sequence
+  private val seqOf = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val nextSeq = new java.util.concurrent.atomic.AtomicLong(
+    withConn { c =>
+      val st = c.prepareStatement(
+        "SELECT id, seq FROM graft_tasks WHERE owner = ?")
+      try {
+        st.setString(1, owner)
+        val rs = st.executeQuery()
+        var max = 0L
+        while (rs.next()) {
+          seqOf.put(rs.getString(1), rs.getLong(2))
+          max = math.max(max, rs.getLong(2))
+        }
+        rs.close()
+        max
+      } finally st.close()
+    })
 
   override def persistMesh(mesh: Mesh): Unit = tx { c =>
-    import scala.jdk.CollectionConverters._
-    val gone = writtenSites.asScala.toSet -- mesh.sites.keySet
-    val del = c.prepareStatement("DELETE FROM graft_sites WHERE name = ?")
-    try (mesh.sites.keySet ++ gone).foreach { name =>
-      del.setString(1, name); del.executeUpdate(): Unit
-    } finally del.close()
+    val del = c.prepareStatement("DELETE FROM graft_sites WHERE owner = ?")
+    try { del.setString(1, owner); del.executeUpdate(): Unit } finally del.close()
     val ins = c.prepareStatement(
-      "INSERT INTO graft_sites (name, doc) VALUES (?, ?)")
+      "INSERT INTO graft_sites (owner, name, doc) VALUES (?, ?, ?)")
     try mesh.sites.foreach { case (name, site) =>
-      ins.setString(1, name)
-      ins.setString(2, MeshStateStore.siteJson(site))
+      ins.setString(1, owner)
+      ins.setString(2, name)
+      ins.setString(3, MeshStateStore.siteJson(site))
       ins.executeUpdate(): Unit
     } finally ins.close()
-    gone.foreach(writtenSites.remove(_))
-    mesh.sites.keySet.foreach(writtenSites.add(_))
   }
 
   override def restoreMesh(): Option[Mesh] = withConn { c =>
-    val st = c.createStatement()
+    val st = c.prepareStatement(
+      "SELECT name, doc FROM graft_sites WHERE owner = ?")
     try {
-      val rs = st.executeQuery("SELECT name, doc FROM graft_sites")
+      st.setString(1, owner)
+      val rs = st.executeQuery()
       val sites = scala.collection.mutable.LinkedHashMap.empty[String, Site]
       while (rs.next()) {
         val name = rs.getString(1)
@@ -158,94 +212,119 @@ final class JdbcStateBackend(url: String) extends StateBackend {
     } finally st.close()
   }
 
-  // Request ids THIS instance has ever written — the eviction scope.
-  // persistTasks receives a service's full in-memory snapshot; rows the
-  // snapshot no longer carries are deleted ONLY if this instance wrote
-  // them (its service evicted them past retention). A blanket
-  // delete-and-reinsert would clobber rows a CONCURRENT service over the
-  // same database owns — the exact sharing the reference's one-Postgres
-  // deployment provides (each relay upserts its own request rows,
-  // `core/src/crud/query.rs`).
-  private val writtenIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   override def persistTasks(
       tasks: Map[String, (String, Option[String])],
       branches: Map[String, Map[(String, String), (String, Option[String])]],
       specs: Map[String, Map[String, String]]): Unit = tx { c =>
-    import scala.jdk.CollectionConverters._
-    val evicted = writtenIds.asScala.toSet -- tasks.keySet
-    val delT = c.prepareStatement("DELETE FROM graft_tasks WHERE id = ?")
-    val delB = c.prepareStatement("DELETE FROM graft_branches WHERE id = ?")
+    // owner-scoped full rewrite: bounded by this service's retention,
+    // and it cannot touch another relay's rows by construction
+    val delT = c.prepareStatement("DELETE FROM graft_tasks WHERE owner = ?")
+    val delB = c.prepareStatement("DELETE FROM graft_branches WHERE owner = ?")
     try {
-      // per-id replace: delete THIS request's rows, insert the current
-      // state — portable upsert, scoped so other services' rows survive
-      (tasks.keySet ++ branches.keySet ++ evicted).foreach { id =>
-        delT.setString(1, id); delT.executeUpdate(): Unit
-        delB.setString(1, id); delB.executeUpdate(): Unit
-      }
+      delT.setString(1, owner); delT.executeUpdate(): Unit
+      delB.setString(1, owner); delB.executeUpdate(): Unit
     } finally { delT.close(); delB.close() }
     val it = c.prepareStatement(
-      "INSERT INTO graft_tasks (id, status, error, spec) VALUES (?, ?, ?, ?)")
+      "INSERT INTO graft_tasks (owner, id, status, error, spec, seq) " +
+        "VALUES (?, ?, ?, ?, ?, ?)")
     try tasks.foreach { case (id, (status, err)) =>
-      it.setString(1, id)
-      it.setString(2, status)
-      it.setString(3, err.orNull)
-      it.setString(4, specs.get(id).map(specJson).orNull)
+      it.setString(1, owner)
+      it.setString(2, id)
+      it.setString(3, status)
+      it.setString(4, err.orNull)
+      it.setString(5, specs.get(id).map(specJson).orNull)
+      it.setLong(6, seqOf.computeIfAbsent(id, _ => nextSeq.incrementAndGet()))
       it.executeUpdate(): Unit
     } finally it.close()
     val ib = c.prepareStatement(
-      "INSERT INTO graft_branches (id, relay, src, status, error) " +
-        "VALUES (?, ?, ?, ?, ?)")
+      "INSERT INTO graft_branches (owner, id, relay, src, status, error) " +
+        "VALUES (?, ?, ?, ?, ?, ?)")
     try branches.foreach { case (id, m) =>
       m.foreach { case ((relay, src), (status, err)) =>
-        ib.setString(1, id)
-        ib.setString(2, relay)
-        ib.setString(3, src)
-        ib.setString(4, status)
-        ib.setString(5, err.orNull)
+        ib.setString(1, owner)
+        ib.setString(2, id)
+        ib.setString(3, relay)
+        ib.setString(4, src)
+        ib.setString(5, status)
+        ib.setString(6, err.orNull)
         ib.executeUpdate(): Unit
       }
     } finally ib.close()
-    evicted.foreach(writtenIds.remove(_))
-    (tasks.keySet ++ branches.keySet).foreach(writtenIds.add(_))
+    // evicted ids leave the sequence map so it stays retention-bounded
+    seqOf.keySet.removeIf(id => !tasks.contains(id)): Unit
   }
 
   override def restoreTasks(): Option[(
       Map[String, (String, Option[String])],
       Map[String, Map[(String, String), (String, Option[String])]],
       Map[String, Map[String, String]])] = withConn { c =>
-    val tasks = scala.collection.mutable.LinkedHashMap
+    // VectorMap preserves insertion order, so iteration = seq order and
+    // the caller's retention queue rebuilds oldest-first
+    var tasks = scala.collection.immutable.VectorMap
       .empty[String, (String, Option[String])]
-    val specs = scala.collection.mutable.LinkedHashMap
-      .empty[String, Map[String, String]]
-    val st = c.createStatement()
+    var specs = Map.empty[String, Map[String, String]]
+    val st = c.prepareStatement(
+      "SELECT id, status, error, spec FROM graft_tasks WHERE owner = ? " +
+        "ORDER BY seq")
     try {
-      val rs = st.executeQuery("SELECT id, status, error, spec FROM graft_tasks")
+      st.setString(1, owner)
+      val rs = st.executeQuery()
       while (rs.next()) {
         val id = rs.getString(1)
-        tasks(id) = (rs.getString(2), Option(rs.getString(3)))
-        Option(rs.getString(4)).foreach(s => specs(id) = specOf(s))
+        tasks = tasks.updated(id, (rs.getString(2), Option(rs.getString(3))))
+        Option(rs.getString(4)).foreach(s => specs += id -> specOf(s))
       }
       rs.close()
     } finally st.close()
-    val branches = scala.collection.mutable.LinkedHashMap
-      .empty[String, Map[(String, String), (String, Option[String])]]
-    val sb = c.createStatement()
+    var branches = Map.empty[String, Map[(String, String), (String, Option[String])]]
+    val sb = c.prepareStatement(
+      "SELECT id, relay, src, status, error FROM graft_branches WHERE owner = ?")
     try {
-      val rs = sb.executeQuery(
-        "SELECT id, relay, src, status, error FROM graft_branches")
+      sb.setString(1, owner)
+      val rs = sb.executeQuery()
       while (rs.next()) {
         val id = rs.getString(1)
-        branches(id) = branches.getOrElse(id, Map.empty) +
+        branches += id -> (branches.getOrElse(id, Map.empty) +
           ((rs.getString(2), rs.getString(3)) ->
-            (rs.getString(4), Option(rs.getString(5))))
+            (rs.getString(4), Option(rs.getString(5)))))
       }
       rs.close()
     } finally sb.close()
     if (tasks.isEmpty && branches.isEmpty) None
-    else Some((tasks.toMap, branches.toMap, specs.toMap))
+    else Some((tasks, branches, specs))
   }
+
+  override def lookupTask(id: String): Option[(String, Option[String])] =
+    withConn { c =>
+      val st = c.prepareStatement(
+        "SELECT status, error FROM graft_tasks WHERE id = ?")
+      try {
+        st.setString(1, id)
+        val rs = st.executeQuery()
+        val r =
+          if (rs.next()) Some((rs.getString(1), Option(rs.getString(2))))
+          else None
+        rs.close()
+        r
+      } finally st.close()
+    }
+
+  override def lookupBranches(
+      id: String): Map[(String, String), (String, Option[String])] =
+    withConn { c =>
+      val st = c.prepareStatement(
+        "SELECT relay, src, status, error FROM graft_branches WHERE id = ?")
+      try {
+        st.setString(1, id)
+        val rs = st.executeQuery()
+        var out = Map.empty[(String, String), (String, Option[String])]
+        while (rs.next())
+          out += (rs.getString(1), rs.getString(2)) ->
+            (rs.getString(3), Option(rs.getString(4)))
+        rs.close()
+        out
+      } finally st.close()
+    }
 
   private def specJson(m: Map[String, String]): String = {
     val o = mapper.createObjectNode()

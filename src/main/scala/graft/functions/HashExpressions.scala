@@ -71,7 +71,11 @@ object Md5Prefix48 {
     val n = s.numBytes()
     var buf = scratch.get()
     if (buf.length < n) {
-      buf = new Array[Byte](java.lang.Integer.highestOneBit(n) * 2)
+      // next power of two, clamped: highestOneBit(n)*2 overflows to
+      // negative at n >= 2^30 — grow exactly to n there (inputs can be
+      // any string Spark holds, up to ~2 GiB)
+      val grown = java.lang.Integer.highestOneBit(n) * 2
+      buf = new Array[Byte](if (grown > 0) grown else n)
       scratch.set(buf)
     }
     s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)

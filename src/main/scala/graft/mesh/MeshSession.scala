@@ -185,16 +185,24 @@ class QueryService(session: MeshSession, resultDir: String,
             Some("relay restarted while the request was in flight"))
         }
         tasks.put(id, restored)
-        // restored terminal requests re-enter the retention queue so a
-        // restarted long-lived relay still evicts its oldest history
-        if (restored.status == Complete || restored.status == Failed)
-          noteTerminal(id)
       }
       bs.foreach { case (id, m) =>
         if (!requeue.contains(id))
           branchTasks.put(id, m.map { case (k, (st, err)) =>
             k -> TaskState(parseStatus(st), err)
           })
+      }
+      // restored terminal requests re-enter the retention queue so a
+      // restarted long-lived relay still evicts its oldest history.
+      // AFTER branch restore: eviction removes branchTasks entries too,
+      // and enqueueing before bs.foreach would let the branch restore
+      // resurrect rows eviction just dropped (orphans no queue entry
+      // would ever remove). Restore order = the backend's map order
+      // (first-persist order for the database backend).
+      ts.foreach { case (id, _) =>
+        val st = tasks.get(id)
+        if (st != null && (st.status == Complete || st.status == Failed))
+          noteTerminal(id)
       }
       requeue.foreach { id =>
         val m = sp(id)
@@ -442,9 +450,13 @@ class QueryService(session: MeshSession, resultDir: String,
       f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
   }
 
-  /** Per-branch task statuses, keyed by (relay, sourceId). */
+  /** Per-branch task statuses, keyed by (relay, sourceId). Falls back to
+    * the shared store for requests another relay owns. */
   def branchStatus(id: String): Map[(String, String), TaskState] =
-    Option(branchTasks.get(id)).getOrElse(Map.empty)
+    Option(branchTasks.get(id)).getOrElse(
+      backend.lookupBranches(id).map { case (k, (st, err)) =>
+        k -> TaskState(parseStatus(st), err)
+      })
 
   /** Execute the full user query once per leaf (relay, source) branch and
     * union the per-branch results with provenance — the reference's async
@@ -504,11 +516,19 @@ class QueryService(session: MeshSession, resultDir: String,
   }
 
   def status(id: String): TaskState =
-    Option(tasks.get(id)).getOrElse(TaskState(Failed, Some(s"unknown task $id")))
+    Option(tasks.get(id))
+      .orElse(backend.lookupTask(id).map { case (st, err) =>
+        TaskState(parseStatus(st), err)
+      })
+      .getOrElse(TaskState(Failed, Some(s"unknown task $id")))
 
   /** Whether `id` is tracked at all (vs [[status]], which reports unknown
-    * ids as Failed for the reference's status-surface parity). */
-  def isTracked(id: String): Boolean = tasks.containsKey(id)
+    * ids as Failed for the reference's status-surface parity). Over a
+    * shared-database backend this includes requests OTHER relays own —
+    * any relay serves any request's status, like the reference's
+    * all-relays-read-one-Postgres deployment. */
+  def isTracked(id: String): Boolean =
+    tasks.containsKey(id) || backend.lookupTask(id).isDefined
 
   /** S9 `do_put` ingest bookkeeping: a remote relay pushed branch `branch`'s
     * result stream for request `id` (the reference writes the parquet and a

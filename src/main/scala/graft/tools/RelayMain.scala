@@ -78,10 +78,14 @@ object RelayMain {
     // every relay process over the same URL sees one store).
     val backend: graft.catalog.StateBackend = opts.get("state-jdbc") match {
       case Some(url) =>
-        System.err.println(s"[relay] state backend: jdbc $url")
-        new graft.catalog.JdbcStateBackend(url)
+        System.err.println(s"[relay] state backend: jdbc $url (owner $site)")
+        new graft.catalog.JdbcStateBackend(url, owner = site)
       case None =>
-        new graft.catalog.FileStateBackend(Paths.get(results, "state"))
+        // tasks.json stays at its HISTORICAL <results>/tasks.json location
+        // so deployments upgrading across the StateBackend refactor still
+        // restore their request state
+        new graft.catalog.FileStateBackend(Paths.get(results, "state"),
+          tasksFile = Some(Paths.get(results, "tasks.json")))
     }
     val mesh = backend.restoreMesh() match {
       case Some(m) =>

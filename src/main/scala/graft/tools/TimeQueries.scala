@@ -27,6 +27,8 @@ object TimeQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // match Bench: wire diagnostics stay out of timed windows
+    sys.props("graft.wire.quiet") = "1"
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       fn(spark, sfDir).count() // warmup

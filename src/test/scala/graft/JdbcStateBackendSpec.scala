@@ -136,32 +136,44 @@ class JdbcStateBackendSpec extends AnyFunSuite {
   test("concurrent services never clobber each other's rows") {
     derbyReady
     val url = freshUrl("graftstate_concurrent")
-    // two LIVE backend instances persisting interleaved snapshots: each
-    // must upsert only its own requests — a blanket rewrite would delete
-    // the other's rows between its persists
-    val a = new JdbcStateBackend(url)
-    val b = new JdbcStateBackend(url)
+    // two LIVE relays (distinct owners) persisting interleaved
+    // snapshots: each rewrites only ITS OWN rows — an unscoped rewrite
+    // would delete the other's rows between its persists
+    val a = new JdbcStateBackend(url, owner = "relay_a")
+    val b = new JdbcStateBackend(url, owner = "relay_b")
     a.persistTasks(Map("ra" -> (("Complete", None))), Map.empty,
       Map("ra" -> Map("sql" -> "SELECT 1 FROM documents")))
     b.persistTasks(Map("rb" -> (("InProgress", None))), Map.empty, Map.empty)
     a.persistTasks(Map("ra" -> (("Complete", None))), Map.empty,
       Map("ra" -> Map("sql" -> "SELECT 1 FROM documents")))
-    val (tasks1, _, _) = new JdbcStateBackend(url).restoreTasks().get
-    assert(tasks1.keySet == Set("ra", "rb"))
-    // eviction stays instance-scoped: a's next snapshot without ra drops
-    // ra (a owns it) but leaves rb (b owns it) untouched
+    // each owner restores exactly its own rows; EITHER can serve the
+    // other's status read-only (the reference's all-relays-read-one-
+    // Postgres sharing)
+    assert(new JdbcStateBackend(url, "relay_a").restoreTasks().get._1.keySet == Set("ra"))
+    assert(new JdbcStateBackend(url, "relay_b").restoreTasks().get._1.keySet == Set("rb"))
+    assert(a.lookupTask("rb").contains(("InProgress", None)))
+    assert(b.lookupTask("ra").contains(("Complete", None)))
+    // eviction stays owner-scoped: a's next snapshot without ra drops ra
+    // but leaves rb untouched
     a.persistTasks(Map.empty, Map.empty, Map.empty)
-    val (tasks2, _, _) = new JdbcStateBackend(url).restoreTasks().get
-    assert(tasks2.keySet == Set("rb"))
+    assert(new JdbcStateBackend(url, "relay_a").restoreTasks().isEmpty)
+    assert(b.lookupTask("ra").isEmpty)
+    assert(b.lookupTask("rb").contains(("InProgress", None)))
     // same for the catalog: two relays persisting DIFFERENT site sets
     // over one database coexist
     val siteA = Site("sa", Map("e" -> Entity("e", Seq(
       Information("x", org.apache.spark.sql.types.LongType)))))
     val siteB = Site("sb", Map("e" -> Entity("e", Seq(
       Information("x", org.apache.spark.sql.types.LongType)))))
-    a.persistMesh(Mesh(Map("sa" -> siteA)))
+    // catalogs are per-owner namespaces: each relay restarts into ITS
+    // full catalog (including peer stubs) — never a peer's stub of it
+    a.persistMesh(Mesh(Map("sa" -> siteA, "sb" -> siteB.copy(
+      endpoint = Some("http://127.0.0.1:1")))))
     b.persistMesh(Mesh(Map("sb" -> siteB)))
-    assert(new JdbcStateBackend(url).restoreMesh().get.sites.keySet ==
-      Set("sa", "sb"))
+    val aMesh = new JdbcStateBackend(url, "relay_a").restoreMesh().get
+    assert(aMesh.sites.keySet == Set("sa", "sb"))
+    assert(aMesh.sites("sb").endpoint.isDefined) // a's STUB of b, intact
+    assert(new JdbcStateBackend(url, "relay_b").restoreMesh().get
+      .sites("sb").endpoint.isEmpty) // b's authoritative self, intact
   }
 }
