@@ -279,8 +279,13 @@ object MeshStateStore {
     val root = mapper.readTree(Files.readString(path, UTF_8))
     def stateOf(n: JsonNode): (String, Option[String]) =
       (n.get("status").asText(), Option(n.get("error")).map(_.asText()))
+    // VectorMap keeps the document's (id-sorted) order so the restored
+    // retention queue is deterministic — .toMap would hash-scramble it
     val tasks = root.get("tasks").properties().asScala
-      .map(e => e.getKey -> stateOf(e.getValue)).toMap
+      .foldLeft(scala.collection.immutable.VectorMap
+        .empty[String, (String, Option[String])]) { (m, e) =>
+        m.updated(e.getKey, stateOf(e.getValue))
+      }
     val specs = root.get("tasks").properties().asScala.flatMap { e =>
       Option(e.getValue.get("spec")).map(s =>
         e.getKey -> s.properties().asScala

@@ -83,9 +83,14 @@ final class FileStateBackend(dir: Path, tasksFile: Option[Path] = None)
   override def restoreTasks(): Option[(
       Map[String, (String, Option[String])],
       Map[String, Map[(String, String), (String, Option[String])]],
-      Map[String, Map[String, String]])] =
-    if (Files.exists(tasksPath)) Some(MeshStateStore.readTasksWithSpecs(tasksPath))
-    else None
+      Map[String, Map[String, String]])] = {
+    // fallback covers a snapshot written to dir/tasks.json by a build
+    // where tasksFile pointed elsewhere (or vice versa): restore reads
+    // whichever exists, preferring the configured location
+    val path = Seq(Some(tasksPath), Some(dir.resolve("tasks.json")))
+      .flatten.distinct.find(Files.exists(_))
+    path.map(MeshStateStore.readTasksWithSpecs(_))
+  }
 }
 
 /** SQL-database state: one row per (owner, site), (owner, request) and
@@ -126,6 +131,14 @@ final class JdbcStateBackend(url: String, owner: String = "default")
       } finally st.close()
     }
     withConn { c =>
+      // a table from the short-lived pre-owner schema (no owner/seq
+      // columns) cannot be silently reused — fail with instructions
+      // instead of a cryptic SQLSyntaxError from the first owner query
+      if (tableExists(c, "GRAFT_TASKS") && !columnExists(c, "GRAFT_TASKS", "OWNER"))
+        throw new IllegalStateException(
+          s"$url holds a pre-owner-scoping graft_tasks table; drop the " +
+            "graft_* tables (or point at a fresh database) — the schemas " +
+            "are not compatible")
       if (!tableExists(c, "GRAFT_SITES"))
         ensure("CREATE TABLE graft_sites (owner VARCHAR(255), " +
           "name VARCHAR(255), doc CLOB, PRIMARY KEY (owner, name))",
@@ -139,7 +152,18 @@ final class JdbcStateBackend(url: String, owner: String = "default")
           "id VARCHAR(255), relay VARCHAR(255), src VARCHAR(255), " +
           "status VARCHAR(32), error CLOB, " +
           "PRIMARY KEY (owner, id, relay, src))", "GRAFT_BRANCHES")
+      // the cross-owner status lookups predicate on id alone — without
+      // this the (owner, id) PK cannot serve them and every poll scans
+      val ist = c.createStatement()
+      try ist.executeUpdate("CREATE INDEX graft_tasks_id ON graft_tasks (id)")
+      catch { case _: java.sql.SQLException => () } // exists / concurrent creator
+      finally ist.close()
     }
+  }
+
+  private def columnExists(c: Connection, table: String, col: String): Boolean = {
+    val rs = c.getMetaData.getColumns(null, null, table, col)
+    try rs.next() finally rs.close()
   }
 
   private def tableExists(c: Connection, name: String): Boolean = {
@@ -216,13 +240,23 @@ final class JdbcStateBackend(url: String, owner: String = "default")
       tasks: Map[String, (String, Option[String])],
       branches: Map[String, Map[(String, String), (String, Option[String])]],
       specs: Map[String, Map[String, String]]): Unit = tx { c =>
-    // owner-scoped full rewrite: bounded by this service's retention,
-    // and it cannot touch another relay's rows by construction
-    val delT = c.prepareStatement("DELETE FROM graft_tasks WHERE owner = ?")
-    val delB = c.prepareStatement("DELETE FROM graft_branches WHERE owner = ?")
-    try {
-      delT.setString(1, owner); delT.executeUpdate(): Unit
-      delB.setString(1, owner); delB.executeUpdate(): Unit
+    // per-id replace WITHIN the owner scope: delete exactly the rows
+    // this snapshot rewrites plus the ids this INSTANCE previously wrote
+    // that have since been evicted (seqOf tracks them). An owner-blanket
+    // DELETE would clobber a same-owner sibling's rows between persists;
+    // note same-owner LIVE replicas remain unsupported for execution
+    // (each would restore and re-run the other's in-flight requests) —
+    // run one process per relay name — but a sibling's rows are never
+    // silently destroyed.
+    import scala.jdk.CollectionConverters._
+    val evicted = seqOf.keySet.asScala.toSet -- tasks.keySet
+    val delT = c.prepareStatement(
+      "DELETE FROM graft_tasks WHERE owner = ? AND id = ?")
+    val delB = c.prepareStatement(
+      "DELETE FROM graft_branches WHERE owner = ? AND id = ?")
+    try (tasks.keySet ++ branches.keySet ++ evicted).foreach { id =>
+      delT.setString(1, owner); delT.setString(2, id); delT.executeUpdate(): Unit
+      delB.setString(1, owner); delB.setString(2, id); delB.executeUpdate(): Unit
     } finally { delT.close(); delB.close() }
     val it = c.prepareStatement(
       "INSERT INTO graft_tasks (owner, id, status, error, spec, seq) " +
@@ -251,7 +285,7 @@ final class JdbcStateBackend(url: String, owner: String = "default")
       }
     } finally ib.close()
     // evicted ids leave the sequence map so it stays retention-bounded
-    seqOf.keySet.removeIf(id => !tasks.contains(id)): Unit
+    seqOf.keySet.removeIf(id => !tasks.contains(id) && !branches.contains(id)): Unit
   }
 
   override def restoreTasks(): Option[(
@@ -294,10 +328,16 @@ final class JdbcStateBackend(url: String, owner: String = "default")
     else Some((tasks, branches, specs))
   }
 
+  // A request id normally exists under ONE owner; a caller-supplied
+  // request_id replayed against two relays can create two rows. Lookups
+  // pick the LOWEST owner deterministically (and read that owner's
+  // branches only — merging owners' branch maps would collide on
+  // (relay, src)) instead of whatever the scan returns first.
   override def lookupTask(id: String): Option[(String, Option[String])] =
     withConn { c =>
       val st = c.prepareStatement(
-        "SELECT status, error FROM graft_tasks WHERE id = ?")
+        "SELECT status, error FROM graft_tasks WHERE id = ? " +
+          "ORDER BY owner FETCH FIRST 1 ROWS ONLY")
       try {
         st.setString(1, id)
         val rs = st.executeQuery()
@@ -313,9 +353,12 @@ final class JdbcStateBackend(url: String, owner: String = "default")
       id: String): Map[(String, String), (String, Option[String])] =
     withConn { c =>
       val st = c.prepareStatement(
-        "SELECT relay, src, status, error FROM graft_branches WHERE id = ?")
+        "SELECT relay, src, status, error FROM graft_branches " +
+          "WHERE id = ? AND owner = (SELECT MIN(owner) FROM graft_branches " +
+          "WHERE id = ?)")
       try {
         st.setString(1, id)
+        st.setString(2, id)
         val rs = st.executeQuery()
         var out = Map.empty[(String, String), (String, Option[String])]
         while (rs.next())

@@ -204,6 +204,11 @@ class QueryService(session: MeshSession, resultDir: String,
         if (st != null && (st.status == Complete || st.status == Failed))
           noteTerminal(id)
       }
+      // re-persist after restore: eviction above may have dropped rows
+      // (and deleted their spill) that the store still carries — left
+      // unpersisted, a second restart would resurrect them as Complete
+      // with no readable results
+      persistState()
       requeue.foreach { id =>
         val m = sp(id)
         val runnable = new Runnable {
@@ -516,11 +521,18 @@ class QueryService(session: MeshSession, resultDir: String,
   }
 
   def status(id: String): TaskState =
+    statusIfTracked(id)
+      .getOrElse(TaskState(Failed, Some(s"unknown task $id")))
+
+  /** [[status]] that distinguishes "unknown" — ONE backend lookup serves
+    * both the tracked check and the state (a status poll against a
+    * networked store should not pay isTracked + status + lookup three
+    * separate round-trips). */
+  def statusIfTracked(id: String): Option[TaskState] =
     Option(tasks.get(id))
       .orElse(backend.lookupTask(id).map { case (st, err) =>
         TaskState(parseStatus(st), err)
       })
-      .getOrElse(TaskState(Failed, Some(s"unknown task $id")))
 
   /** Whether `id` is tracked at all (vs [[status]], which reports unknown
     * ids as Failed for the reference's status-surface parity). Over a

@@ -278,9 +278,10 @@ final class RelayServer(
   }
 
   private def statusJson(ex: HttpExchange, id: String): Unit = {
-    if (!service.isTracked(id))
-      return respond(ex, 404, "application/json", errJson(s"unknown request $id"))
-    val st = service.status(id)
+    // one tracked-check+state fetch (a poll loop against a shared
+    // database store would otherwise pay separate lookups)
+    val st = service.statusIfTracked(id).getOrElse(
+      return respond(ex, 404, "application/json", errJson(s"unknown request $id")))
     val o = mapper.createObjectNode()
     o.put("id", id)
     o.put("status", st.status.toString)
