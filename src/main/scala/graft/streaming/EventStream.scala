@@ -270,6 +270,38 @@ object EventStream {
     }
   }
 
+  /** Streaming twin of batch ts3 (seasonal-baseline anomaly): score a
+    * STREAM of finalized hourly counts against a STATIC seasonal profile
+    * (the (event_type, hour-of-day) mean/variance sums trained offline
+    * from history). Stateless by design — a stream-static broadcast join
+    * plus row-local arithmetic, no state store: the profile is model
+    * state like tx7/tx10's language models, refreshed by re-deploying the
+    * query, while ts2's ROLLING monitor (stateful) adapts online. The
+    * arithmetic mirrors the batch SQL over exact integer sums, so scores
+    * agree bit-for-bit (PipelineSpec pins multi-batch equality).
+    *
+    * @param hourly  streaming (event_type, hr, hod, n) finalized hourly
+    *                counts (hr = hour epoch seconds, hod = hour-of-day)
+    * @param profile static (event_type, hod, s, ss, k) integer sums —
+    *                batch ts3's profile CTE over the training window
+    */
+  def seasonalAnomalyStream(
+      spark: SparkSession, hourly: DataFrame, profile: DataFrame,
+      minHours: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    hourly.join(broadcast(profile), Seq("event_type", "hod"))
+      .where(col("k") >= minHours)
+      .selectExpr(
+        "event_type",
+        "hr AS hr_epoch",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(round(s / CAST(k AS DOUBLE) * 1e4) AS BIGINT) AS baseline_u4",
+        """CAST(round((n - s / CAST(k AS DOUBLE))
+          | / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE)) * 1e4) AS BIGINT) AS z_u4""".stripMargin,
+        """(abs((n - s / CAST(k AS DOUBLE))
+          | / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE))) > 3) AS anomaly""".stripMargin)
+  }
+
   /** Per-user journey transition stream — see [[TransitionProcessor]].
     * Requires the RocksDB state store. */
   def transitionStream(spark: SparkSession, events: DataFrame): DataFrame = {

@@ -189,6 +189,53 @@ class PipelineSpec extends AnyFunSuite {
       s"sampled=$sampled of $total")
   }
 
+  test("streaming seasonal anomaly scores equal batch ts3 across micro-batches") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    val tzKey = "spark.sql.session.timeZone"
+    val priorTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "UTC")
+    try {
+      // the static seasonal profile (batch ts3's profile CTE) + the
+      // finalized hourly counts the stream scores
+      val prof = spark.sql(
+        """WITH b AS (SELECT event_type,
+          |    CAST(unix_timestamp(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr,
+          |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod, count(*) AS n
+          |  FROM events GROUP BY 1, 2, 3)
+          |SELECT event_type, hod, CAST(sum(n) AS BIGINT) AS s,
+          |       CAST(sum(n * n) AS BIGINT) AS ss, CAST(count(*) AS BIGINT) AS k
+          |FROM b GROUP BY 1, 2""".stripMargin)
+      val hourly = spark.sql(
+        """SELECT event_type,
+          |  CAST(unix_timestamp(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr,
+          |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod, count(*) AS n
+          |FROM events GROUP BY 1, 2, 3 ORDER BY hr""".stripMargin)
+        .as[(String, Long, Long, Long)].collect()
+      val cuts = Seq(hourly.length / 3, 2 * hourly.length / 3, hourly.length)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long, Long)](spark)
+      val q = graft.streaming.EventStream
+        .seasonalAnomalyStream(spark,
+          ms.toDF.toDF("event_type", "hr", "hod", "n"), prof)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("seasonal_stream").start()
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(hourly.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      q.stop()
+      val streamed = spark.table("seasonal_stream")
+        .select("event_type", "hr_epoch", "n", "baseline_u4", "z_u4", "anomaly")
+      val batch = graft.SparkEntry.queries("ts3_seasonal_anomaly")(spark, sfDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally spark.conf.set(tzKey, priorTz)
+  }
+
   test("streaming anomaly scores equal batch ts2 across micro-batches") {
     import spark.implicits._
     Fixtures.registerRaw(spark, sfDir)
