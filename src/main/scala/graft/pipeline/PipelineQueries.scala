@@ -2540,10 +2540,52 @@ object PipelineQueries {
   /** Scala-side implementations that supersede the SQL text (same results —
     * LibraryApiSpec proves byte-equality — but with caching Catalyst's
     * CTE-inlining can't express: dd2's shingle set is consumed 4x). */
+  /** rt1's fixed query set — shared verbatim by the Spark entry and the
+    * DuckDB oracle builder so both engines score the same terms. */
+  private val bm25QueryDefs: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "sort", "query"),
+    3 -> Seq("spark", "stream", "fast"))
+
   private val overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd2_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
+    }),
+
+    // rt1: BM25 top-k retrieval for a small query set — the broadcast
+    // query-term semi-join prunes the token stream before any
+    // aggregation and the ranking runs on the TopKPerGroup bounded heap
+    // (see TextAnalysis.bm25TopK's scale notes).
+    "rt1_bm25_topk" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      TextAnalysis.bm25TopK(s.table("documents"), "doc_id", "text",
+        bm25QueryDefs, k = 5)
+        .orderBy(col("qid"), col("score_micro").desc, col("doc_id"))
+    }),
+
+    // ck1: deterministic overlapping character chunks — pure row-local
+    // explode, zero shuffles (TextAnalysis.chunkDocuments).
+    "ck1_chunk_documents" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      TextAnalysis.chunkDocuments(s.table("documents"), "doc_id", "text",
+        chunkSize = 200, stride = 150)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // cq1: one representative per near-dup cluster (longest member,
+    // smallest id on ties) over the STORED dd7 cluster artifact — the
+    // keep-one curation step that follows clustering.
+    "cq1_cluster_reps" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Dedup.clusterRepresentatives(s.table("documents"), "doc_id", "n_chars",
+        cachedClusters(s, dir))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_n"),
+          col("is_rep"))
+        .orderBy(col("doc_id"))
     }),
 
     // sd1 routes through the library operator (LibraryApiSpec proves it
@@ -3404,8 +3446,83 @@ object PipelineQueries {
     * Verify dumps THIS form, so `tools/compare.py` is runnable at every
     * scale (the static sf0.01 path previously false-failed ss3/ss5/ss6 at
     * any other sf). */
+  /** rt1's DuckDB oracle: the identical BM25 arithmetic, with the
+    * constants rendered from the SAME Scala doubles the Spark plan embeds
+    * (shortest-round-trip literals parse back to bit-identical doubles),
+    * idf quantized through the fixed-point-micro discipline, and the
+    * per-(query, doc) score an integer sum — order-free in both engines. */
+  private def bm25Oracle(k1: Double = 1.2, b: Double = 0.75): String = {
+    val vals = bm25QueryDefs.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals) t(qid, term)),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+       |tf AS (SELECT t.doc_id, t.token, count(*) AS tf FROM tok t
+       |       JOIN (SELECT DISTINCT term FROM q) qt ON qt.term = t.token
+       |       GROUP BY t.doc_id, t.token),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (SELECT tf.doc_id, tf.token,
+       |        CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro,
+       |        tf.tf * ${k1 + 1.0} / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))) AS tfn
+       |       FROM tf JOIN dfq ON dfq.token = tf.token
+       |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+       |ts AS (SELECT q.qid, sc.doc_id,
+       |        CAST(floor(sc.idf_micro * sc.tfn) AS BIGINT) AS m
+       |       FROM sc JOIN q ON q.term = sc.token),
+       |agg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+       |        FROM ts GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, score_micro FROM (
+       |  SELECT qid, doc_id, score_micro,
+       |         row_number() OVER (PARTITION BY qid
+       |             ORDER BY score_micro DESC, doc_id) AS rk
+       |  FROM agg) t
+       |WHERE rk <= 5 ORDER BY qid, score_micro DESC, doc_id""".stripMargin
+  }
+
   def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
+      "rt1_bm25_topk" -> bm25Oracle(),
+
+      // ck1: the same integer chunk-count arithmetic + 1-based substring
+      // windows; md5 of each window hash-gates the bytes themselves
+      "ck1_chunk_documents" ->
+        """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+          |n AS (SELECT doc_id, text,
+          |        CASE WHEN len <= 200 THEN 1
+          |             ELSE (len - 200 + 149) // 150 + 1 END AS n_chunks
+          |      FROM d),
+          |c AS (SELECT doc_id, text, n_chunks,
+          |        unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+          |SELECT doc_id, chunk_idx, chunk_idx * 150 + 1 AS chunk_start,
+          |       length(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_len,
+          |       md5(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5,
+          |       n_chunks
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // cq1: recursive closure over the verified pair list (the dd7
+      // chain) -> per-cluster argmax(n_chars, min id) representative
+      "cq1_cluster_reps" ->
+        s"""WITH RECURSIVE $duckPairsChain,
+           |reach(node, label) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+           |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |g AS (SELECT d.doc_id, d.n_chars,
+           |        coalesce(CAST(cl.cluster_id AS VARCHAR),
+           |                 CAST(d.doc_id AS VARCHAR)) AS cluster_id
+           |      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+           |r AS (SELECT doc_id, cluster_id, n_chars,
+           |        count(*) OVER (PARTITION BY cluster_id) AS cluster_n,
+           |        row_number() OVER (PARTITION BY cluster_id
+           |            ORDER BY n_chars DESC, doc_id) AS rk
+           |      FROM g)
+           |SELECT doc_id, cluster_id, cluster_n, (rk = 1) AS is_rep
+           |FROM r ORDER BY doc_id""".stripMargin,
+
       "ss5_pq_topk" -> pqAdcOracle(ivf = false, annArtifactDir(sfDir)),
       "ss6_ivfpq_topk" -> pqAdcOracle(ivf = true, annArtifactDir(sfDir)),
       "ss3_ivf_learned" -> learnedIvfOracle(annArtifactDir(sfDir)),

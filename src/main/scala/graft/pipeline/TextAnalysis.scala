@@ -682,4 +682,100 @@ object TextAnalysis {
       .withColumn("fp_min_shingle", expr(
         s"""array_min(transform(sequence(0, greatest(size(split($textCol, ' ')) - $shingleLen, 0)),
            |  i -> md5(concat_ws(' ', slice(split($textCol, ' '), i + 1, $shingleLen)))))""".stripMargin))
+
+  /** BM25 top-k document retrieval (Robertson-Sparck Jones; the Okapi
+    * formula with k1/b) for a SMALL query set over an arbitrarily large
+    * corpus — the retrieval core of RAG-style training-data selection.
+    *
+    * Scale shape (100 TB corpus, q queries of a few terms each):
+    *  - the query term list is broadcast; the token stream is pruned to
+    *    matching tokens AT THE JOIN before any per-doc aggregation, so the
+    *    tf/df passes aggregate only hit rows (corpus scan is one pass);
+    *  - doc lengths are one partial-aggregable groupBy; corpus N/avgdl is
+    *    a single scalar row crossed in (broadcast, never a shuffle);
+    *  - the final ranking runs on the TopKPerGroup bounded-heap plan —
+    *    O(hits log k), no per-query global sort.
+    *
+    * Cross-engine determinism (the DuckDB oracle hash-gates this): idf is
+    * quantized through the suite's fixed-point-micro discipline
+    * (`floor(ln(..) * 1e6)` as BIGINT — tx8's trick), the tf
+    * normalization is pure IEEE +,*,/ on doubles derived from integers,
+    * and the per-(query, doc) score is an integer SUM of per-term micro
+    * scores — no float-summation-order hazard.
+    *
+    * Reference scope: the reference engine has no retrieval surface; this
+    * is north-star pipeline coverage (BASELINE.json) like the rest of
+    * graft.pipeline. */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    val s = docs.sparkSession
+    import s.implicits._
+    val q = queries.flatMap { case (qid, terms) =>
+      terms.distinct.map(t => (qid, t))
+    }.toDF("qid", "term")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val qTerms = q.select(col("term")).distinct()
+    // broadcast semi-join prunes the token stream to query terms before
+    // any aggregation — at corpus scale this is the one full-data pass
+    val hits = tok.join(broadcast(qTerms), tok("token") === qTerms("term"))
+      .select(col("doc_id"), col("token"))
+    val tf = hits.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // operation order mirrors the oracle SQL text exactly (left-assoc
+    // IEEE +,*,/): idf_micro = floor(ln((N - df + 0.5)/(df + 0.5) + 1)*1e6)
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val scored = tf
+      .join(broadcast(dft), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro",
+        floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+          * lit(1000000.0)).cast("long"))
+      .withColumn("tfn",
+        col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .withColumn("term_micro", floor(col("idf_micro") * col("tfn")).cast("long"))
+      .select(col("doc_id"), col("token"), col("term_micro"))
+    val perQuery = scored.join(broadcast(q), scored("token") === q("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"))
+    graft.plans.TopKPerGroup(perQuery, keys = Seq("qid"),
+      orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
+  }
+
+  /** Deterministic overlapping character chunking — the RAG/long-context
+    * pre-processing step that fans each document into fixed-size windows
+    * with `chunkSize - stride` characters of overlap. Pure row-local
+    * explode (sequence + substr): zero shuffles, linear in corpus bytes,
+    * codegen'd end to end. Chunk count uses integer arithmetic only
+    * (`(len - chunkSize + stride - 1) DIV stride + 1`), so any engine
+    * reproduces the same windows byte-for-byte.
+    *
+    * Emits one row per chunk: (doc_id, chunk_idx, chunk_start [1-based],
+    * chunk_len, chunk_md5, n_chunks). The md5 keeps downstream rows
+    * narrow at 100 TB; consumers that need the text substr it back from
+    * the source by (doc_id, chunk_start, chunk_len). */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 200, stride: Int = 150): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val len = length(col(textCol)).cast("long")
+    val nChunks = when(len <= chunkSize, lit(1L))
+      .otherwise(expr(s"(length($textCol) - $chunkSize + $stride - 1) DIV $stride") + lit(1L))
+    docs
+      .withColumn("n_chunks", nChunks)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk_start", col("chunk_idx") * stride + 1)
+      .withColumn("__chunk", substr(col(textCol), col("chunk_start"), lit(chunkSize)))
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        length(col("__chunk")).cast("long").as("chunk_len"),
+        md5(col("__chunk")).as("chunk_md5"), col("n_chunks"))
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Guarantees for the round-9 curation operators: BM25 retrieval
+  * (rt1), deterministic chunking (ck1), cluster representatives (cq1). */
+class RetrievalChunkSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+
+  // --- BM25 ---------------------------------------------------------------
+
+  private def toyCorpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "cat dog cat dog cat"), // heavy on both query terms
+      (2L, "cat mouse mouse mouse mouse mouse mouse mouse mouse mouse"),
+      (3L, "dog bird fish"),
+      (4L, "tree rock sky water fire"),
+      (5L, "cat cat cat cat cat cat cat cat cat cat")
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25TopK ranks the doc containing BOTH query terms first") {
+    val out = TextAnalysis.bm25TopK(toyCorpus, "doc_id", "text",
+      Seq(7 -> Seq("cat", "dog")), k = 3).collect()
+    assert(out.map(_.getInt(0)).forall(_ == 7))
+    // doc 1 matches both terms with balanced tf — BM25's saturation puts
+    // it above doc 5's single-term tf pile
+    assert(out.head.getLong(1) == 1L)
+    // all returned docs contain at least one query term; doc 4 never shows
+    assert(!out.map(_.getLong(1)).contains(4L))
+    // rows emit k per query max
+    assert(out.length == 3)
+  }
+
+  test("bm25TopK: absent term contributes nothing; scores non-increasing") {
+    val out = TextAnalysis.bm25TopK(toyCorpus, "doc_id", "text",
+      Seq(1 -> Seq("dog", "unicorn")), k = 5).collect()
+    // only docs containing 'dog' score
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 3L))
+    val scores = out.map(_.getLong(2))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("bm25TopK plan: query terms broadcast, no sort-merge join") {
+    val plan = TextAnalysis.bm25TopK(toyCorpus, "doc_id", "text",
+      Seq(1 -> Seq("cat")), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TopKPerGroup"), plan)
+  }
+
+  // --- chunking -----------------------------------------------------------
+
+  test("chunkDocuments: windows tile the text with the declared overlap") {
+    import spark.implicits._
+    val text = ("abcdefghij" * 35).take(347) // len 347
+    val docs = Seq((1L, text), (2L, "short"), (3L, "x" * 200),
+      (4L, "y" * 201)).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .chunkDocuments(docs, "doc_id", "text", chunkSize = 200, stride = 150)
+      .orderBy("doc_id", "chunk_idx").collect()
+    def rows(id: Long) = out.filter(_.getLong(0) == id)
+    // len 347: chunks at 1 (200 chars) and 151 (197 chars) — ceil((347-200)/150)+1 = 2
+    assert(rows(1L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 200L), (151L, 197L)))
+    // every chunk md5 matches the substring it claims to cover
+    rows(1L).foreach { r =>
+      val sub = text.substring(r.getLong(2).toInt - 1,
+        math.min(text.length, r.getLong(2).toInt - 1 + 200))
+      assert(r.getString(4) == org.apache.commons.codec.digest.DigestUtils.md5Hex(sub))
+      assert(r.getLong(5) == 2L)
+    }
+    // len <= chunkSize -> exactly one chunk covering everything
+    assert(rows(2L).length == 1 && rows(2L).head.getLong(3) == 5L)
+    assert(rows(3L).length == 1 && rows(3L).head.getLong(3) == 200L)
+    // one char past the boundary -> a second (overlap-only) chunk
+    assert(rows(4L).map(_.getLong(2)).toSeq == Seq(1L, 151L))
+    // chunks reconstruct the full text: first chars of each stride window
+    val rebuilt = rows(1L).map { r =>
+      text.substring(r.getLong(2).toInt - 1,
+        math.min(text.length, r.getLong(2).toInt - 1 + 150))
+    }.mkString
+    assert(rebuilt == text.take(rebuilt.length) && rebuilt.length >= text.length - 200)
+  }
+
+  test("chunkDocuments plan: no exchange (pure row-local explode)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a" * 500)).toDF("doc_id", "text")
+    val plan = TextAnalysis.chunkDocuments(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // --- cluster representatives --------------------------------------------
+
+  test("clusterRepresentatives keeps the longest member, smallest id on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, 100L), (11L, 300L), (12L, 300L), // cluster A: 11 wins tie vs 12
+      (20L, 50L), // singleton
+      (30L, 10L), (31L, 5L) // cluster B: 30 wins on length
+    ).toDF("doc_id", "n_chars")
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L), (30L, 30L),
+      (31L, 30L)).toDF("doc_id", "cluster_id")
+    val out = Dedup
+      .clusterRepresentatives(docs, "doc_id", "n_chars", clusters)
+      .select("doc_id", "cluster_id", "cluster_n", "is_rep")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(11L) == ("10", 3L, true))
+    assert(byId(10L) == ("10", 3L, false))
+    assert(byId(12L) == ("10", 3L, false))
+    // singleton is its own representative
+    assert(byId(20L) == ("20", 1L, true))
+    assert(byId(30L) == ("30", 2L, true))
+    assert(byId(31L) == ("30", 2L, false))
+    // exactly one representative per cluster
+    val reps = out.filter(_.getBoolean(3)).map(_.getString(1))
+    assert(reps.toSeq.sorted == reps.toSet.toSeq.sorted)
+  }
+
+  test("clusterRepresentatives: non-numeric ids keep their singleton label") {
+    import spark.implicits._
+    val docs = Seq(("u-1", 10L), ("u-2", 20L)).toDF("doc_id", "n_chars")
+    val clusters = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.StringType))))
+    val out = Dedup
+      .clusterRepresentatives(docs, "doc_id", "n_chars", clusters)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("cluster_id")).toSeq == Seq("u-1", "u-2"))
+    assert(out.forall(_.getAs[Boolean]("is_rep")))
+  }
+}
