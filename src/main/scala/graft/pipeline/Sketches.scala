@@ -29,8 +29,11 @@ object Sketches {
   /** 48-bit md5-derived hash of a column rendered as a string — the shared
     * hash family of the oracled sketch queries (ap1/ap2). 48 bits keeps
     * every product/scale below 2^63 for both engines' BIGINT arithmetic. */
+  // fused allocation-free spelling of md5_48(cast(c as string)) — the
+  // cast's per-row UTF8String allocation made the sketch scans scale
+  // negatively with local task width (see Md5Key48's doc)
   private def hash48(c: Column): Column =
-    graft.functions.HashFunctions.md5_48(c.cast("string"))
+    graft.functions.HashFunctions.md5_key48(c)
 
   private val HashSpace: Long = 1L << 48
 
@@ -73,10 +76,9 @@ object Sketches {
     * key is 0 mod `oneIn` — the same rows in any engine, any partitioning,
     * any run. The ap1 sampled-median path uses oneIn=10 over
     * (orderkey, linenumber). */
-  def hashSample(df: DataFrame, keyCols: Seq[String], oneIn: Int): DataFrame = {
-    val key = concat_ws(":", keyCols.map(c => col(c).cast("string")): _*)
-    df.where(hash48(key) % oneIn === 0)
-  }
+  def hashSample(df: DataFrame, keyCols: Seq[String], oneIn: Int): DataFrame =
+    df.where(graft.functions.HashFunctions
+      .md5_key48(keyCols.map(col): _*) % oneIn === 0)
 
   /** EXACT per-group lower median (the element at rank `(n+1) div 2` in
     * ascending order — a real data value, never an interpolation) by
@@ -189,8 +191,7 @@ object Sketches {
       .groupBy("j", "bucket").agg(sum(col("c")).cast("long").as("cnt"))
 
   private def cmsBucket(j: Column, token: Column, width: Int): Column =
-    graft.functions.HashFunctions.md5_48(
-      concat(j.cast("string"), lit(":"), token)) % width
+    graft.functions.HashFunctions.md5_key48(j, token) % width
 
   /** Point-estimate a set of candidate tokens against a CMS counter table:
     * estimate(t) = min over rows j of counter[j][bucket_j(t)]. The

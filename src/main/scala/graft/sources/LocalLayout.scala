@@ -64,7 +64,12 @@ object LocalLayout {
     val cores = spark.sparkContext.defaultParallelism
     if (rows < MinRows || groups >= math.min(8, cores))
       return spark.read.parquet(path)
-    val parts = math.min(16, math.max(4, (rows / 150000L).toInt))
+    // ~50k rows per part, capped at the session width: the heavy
+    // expression-over-scan stages (ap1/ap2's per-row md5 filters) are
+    // CPU-bound in the scan stage, and 150k-row parts left them 4-wide
+    // on 32 cores (A/B: full sf0.1 bench 28.2 -> 26.5 s, ap1 0.64 ->
+    // 0.43 s); the extra task-scheduling cost on cheap scans is noise
+    val parts = math.min(cores, math.max(4, (rows / 50000L).toInt))
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${f.getAbsolutePath}:${f.lastModified}:${f.length}:$parts"
         .getBytes("UTF-8")).map("%02x".format(_)).mkString

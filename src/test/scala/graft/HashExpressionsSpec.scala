@@ -136,6 +136,47 @@ class HashExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("md5_key48 equals md5_48(concat_ws(':', casts)) across types and nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 7, "tok"),
+      (-42L, 0, ""),
+      (Long.MinValue, Int.MinValue, "a:b"),
+      (0L, 123456789, "δ unicode ✓"),
+      (987654321012345L, -1, "x")
+    ).toDF("l", "i", "s")
+    val got = df.select(
+      graft.functions.HashFunctions.md5_key48(col("l"), col("i"), col("s")).as("k"),
+      graft.functions.HashFunctions.md5_48(concat_ws(":",
+        col("l").cast("string"), col("i").cast("string"), col("s"))).as("ref"),
+      graft.functions.HashFunctions.md5_key48(col("l")).as("k1"),
+      graft.functions.HashFunctions.md5_48(col("l").cast("string")).as("ref1"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), r.toString)
+      assert(r.getLong(2) == r.getLong(3), r.toString)
+    }
+    // null children skip WITHOUT a separator — concat_ws semantics
+    val n = Seq((Some(5L), Option.empty[String], Some("t")))
+      .toDF("a", "b", "c")
+      .select(
+        graft.functions.HashFunctions.md5_key48(col("a"), col("b"), col("c")).as("k"),
+        graft.functions.HashFunctions.md5_48(concat_ws(":",
+          col("a").cast("string"), col("b"), col("c"))).as("ref"))
+      .head
+    assert(n.getLong(0) == n.getLong(1))
+    // interpreted eval path agrees with codegen
+    val e = graft.functions.Md5Key48(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(99L),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("q"),
+        org.apache.spark.sql.types.StringType)))
+    val viaSql = spark.sql(
+      "SELECT CAST(conv(substring(md5('99:q'), 1, 12), 16, 10) AS BIGINT)").head.getLong(0)
+    assert(e.eval(null) == viaSql)
+  }
+
   test("registered SQL form works inside transform lambdas") {
     graft.functions.HashFunctions.register(spark)
     val r = spark.sql(
