@@ -688,11 +688,14 @@ object TextAnalysis {
     * corpus — the retrieval core of RAG-style training-data selection.
     *
     * Scale shape (100 TB corpus, q queries of a few terms each):
-    *  - the query term list is broadcast; the token stream is pruned to
-    *    matching tokens AT THE JOIN before any per-doc aggregation, so the
-    *    tf/df passes aggregate only hit rows (corpus scan is one pass);
-    *  - doc lengths are one partial-aggregable groupBy; corpus N/avgdl is
-    *    a single scalar row crossed in (broadcast, never a shuffle);
+    *  - the query term list is a literal IN-list (codegen'd hash set in
+    *    the scan stage): the token stream is pruned to matching tokens
+    *    BEFORE any per-doc aggregation, so the tf/df passes aggregate
+    *    only hit rows (corpus scan is one pass);
+    *  - doc length is row-local (`size(split(..))` — element-for-element
+    *    what a tokenize-explode-count pass counts), so no corpus-wide dl
+    *    groupBy exists; corpus N/avgdl is a single scalar row crossed in
+    *    (broadcast, never a shuffle);
     *  - the final ranking runs on the TopKPerGroup bounded-heap plan —
     *    O(hits log k), no per-query global sort.
     *
@@ -711,41 +714,69 @@ object TextAnalysis {
       queries: Seq[(Int, Seq[String])], k: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "bm25TopK needs at least one query")
-    val s = docs.sparkSession
-    import s.implicits._
-    val q = queries.flatMap { case (qid, terms) =>
-      terms.distinct.map(t => (qid, t))
-    }.toDF("qid", "term")
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("token"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-    val qTerms = q.select(col("term")).distinct()
-    // broadcast semi-join prunes the token stream to query terms before
-    // any aggregation — at corpus scale this is the one full-data pass
-    val hits = tok.join(broadcast(qTerms), tok("token") === qTerms("term"))
-      .select(col("doc_id"), col("token"))
-    val tf = hits.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val allTerms = queries.flatMap(_._2).distinct
+    def tfc(t: String) = s"__tf_${allTerms.indexOf(t)}"
+    def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
+    // ONE corpus pass, ONE doc-keyed exchange: the term list is a literal
+    // IN-list (codegen'd hash set — no broadcast join needed, prunes the
+    // token stream before aggregation), doc length rides the explode rows
+    // (row-local `size(split)` — element-for-element what a
+    // tokenize-explode-count pass counts, so no corpus-wide dl groupBy),
+    // and per-term tfs land as COLUMNS of one groupBy(doc). Everything
+    // downstream of this frame is hit-docs-sized.
+    val tokArr = split(col(textCol), " ")
+    // deliberately NOT fanned out: split/explode allocate per token, and
+    // measured at 32 local tasks the allocation contention cost 200x more
+    // CPU than the single-task run (the MinhashSigs negative-scaling
+    // pathology); on a real cluster the scan arrives pre-split across
+    // executors and each task keeps this row-local shape
+    val hits = docs
+      .select(col(idCol).as("doc_id"), size(tokArr).cast("long").as("dl"),
+        explode(tokArr).as("token"))
+      .where(col("token").isin(allTerms.map(x => x: Any): _*))
+    val perDoc = hits.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        allTerms.map(t =>
+          sum(when(col("token") === t, 1L).otherwise(0L)).as(tfc(t))): _*)
+    // corpus stats (N, total token mass): one scalar agg over a row-local
+    // projection; document frequencies: one scalar agg over the hit-docs
+    // frame — both broadcast single rows
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("total_len"))
+    val dfsAggs = allTerms.map(t =>
+      sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(dfc(t)))
+    val dfs = perDoc.agg(dfsAggs.head, dfsAggs.tail: _*)
     // operation order mirrors the oracle SQL text exactly (left-assoc
-    // IEEE +,*,/): idf_micro = floor(ln((N - df + 0.5)/(df + 0.5) + 1)*1e6)
+    // IEEE +,*,/): idf_micro = floor(ln((N - df + 0.5)/(df + 0.5) + 1)*1e6);
+    // a zero-tf term scores exactly 0 (floor(idf * 0)), so the per-query
+    // fixed-order integer sum equals the oracle's present-terms-only sum
     val avgdl = col("total_len").cast("double") / col("n_docs")
-    val scored = tf
-      .join(broadcast(dft), "token")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf_micro",
-        floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-          * lit(1000000.0)).cast("long"))
-      .withColumn("tfn",
-        col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
-      .withColumn("term_micro", floor(col("idf_micro") * col("tfn")).cast("long"))
-      .select(col("doc_id"), col("token"), col("term_micro"))
-    val perQuery = scored.join(broadcast(q), scored("token") === q("term"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("term_micro")).as("score_micro"))
-    graft.plans.TopKPerGroup(perQuery, keys = Seq("qid"),
+    def termScore(t: String): Column = {
+      val tf = col(tfc(t))
+      val idfMicro =
+        floor(log((col("n_docs") - col(dfc(t)) + lit(0.5)) /
+          (col(dfc(t)) + lit(0.5)) + lit(1.0)) * lit(1000000.0)).cast("long")
+      val tfn = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+      floor(idfMicro * tfn).cast("long")
+    }
+    // per-query score = projection over the per-doc tf columns; a doc
+    // emits a (qid, score) element only when it contains at least one of
+    // the query's terms (join-form semantics)
+    val perQ = queries.map { case (qid, terms) =>
+      val ts = terms.distinct
+      val score = ts.map(termScore).reduce(_ + _)
+      val hasHit = ts.map(t => col(tfc(t)) > 0).reduce(_ || _)
+      struct(lit(qid).as("qid"),
+        when(hasHit, score).as("score_micro"))
+    }
+    val stacked = perDoc
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .select(col("doc_id"), explode(array(perQ: _*)).as("qs"))
+      .where(col("qs.score_micro").isNotNull)
+      .select(col("qs.qid").as("qid"), col("doc_id"),
+        col("qs.score_micro").as("score_micro"))
+    graft.plans.TopKPerGroup(stacked, keys = Seq("qid"),
       orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
   }
 

@@ -46,13 +46,18 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
-  test("bm25TopK plan: query terms broadcast, no sort-merge join") {
-    val plan = TextAnalysis.bm25TopK(toyCorpus, "doc_id", "text",
-      Seq(1 -> Seq("cat")), k = 2)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+  test("bm25TopK plan: one doc-keyed exchange, broadcast stats, no SMJ") {
+    val df = TextAnalysis.bm25TopK(toyCorpus, "doc_id", "text",
+      Seq(1 -> Seq("cat", "dog")), k = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // model-state rows broadcast; the corpus never sort-merges or
+    // re-shuffles past the single per-doc aggregation exchange
+    assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("TopKPerGroup"), plan)
+    // the term prune is an IN-set filter in the scan stage, not a join
+    assert(plan.contains("token#") &&
+      (plan.contains("INSET") || plan.contains(" IN (")), plan)
   }
 
   // --- chunking -----------------------------------------------------------
