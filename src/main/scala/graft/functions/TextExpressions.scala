@@ -177,12 +177,104 @@ object TextEntropyStats {
   }
 }
 
+/** Native per-term token counts: `token_term_counts(text, terms)` ==
+  * `array(size(filter(split(text,' '), x -> x = t0)), ...,
+  *        size(split(text,' ')))` — per-term tf counts plus the total
+  * token count (last element), from ONE compiled pass over the string's
+  * UTF-8 bytes with zero allocation beyond the m+1-long output.
+  *
+  * This is the BM25/retrieval scan kernel: the split+explode+filter
+  * spelling allocates a UTF8String per token (hundreds per document) and
+  * under local multi-task scans that allocation pressure scales
+  * NEGATIVELY with parallelism (the MinhashSigs pathology). Token
+  * boundaries are single 0x20 bytes — UTF-8 guarantees 0x20 never occurs
+  * inside a multi-byte sequence, so byte scanning matches
+  * `split(text, ' ')` exactly, including empty tokens between adjacent
+  * separators and after a trailing separator (Java split limit -1, which
+  * is what Spark's split uses). TokenTermCountsSpec property-pins the
+  * equality on arbitrary unicode. */
+case class TokenTermCounts(child: Expression, terms: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(terms.nonEmpty, "token_term_counts needs at least one term")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_term_counts requires a string input, got $other")
+    }
+
+  override def prettyName: String = "token_term_counts"
+
+  @transient private lazy val termBytes: Array[Array[Byte]] =
+    terms.map(_.getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TokenTermCounts.compute(input.asInstanceOf[UTF8String], termBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship the term byte table through a codegen reference object so the
+    // generated code carries no per-term literal trees
+    val tbRef = ctx.addReferenceObj("termBytes", termBytes,
+      "byte[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenTermCounts.compute($c, $tbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTermCounts =
+    copy(child = newChild)
+}
+
+object TokenTermCounts {
+  def compute(s: UTF8String, termBytes: Array[Array[Byte]]): ArrayData = {
+    val m = termBytes.length
+    val out = new Array[Long](m + 1)
+    val n = s.numBytes()
+    var total = 0L
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == 0x20) {
+        total += 1
+        val len = i - tokStart
+        var j = 0
+        while (j < m) {
+          val tb = termBytes(j)
+          if (tb.length == len) {
+            var k = 0
+            var eq = true
+            while (eq && k < len) {
+              if (s.getByte(tokStart + k) != tb(k)) eq = false
+              k += 1
+            }
+            if (eq) out(j) += 1
+          }
+          j += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    out(m) = total
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** Column-API surface. */
   def word_ngrams(text: Column, n: Int): Column =
     column(WordNGrams(expression(text), Literal(n)))
+
+  /** Per-term token counts + total token count (last element). */
+  def token_term_counts(text: Column, terms: Seq[String]): Column =
+    column(TokenTermCounts(expression(text), terms))
 
   def text_stats(text: Column): Column =
     column(TextEntropyStats(expression(text)))

@@ -687,16 +687,18 @@ object TextAnalysis {
     * formula with k1/b) for a SMALL query set over an arbitrarily large
     * corpus — the retrieval core of RAG-style training-data selection.
     *
-    * Scale shape (100 TB corpus, q queries of a few terms each):
-    *  - the query term list is a literal IN-list (codegen'd hash set in
-    *    the scan stage): the token stream is pruned to matching tokens
-    *    BEFORE any per-doc aggregation, so the tf/df passes aggregate
-    *    only hit rows (corpus scan is one pass);
-    *  - doc length is row-local (`size(split(..))` — element-for-element
-    *    what a tokenize-explode-count pass counts), so no corpus-wide dl
-    *    groupBy exists; corpus N/avgdl is a single scalar row crossed in
-    *    (broadcast, never a shuffle);
-    *  - the final ranking runs on the TopKPerGroup bounded-heap plan —
+    * Scale shape (100 TB corpus, q queries of a few terms each) — the
+    * corpus NEVER shuffles:
+    *  - per-term tfs + the doc token count come from the native
+    *    [[graft.functions.TokenTermCounts]] kernel — one compiled pass
+    *    over the string bytes, zero per-token allocation (tokenize-
+    *    explode spellings allocate per token and scale negatively with
+    *    local task width);
+    *  - ALL model state (N, total token mass, per-term document
+    *    frequencies) folds into ONE scalar aggregation pass over that
+    *    kernel — a single broadcast row;
+    *  - scoring is a row-local projection over hit docs; the final
+    *    ranking runs on the TopKPerGroup bounded-heap plan —
     *    O(hits log k), no per-query global sort.
     *
     * Cross-engine determinism (the DuckDB oracle hash-gates this): idf is
@@ -717,35 +719,32 @@ object TextAnalysis {
     val allTerms = queries.flatMap(_._2).distinct
     def tfc(t: String) = s"__tf_${allTerms.indexOf(t)}"
     def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
-    // ONE corpus pass, ONE doc-keyed exchange: the term list is a literal
-    // IN-list (codegen'd hash set — no broadcast join needed, prunes the
-    // token stream before aggregation), doc length rides the explode rows
-    // (row-local `size(split)` — element-for-element what a
-    // tokenize-explode-count pass counts, so no corpus-wide dl groupBy),
-    // and per-term tfs land as COLUMNS of one groupBy(doc). Everything
-    // downstream of this frame is hit-docs-sized.
-    val tokArr = split(col(textCol), " ")
-    // deliberately NOT fanned out: split/explode allocate per token, and
-    // measured at 32 local tasks the allocation contention cost 200x more
-    // CPU than the single-task run (the MinhashSigs negative-scaling
-    // pathology); on a real cluster the scan arrives pre-split across
-    // executors and each task keeps this row-local shape
-    val hits = docs
-      .select(col(idCol).as("doc_id"), size(tokArr).cast("long").as("dl"),
-        explode(tokArr).as("token"))
-      .where(col("token").isin(allTerms.map(x => x: Any): _*))
-    val perDoc = hits.groupBy(col("doc_id"))
-      .agg(max(col("dl")).as("dl"),
-        allTerms.map(t =>
-          sum(when(col("token") === t, 1L).otherwise(0L)).as(tfc(t))): _*)
-    // corpus stats (N, total token mass): one scalar agg over a row-local
-    // projection; document frequencies: one scalar agg over the hit-docs
-    // frame — both broadcast single rows
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col(textCol), " ")).cast("long")).as("total_len"))
-    val dfsAggs = allTerms.map(t =>
-      sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(dfc(t)))
-    val dfs = perDoc.agg(dfsAggs.head, dfsAggs.tail: _*)
+    val m = allTerms.size
+    // the corpus NEVER shuffles: per-term tfs + the doc's token count come
+    // from the native token_term_counts kernel (one compiled byte pass,
+    // zero per-token allocation — a split+explode spelling allocates per
+    // token and scales negatively with local task width); corpus stats and
+    // document frequencies fold into ONE scalar aggregation pass, and the
+    // per-doc frame is a row-local projection pruned to docs with >= 1 hit
+    val tc = graft.functions.TextFunctions
+      .token_term_counts(col(textCol), allTerms)
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), tc.as("__tc"))
+      .select(Seq(col("doc_id"),
+        element_at(col("__tc"), m + 1).as("dl")) ++
+        allTerms.zipWithIndex.map { case (t, i) =>
+          element_at(col("__tc"), i + 1).as(tfc(t))
+        }: _*)
+      .where(allTerms.map(t => col(tfc(t)) > 0).reduce(_ || _))
+    // one corpus pass for ALL model state: N, total token mass, per-term
+    // document frequencies — a single broadcast row
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(element_at(col("__tc"), m + 1)).as("total_len")) ++
+      allTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(element_at(col("__tc"), i + 1) > 0, 1L).otherwise(0L))
+          .as(dfc(t))
+      }
+    val one = docs.select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
     // operation order mirrors the oracle SQL text exactly (left-assoc
     // IEEE +,*,/): idf_micro = floor(ln((N - df + 0.5)/(df + 0.5) + 1)*1e6);
     // a zero-tf term scores exactly 0 (floor(idf * 0)), so the per-query
@@ -771,7 +770,7 @@ object TextAnalysis {
         when(hasHit, score).as("score_micro"))
     }
     val stacked = perDoc
-      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .crossJoin(broadcast(one))
       .select(col("doc_id"), explode(array(perQ: _*)).as("qs"))
       .where(col("qs.score_micro").isNotNull)
       .select(col("qs.qid").as("qid"), col("doc_id"),

@@ -33,6 +33,7 @@ object LocalLayout {
 
   /** Compact only when the scan would otherwise be effectively serial. */
   private val MinRows = 100000L
+  private val MinBytes = 8L * 1024 * 1024
 
   private val lock = new Object
 
@@ -62,14 +63,19 @@ object LocalLayout {
       case _: Throwable => return spark.read.parquet(path)
     }
     val cores = spark.sparkContext.defaultParallelism
-    if (rows < MinRows || groups >= math.min(8, cores))
+    // eligibility is rows OR bytes: a 50k-row documents table is few rows
+    // but tens of MB of text — a single row group still serializes every
+    // text-kernel scan (measured: rt1's two corpus passes at the derived
+    // sf1 ran ~1 s single-threaded)
+    if ((rows < MinRows && f.length < MinBytes) || groups >= math.min(8, cores))
       return spark.read.parquet(path)
-    // ~50k rows per part, capped at the session width: the heavy
+    // ~50k rows or ~8 MB per part, capped at the session width: the heavy
     // expression-over-scan stages (ap1/ap2's per-row md5 filters) are
     // CPU-bound in the scan stage, and 150k-row parts left them 4-wide
     // on 32 cores (A/B: full sf0.1 bench 28.2 -> 26.5 s, ap1 0.64 ->
     // 0.43 s); the extra task-scheduling cost on cheap scans is noise
-    val parts = math.min(cores, math.max(4, (rows / 50000L).toInt))
+    val parts = math.min(cores, math.max(4,
+      math.max(rows / 50000L, f.length / MinBytes).toInt))
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${f.getAbsolutePath}:${f.lastModified}:${f.length}:$parts"
         .getBytes("UTF-8")).map("%02x".format(_)).mkString

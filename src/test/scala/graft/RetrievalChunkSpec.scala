@@ -46,18 +46,46 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
-  test("bm25TopK plan: one doc-keyed exchange, broadcast stats, no SMJ") {
-    val df = TextAnalysis.bm25TopK(toyCorpus, "doc_id", "text",
+  test("bm25TopK plan: corpus never shuffles — native kernel + broadcast row") {
+    // a parquet round-trip keeps the corpus a real scan — over a local
+    // relation the optimizer constant-folds the whole kernel at plan time
+    val dir = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    toyCorpus.write.mode("overwrite").parquet(dir)
+    val df = TextAnalysis.bm25TopK(spark.read.parquet(dir), "doc_id", "text",
       Seq(1 -> Seq("cat", "dog")), k = 2)
     val plan = df.queryExecution.executedPlan.toString
-    // model-state rows broadcast; the corpus never sort-merges or
-    // re-shuffles past the single per-doc aggregation exchange
+    // scoring is a projection over the native kernel; model state arrives
+    // as one broadcast row; the only hash exchange keys the tiny stacked
+    // (qid, doc, score) frame for TopK — never the corpus by doc
+    assert(plan.contains("token_term_counts"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("TopKPerGroup"), plan)
-    // the term prune is an IN-set filter in the scan stage, not a join
-    assert(plan.contains("token#") &&
-      (plan.contains("INSET") || plan.contains(" IN (")), plan)
+    assert(!plan.contains("hashpartitioning(doc_id"), plan)
+  }
+
+  test("token_term_counts == split/filter spelling on arbitrary unicode") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{Parameters, check}
+    import spark.implicits._
+    val terms = Seq("cat", "", "δx", "a b") // incl. never-matching shapes
+    val tb = terms.map(_.getBytes("UTF-8")).toArray
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.oneOf("cat", "dog", " ", "δx", "", "ab"),
+      org.scalacheck.Gen.alphaStr.map(_.take(5)),
+      org.scalacheck.Gen.listOfN(4,
+        org.scalacheck.Gen.choose(32.toChar, 0x2fff.toChar)).map(_.mkString)))
+      .map(_.mkString(" "))
+    val p = forAll(gen) { text =>
+      val got = graft.functions.TokenTermCounts.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), tb)
+      val toks = text.split(" ", -1)
+      (0 until terms.size).forall(i =>
+        got.getLong(i) == toks.count(_ == terms(i)).toLong) &&
+        got.getLong(terms.size) == toks.length.toLong
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
   }
 
   // --- chunking -----------------------------------------------------------
