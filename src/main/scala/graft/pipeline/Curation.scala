@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,55 @@ object Curation {
   /** Train/eval decontamination (library form of dc1): flag every training
     * document sharing an `n`-gram with the eval corpus, with overlap
     * counts (GPT-3 appendix-C shape). */
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-bigram features are under a TARGET
+    * distribution (the slice matching `targetPred` — e.g. curated/English
+    * text) than under the raw corpus, then keep the highest-weight
+    * documents. The published recipe: hash n-gram features into a fixed
+    * bucket table, fit two add-one-smoothed bucket LMs, weight =
+    * Σ_features log(p_target(b) / p_source(b)).
+    *
+    * Determinism discipline: buckets are md5_48(gram) % `buckets`; each
+    * bucket's two log-probs quantize separately through the suite's
+    * fixed-point micro-nat floor (`floor(ln(p) * 1e6)` as BIGINT), so the
+    * per-document weight is an integer SUM of (lt - ls) over its bigram
+    * occurrences — order-free and engine-exact.
+    *
+    * Scale shape (100 TB): the two LMs are ONE groupBy over the hashed
+    * bigram stream (bucket-table-sized state, partial-aggregable); the
+    * model is `buckets` rows — broadcast back over the stream; the
+    * per-doc weight is one partial-aggregable sum. Nothing corpus-sized
+    * ever sits on the driver or shuffles twice. */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 8192): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val grams = docs.select(col(idCol).as("doc_id"),
+      targetPred.as("__tgt"),
+      explode(graft.functions.TextFunctions.word_ngrams(col(textCol), 2))
+        .as("gram"))
+    val bucketed = grams.select(col("doc_id"), col("__tgt"),
+      (graft.functions.HashFunctions.md5_48(col("gram")) % buckets).as("b"))
+    // one pass: per-bucket target/source counts (source = whole corpus,
+    // target ⊂ source — the paper's estimator)
+    val lm = bucketed.groupBy(col("b")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cs"))
+    val tot = lm.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
+    val model = lm.crossJoin(broadcast(tot)).select(col("b"),
+      (floor(log((col("ct") + lit(1L)) /
+          (col("nt").cast("double") + lit(buckets.toDouble))) * lit(1000000.0))
+        .cast("long") -
+        floor(log((col("cs") + lit(1L)) /
+          (col("ns").cast("double") + lit(buckets.toDouble))) * lit(1000000.0))
+          .cast("long")).as("lr_micro"))
+    bucketed
+      .join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_micro")).as("w_micro"))
+  }
+
   def decontaminate(
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame =

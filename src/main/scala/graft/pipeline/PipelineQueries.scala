@@ -321,6 +321,41 @@ object PipelineQueries {
     // ss1: brute-force cosine top-k (the exact baseline an ANN variant is
     // judged against). Ranking on round(cos, 6) with vec_id tiebreak keeps
     // the result independent of float summation order.
+    // ss9: FILTERED vector search — hard-negative mining for contrastive
+    // training: for each query vector, the top-5 most-similar vectors of a
+    // DIFFERENT label (the metadata predicate prunes candidates BEFORE
+    // scoring — at scale the filter pushes into the candidate scan, so a
+    // selective predicate shrinks the scored set, not just the output).
+    // Brute-force teaching baseline like ss1; the IVF/PQ paths compose the
+    // same predicate ahead of their coarse quantizer.
+    Q("ss9_filtered_topk",
+      s"""WITH vl AS (SELECT vec_id, label, embedding,
+         |             sqrt(${sparkDot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe, nrm AS qn
+         |      FROM vl WHERE vec_id < 5),
+         |c AS (SELECT qid, e.vec_id AS vec_id,
+         |             round(${sparkDot("qe", "e.embedding")} / (qn * e.nrm), 6) AS cos
+         |      FROM q JOIN vl e ON e.label <> q.qlab)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin,
+      s"""WITH vl AS (SELECT vec_id, label, embedding,
+         |             sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe, nrm AS qn
+         |      FROM vl WHERE vec_id < 5),
+         |c AS (SELECT qid, e.vec_id AS vec_id,
+         |             round(${duckDot("qe", "e.embedding")} / (qn * e.nrm), 6) AS cos
+         |      FROM q JOIN vl e ON e.label <> q.qlab)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin),
+
     Q("ss1_bruteforce_topk",
       s"""WITH $sparkVecs,
          |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 5),
@@ -2575,6 +2610,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // ds1: DSIR importance-resampling selection (Xie et al. 2023) — keep
+    // the 100 documents whose hashed-bigram features look most like the
+    // TARGET slice (lang='en') relative to the raw corpus. The library
+    // operator holds the whole scale story (one bucket-LM groupBy,
+    // broadcast model, partial-aggregable doc sums); selection is a
+    // global top-100 (TakeOrdered — never a full sort).
+    "ds1_dsir_selection" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Curation.dsirWeights(s.table("documents"), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy(col("w_micro").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"), col("n_bigrams"), col("w_micro"))
+    }),
+
     // cq1: one representative per near-dup cluster (longest member,
     // smallest id on ties) over the STORED dd7 cluster artifact — the
     // keep-one curation step that follows clustering.
@@ -3484,6 +3534,36 @@ object PipelineQueries {
   def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
       "rt1_bm25_topk" -> bm25Oracle(),
+
+      // ds1: the same hashed-bigram two-LM importance chain; every
+      // log-prob quantizes through the micro-nat floor separately, so the
+      // doc weight is an integer sum in both engines
+      "ds1_dsir_selection" ->
+        """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+          |              string_split(text, ' ') AS w FROM documents),
+          |g AS (SELECT doc_id, tgt,
+          |        array_to_string(list_slice(w, i + 1, i + 2), ' ') AS gram
+          |      FROM tok, unnest(range(0, greatest(len(w) - 1, 1))) AS t(i)),
+          |gb AS (SELECT doc_id, tgt,
+          |        ('0x' || substring(md5(gram), 1, 12))::BIGINT % 8192 AS b
+          |       FROM g),
+          |lm AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+          |        count(*) AS cs FROM gb GROUP BY b),
+          |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+          |         CAST(sum(cs) AS BIGINT) AS ns FROM lm),
+          |model AS (SELECT b,
+          |        CAST(floor(ln((ct + 1) / (CAST(nt AS DOUBLE) + 8192.0)) * 1000000.0) AS BIGINT)
+          |        - CAST(floor(ln((cs + 1) / (CAST(ns AS DOUBLE) + 8192.0)) * 1000000.0) AS BIGINT)
+          |          AS lr_micro
+          |       FROM lm CROSS JOIN tot),
+          |dw AS (SELECT gb.doc_id, count(*) AS n_bigrams,
+          |        CAST(sum(m.lr_micro) AS BIGINT) AS w_micro
+          |       FROM gb JOIN model m ON m.b = gb.b GROUP BY gb.doc_id)
+          |SELECT doc_id, n_bigrams, w_micro FROM (
+          |  SELECT doc_id, n_bigrams, w_micro,
+          |         row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rk
+          |  FROM dw) t
+          |WHERE rk <= 100 ORDER BY w_micro DESC, doc_id""".stripMargin,
 
       // ck1: the same integer chunk-count arithmetic + 1-based substring
       // windows; md5 of each window hash-gates the bytes themselves

@@ -130,6 +130,41 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // --- DSIR importance selection --------------------------------------------
+
+  test("dsirWeights: target-like documents outweigh source-only documents") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // target slice speaks "alpha beta"; the rest speaks "gamma delta";
+    // a candidate doc matching the target bigrams must outweigh one that
+    // matches only the background
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta alpha beta alpha beta", true)) ++
+      (21L to 60L).map(i => (i, "gamma delta gamma delta gamma delta", false)) ++
+      Seq((100L, "alpha beta alpha beta alpha beta", false),
+        (101L, "gamma delta gamma delta gamma delta", false))
+    ).toDF("doc_id", "text", "is_tgt")
+    val w = Curation.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(100L) > w(101L),
+      s"target-like doc must outweigh background doc: $w")
+    // same text => same weight (pure function of features)
+    assert(w(100L) == w(1L))
+  }
+
+  test("dsirWeights plan: bucket model broadcasts, corpus never SMJs") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    val dir = java.nio.file.Files.createTempDirectory("dsirplan").toString
+    (1L to 50L).map(i => (i, "a b c d e f", i % 2 == 0))
+      .toDF("doc_id", "text", "is_tgt").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val plan = Curation.dsirWeights(df, "doc_id", "text", col("is_tgt"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   // --- cluster representatives --------------------------------------------
 
   test("clusterRepresentatives keeps the longest member, smallest id on ties") {
