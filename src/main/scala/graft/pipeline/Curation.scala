@@ -193,6 +193,59 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_micro")).as("w_micro"))
   }
 
+  /** Extract the fitted DSIR bucket model as serving state: index b →
+    * lr_micro (the integer micro-nat log-ratio [[dsirWeights]] computes).
+    * `buckets` longs — model state like ml1's weight table or ts3's
+    * seasonal profile; buckets no training gram ever hit carry the
+    * ct=0/cs=0 smoothed default so unseen-feature documents score the
+    * same value any engine would compute. */
+  def dsirModel(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 8192): Array[Long] = {
+    val grams = docs.select(targetPred.as("__tgt"),
+      explode(graft.functions.TextFunctions.word_ngrams(col(textCol), 2))
+        .as("gram"))
+    val bucketed = grams.select(col("__tgt"),
+      (graft.functions.HashFunctions.md5_48(col("gram")) % buckets).as("b"))
+    val lm = bucketed.groupBy(col("b")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cs"))
+    val rows = lm.collect() // buckets-bounded model state, never corpus rows
+    val nt = rows.map(_.getLong(1)).sum.toDouble + buckets.toDouble
+    val ns = rows.map(_.getLong(2)).sum.toDouble + buckets.toDouble
+    def lr(ct: Long, cs: Long): Long =
+      math.floor(math.log((ct + 1L) / nt) * 1000000.0).toLong -
+        math.floor(math.log((cs + 1L) / ns) * 1000000.0).toLong
+    val out = Array.fill(buckets)(lr(0L, 0L))
+    rows.foreach(r => out(r.getLong(0).toInt) = lr(r.getLong(1), r.getLong(2)))
+    out
+  }
+
+  /** Score documents against a FITTED DSIR bucket model — the serving
+    * side of [[dsirWeights]] (identical integer weights on the training
+    * corpus itself; spec-pinned). The model ships as ONE array literal
+    * (a single reference object — no per-bucket literal tree), the
+    * lookup is a row-local projection, and the per-doc sum is a
+    * partial-aggregable groupBy, so the IDENTICAL plan scores a batch
+    * frame or a Structured Streaming source of incoming documents in
+    * update mode (the dc1/ts3 twin pattern: train offline, apply to the
+    * live feed). */
+  def dsirScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: Array[Long]): DataFrame = {
+    require(model.nonEmpty, "empty DSIR model")
+    val marr = lit(model)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.word_ngrams(col(textCol), 2))
+          .as("gram"))
+      .select(col("doc_id"), element_at(marr,
+        (graft.functions.HashFunctions.md5_48(col("gram")) % model.length)
+          .cast("int") + 1).as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lr")).as("w_micro"))
+  }
+
   def decontaminate(
       train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame =

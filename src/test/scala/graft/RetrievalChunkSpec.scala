@@ -152,6 +152,40 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(w(100L) == w(1L))
   }
 
+  test("dsirScore(fitted model) == dsirWeights on the training corpus; stream == batch") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val docs = spark.table("documents")
+    val model = Curation.dsirModel(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 512)
+    assert(model.length == 512)
+    val served = Curation.dsirScore(docs, "doc_id", "text", model)
+    val fitted = Curation.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 512)
+    assert(served.exceptAll(fitted).count() == 0 &&
+      fitted.exceptAll(served).count() == 0)
+    // the identical operator scores a live stream in update mode,
+    // micro-batch cuts invisible in the final state
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1).take(90)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = Curation.dsirScore(ms.toDF.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dsir_stream").start()
+    Seq(30, 60, 90).foldLeft(0) { (from, to) =>
+      ms.addData(rows.slice(from, to)); q.processAllAvailable(); to
+    }
+    q.stop()
+    val streamed = spark.table("dsir_stream")
+    val batch = served.join(rows.map(_._1).toDF("doc_id"), "doc_id")
+      .select(streamed.columns.map(col): _*)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("dsirWeights plan: bucket model broadcasts, corpus never SMJs") {
     import spark.implicits._
     import graft.pipeline.Curation
