@@ -2670,7 +2670,10 @@ object PipelineQueries {
       // groupedLowerMedian scans the sample twice (count histogram, then
       // a target-bucket-pruned pick pass) — both scans are codegen'd
       // filter+project over the parquet, cheaper than materializing the
-      // sampled values into per-bucket arrays
+      // sampled values into per-bucket arrays. (A localCheckpoint of the
+      // sample was A/B'd in round 9 and LOST — with the allocation-free
+      // Md5Key48 filter the re-hash re-scan costs less than the
+      // checkpoint write+read: ap1 1.26 vs 0.94 s standalone at sf0.1.)
       val samp = Sketches
         .hashSample(li, Seq("l_orderkey", "l_linenumber"), oneIn = 10)
         .select(col("l_returnflag"), col("l_extendedprice").as("price"))
