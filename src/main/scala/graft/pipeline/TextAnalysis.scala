@@ -372,7 +372,10 @@ object TextAnalysis {
   def hashedLinearScore(
       docs: DataFrame, idCol: String, textCol: String,
       weights: Seq[Long]): DataFrame = {
-    val warr = array(weights.map(lit(_)): _*)
+    // ONE array literal (a single reference object), not array(lit...):
+    // a per-bucket literal tree re-enters every AQE re-optimization pass
+    // (the VectorScores finding) and bloats the codegen source
+    val warr = lit(weights.toArray)
     docs.repartition(col(idCol))
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("token"))
       .select(col("doc_id"), element_at(warr,
@@ -425,7 +428,7 @@ object TextAnalysis {
       .localCheckpoint()
     var w = Array.fill(buckets)(0.0)
     for (_ <- 1 to iters) {
-      val warr = array(w.toIndexedSeq.map(lit(_)): _*)
+      val warr = lit(w.clone()) // one literal object per round, no lit-tree
       // margin per doc, then per-bucket gradient of the log-loss:
       // grad_b = sum_docs (sigmoid(s_d) - y_d) * x_{d,b}
       // margins sum <= 1024 elements of |wx| * 1e12 and gradients
