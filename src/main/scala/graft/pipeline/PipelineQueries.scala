@@ -2625,6 +2625,33 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"), col("w_micro"))
     }),
 
+    // dd10: duplicate-mass report — the dedup dashboard every corpus
+    // build reads (and every dedup paper tables): for each near-dup
+    // cluster SIZE, how many clusters and how many documents, and each
+    // size's per-mille share of the corpus. Serves from the STORED dd7
+    // cluster artifact; two bounded groupBys (cluster frame, then
+    // size histogram) — the corpus contributes only its row count.
+    "dd10_dup_mass_report" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      val cl = cachedClusters(s, dir)
+        .select(col("doc_id").as("__id"), col("cluster_id"))
+      val labeled = docs.select(col("doc_id"))
+        .join(cl, col("doc_id") === col("__id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+      val sizes = labeled.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      sizes.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .crossJoin(broadcast(total))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          expr("n_docs * 1000 DIV n_total").as("docs_per_mille"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // cq1: one representative per near-dup cluster (longest member,
     // smallest id on ties) over the STORED dd7 cluster artifact — the
     // keep-one curation step that follows clustering.
@@ -3583,6 +3610,26 @@ object PipelineQueries {
           |       md5(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5,
           |       n_chunks
           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // dd10: closure -> cluster sizes -> size histogram + per-mille
+      "dd10_dup_mass_report" ->
+        s"""WITH RECURSIVE $duckPairsChain,
+           |reach(node, label) AS (
+           |  SELECT a, a FROM edges
+           |  UNION
+           |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+           |cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |       FROM reach GROUP BY node),
+           |lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cid
+           |        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+           |sz AS (SELECT cid, count(*) AS sz FROM lab GROUP BY cid),
+           |tot AS (SELECT count(*) AS n_total FROM documents)
+           |SELECT sz AS cluster_size,
+           |       count(*) AS n_clusters,
+           |       CAST(sum(sz) AS BIGINT) AS n_docs,
+           |       CAST(sum(sz) AS BIGINT) * 1000 // n_total AS docs_per_mille
+           |FROM sz CROSS JOIN tot
+           |GROUP BY sz, n_total ORDER BY cluster_size""".stripMargin,
 
       // cq1: recursive closure over the verified pair list (the dd7
       // chain) -> per-cluster argmax(n_chars, min id) representative

@@ -199,6 +199,25 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  // --- duplicate-mass report ------------------------------------------------
+
+  test("dd10 dup-mass report: doc mass partitions the corpus exactly") {
+    val out = graft.SparkEntry.queries("dd10_dup_mass_report")(
+      spark, TestSessions.sfDir).collect()
+    val total = spark.read
+      .parquet(s"${TestSessions.sfDir}/documents.parquet").count()
+    // every document lands in exactly one cluster-size bucket
+    assert(out.map(_.getLong(2)).sum == total)
+    // n_docs = size * n_clusters per bucket; per-mille is the integer share
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), r.toString)
+      assert(r.getLong(3) == r.getLong(2) * 1000 / total, r.toString)
+    }
+    // sizes strictly increasing (deterministic ordering)
+    val sizes = out.map(_.getLong(0)).toSeq
+    assert(sizes == sizes.sorted && sizes.distinct == sizes)
+  }
+
   // --- cluster representatives --------------------------------------------
 
   test("clusterRepresentatives keeps the longest member, smallest id on ties") {
