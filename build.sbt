@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must NOT pass through sbt's logger: it prefixes every
+// line with "[info] ", which turned Bench's final JSON line into
+// `[info] {...}` — unparseable as a bare JSON line (BENCH_r09 parsed:null).
+// StdoutOutput inherits the child's stdout/stderr directly, no prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -125,13 +125,15 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
-    // Output-format constraints learned the hard way: the driver captures
-    // only a ~4 KB TAIL of stdout, so (a) per-query seconds are rounded to
-    // 3 decimals to keep the whole line short, and (b) the headline
-    // metric/value keys are printed at the END of the line where a tail
-    // capture is guaranteed to retain them (JSON key order is irrelevant
-    // to the parser). Full-precision doubles with a leading total produced
-    // a `parsed: null` round-7 artifact.
+    // Output-format constraints learned the hard way (rounds 7-9 all
+    // published `parsed: null`): the driver captures only a ~4 KB TAIL of
+    // stdout and needs one complete, bare JSON line. So (a) the full
+    // per-query map goes to a FILE artifact (BENCH_perquery.json) plus
+    // stderr for human logs — never stdout, where its ~4 KB body pushed
+    // everything else out of the tail; (b) stdout carries exactly ONE
+    // short JSON object, printed last (build.sbt's StdoutOutput strategy
+    // keeps sbt from prefixing it with "[info] ", which is what killed
+    // round 9's otherwise-correct compact line).
     // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
     def sec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -141,15 +143,15 @@ object Bench {
     val filteredTag =
       if (only.isEmpty) ""
       else s""","filtered":true,"only":"${only.toSeq.sorted.mkString(",")}""""
-    println(s"""{"queries":$qs,"sf":"$sfDir","errors":${failed.size}$filteredTag,"metric":"total","unit":"sec","value":${sec3(total)}}""")
-    // The per-query line above exceeds the driver's ~4 KB stdout tail
-    // capture, so a tail slice cuts off its head and the object never
-    // parses (rounds 7 AND 8 published `parsed: null`). Repeat the
-    // headline as its OWN short line LAST: a tail capture then always
-    // contains at least one complete JSON object carrying the gate
-    // number. Same keys, no per-query map.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":${failed.size}$filteredTag,"nqueries":${results.size},"value":${sec3(total)}}""")
+    val perQueryJson =
+      s"""{"queries":$qs,"sf":"$sfDir","errors":${failed.size}$filteredTag,"metric":"total","unit":"sec","value":${sec3(total)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_perquery.json"), perQueryJson + "\n"): Unit
+    System.err.println(perQueryJson)
     spark.stop()
+    // AFTER spark.stop(): nothing else can write to stdout behind it.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":${failed.size}$filteredTag,"nqueries":${results.size},"value":${sec3(total)}}""")
+    System.out.flush()
     if (failed.nonEmpty) {
       System.err.println(
         s"[bench] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} " +

@@ -91,8 +91,11 @@ object Verify {
         // cells instead of only a boolean. Read BACK the written file —
         // the dump must reflect exactly the bytes the compare hashes,
         // and re-running fn() would re-execute the query (q9 spins a
-        // relay server per call).
-        dumpRows(spark, s"$outDir/$name", s"$outDir/$name/rows.txt")
+        // relay server per call). MUST be underscore-prefixed: pyarrow's
+        // parquet.read_table(dir) treats every non-"_"/"."-prefixed file
+        // in the directory as a parquet fragment, so a bare rows.txt made
+        // the driver reject all 126 result dirs in round 9.
+        dumpRows(spark, s"$outDir/$name", s"$outDir/$name/_rows.txt")
       } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

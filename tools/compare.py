@@ -11,8 +11,9 @@ a view named after the table), then compares:
 Exit code 0 iff everything matches exactly (the driver hashes values, so
 "close" floats are flagged loudly).
 """
-import json, math, sys, glob, os
+import json, math, sys, os
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -38,9 +39,17 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(os.path.join(d, "*.parquet"))
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        # Read the result directory EXACTLY the way the driver does:
+        # pyarrow.parquet.read_table(dir). It treats every file not
+        # prefixed with "_" or "." as a parquet fragment — a stray
+        # rows.txt in the dir zeroed all 126 driver rows in round 9
+        # while a *.parquet glob here stayed green. Never diverge again.
+        try:
+            got = pq.read_table(d)
+        except Exception as e:
+            print(f"[compare] {name}: RESULT DIR UNREADABLE (driver-style read): {e}")
+            failures += 1
+            continue
         if name not in oracle:
             print(f"[compare] {name}: NO ORACLE (rows={got.num_rows}) — rows-only check")
             continue
