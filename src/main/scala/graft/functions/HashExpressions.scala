@@ -305,6 +305,13 @@ case class Md5Key48(children: Seq[Expression]) extends Expression {
   override def foldable: Boolean = children.forall(_.foldable)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // a nested md5_key48 would be type-legal (LongType child) but resets
+    // the SHARED per-thread KeyBuf mid-render of the outer key — silently
+    // wrong hashes in both eval and codegen. Fail loudly at analysis.
+    if (children.exists(_.exists(_.isInstanceOf[Md5Key48])))
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "md5_key48 must not be nested inside another md5_key48 (the render " +
+          "buffer is shared per-thread); materialize the inner key first")
     val bad = children.map(_.dataType).collectFirst {
       case other if other != StringType && other != LongType &&
         other != IntegerType && other != ShortType && other != ByteType =>

@@ -1112,24 +1112,26 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // ev4: rolling ACTIVE-USER ratios (DAU/WAU stickiness) — the
     // engagement dashboard every event pipeline serves. Spark windows
-    // have no COUNT(DISTINCT) frame, so WAU comes from the day-range
-    // join of the DAYS dimension (tiny — one row per calendar day,
-    // broadcast) against the deduped (day, user) relation: each row
-    // lands in at most 7 day-groups, linear in |du|, and |du| ≪ |events|
-    // after the first dedup — the only corpus-wide shuffle. Stickiness
-    // is integer per-mille ((1000·dau) div wau): no float division to
-    // disagree across engines.
+    // have no COUNT(DISTINCT) frame, so WAU comes from a ROW-LOCAL
+    // explode: each deduped (day, user) row fans out into the ≤7 window
+    // days it contributes to (sequence + explode — no join), then one
+    // count-distinct groupBy. That is O(7·|du|) and shuffle-shaped like
+    // any aggregation; the previous days×du range JOIN planned as a
+    // BroadcastNestedLoopJoin testing every du row against ALL days —
+    // O(|du|·|days|), a scale-killer once days span years. Generated
+    // days with no events drop out in the inner join with dau (whose
+    // keys are exactly the observed days), so results are identical.
+    // Stickiness is integer per-mille ((1000·dau) div wau): no float
+    // division to disagree across engines.
     Q("ev4_active_user_ratios",
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-        |days AS (SELECT DISTINCT d FROM du),
         |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
-        |wau AS (SELECT a.d, count(DISTINCT b.user_id) AS wau
-        |        FROM days a JOIN du b
-        |          ON b.d <= a.d AND b.d >= date_sub(a.d, 6)
-        |        GROUP BY a.d)
+        |wau AS (SELECT cd, count(DISTINCT user_id) AS wau
+        |        FROM du LATERAL VIEW explode(sequence(d, date_add(d, 6))) t AS cd
+        |        GROUP BY cd)
         |SELECT dau.d, dau.dau, wau.wau,
         |       CAST((1000 * dau.dau) div wau.wau AS BIGINT) AS stickiness_pm
-        |FROM dau JOIN wau ON dau.d = wau.d
+        |FROM dau JOIN wau ON dau.d = wau.cd
         |ORDER BY dau.d""".stripMargin,
       """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
         |            FROM events),

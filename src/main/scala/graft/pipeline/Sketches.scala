@@ -28,7 +28,17 @@ object Sketches {
 
   /** 48-bit md5-derived hash of a column rendered as a string — the shared
     * hash family of the oracled sketch queries (ap1/ap2). 48 bits keeps
-    * every product/scale below 2^63 for both engines' BIGINT arithmetic. */
+    * every product/scale below 2^63 for both engines' BIGINT arithmetic.
+    *
+    * Contract (narrower than the md5_48(cast(c as string)) SQL spelling it
+    * replaced): the column must be string/integral (cast('string') first
+    * otherwise — analysis fails loudly on date/decimal/double), and is
+    * assumed NON-NULL. md5_key48 skips null children (concat_ws
+    * semantics, hashing like the empty key) where the old spelling
+    * propagated NULL and dropped the row; the oracled columns (TPC-H keys,
+    * document tokens) are all non-null, so both engines see the same
+    * stream. A nullable key column needs an explicit
+    * `when(c.isNull, ...)` guard or a coalesce chosen by the caller. */
   // fused allocation-free spelling of md5_48(cast(c as string)) — the
   // cast's per-row UTF8String allocation made the sketch scans scale
   // negatively with local task width (see Md5Key48's doc)

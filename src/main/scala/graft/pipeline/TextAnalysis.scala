@@ -747,7 +747,12 @@ object TextAnalysis {
         sum(when(element_at(col("__tc"), i + 1) > 0, 1L).otherwise(0L))
           .as(dfc(t))
       }
-    val one = docs.select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
+    // NULL-text docs are outside the document universe: the oracle derives
+    // n_docs from tokenized docs (string_split(NULL) emits no rows), so an
+    // unfiltered count(lit(1)) would inflate N/avgdl on any corpus holding
+    // null text while the oracle's idf/avgdl ignore those rows
+    val one = docs.where(col(textCol).isNotNull)
+      .select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
     // operation order mirrors the oracle SQL text exactly (left-assoc
     // IEEE +,*,/): idf_micro = floor(ln((N - df + 0.5)/(df + 0.5) + 1)*1e6);
     // a zero-tf term scores exactly 0 (floor(idf * 0)), so the per-query

@@ -3,7 +3,7 @@ package graft.validation
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedHaving, UnresolvedInlineTable, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.parser.ParseException
 import org.apache.spark.sql.catalyst.plans.logical._
 
@@ -171,20 +171,59 @@ object SqlValidator {
     * limit/offset/distinct/windows/set-ops/CTEs/subqueries/VALUES.
     * Rejected with the reference's messages: explicit JOINs (only derived-
     * table source substitution is allowed), table-valued functions,
-    * multi-part table paths, lateral views, DISTRIBUTE BY / CLUSTER BY. */
+    * multi-part table paths, lateral views, DISTRIBUTE BY / CLUSTER BY,
+    * TABLESAMPLE, optimizer hints.
+    *
+    * DEFAULT-DENY: the reference rejects every construct not on its
+    * whitelist (`validation.rs:372-376` unknown-expr catch-all, table
+    * factors :445-478). Mirror that posture at the plan-node level — any
+    * node outside the known-allowed set fails with the reference's
+    * catch-all message, so a Spark-specific construct the blacklist never
+    * anticipated cannot slip through an admission gate. Subquery-expression
+    * plans (IN/EXISTS/scalar) are walked too — they are expressions, not
+    * children, so a bare `plan.foreach` would miss a JOIN hidden inside
+    * `WHERE x IN (SELECT ...)`. */
   private def validatePlan(plan: LogicalPlan): Unit = {
     def fail(msg: String): Nothing = throw InvalidQuery(msg)
-    plan.foreach {
-      case j: Join =>
-        fail(s"only explicit source substitutions are allowed but found ${j.joinType.sql} JOIN")
-      case _: Generate => fail("Lateral views are not allowed!")
-      case _: UnresolvedTableValuedFunction =>
-        fail("Table valued functions are not allowed!")
-      case r: UnresolvedRelation if r.multipartIdentifier.size > 1 =>
-        fail(s"Explicit table paths are not allowed! Found: ${r.multipartIdentifier.mkString(".")}")
-      case _: RepartitionByExpression =>
-        fail("Distribute by clause is not allowed!")
-      case _ =>
+    def walk(p: LogicalPlan): Unit = {
+      p match {
+        case j: Join =>
+          fail(s"only explicit source substitutions are allowed but found ${j.joinType.sql} JOIN")
+        case _: Generate => fail("Lateral views are not allowed!")
+        case _: UnresolvedTableValuedFunction =>
+          fail("Table valued functions are not allowed!")
+        case r: UnresolvedRelation if r.multipartIdentifier.size > 1 =>
+          fail(s"Explicit table paths are not allowed! Found: ${r.multipartIdentifier.mkString(".")}")
+        case _: RepartitionByExpression =>
+          fail("Distribute by clause is not allowed!")
+        case _: Sample =>
+          fail("only explicit source substitutions are allowed but found TABLESAMPLE")
+        // reference has no hint concept; its unknown-construct catch-all
+        // applies (`validation.rs:372-376`)
+        case _: UnresolvedHint =>
+          fail("Unrecognized query expression is not implemented")
+        // the allowed single-table SELECT surface
+        case _: Project | _: Filter | _: Aggregate | _: Sort | _: GlobalLimit
+           | _: LocalLimit | _: Offset | _: Distinct | _: Union | _: Intersect
+           | _: Except | _: UnresolvedWith | _: SubqueryAlias
+           | _: UnresolvedRelation | _: UnresolvedHaving
+           | _: UnresolvedInlineTable | _: OneRowRelation
+           | _: UnresolvedSubqueryColumnAliases | _: WithWindowDefinition => ()
+        case _ =>
+          fail("Unrecognized query expression is not implemented")
+      }
+      p.children.foreach(walk)
+      p match {
+        case w: UnresolvedWith =>
+          w.cteRelations.foreach { case (_, sub, _) => walk(sub) }
+        case _ =>
+      }
+      p.expressions.foreach(_.foreach {
+        case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          walk(sq.plan)
+        case _ =>
+      })
     }
+    walk(plan)
   }
 }

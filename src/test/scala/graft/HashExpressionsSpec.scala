@@ -177,6 +177,21 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(e.eval(null) == viaSql)
   }
 
+  test("nested md5_key48 is rejected at analysis (shared render buffer)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a nested key would be type-legal (LongType child) but the inner
+    // expression resets the SAME per-thread KeyBuf mid-render of the outer
+    // key — silently wrong hashes. Must fail loudly instead.
+    val df = Seq((1L, 2L, "x")).toDF("a", "b", "s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.HashFunctions.md5_key48(
+        col("s"),
+        graft.functions.HashFunctions.md5_key48(col("a"), col("b")))).collect()
+    }
+    assert(e.getMessage.contains("must not be nested"), e.getMessage)
+  }
+
   test("registered SQL form works inside transform lambdas") {
     graft.functions.HashFunctions.register(spark)
     val r = spark.sql(

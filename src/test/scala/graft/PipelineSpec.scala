@@ -150,6 +150,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(exchanges(ts2) <= 2, ts2Plan)
   }
 
+  test("ev4 WAU plans without a nested-loop join (row-local day explode)") {
+    // the days×du range-join formulation planned as a
+    // BroadcastNestedLoopJoin — O(|du|·|days|), quadratic in the time
+    // span; the explode form fans each (day,user) row into its ≤7 window
+    // days and aggregates, O(7·|du|)
+    val df = run("ev4_active_user_ratios")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // WAU >= DAU for every day (a day's actives are a subset of its
+    // trailing week's actives), and stickiness_pm in (0, 1000]
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
+    assert(rows.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 1000))
+  }
+
   test("entropy bounds, BPE text reconstruction, temperature-mix invariants") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

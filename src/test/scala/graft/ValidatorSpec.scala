@@ -111,6 +111,25 @@ class ValidatorSpec extends AnyFunSuite {
     assert(errOf("selec * from t").startsWith("invalid query: sqlparser syntax error:"))
   }
 
+  test("default-deny: TABLESAMPLE, hints, and novel constructs rejected") {
+    // the reference rejects every construct not on its whitelist
+    // (`validation.rs:372-376` catch-all, table factors :445-478); the plan
+    // walker must do the same, not merely blacklist known offenders.
+    assert(errOf("select * from lineitem tablesample (10 percent)") ==
+      "invalid query: only explicit source substitutions are allowed but found TABLESAMPLE")
+    assert(errOf("select /*+ BROADCAST(lineitem) */ * from lineitem") ==
+      "invalid query: Unrecognized query expression is not implemented")
+    // novel-construct probe: a Spark-specific plan node outside the allowed
+    // set (TRANSFORM parses to ScriptTransformation)
+    assert(errOf("select transform(a) using 'cat' from lineitem") ==
+      "invalid query: Unrecognized query expression is not implemented")
+    // default-deny must also reach subquery-expression plans (expressions,
+    // not children): a JOIN hidden inside IN (...) is rejected
+    assert(errOf("select * from lineitem where orderkey in " +
+      "(select a.x from lineitem a join lineitem b on a.x = b.x)")
+      .contains("only explicit source"))
+  }
+
   test("lateral views and table-valued functions rejected") {
     assert(errOf("select * from t lateral view explode(xs) e as x") ==
       "invalid query: Lateral views are not allowed!")
