@@ -1930,7 +1930,10 @@ object PipelineQueries {
     // ap2: heavy hitters scored against a DETERMINISTIC count-min sketch
     // (Cormode-Muthukrishnan '05): depth d=4 md5-derived hash rows, width
     // w=1024. ONE full-corpus pass: the per-token count groupBy (map-side
-    // partial counts), shared by the exact top-20 side and the sketch —
+    // partial counts), shared by the exact top-20 side and the sketch
+    // (AQE reuses the canonically-equal token exchange across both CTE
+    // inlinings — verified on the FINAL adaptive plan via PlanProbe;
+    // the initial plan misleadingly prints two scans) —
     // the d-way explode and the 4*1024-cell counter aggregation run over
     // the vocab-sized count frame, not the token stream (sums commute, so
     // values are identical to the per-occurrence spelling at a fraction of

@@ -237,16 +237,23 @@ object SqlSurface {
            |FROM customer_entity
            |GROUP BY ALL ORDER BY mktsegment""".stripMargin)),
 
-    // GROUPING SETS + CUBE (validation.rs:327-347)
+    // GROUPING SETS + CUBE (validation.rs:327-347). Both constructs roll
+    // up the SAME finest-granularity base aggregate: lineitem is scanned
+    // and shuffled once (the two CTE references share the exchange —
+    // ReuseExchange, plan-asserted in PushdownSpec), and the
+    // grouping passes run over the tiny |rf|x|ls| frame. The previous
+    // two-branch spelling aggregated the corpus twice.
     Q("q25_grouping_sets_cube",
-      """SELECT 'gs' AS src, coalesce(returnflag, '-') AS rf, coalesce(linestatus, '-') AS ls,
-        |       count(*) AS n
-        |FROM lineitem_entity
+      """WITH base AS (SELECT returnflag, linestatus, count(*) AS n
+        |              FROM lineitem_entity GROUP BY returnflag, linestatus)
+        |SELECT 'gs' AS src, coalesce(returnflag, '-') AS rf, coalesce(linestatus, '-') AS ls,
+        |       CAST(sum(n) AS BIGINT) AS n
+        |FROM base
         |GROUP BY GROUPING SETS ((returnflag), (linestatus), ())
         |UNION ALL
         |SELECT 'cube' AS src, coalesce(returnflag, '-') AS rf, coalesce(linestatus, '-') AS ls,
-        |       count(*) AS n
-        |FROM lineitem_entity
+        |       CAST(sum(n) AS BIGINT) AS n
+        |FROM base
         |GROUP BY CUBE (returnflag, linestatus)
         |ORDER BY src, rf, ls, n""".stripMargin),
 

@@ -43,4 +43,16 @@ class PushdownSpec extends AnyFunSuite {
     // TakeOrderedAndProject caps the sort at k instead of a full global sort
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q25: GROUPING SETS and CUBE branches share ONE lineitem scan") {
+    // both constructs roll up the same finest-granularity base CTE; the
+    // base aggregate's exchange must be reused across the two branches so
+    // the corpus is scanned and shuffled once (the two-branch spelling
+    // aggregated lineitem twice)
+    val p = plan("q25_grouping_sets_cube")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    val reused = p.contains("ReusedExchange") || p.contains("TableCacheQueryStage") ||
+      p.contains("ReusedQueryStage")
+    assert(scans <= 1 || reused, s"scans=$scans reused=$reused\n$p")
+  }
 }
