@@ -85,6 +85,74 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("skew fixture: boilerplate doc at ~5% corpus mass — LSH bucket valve engages") {
+    // the first thing a real web corpus does: one boilerplate page
+    // ("terms of service...") repeated across a visible fraction of all
+    // documents. Every copy has the SAME shingle set, so every copy lands
+    // in the SAME (band, bsig) bucket in all bands — the degenerate
+    // mega-bucket whose s² in-bucket pair work would dominate the job
+    // from one task. The maxBucketSize valve must skip it; exact dedup
+    // (dd1) catches the group at 1/s² the cost.
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val real = spark.table("documents").select(col("doc_id"), col("text"))
+    val maxId = real.agg(max("doc_id")).head.getLong(0)
+    val nBoiler = math.max(30, (real.count() / 20).toInt) // ~5% of the corpus
+    val boiler = spark.range(1, nBoiler + 1)
+      .select((col("id") + maxId).as("doc_id"),
+        lit("terms of service apply to all content on this page all " +
+          "rights reserved contact us for more information about this site").as("text"))
+    val skewed = real.unionByName(boiler)
+    val idx = graft.pipeline.Dedup.bandIndex(skewed, "doc_id", "text")
+      .drop("hash_family")
+    val uncapped = graft.pipeline.Dedup.lshCandidatesGrouped(idx)
+    val capped = graft.pipeline.Dedup
+      .lshCandidatesGrouped(idx, maxBucketSize = Some(16))
+    // without the valve the mega-bucket pays the full quadratic blowup:
+    // C(n,2) boilerplate-boilerplate candidate pairs
+    val bb = uncapped.where(col("da") > maxId && col("db") > maxId).count()
+    assert(bb == nBoiler.toLong * (nBoiler - 1) / 2, s"n=$nBoiler bb=$bb")
+    // with the valve the mega-bucket is skipped entirely...
+    assert(capped.where(col("da") > maxId && col("db") > maxId).count() == 0)
+    // ...and candidates among REAL documents are byte-identical (no real
+    // near-dup bucket is anywhere near the cap)
+    def realPairs(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("da") <= maxId && col("db") <= maxId)
+    assert(realPairs(capped).exceptAll(realPairs(uncapped)).count() == 0)
+    assert(realPairs(uncapped).exceptAll(realPairs(capped)).count() == 0)
+    // the documented division of labor: the exact-dedup pass the valve
+    // defers to collapses the boilerplate group to one keeper
+    val kept = graft.pipeline.Dedup.exact(skewed, "doc_id", "text")
+    assert(kept.where(col("keeper") > maxId).count() == 1)
+    assert(kept.where(col("keeper") > maxId).head.getLong(2) == nBoiler.toLong)
+  }
+
+  test("skew fixture: mega-user owning half of events — salted agg still exact") {
+    // one bot/system account emitting a large share of all events is the
+    // event-stream analogue of the boilerplate doc: a single groupBy key
+    // whose reducer would own half the corpus at 100 TB. Salting must
+    // produce exactly the plain result while spreading the hot key.
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val ev = spark.table("events").select("user_id", "event_id")
+    val hot = lit(-1L).cast(ev.schema("user_id").dataType)
+    val skewed = ev.withColumn("user_id",
+      when(col("event_id") % 2 === 0, hot).otherwise(col("user_id")))
+    val plain = skewed.groupBy("user_id").count()
+    val salted = Skew.saltedAggCount(skewed, Seq("user_id"))
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+    // the hot key really is hot in the fixture (sanity: >= 40% of rows)
+    val total = skewed.count()
+    val hotN = plain.where(col("user_id") === -1L).head.getLong(1)
+    assert(hotN >= (total * 2) / 5, s"hot=$hotN total=$total")
+    // and the salted phase-1 spreads it: no (key, salt) partial exceeds
+    // ~1/8 of the hot key's mass at 16 buckets (deterministic xxhash salt)
+    val maxPartial = skewed
+      .withColumn("__salt", pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(16L)))
+      .where(col("user_id") === -1L)
+      .groupBy("__salt").count().agg(max("count")).head.getLong(0)
+    assert(maxPartial <= hotN / 8 + hotN / 16, s"maxPartial=$maxPartial hot=$hotN")
+  }
+
   test("saltedJoin == plain join (inner and left)") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     val li = spark.table("raw_lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
