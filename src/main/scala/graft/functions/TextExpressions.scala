@@ -265,6 +265,74 @@ object TokenTermCounts {
   }
 }
 
+/** Native doc-local token frequency: `token_counts(text)` returns
+  * `map<string, bigint>` of each token's occurrence count —
+  * `explode(token_counts(text))` ≡ the (token, count) rows of
+  * `GROUP BY doc, token COUNT(*)` over `explode(split(text, ' '))`,
+  * computed WITHOUT the corpus-wide token shuffle: term frequency is
+  * per-document state, so aggregating it across the cluster was pure
+  * overhead (the tx8 shape — the raw token stream shuffled on
+  * (doc_id, token) only to collapse within-document duplicates).
+  * One compiled pass; tokens split on single spaces with limit -1
+  * (empty tokens kept — `split(text, ' ')` semantics, same contract as
+  * [[WordNGrams]]/[[TextEntropyStats]]); map keys appear in first-seen
+  * order (consumers aggregate, so order never reaches a result). */
+case class TokenCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_counts requires a string input, got $other")
+    }
+
+  override def prettyName: String = "token_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenCounts.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
+object TokenCounts {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.MapData = {
+    val tokens = text.split(Space, -1)
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      val c = m.get(t)
+      m.put(t, if (c == null) 1L else c + 1L)
+      i += 1
+    }
+    val keys = new Array[AnyRef](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -278,6 +346,10 @@ object TextFunctions {
 
   def text_stats(text: Column): Column =
     column(TextEntropyStats(expression(text)))
+
+  /** Doc-local token frequency map (see [[TokenCounts]]). */
+  def token_counts(text: Column): Column =
+    column(TokenCounts(expression(text)))
 
   /** Register `word_ngrams`/`text_stats` for SQL use on this session.
     * Idempotent: a session that already has them is left alone
@@ -293,5 +365,9 @@ object TextFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("text_stats")))
       reg.createOrReplaceTempFunction(
         "text_stats", exprs => TextEntropyStats(exprs(0)), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("token_counts")))
+      reg.createOrReplaceTempFunction(
+        "token_counts", exprs => TokenCounts(exprs(0)), "scala_udf")
   }
 }

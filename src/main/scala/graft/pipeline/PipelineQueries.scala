@@ -1010,18 +1010,21 @@ object PipelineQueries {
     // ------------------------------------------------------------------
     // ev1: retention cohorts — users grouped by first-seen week, activity
     // counted per week offset: the standard product-analytics triangle.
-    // Two partial-aggregable groupBys + one equi-join on user_id; the
-    // cohort table is |users|, not |events|, so the join side that ships
-    // is the small one. All date arithmetic is integer (week floors).
+    // ONE corpus pass: the deduped (user, week) frame is |users·weeks| ≪
+    // |events|, and each user's cohort is a min() window over that small
+    // frame — no join, no second corpus scan (the fc-CTE + equi-join
+    // spelling recomputed the corpus-wide distinct on both sides; AQE
+    // did not unify the two inlinings). All date arithmetic is integer
+    // (week floors).
     Q("ev1_retention_cohorts",
       """WITH ue AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
         |            FROM events),
-        |fc AS (SELECT user_id, min(wk) AS cohort FROM ue GROUP BY user_id)
-        |SELECT fc.cohort, CAST(datediff(ue.wk, fc.cohort) div 7 AS BIGINT) AS week_offset,
-        |       count(DISTINCT ue.user_id) AS n_users
-        |FROM ue JOIN fc ON ue.user_id = fc.user_id
-        |GROUP BY fc.cohort, week_offset
-        |ORDER BY fc.cohort, week_offset""".stripMargin,
+        |w AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort FROM ue)
+        |SELECT cohort, CAST(datediff(wk, cohort) div 7 AS BIGINT) AS week_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM w
+        |GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin,
       """WITH ue AS (SELECT DISTINCT user_id,
         |                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
         |            FROM events),
@@ -1494,15 +1497,21 @@ object PipelineQueries {
         |FROM red ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
-    // tx8: TF-IDF document scoring — document-frequency model in one
-    // map-side-combinable groupBy (vocabulary-sized, like tx7's LM), then
-    // one token-stream join back. IDF quantizes to integer micro-logs
-    // (tx7's trick) so per-doc sums are order- and engine-independent.
+    // tx8: TF-IDF document scoring — term frequency is DOC-LOCAL state,
+    // so the native `token_counts` kernel computes each document's
+    // (token, tf) map in one compiled row-local pass and the raw token
+    // stream never shuffles at all (the explode→GROUP BY (doc, token)
+    // spelling shuffled every token occurrence just to collapse
+    // within-document duplicates, and its df branch re-exploded the
+    // corpus a second time — AQE could not unify the two inlinings).
+    // What remains on the wire: the doc-deduped (token) stream into the
+    // vocabulary-sized df aggregate, and one |docs|-row final rollup.
+    // IDF quantizes to integer micro-logs (tx7's trick) so per-doc sums
+    // are order- and engine-independent.
     Q("tx8_tfidf",
-      """WITH tok AS (SELECT doc_id, token FROM documents
-        |             LATERAL VIEW explode(split(text, ' ')) t AS token),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+      """WITH tf AS (SELECT doc_id, token, tf FROM documents
+        |            LATERAL VIEW explode(token_counts(text)) t AS token, tf),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT tf.doc_id,
         |  CAST(sum(tf.tf * CAST(floor(ln(n.n / CAST(df.df AS DOUBLE)) * 1000000) AS BIGINT))
@@ -1525,7 +1534,11 @@ object PipelineQueries {
     // cs1: per-source corpus report — the mix dashboard a training-data
     // build reads before weighting sources: volume, token mass, language
     // spread, exact-dup rate. Two partial-aggregable passes (per-source
-    // agg + content-hash dup counts joined back on the hash).
+    // agg + content-hash dup counts joined back on the hash). A
+    // window-count-over-sig rewrite (one scan, no join) was A/B'd in
+    // round 10 and LOST at sf1 — 1.24 s vs 0.80 s warm: the window's
+    // per-partition sort on the hash costs more than the second scan +
+    // hash join it removes. Keep the join form.
     Q("cs1_corpus_report",
       """WITH t AS (SELECT source, doc_id, text, lang,
         |             size(split(text, ' ')) AS tokens FROM documents),

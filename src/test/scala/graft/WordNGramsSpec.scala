@@ -41,6 +41,42 @@ class WordNGramsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("token_counts equals the explode+groupBy spelling on real documents") {
+    TextFunctions.register(spark)
+    val docs = spark.read.parquet(s"${TestSessions.sfDir}/documents.parquet")
+    docs.createOrReplaceTempView("tc_docs")
+    // the reference spelling tx8 used before the kernel: one row per
+    // (doc, token) with the within-doc occurrence count
+    val slow = spark.sql(
+      """SELECT doc_id, token, count(*) AS tf FROM tc_docs
+        |LATERAL VIEW explode(split(text, ' ')) t AS token
+        |GROUP BY doc_id, token""".stripMargin)
+    val fast = spark.sql(
+      """SELECT doc_id, token, tf FROM tc_docs
+        |LATERAL VIEW explode(token_counts(text)) t AS token, tf""".stripMargin)
+    assert(fast.count() == slow.count())
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+  }
+
+  test("token_counts edges: empty tokens kept, empty string, null") {
+    TextFunctions.register(spark)
+    import spark.implicits._
+    // "a  b " splits to [a, "", b, ""] under split(text,' ') semantics
+    val m = Seq("a  b ").toDF("text")
+      .select(TextFunctions.token_counts(col("text")).as("m"))
+      .head().getMap[String, Long](0)
+    assert(m == Map("a" -> 1L, "" -> 2L, "b" -> 1L))
+    val empty = Seq("").toDF("text")
+      .select(TextFunctions.token_counts(col("text")).as("m"))
+      .head().getMap[String, Long](0)
+    assert(empty == Map("" -> 1L))
+    val nul = Seq("x").toDF("text")
+      .select(TextFunctions.token_counts(lit(null).cast("string")).as("m"))
+      .head()
+    assert(nul.isNullAt(0))
+  }
+
   test("multi-space and non-ASCII text match the lambda form byte-for-byte") {
     TextFunctions.register(spark)
     import spark.implicits._
