@@ -194,6 +194,11 @@ object SqlValidator {
           fail("Table valued functions are not allowed!")
         case r: UnresolvedRelation if r.multipartIdentifier.size > 1 =>
           fail(s"Explicit table paths are not allowed! Found: ${r.multipartIdentifier.mkString(".")}")
+        // CLUSTER BY parses as a local Sort over RepartitionByExpression —
+        // report it with the reference's cluster-by message
+        // (`validation.rs:500-504`) instead of the distribute-by one
+        case s: Sort if !s.global && s.child.isInstanceOf[RepartitionByExpression] =>
+          fail("Cluster by clause is not allowed!")
         case _: RepartitionByExpression =>
           fail("Distribute by clause is not allowed!")
         case _: Sample =>
@@ -221,6 +226,10 @@ object SqlValidator {
       p.expressions.foreach(_.foreach {
         case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
           walk(sq.plan)
+        // Spark 4 parses `expr COLLATE name` natively; the reference
+        // rejects collation expressions (`validation.rs:222-226`)
+        case _: org.apache.spark.sql.catalyst.expressions.Collate =>
+          fail("collation expressions are not allowed")
         case _ =>
       })
     }

@@ -130,6 +130,16 @@ class ValidatorSpec extends AnyFunSuite {
       .contains("only explicit source"))
   }
 
+  test("CLUSTER BY and COLLATE rejected with reference messages") {
+    assert(errOf("select * from t cluster by x") ==
+      "invalid query: Cluster by clause is not allowed!")
+    // plain SORT BY stays allowed (validation.rs:512-514)
+    assert(SqlValidator.validate(
+      "select custkey from customer sort by custkey", spark) == "customer")
+    assert(errOf("select customername collate unicode_ci from customer") ==
+      "invalid query: collation expressions are not allowed")
+  }
+
   test("lateral views and table-valued functions rejected") {
     assert(errOf("select * from t lateral view explode(xs) e as x") ==
       "invalid query: Lateral views are not allowed!")
