@@ -337,6 +337,86 @@ object EventStream {
       .queryName(name)
       .start()
 
+  final case class DayContrib(day: Int, user_id: Long, isEventDay: Boolean)
+  final case class DayCounts(dau: Long, wau: Long)
+
+  /** DAU/WAU stickiness processor — the streaming twin of batch ev4,
+    * keyed by calendar day (epoch days). Input rows are the ROW-LOCAL
+    * day explode the batch query uses (each event contributes to the ≤7
+    * window days at and after its own day — no day-range join in either
+    * engine); state per day is the distinct-user membership map plus the
+    * two running counts, so a replayed or late event inside the
+    * retention window is idempotent. Emits an updated
+    * (day, dau, wau, stickiness_pm) row whenever the day's counts move,
+    * suppressed until the day has ≥1 OWN-day active user — exactly the
+    * days batch ev4 emits (its dau⋈wau inner join). State shards by day
+    * across executors; membership is per-(day, user) — a production
+    * deployment at extreme user counts would swap the exact map for a
+    * sketch, which changes wau to an estimate (batch ev4 stays the
+    * exact-count oracle). */
+  private class StickinessProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, DayContrib, (Int, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig, ValueState}
+
+    @transient private var seen: MapState[Long, Int] = _
+    @transient private var counts: ValueState[DayCounts] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Int]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+      counts = getHandle.getValueState[DayCounts]("counts",
+        org.apache.spark.sql.Encoders.product[DayCounts], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Int, rows: Iterator[DayContrib],
+        timerValues: TimerValues): Iterator[(Int, Long, Long, Long)] = {
+      val prev = if (counts.exists()) counts.get() else DayCounts(0L, 0L)
+      var dau = prev.dau
+      var wau = prev.wau
+      rows.foreach { r =>
+        // bit0 = active ON the day (dau), bit1 = active in the day's
+        // trailing week (wau; a superset — every contribution sets it)
+        val before =
+          if (seen.containsKey(r.user_id)) seen.getValue(r.user_id) else 0
+        val after = before | (if (r.isEventDay) 3 else 2)
+        if (after != before) {
+          if ((before & 2) == 0) wau += 1
+          if ((before & 1) == 0 && (after & 1) != 0) dau += 1
+          seen.updateValue(r.user_id, after)
+        }
+      }
+      if (dau != prev.dau || wau != prev.wau) {
+        counts.update(DayCounts(dau, wau))
+        if (dau > 0) Iterator.single((key, dau, wau, 1000L * dau / wau))
+        else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** DAU/WAU stickiness stream over raw events — see
+    * [[StickinessProcessor]]. Requires the RocksDB state store. */
+  def stickinessStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .selectExpr("CAST(ts AS DATE) AS d", "user_id")
+      .selectExpr(
+        "explode(sequence(d, date_add(d, 6))) AS cd", "d", "user_id")
+      .selectExpr(
+        "CAST(datediff(cd, DATE '1970-01-01') AS INT) AS day",
+        "user_id", "cd = d AS isEventDay")
+      .as[DayContrib]
+      .groupByKey(_.day)
+      .transformWithState(
+        new StickinessProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("day", "dau", "wau", "stickiness_pm")
+  }
+
   /** Streaming deduplication: drop replayed events by id with state bounded
     * by the event-time watermark (`dropDuplicatesWithinWatermark`) — the
     * streaming twin of dd1 for at-least-once ingestion pipelines. */

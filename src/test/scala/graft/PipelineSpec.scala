@@ -336,6 +336,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming DAU/WAU stickiness equals batch ev4 across micro-batches") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // shuffled event order across 3 micro-batches: day/user contributions
+      // arrive interleaved and partially replayed state must stay idempotent
+      val ev = spark.sql(
+        """SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tsUs
+          |FROM events ORDER BY user_id, tsUs""".stripMargin)
+        .as[(Long, Long)].collect()
+      val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](spark)
+      val src = ms.toDF.toDF("user_id", "tsUs")
+        .selectExpr("user_id", "timestamp_micros(tsUs) AS ts")
+      val q = graft.streaming.EventStream.stickinessStream(spark, src)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("stickiness_stream").start()
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(ev.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      q.stop()
+      // update mode emits a row per refinement; the day's FINAL state is
+      // the max counts (both only ever grow)
+      val streamed = spark.table("stickiness_stream")
+        .groupBy("day").agg(max("dau").as("dau"), max("wau").as("wau"))
+        .selectExpr("date_add(DATE '1970-01-01', day) AS d", "dau", "wau",
+          "CAST((1000 * dau) div wau AS BIGINT) AS stickiness_pm")
+      val batch = graft.SparkEntry.queries("ev4_active_user_ratios")(spark, sfDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("trainLinearClassifier separates a planted vocabulary; quantized weights serve") {
     import spark.implicits._
     // planted signal: positive docs speak 'good'-family tokens, negative
