@@ -398,6 +398,126 @@ object EventStream {
     }
   }
 
+  final case class FunnelEvent(user_id: Long, tsUs: Long, event_type: String)
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** Ordered-funnel processor — the streaming twin of batch ev2: per
+    * user, the earliest view, then the earliest click AFTER that view,
+    * then the earliest purchase AFTER that click (each stage's clock
+    * starts at the previous stage's completion). State per user is three
+    * timestamps (-1 = not reached); a stage-advance emits one
+    * (user, stage) append row, so the downstream funnel report is a
+    * count per stage. Events must arrive per-key in ts order (the same
+    * in-order contract as [[AnomalyProcessor]] — upstream this is a
+    * watermark-finalized feed); rows inside one batch are sorted here. */
+  private class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, (Long, String)] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[(Long, String)] = {
+      var s = if (st.exists()) st.get() else FunnelState(-1L, -1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      rows.toIndexedSeq.sortBy(_.tsUs).foreach { e =>
+        e.event_type match {
+          case "view" if s.tView < 0 =>
+            s = s.copy(tView = e.tsUs); out += ((key, "view"))
+          case "click" if s.tView >= 0 && s.tClick < 0 && e.tsUs > s.tView =>
+            s = s.copy(tClick = e.tsUs); out += ((key, "click_after_view"))
+          case "purchase" if s.tClick >= 0 && s.tPurchase < 0 && e.tsUs > s.tClick =>
+            s = s.copy(tPurchase = e.tsUs); out += ((key, "purchase_after_click"))
+          case _ =>
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Ordered-funnel stage stream over raw events — see
+    * [[FunnelProcessor]]. Requires the RocksDB state store. */
+  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS tsUs", "event_type")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "stage")
+  }
+
+  final case class WeekEvent(user_id: Long, wkDay: Int)
+  final case class CohortState(cohortDay: Int)
+
+  /** Retention-cohort processor — the streaming twin of batch ev1: a
+    * user's cohort is their first-seen week; each NEW (user, week)
+    * observation appends one (cohort_day, week_offset) row, so the
+    * retention triangle is a downstream count per (cohort, offset).
+    * Per-user state is the cohort week plus the set of already-emitted
+    * weeks (idempotent under replay). Weeks must arrive per-key in
+    * ascending order (the [[AnomalyProcessor]] in-order contract) so the
+    * first observation IS the cohort. */
+  private class RetentionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, WeekEvent, (Int, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig, ValueState}
+
+    @transient private var cohort: ValueState[CohortState] = _
+    @transient private var weeks: MapState[Int, Boolean] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      cohort = getHandle.getValueState[CohortState]("cohort",
+        org.apache.spark.sql.Encoders.product[CohortState], TTLConfig.NONE)
+      weeks = getHandle.getMapState[Int, Boolean]("weeks",
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[WeekEvent],
+        timerValues: TimerValues): Iterator[(Int, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      rows.toIndexedSeq.sortBy(_.wkDay).foreach { e =>
+        if (!cohort.exists()) cohort.update(CohortState(e.wkDay))
+        if (!weeks.containsKey(e.wkDay)) {
+          weeks.updateValue(e.wkDay, true)
+          val c = cohort.get().cohortDay
+          out += ((c, (e.wkDay - c).toLong / 7L))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Retention-cohort stage stream over raw events — see
+    * [[RetentionProcessor]]. Requires the RocksDB state store. */
+  def retentionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .selectExpr("user_id",
+        "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), DATE '1970-01-01') AS INT) AS wkDay")
+      .as[WeekEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RetentionProcessor, TimeMode.None(), OutputMode.Append())
+      .toDF("cohort_day", "week_offset")
+  }
+
   /** DAU/WAU stickiness stream over raw events — see
     * [[StickinessProcessor]]. Requires the RocksDB state store. */
   def stickinessStream(spark: SparkSession, events: DataFrame): DataFrame = {

@@ -336,6 +336,83 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ordered funnel equals batch ev2 counts across micro-batches") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // global ts order (per-key order follows), 3 micro-batches: funnel
+      // stages must advance across the batch cuts
+      val ev = spark.sql(
+        """SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tsUs, event_type
+          |FROM events ORDER BY tsUs, event_id""".stripMargin)
+        .as[(Long, Long, String)].collect()
+      val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String)](spark)
+      val src = ms.toDF.toDF("user_id", "tsUs", "event_type")
+        .selectExpr("user_id", "timestamp_micros(tsUs) AS ts", "event_type")
+      val q = graft.streaming.EventStream.funnelStream(spark, src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("funnel_stream").start()
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(ev.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      q.stop()
+      val st = spark.table("funnel_stream").groupBy("stage").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.SparkEntry.queries("ev2_funnel")(spark, sfDir).head()
+      assert(st.getOrElse("view", 0L) == batch.getLong(0))
+      assert(st.getOrElse("click_after_view", 0L) == batch.getLong(1))
+      assert(st.getOrElse("purchase_after_click", 0L) == batch.getLong(2))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming retention cohorts equal batch ev1 across micro-batches") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = spark.sql(
+        """SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tsUs
+          |FROM events ORDER BY tsUs, event_id""".stripMargin)
+        .as[(Long, Long)].collect()
+      val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](spark)
+      val src = ms.toDF.toDF("user_id", "tsUs")
+        .selectExpr("user_id", "timestamp_micros(tsUs) AS ts")
+      val q = graft.streaming.EventStream.retentionStream(spark, src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("retention_stream").start()
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(ev.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      q.stop()
+      val streamed = spark.table("retention_stream")
+        .groupBy("cohort_day", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .selectExpr("date_add(DATE '1970-01-01', cohort_day) AS cohort",
+          "CAST(week_offset AS BIGINT) AS week_offset", "n_users")
+      val batch = graft.SparkEntry.queries("ev1_retention_cohorts")(spark, sfDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming DAU/WAU stickiness equals batch ev4 across micro-batches") {
     import spark.implicits._
     Fixtures.registerRaw(spark, sfDir)
