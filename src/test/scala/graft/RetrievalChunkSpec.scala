@@ -247,6 +247,27 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(reps.toSeq.sorted == reps.toSet.toSeq.sorted)
   }
 
+  test("clusterRepresentatives: a NULL length is never elected over real ones") {
+    import spark.implicits._
+    // Spark's min(struct) sorts nulls FIRST ascending, which would elect
+    // the null-length member; the argmax coalesces a null negated length
+    // to Long.MaxValue so it sorts LAST — matching ORDER BY len DESC
+    // NULLS LAST (the cq1 oracle's DuckDB semantics)
+    val docs = Seq(
+      (40L, Some(5L)), (41L, Option.empty[Long]), (42L, Some(9L)),
+      (50L, Option.empty[Long]), (51L, Option.empty[Long]) // all-null cluster
+    ).toDF("doc_id", "n_chars")
+    val clusters = Seq((40L, 40L), (41L, 40L), (42L, 40L),
+      (50L, 50L), (51L, 50L)).toDF("doc_id", "cluster_id")
+    val out = Dedup
+      .clusterRepresentatives(docs, "doc_id", "n_chars", clusters)
+      .select("doc_id", "is_rep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(42L) && !out(40L) && !out(41L))
+    // all-null cluster falls back to the smallest id deterministically
+    assert(out(50L) && !out(51L))
+  }
+
   test("clusterRepresentatives: non-numeric ids keep their singleton label") {
     import spark.implicits._
     val docs = Seq(("u-1", 10L), ("u-2", 20L)).toDF("doc_id", "n_chars")

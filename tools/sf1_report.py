@@ -28,7 +28,14 @@ FAMILY = {
     "ev": "sql+join", "cp": "curation", "ap": "approx",
 }
 
+# name-level overrides: queries whose wall-clock measures something other
+# than their prefix family (q9 times a full relay HTTP round-trip — a
+# transport benchmark; see SCALE.md "wire-path queries")
+FAMILY_OVERRIDE = {"q9_wire_federation": "wire"}
+
 def family(name):
+    if name in FAMILY_OVERRIDE:
+        return FAMILY_OVERRIDE[name]
     m = re.match(r"([a-z]+)", name)
     key = m.group(1)
     return FAMILY.get(key) or FAMILY.get(key[:2]) or "other"
