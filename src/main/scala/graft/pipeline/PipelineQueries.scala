@@ -2618,6 +2618,24 @@ object PipelineQueries {
         .orderBy(col("qid"), col("score_micro").desc, col("doc_id"))
     }),
 
+    // rt2: HYBRID retrieval — BM25 top-20 and vector top-20 fused by
+    // Reciprocal Rank Fusion (integer 1e6 DIV (60 + rank) contributions,
+    // engine-exact). Query vectors are the embeddings whose vec_id equals
+    // the BM25 qid (documents and embeddings share the id universe), so
+    // one query drives both sides — the sparse+dense production search
+    // shape. All corpus-scale work lives in the side operators; fusion
+    // is a bounded union + groupBy + TopKPerGroup.
+    "rt2_hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val bm = TextAnalysis.bm25TopK(s.table("documents"), "doc_id", "text",
+        bm25QueryDefs, k = 20)
+      val vec = Similarity.bruteForceTopK(s.table("embeddings"), "vec_id",
+        "embedding", bm25QueryDefs.map(_._1.toLong), k = 20)
+      TextAnalysis.hybridRrf(bm, vec, k = 10)
+        .orderBy(col("qid"), col("rrf_micro").desc, col("doc_id"))
+    }),
+
     // ck1: deterministic overlapping character chunks — pure row-local
     // explode, zero shuffles (TextAnalysis.chunkDocuments).
     "ck1_chunk_documents" -> ((s: SparkSession, dir: String) => {
@@ -3579,9 +3597,65 @@ object PipelineQueries {
        |WHERE rk <= 5 ORDER BY qid, score_micro DESC, doc_id""".stripMargin
   }
 
+  /** rt2's DuckDB oracle: the rt1 BM25 chain (k=20) and the ss1-style
+    * vector chain (k=20) re-derived independently, per-side ranks, then
+    * the identical integer RRF sum and top-10. */
+  private def hybridRrfOracle(k1: Double = 1.2, b: Double = 0.75): String = {
+    val vals = bm25QueryDefs.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val qids = bm25QueryDefs.map(_._1).mkString(", ")
+    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals) t(qid, term)),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+       |tf AS (SELECT t.doc_id, t.token, count(*) AS tf FROM tok t
+       |       JOIN (SELECT DISTINCT term FROM q) qt ON qt.term = t.token
+       |       GROUP BY t.doc_id, t.token),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (SELECT tf.doc_id, tf.token,
+       |        CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro,
+       |        tf.tf * ${k1 + 1.0} / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))) AS tfn
+       |       FROM tf JOIN dfq ON dfq.token = tf.token
+       |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+       |ts AS (SELECT q.qid, sc.doc_id,
+       |        CAST(floor(sc.idf_micro * sc.tfn) AS BIGINT) AS m
+       |       FROM sc JOIN q ON q.term = sc.token),
+       |bagg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+       |        FROM ts GROUP BY qid, doc_id),
+       |br AS (SELECT qid, doc_id,
+       |        row_number() OVER (PARTITION BY qid
+       |            ORDER BY score_micro DESC, doc_id) AS r
+       |       FROM bagg),
+       |$duckVecs,
+       |vq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
+       |       WHERE vec_id IN ($qids)),
+       |vc AS (SELECT vq.qid, e.vec_id,
+       |        round(${duckDot("qe", "e.embedding")} / (qn * e.nrm), 6) AS cos
+       |       FROM vq CROSS JOIN v e WHERE e.vec_id <> vq.qid),
+       |vr AS (SELECT qid, vec_id AS doc_id,
+       |        row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id) AS r
+       |       FROM vc),
+       |c AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+       |        1000000 // (60 + r) AS c FROM br WHERE r <= 20
+       |      UNION ALL
+       |      SELECT CAST(qid AS BIGINT), CAST(doc_id AS BIGINT),
+       |        1000000 // (60 + r) FROM vr WHERE r <= 20),
+       |agg AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+       |        FROM c GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, rrf_micro FROM (
+       |  SELECT qid, doc_id, rrf_micro,
+       |         row_number() OVER (PARTITION BY qid
+       |             ORDER BY rrf_micro DESC, doc_id) AS rk
+       |  FROM agg) t
+       |WHERE rk <= 10 ORDER BY qid, rrf_micro DESC, doc_id""".stripMargin
+  }
+
   def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
       "rt1_bm25_topk" -> bm25Oracle(),
+      "rt2_hybrid_rrf" -> hybridRrfOracle(),
 
       // ds1: the same hashed-bigram two-LM importance chain; every
       // log-prob quantizes through the micro-nat floor separately, so the

@@ -787,6 +787,42 @@ object TextAnalysis {
       orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
   }
 
+  /** Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack, Clarke
+    * & Buettcher, SIGIR'09) of a lexical (BM25) and a vector top-k list:
+    * `rrf_micro = Σ_sides 1e6 DIV (rrfK + rank)` — the standard
+    * production hybrid-search shape (sparse+dense). Integer arithmetic
+    * end to end, so any engine reproduces the fused ranking exactly;
+    * documents surfaced by only one side score with that side alone.
+    *
+    * Inputs are each side's ALREADY-BOUNDED per-query top lists
+    * ((qid, doc_id, score_micro) from [[bm25TopK]]; (qid, vec_id, cos)
+    * from `Similarity.bruteForceTopK` or any ANN variant) — so fusion
+    * itself is a queries×kEach-row union + one tiny groupBy + a bounded
+    * top-k: ALL corpus-scale work lives inside the side operators
+    * (BM25's shuffle-free corpus pass, the ANN index). Ranks are
+    * per-side row_numbers with doc-id tiebreaks, deterministic in any
+    * engine. */
+  def hybridRrf(
+      bm25: DataFrame, vector: DataFrame, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    def contrib(df: DataFrame, id: String,
+        w: org.apache.spark.sql.expressions.WindowSpec) = df
+      .withColumn("__r", row_number().over(w))
+      .select(col("qid").cast("long").as("qid"),
+        col(id).cast("long").as("doc_id"),
+        expr(s"CAST(1000000 DIV ($rrfK + __r) AS BIGINT)").as("__c"))
+    val fused = contrib(bm25, "doc_id", wb)
+      .unionByName(contrib(vector, "vec_id", wv))
+      .groupBy("qid", "doc_id").agg(sum(col("__c")).as("rrf_micro"))
+    graft.plans.TopKPerGroup(fused, keys = Seq("qid"),
+      orderBy = Seq(("rrf_micro", false), ("doc_id", true)), k = k)
+  }
+
   /** Deterministic overlapping character chunking — the RAG/long-context
     * pre-processing step that fans each document into fixed-size windows
     * with `chunkSize - stride` characters of overlap. Pure row-local

@@ -218,6 +218,28 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(sizes == sizes.sorted && sizes.distinct == sizes)
   }
 
+  // --- hybrid RRF fusion ----------------------------------------------------
+
+  test("hybridRrf: hand-computed reciprocal-rank fusion of two sides") {
+    import spark.implicits._
+    // qid 1: doc 10 is rank 1 lexically and rank 2 vectorially; doc 20 is
+    // rank 2 / rank 1; doc 30 appears on the BM25 side only (rank 3);
+    // doc 40 on the vector side only (rank 3)
+    val bm = Seq((1, 10L, 900L), (1, 20L, 800L), (1, 30L, 700L))
+      .toDF("qid", "doc_id", "score_micro")
+    val vec = Seq((1L, 20L, 0.95), (1L, 10L, 0.90), (1L, 40L, 0.85))
+      .toDF("qid", "vec_id", "cos")
+    val out = graft.pipeline.TextAnalysis.hybridRrf(bm, vec, k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val r1 = 1000000L / 61; val r2 = 1000000L / 62; val r3 = 1000000L / 63
+    assert(out(10L) == r1 + r2) // rank 1 + rank 2
+    assert(out(20L) == r2 + r1)
+    assert(out(30L) == r3) // single-side docs score with that side alone
+    assert(out(40L) == r3)
+    // both-sides docs outrank single-side docs
+    assert(out(10L) > out(30L) && out(20L) > out(40L))
+  }
+
   // --- cluster representatives --------------------------------------------
 
   test("clusterRepresentatives keeps the longest member, smallest id on ties") {
