@@ -2636,6 +2636,20 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rrf_micro").desc, col("doc_id"))
     }),
 
+    // rt3: MMR diversified rerank (Carbonell & Goldstein '98) — greedy
+    // selection of 5 of each query's 10 nearest candidates maximizing
+    // 700·rel − 300·max-sim-to-selected in exact 1e-6 integers; the
+    // greedy trajectory is engine-reproducible and the DuckDB oracle
+    // unrolls the identical rounds as chained CTEs. All frames after
+    // candidate generation are queries×kCand-bounded model state.
+    "rt3_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Similarity.mmrRerank(s.table("embeddings"), "vec_id", "embedding",
+          queryIds = bm25QueryDefs.map(_._1.toLong))
+        .orderBy(col("qid"), col("mmr_rank"))
+    }),
+
     // ck1: deterministic overlapping character chunks — pure row-local
     // explode, zero shuffles (TextAnalysis.chunkDocuments).
     "ck1_chunk_documents" -> ((s: SparkSession, dir: String) => {
@@ -3652,10 +3666,65 @@ object PipelineQueries {
        |WHERE rk <= 10 ORDER BY qid, rrf_micro DESC, doc_id""".stripMargin
   }
 
+  /** rt3's DuckDB oracle: candidate relevance + pairwise sims quantized
+    * to the same 1e-6 integers, then the greedy MMR rounds UNROLLED as
+    * chained CTEs (sel1 → r2/sel2 → … — the LPA-oracle technique), so
+    * both engines walk the identical integer trajectory. */
+  private def mmrOracle(
+      kCand: Int = 10, kSel: Int = 5, lambdaPm: Int = 700): String = {
+    val qids = bm25QueryDefs.map(_._1).mkString(", ")
+    val lp = lambdaPm; val lm = 1000 - lambdaPm
+    val rounds = (2 to kSel).map { n =>
+      val prev = s"sel${n - 1}"
+      s"""r$n AS (SELECT qid, doc_id, $n AS mmr_rank, rel_u6, score_u6 FROM (
+         |    SELECT c.qid, c.doc_id, c.rel_u6,
+         |           $lp * c.rel_u6 - $lm * ms.ms AS score_u6,
+         |           row_number() OVER (PARTITION BY c.qid
+         |               ORDER BY ($lp * c.rel_u6 - $lm * ms.ms) DESC, c.doc_id) AS r
+         |    FROM cand c
+         |    JOIN (SELECT p.qid, p.a, max(p.sim_u6) AS ms FROM pairs p
+         |          JOIN $prev s ON s.qid = p.qid AND s.doc_id = p.b
+         |          GROUP BY p.qid, p.a) ms
+         |      ON ms.qid = c.qid AND ms.a = c.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |                      WHERE s.qid = c.qid AND s.doc_id = c.doc_id)) t
+         |  WHERE r = 1),
+         |sel$n AS (SELECT * FROM $prev UNION ALL SELECT * FROM r$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckVecs,
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
+       |      WHERE vec_id IN ($qids)),
+       |rel AS (SELECT q.qid, e.vec_id AS doc_id,
+       |        CAST(round(round(${duckDot("qe", "e.embedding")} / (qn * e.nrm), 6)
+       |             * 1000000.0) AS BIGINT) AS rel_u6
+       |      FROM q CROSS JOIN v e WHERE e.vec_id <> q.qid),
+       |cand AS (SELECT qid, doc_id, rel_u6 FROM (
+       |      SELECT qid, doc_id, rel_u6,
+       |        row_number() OVER (PARTITION BY qid
+       |            ORDER BY rel_u6 DESC, doc_id) AS r
+       |      FROM rel) t WHERE r <= $kCand),
+       |pairs AS (SELECT x.qid, x.doc_id AS a, y.doc_id AS b,
+       |        CAST(round(round(${duckDot("xv.embedding", "yv.embedding")} / (xv.nrm * yv.nrm), 6)
+       |             * 1000000.0) AS BIGINT) AS sim_u6
+       |      FROM cand x JOIN cand y ON x.qid = y.qid AND x.doc_id <> y.doc_id
+       |      JOIN v xv ON xv.vec_id = x.doc_id
+       |      JOIN v yv ON yv.vec_id = y.doc_id),
+       |sel1 AS (SELECT qid, doc_id, 1 AS mmr_rank, rel_u6,
+       |              rel_u6 AS score_u6 FROM (
+       |      SELECT qid, doc_id, rel_u6,
+       |        row_number() OVER (PARTITION BY qid
+       |            ORDER BY rel_u6 DESC, doc_id) AS r
+       |      FROM cand) t WHERE r = 1),
+       |$rounds
+       |SELECT qid, doc_id, mmr_rank, rel_u6, score_u6
+       |FROM sel$kSel ORDER BY qid, mmr_rank""".stripMargin
+  }
+
   def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
       "rt1_bm25_topk" -> bm25Oracle(),
       "rt2_hybrid_rrf" -> hybridRrfOracle(),
+      "rt3_mmr_rerank" -> mmrOracle(),
 
       // ds1: the same hashed-bigram two-LM importance chain; every
       // log-prob quantizes through the micro-nat floor separately, so the

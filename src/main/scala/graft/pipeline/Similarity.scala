@@ -39,6 +39,82 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** MMR diversified rerank (Carbonell & Goldstein, SIGIR'98): greedily
+    * select `kSel` of each query's `kCand` nearest candidates, each round
+    * maximizing `lambdaPm·rel − (1000−lambdaPm)·max-sim-to-selected` —
+    * the standard RAG/retrieval post-processing that trades raw relevance
+    * for diversity so near-duplicate hits don't crowd the context window.
+    *
+    * Determinism discipline: relevance and pairwise similarity quantize
+    * to 1e-6 integers (round(cos,6)·1e6), the marginal score is exact
+    * integer arithmetic with doc-id tiebreaks, so any engine reproduces
+    * the greedy trajectory bit-for-bit (the DuckDB oracle unrolls the
+    * same rounds as chained CTEs).
+    *
+    * Scale shape: the candidate frame is queries×kCand rows and pairwise
+    * sims queries×kCand² — BOUNDED model-sized state, never corpus-scale
+    * (the corpus pass lives in the ANN operator that produced the
+    * candidates). Each greedy round is one join + one windowed argmax
+    * over those tiny frames; `kSel` rounds total. */
+  def mmrRerank(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      queryIds: Seq[Long], kCand: Int = 10, kSel: Int = 5,
+      lambdaPm: Int = 700): DataFrame = {
+    require(kSel >= 1 && kSel <= kCand, s"need 1 <= kSel <= kCand")
+    val v = withNorm(vecs, idCol, vecCol)
+    val q = v.where(col("__id").isin(queryIds: _*))
+      .select(col("__id").as("qid"), col("__v").as("qv"), col("nrm").as("qn"))
+    // candidates: top-kCand by quantized relevance, self excluded
+    val rel = q.join(v, col("__id") =!= col("qid"))
+      .select(col("qid"), col("__id").as("doc_id"),
+        round(round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6)
+          * lit(1000000.0)).cast("long").as("rel_u6"))
+    val wRel = Window.partitionBy(col("qid"))
+      .orderBy(col("rel_u6").desc, col("doc_id"))
+    val cand = rel.withColumn("__r", row_number().over(wRel))
+      .where(col("__r") <= kCand).drop("__r")
+      .localCheckpoint() // tiny; consumed by every greedy round
+    // pairwise sims within each query's candidate set (kCand² per query)
+    val cv = cand.join(
+      v.select(col("__id").as("doc_id"), col("__v"), col("nrm")), "doc_id")
+    val pairs = cv.as("x").join(cv.as("y"),
+        col("x.qid") === col("y.qid") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.qid").as("qid"), col("x.doc_id").as("a"),
+        col("y.doc_id").as("b"),
+        round(round(dot(col("x.__v"), col("y.__v")) /
+          (col("x.nrm") * col("y.nrm")), 6) * lit(1000000.0))
+          .cast("long").as("sim_u6"))
+      .localCheckpoint()
+    // round 1: pure relevance argmax
+    var selected = cand.withColumn("__r", row_number().over(wRel))
+      .where(col("__r") === 1)
+      .select(col("qid"), col("doc_id"), lit(1).as("mmr_rank"),
+        col("rel_u6"), col("rel_u6").cast("long").as("score_u6"))
+    // rounds 2..kSel: argmax of the integer marginal score
+    (2 to kSel).foreach { r =>
+      val selIds = selected.select(col("qid"), col("doc_id").as("b"))
+      val rest = cand.join(
+        selected.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"),
+        "left_anti")
+      val maxSim = pairs.join(selIds, Seq("qid", "b"))
+        .groupBy(col("qid"), col("a"))
+        .agg(max(col("sim_u6")).as("ms"))
+        .withColumnRenamed("a", "doc_id")
+      val scored = rest.join(maxSim, Seq("qid", "doc_id"))
+        .withColumn("score_u6",
+          (lit(lambdaPm.toLong) * col("rel_u6") -
+            lit((1000 - lambdaPm).toLong) * col("ms")).cast("long"))
+      val wSc = Window.partitionBy(col("qid"))
+        .orderBy(col("score_u6").desc, col("doc_id"))
+      val next = scored.withColumn("__r", row_number().over(wSc))
+        .where(col("__r") === 1)
+        .select(col("qid"), col("doc_id"), lit(r).as("mmr_rank"),
+          col("rel_u6"), col("score_u6"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected
+  }
+
   /** IVF-style ANN: assign every vector to its nearest of the seed
     * centroids, probe the `nprobe` nearest cells per query. */
   def ivfTopK(

@@ -240,6 +240,36 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(out(10L) > out(30L) && out(20L) > out(40L))
   }
 
+  test("mmrRerank diversifies: a near-duplicate of the top hit is deferred") {
+    import spark.implicits._
+    // query 0 at e1; candidates 1 and 2 are near-identical twins ~20°
+    // ABOVE the query axis, candidate 3 sits ~25° BELOW it: slightly less
+    // relevant but far (≈45°) from the twins. Pure relevance ranks
+    // (1, 2, 3); MMR must defer 2 below 3 because sim(2, selected-1) ≈ 1
+    // while sim(3, 1) ≈ cos 45°. (The twins must NOT coincide with the
+    // query itself — if they do, sim(c, top) ≈ rel(c) for every candidate
+    // and no λ can prefer diversity.)
+    def vec(x: Double, y: Double) =
+      Array.tabulate(64)(i => if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0.0f)
+    val vecs = Seq(
+      (0L, vec(1.0, 0.0)),         // query
+      (1L, vec(0.940, 0.342)),     // top hit, ~20° off-axis
+      (2L, vec(0.939, 0.344)),     // near-duplicate of 1
+      (3L, vec(0.906, -0.423))     // diverse: ~25° the other way
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity
+      .mmrRerank(vecs, "vec_id", "embedding", queryIds = Seq(0L),
+        kCand = 3, kSel = 3)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L),
+      out.mkString(", "))
+    // rank-1 score is pure relevance; later marginals are strictly below
+    // the unpenalized lambdaPm-scaled relevance (a positive sim penalty)
+    assert(out(0).getLong(4) == out(0).getLong(3))
+    assert(out(1).getLong(4) < 700L * out(1).getLong(3))
+    assert(out(2).getLong(4) < 700L * out(2).getLong(3))
+  }
+
   // --- cluster representatives --------------------------------------------
 
   test("clusterRepresentatives keeps the longest member, smallest id on ties") {
