@@ -110,6 +110,12 @@ object Similarity {
         .where(col("__r") === 1)
         .select(col("qid"), col("doc_id"), lit(r).as("mmr_rank"),
           col("rel_u6"), col("score_u6"))
+      // the per-round localCheckpoint is LOAD-BEARING: each round
+      // references the previous selection three times (union member,
+      // anti-join, max-sim probe), so an unmaterialized lineage recomputes
+      // prior rounds ~3^k-fold — A/B'd at sf0.1/kSel=5: fused DAG 3.4 s
+      // vs checkpointed rounds 1.8 s. kSel sequential tiny jobs is the
+      // cheaper honest shape of a greedy data-dependent loop.
       selected = selected.unionByName(next).localCheckpoint()
     }
     selected
