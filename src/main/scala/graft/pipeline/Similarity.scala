@@ -73,7 +73,7 @@ object Similarity {
       .orderBy(col("rel_u6").desc, col("doc_id"))
     val cand = rel.withColumn("__r", row_number().over(wRel))
       .where(col("__r") <= kCand).drop("__r")
-      .localCheckpoint() // tiny; consumed by every greedy round
+      .coalesce(1).localCheckpoint() // tiny; consumed by every greedy round
     // pairwise sims within each query's candidate set (kCand² per query)
     val cv = cand.join(
       v.select(col("__id").as("doc_id"), col("__v"), col("nrm")), "doc_id")
@@ -116,7 +116,7 @@ object Similarity {
       // prior rounds ~3^k-fold — A/B'd at sf0.1/kSel=5: fused DAG 3.4 s
       // vs checkpointed rounds 1.8 s. kSel sequential tiny jobs is the
       // cheaper honest shape of a greedy data-dependent loop.
-      selected = selected.unionByName(next).localCheckpoint()
+      selected = selected.unionByName(next).coalesce(1).localCheckpoint()
     }
     selected
   }
