@@ -77,6 +77,30 @@ class WordNGramsSpec extends AnyFunSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("property: token_counts equals a from-scratch split-count on arbitrary unicode") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // pure-JVM property against an independent reference: Java split with
+    // limit -1 on single spaces (the split(text, ' ') contract), counted
+    // with a plain Scala groupBy — arbitrary unicode incl. multi-space
+    // runs, leading/trailing spaces, empty strings
+    val genStr = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ' ', ':', 'é', '中', 'ß', '€')))
+      .map(_.mkString)
+    val p = Prop.forAll(genStr) { s =>
+      val m = graft.functions.TokenCounts
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val got = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString ->
+          m.valueArray().getLong(i)).toMap
+      val exp = s.split(" ", -1).toSeq.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      got == exp
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("multi-space and non-ASCII text match the lambda form byte-for-byte") {
     TextFunctions.register(spark)
     import spark.implicits._
