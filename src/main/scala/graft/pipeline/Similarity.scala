@@ -61,6 +61,8 @@ object Similarity {
       queryIds: Seq[Long], kCand: Int = 10, kSel: Int = 5,
       lambdaPm: Int = 700): DataFrame = {
     require(kSel >= 1 && kSel <= kCand, s"need 1 <= kSel <= kCand")
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val v = withNorm(vecs, idCol, vecCol)
     val q = v.where(col("__id").isin(queryIds: _*))
       .select(col("__id").as("qid"), col("__v").as("qv"), col("nrm").as("qn"))
@@ -73,7 +75,7 @@ object Similarity {
       .orderBy(col("rel_u6").desc, col("doc_id"))
     val cand = rel.withColumn("__r", row_number().over(wRel))
       .where(col("__r") <= kCand).drop("__r")
-      .coalesce(1).localCheckpoint() // tiny; consumed by every greedy round
+      .localCheckpoint() // bounded; consumed by the pair join AND cogroup
     // pairwise sims within each query's candidate set (kCand² per query)
     val cv = cand.join(
       v.select(col("__id").as("doc_id"), col("__v"), col("nrm")), "doc_id")
@@ -84,41 +86,45 @@ object Similarity {
         round(round(dot(col("x.__v"), col("y.__v")) /
           (col("x.nrm") * col("y.nrm")), 6) * lit(1000000.0))
           .cast("long").as("sim_u6"))
-      .localCheckpoint()
-    // round 1: pure relevance argmax
-    var selected = cand.withColumn("__r", row_number().over(wRel))
-      .where(col("__r") === 1)
-      .select(col("qid"), col("doc_id"), lit(1).as("mmr_rank"),
-        col("rel_u6"), col("rel_u6").cast("long").as("score_u6"))
-    // rounds 2..kSel: argmax of the integer marginal score
-    (2 to kSel).foreach { r =>
-      val selIds = selected.select(col("qid"), col("doc_id").as("b"))
-      val rest = cand.join(
-        selected.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"),
-        "left_anti")
-      val maxSim = pairs.join(selIds, Seq("qid", "b"))
-        .groupBy(col("qid"), col("a"))
-        .agg(max(col("sim_u6")).as("ms"))
-        .withColumnRenamed("a", "doc_id")
-      val scored = rest.join(maxSim, Seq("qid", "doc_id"))
-        .withColumn("score_u6",
-          (lit(lambdaPm.toLong) * col("rel_u6") -
-            lit((1000 - lambdaPm).toLong) * col("ms")).cast("long"))
-      val wSc = Window.partitionBy(col("qid"))
-        .orderBy(col("score_u6").desc, col("doc_id"))
-      val next = scored.withColumn("__r", row_number().over(wSc))
-        .where(col("__r") === 1)
-        .select(col("qid"), col("doc_id"), lit(r).as("mmr_rank"),
-          col("rel_u6"), col("score_u6"))
-      // the per-round localCheckpoint is LOAD-BEARING: each round
-      // references the previous selection three times (union member,
-      // anti-join, max-sim probe), so an unmaterialized lineage recomputes
-      // prior rounds ~3^k-fold — A/B'd at sf0.1/kSel=5: fused DAG 3.4 s
-      // vs checkpointed rounds 1.8 s. kSel sequential tiny jobs is the
-      // cheaper honest shape of a greedy data-dependent loop.
-      selected = selected.unionByName(next).coalesce(1).localCheckpoint()
-    }
-    selected
+    // the greedy loop is PER-QUERY imperative logic over a bounded
+    // candidate set (kCand docs + kCand² sims), so it runs task-locally
+    // in one cogroup — queries shard across executors and the whole
+    // trajectory is ONE job. (A DataFrame-round formulation was A/B'd
+    // and LOST badly: kSel sequential argmax jobs cost ~1.6 s of pure
+    // scheduling at ANY scale, and fusing them into one DAG recomputes
+    // earlier rounds ~3^k-fold — 3.4 s. Per-group imperative greedy is
+    // the honest shape, exactly the mapGroups case the design reserves
+    // for logic Catalyst can't express.)
+    val candDs = cand.select(col("qid"), col("doc_id"), col("rel_u6"))
+      .as[(Long, Long, Long)]
+    val pairDs = pairs.as[(Long, Long, Long, Long)]
+    candDs.groupByKey(_._1).cogroup(pairDs.groupByKey(_._1)) {
+      (qid, cs, ps) =>
+        val cands = cs.map { case (_, d, r) => (d, r) }.toArray
+          .sortBy { case (d, r) => (-r, d) }
+        val sim = ps.map { case (_, a, b, s) => (a, b) -> s }.toMap
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Long, Long)]
+        val chosen = scala.collection.mutable.Set.empty[Long]
+        (1 to math.min(kSel, cands.length)).foreach { rank =>
+          val best =
+            if (rank == 1) {
+              val (d, r) = cands.head
+              (d, r, r) // round 1: pure relevance; score = rel
+            } else cands.iterator.filterNot(c => chosen(c._1)).map {
+              case (d, r) =>
+                val ms = chosen.iterator
+                  .map(s => sim.getOrElse((d, s), 0L)).max
+                (d, r, lambdaPm.toLong * r - (1000L - lambdaPm) * ms)
+            }.reduceLeft { (x, y) =>
+              // argmax by (score desc, doc_id asc)
+              if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+            }
+          chosen += best._1
+          selected += ((qid, best._1, rank, best._2, best._3))
+        }
+        selected.iterator
+    }.toDF("qid", "doc_id", "mmr_rank", "rel_u6", "score_u6")
   }
 
   /** IVF-style ANN: assign every vector to its nearest of the seed
