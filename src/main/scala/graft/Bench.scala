@@ -145,8 +145,12 @@ object Bench {
       else s""","filtered":true,"only":"${only.toSeq.sorted.mkString(",")}""""
     val perQueryJson =
       s"""{"queries":$qs,"sf":"$sfDir","errors":${failed.size}$filteredTag,"metric":"total","unit":"sec","value":${sec3(total)}}"""
+    // a filtered (SPARK_GRAFT_ONLY) iteration run must never clobber the
+    // committed full-suite artifact with a partial map
+    val artifact =
+      if (only.isEmpty) "BENCH_perquery.json" else "BENCH_perquery.filtered.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_perquery.json"), perQueryJson + "\n"): Unit
+      java.nio.file.Paths.get(artifact), perQueryJson + "\n"): Unit
     System.err.println(perQueryJson)
     spark.stop()
     // AFTER spark.stop(): nothing else can write to stdout behind it.

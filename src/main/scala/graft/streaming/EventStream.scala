@@ -353,7 +353,17 @@ object EventStream {
     * across executors; membership is per-(day, user) — a production
     * deployment at extreme user counts would swap the exact map for a
     * sketch, which changes wau to an estimate (batch ev4 stays the
-    * exact-count oracle). */
+    * exact-count oracle).
+    *
+    * Shuffle-mass divergence from the batch twin, deliberate: the stream
+    * explodes every RAW event into its ≤7 day contributions before the
+    * key shuffle (7·|events| rows), where batch dedups to DISTINCT
+    * (day, user) first (7·|du|) — a streaming pre-dedup would be a second
+    * stateful operator (update-mode chains of stateful ops are not
+    * supported), so the dedup lives in this processor's state instead.
+    * A replay-heavy/high-frequency feed should pre-aggregate per
+    * micro-batch upstream (e.g. foreachBatch distinct) before this
+    * stream. */
   private class StickinessProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Int, DayContrib, (Int, Long, Long, Long)] {

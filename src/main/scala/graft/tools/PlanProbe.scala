@@ -27,8 +27,13 @@ object PlanProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val p = df.queryExecution.executedPlan.toString
       val scans = "Scan parquet".r.findAllIn(p).size
-      val exchanges = "(?m)^\\s*\\+?-?\\s*(Exchange|ShuffleQueryStage)".r.findAllIn(p).size
-      val reused = "ReusedExchange|ReusedQueryStage".r.findAllIn(p).size
+      // tree-prefix chars include ':' on left branches (`:- Exchange`,
+      // `:  +- Exchange`) — an anchor admitting only whitespace/+/-
+      // undercounted every exchange under a join/union left branch
+      val exchanges = "(?m)^[\\s:|*()\\d+-]*(Exchange|ShuffleQueryStage)"
+        .r.findAllIn(p).size
+      val reused = "(?m)^[\\s:|*()\\d+-]*(ReusedExchange|ReusedQueryStage)"
+        .r.findAllIn(p).size
       println(s"== $name rows=$n time=${f"$sec%.2f"}s scans=$scans exchanges=$exchanges reused=$reused")
       println(p.split("== Initial Plan ==").head)
     }

@@ -194,10 +194,19 @@ object SqlValidator {
           fail("Table valued functions are not allowed!")
         case r: UnresolvedRelation if r.multipartIdentifier.size > 1 =>
           fail(s"Explicit table paths are not allowed! Found: ${r.multipartIdentifier.mkString(".")}")
-        // CLUSTER BY parses as a local Sort over RepartitionByExpression —
-        // report it with the reference's cluster-by message
-        // (`validation.rs:500-504`) instead of the distribute-by one
-        case s: Sort if !s.global && s.child.isInstanceOf[RepartitionByExpression] =>
+        // CLUSTER BY parses as a local Sort over RepartitionByExpression
+        // with IDENTICAL sort/partition expressions — report it with the
+        // reference's cluster-by message (`validation.rs:500-504`).
+        // DISTRIBUTE BY x SORT BY y parses to the same node pair but with
+        // different expressions and must keep the distribute-by message
+        // (the reference sees the DISTRIBUTE BY token).
+        case s: Sort if !s.global && (s.child match {
+          case r: RepartitionByExpression =>
+            s.order.size == r.partitionExpressions.size &&
+              s.order.map(_.child).zip(r.partitionExpressions)
+                .forall { case (a, b) => a.semanticEquals(b) }
+          case _ => false
+        }) =>
           fail("Cluster by clause is not allowed!")
         case _: RepartitionByExpression =>
           fail("Distribute by clause is not allowed!")

@@ -162,9 +162,10 @@ class PipelineSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.nonEmpty)
     // WAU >= DAU for every day (a day's actives are a subset of its
-    // trailing week's actives), and stickiness_pm in (0, 1000]
+    // trailing week's actives); stickiness_pm in [0, 1000] — 0 IS legal
+    // (integer div truncates to 0 whenever wau > 1000*dau)
     assert(rows.forall(r => r.getLong(2) >= r.getLong(1)))
-    assert(rows.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 1000))
+    assert(rows.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000))
   }
 
   test("entropy bounds, BPE text reconstruction, temperature-mix invariants") {

@@ -136,6 +136,11 @@ class ValidatorSpec extends AnyFunSuite {
     // plain SORT BY stays allowed (validation.rs:512-514)
     assert(SqlValidator.validate(
       "select custkey from customer sort by custkey", spark) == "customer")
+    // DISTRIBUTE BY x SORT BY y parses to the same Sort-over-Repartition
+    // node pair as CLUSTER BY but with different expressions — it must
+    // keep the reference's DISTRIBUTE BY message
+    assert(errOf("select * from t distribute by x sort by y") ==
+      "invalid query: Distribute by clause is not allowed!")
     assert(errOf("select customername collate unicode_ci from customer") ==
       "invalid query: collation expressions are not allowed")
   }
