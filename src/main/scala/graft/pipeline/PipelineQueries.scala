@@ -2636,6 +2636,24 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rrf_micro").desc, col("doc_id"))
     }),
 
+    // rt4: pseudo-relevance-feedback query expansion (Rocchio/RM-style
+    // PRF): BM25 pass 1 retrieves each query's top-10 feedback docs; the
+    // 5 highest-total-tf terms across them (original terms and the empty
+    // token excluded; INTEGER tf sums with term tiebreaks, so the
+    // selection is engine-exact) expand the query; BM25 pass 2 scores
+    // the expanded term set. The expansion table is bounded model state
+    // (queries × 5 terms — the centroid/BPE-merge collect pattern);
+    // both corpus passes are bm25TopK's shuffle-free shape.
+    "rt4_prf_expansion" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      val expanded = TextAnalysis.prfExpand(docs, "doc_id", "text",
+        bm25QueryDefs, fbK = 10, expK = 5)
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", expanded, k = 5)
+        .orderBy(col("qid"), col("score_micro").desc, col("doc_id"))
+    }),
+
     // rt3: MMR diversified rerank (Carbonell & Goldstein '98) — greedy
     // selection of 5 of each query's 10 nearest candidates maximizing
     // 700·rel − 300·max-sim-to-selected in exact 1e-6 integers; the
@@ -3720,11 +3738,68 @@ object PipelineQueries {
        |FROM sel$kSel ORDER BY qid, mmr_rank""".stripMargin
   }
 
+  /** rt4's DuckDB oracle: the bm25 chain run twice — pass 1 over the
+    * original terms picks each query's top-10 feedback docs, the
+    * expansion terms derive IN SQL (integer tf sums, term tiebreaks,
+    * originals and the empty token excluded), and pass 2 re-runs the
+    * identical chain over the expanded term relation. */
+  private def prfOracle(k1: Double = 1.2, b: Double = 0.75): String = {
+    val vals = bm25QueryDefs.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    def chain(n: Int, qRel: String): String =
+      s"""tf$n AS (SELECT t.doc_id, t.token, count(*) AS tf FROM tok t
+         |       JOIN (SELECT DISTINCT term FROM $qRel) qt ON qt.term = t.token
+         |       GROUP BY t.doc_id, t.token),
+         |df$n AS (SELECT token, count(*) AS df FROM tf$n GROUP BY token),
+         |sc$n AS (SELECT tf$n.doc_id, tf$n.token,
+         |        CAST(floor(ln((st.n_docs - df$n.df + 0.5) / (df$n.df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro,
+         |        tf$n.tf * ${k1 + 1.0} / (tf$n.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))) AS tfn
+         |       FROM tf$n JOIN df$n ON df$n.token = tf$n.token
+         |       JOIN dl ON dl.doc_id = tf$n.doc_id CROSS JOIN st),
+         |ts$n AS (SELECT $qRel.qid, sc$n.doc_id,
+         |        CAST(floor(sc$n.idf_micro * sc$n.tfn) AS BIGINT) AS m
+         |       FROM sc$n JOIN $qRel ON $qRel.term = sc$n.token),
+         |agg$n AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+         |        FROM ts$n GROUP BY qid, doc_id)""".stripMargin
+    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals) t(qid, term)),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+       |${chain(1, "q")},
+       |fb AS (SELECT qid, doc_id FROM (
+       |       SELECT qid, doc_id,
+       |         row_number() OVER (PARTITION BY qid
+       |             ORDER BY score_micro DESC, doc_id) AS rk
+       |       FROM agg1) t WHERE rk <= 10),
+       |expw AS (SELECT fb.qid, t.token AS term, count(*) AS w
+       |       FROM fb JOIN tok t ON t.doc_id = fb.doc_id
+       |       WHERE t.token <> ''
+       |       GROUP BY fb.qid, t.token),
+       |expf AS (SELECT qid, term FROM (
+       |       SELECT e.qid, e.term,
+       |         row_number() OVER (PARTITION BY e.qid
+       |             ORDER BY e.w DESC, e.term) AS r
+       |       FROM expw e
+       |       WHERE NOT EXISTS (SELECT 1 FROM q
+       |                         WHERE q.qid = e.qid AND q.term = e.term)) t
+       |       WHERE r <= 5),
+       |q2 AS (SELECT qid, term FROM q UNION SELECT qid, term FROM expf),
+       |${chain(2, "q2")}
+       |SELECT qid, doc_id, score_micro FROM (
+       |  SELECT qid, doc_id, score_micro,
+       |         row_number() OVER (PARTITION BY qid
+       |             ORDER BY score_micro DESC, doc_id) AS rk
+       |  FROM agg2) t
+       |WHERE rk <= 5 ORDER BY qid, score_micro DESC, doc_id""".stripMargin
+  }
+
   def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
       "rt1_bm25_topk" -> bm25Oracle(),
       "rt2_hybrid_rrf" -> hybridRrfOracle(),
       "rt3_mmr_rerank" -> mmrOracle(),
+      "rt4_prf_expansion" -> prfOracle(),
 
       // ds1: the same hashed-bigram two-LM importance chain; every
       // log-prob quantizes through the micro-nat floor separately, so the

@@ -787,6 +787,43 @@ object TextAnalysis {
       orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style PRF):
+    * retrieve each query's top-`fbK` documents with [[bm25TopK]], then
+    * expand the query with the `expK` highest-total-tf terms across
+    * those feedback docs (original terms and the empty token excluded).
+    * Selection is INTEGER tf sums with term tiebreaks — engine-exact.
+    * Returns the expanded query defs; callers re-run [[bm25TopK]] over
+    * them (rt4). The expansion table is bounded model state
+    * (queries × expK terms — the centroid/BPE-merge collect pattern);
+    * term frequency rides the doc-local token_counts kernel, so the
+    * feedback pass adds no corpus shuffle beyond the semi-join. */
+  def prfExpand(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], fbK: Int = 10,
+      expK: Int = 5): Seq[(Int, Seq[String])] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val fb = bm25TopK(docs, idCol, textCol, queries, k = fbK)
+      .select(col("qid"), col("doc_id"))
+    val tc = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.token_counts(col(textCol)))
+        .as(Seq("term", "tf")))
+    val orig = spark.createDataFrame(
+      queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) })
+      .toDF("qid", "term")
+    val expw = fb.join(tc, "doc_id")
+      .where(col("term") =!= "")
+      .groupBy("qid", "term").agg(sum("tf").as("w"))
+      .join(orig, Seq("qid", "term"), "left_anti")
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("w").desc, col("term"))
+    val top = expw.withColumn("__r", row_number().over(wE))
+      .where(col("__r") <= expK).select("qid", "term").collect()
+    queries.map { case (q, ts) =>
+      q -> (ts ++ top.filter(_.getInt(0) == q).map(_.getString(1))).distinct
+    }
+  }
+
   /** Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack, Clarke
     * & Buettcher, SIGIR'09) of a lexical (BM25) and a vector top-k list:
     * `rrf_micro = Σ_sides 1e6 DIV (rrfK + rank)` — the standard

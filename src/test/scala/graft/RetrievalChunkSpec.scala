@@ -218,6 +218,31 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(sizes == sizes.sorted && sizes.distinct == sizes)
   }
 
+  test("prfExpand pulls in a document containing none of the original terms") {
+    import spark.implicits._
+    // d1 is the only doc matching the original query ("alpha"); its
+    // dominant co-occurring term is "beta", which must become the
+    // expansion term and make d2 (beta-only) retrievable in pass 2.
+    val docs = Seq(
+      (1L, "alpha beta beta word"),
+      (2L, "beta beta gamma word"),
+      (3L, "delta delta delta word")
+    ).toDF("doc_id", "text")
+    val queries = Seq(7 -> Seq("alpha"))
+    val expanded = graft.pipeline.TextAnalysis
+      .prfExpand(docs, "doc_id", "text", queries, fbK = 1, expK = 1)
+    assert(expanded == Seq(7 -> Seq("alpha", "beta")), expanded.toString)
+    val pass2 = graft.pipeline.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", expanded, k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pass2.contains(2L), pass2.toString) // unreachable before PRF
+    // original terms and the empty token never appear as expansions
+    val wide = graft.pipeline.TextAnalysis
+      .prfExpand(docs, "doc_id", "text", queries, fbK = 3, expK = 10)
+    assert(wide.head._2.count(_ == "alpha") == 1)
+    assert(!wide.head._2.contains(""))
+  }
+
   // --- hybrid RRF fusion ----------------------------------------------------
 
   test("hybridRrf: hand-computed reciprocal-rank fusion of two sides") {
