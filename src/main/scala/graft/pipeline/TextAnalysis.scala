@@ -731,6 +731,34 @@ object TextAnalysis {
     // per-doc frame is a row-local projection pruned to docs with >= 1 hit
     val tc = graft.functions.TextFunctions
       .token_term_counts(col(textCol), allTerms)
+    // TWO scoring spellings, dispatched on the distinct-term count:
+    //  - m <= 10: fully-codegen'd per-term COLUMN expansion — the fastest
+    //    per-row form (rt1's shape; ~25% faster than the array form).
+    //  - m > 10: expression size must be O(1) in m — the column form
+    //    expands per-term tf/df columns into every term-score and
+    //    has-hit subtree, Catalyst's project-collapse re-inlines the
+    //    kernel and the stats row per reference, and OPTIMIZATION time
+    //    grows exponentially in m (measured at sf0.001: m=12 → 2 s,
+    //    m=15 → 6 s, m=18 → 67 s — rt4's expanded query sets fell off
+    //    that cliff). The array form keeps the tf vector as ONE column,
+    //    per-term dfs as ONE array, per-query term positions as tiny
+    //    index literals, and scores through a single aggregate/exists
+    //    lambda pair per query — constant-size expressions at any m
+    //    (flat 0.94 s at sf0.001 for m = 6..18). Both forms are
+    //    hash-gated against the same DuckDB oracle.
+    if (m <= 10)
+      bm25Columnar(docs, idCol, textCol, queries, k, k1, b, allTerms, tc)
+    else
+      bm25ArrayForm(docs, idCol, textCol, queries, k, k1, b, allTerms, tc)
+  }
+
+  private def bm25Columnar(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int, k1: Double, b: Double,
+      allTerms: Seq[String], tc: Column): DataFrame = {
+    def tfc(t: String) = s"__tf_${allTerms.indexOf(t)}"
+    def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
+    val m = allTerms.size
     val perDoc = docs
       .select(col(idCol).as("doc_id"), tc.as("__tc"))
       .select(Seq(col("doc_id"),
@@ -739,8 +767,54 @@ object TextAnalysis {
           element_at(col("__tc"), i + 1).as(tfc(t))
         }: _*)
       .where(allTerms.map(t => col(tfc(t)) > 0).reduce(_ || _))
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(element_at(col("__tc"), m + 1)).as("total_len")) ++
+      allTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(element_at(col("__tc"), i + 1) > 0, 1L).otherwise(0L))
+          .as(dfc(t))
+      }
+    val one = docs.where(col(textCol).isNotNull)
+      .select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    def termScore(t: String): Column = {
+      val tf = col(tfc(t))
+      val idfMicro =
+        floor(log((col("n_docs") - col(dfc(t)) + lit(0.5)) /
+          (col(dfc(t)) + lit(0.5)) + lit(1.0)) * lit(1000000.0)).cast("long")
+      val tfn = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+      floor(idfMicro * tfn).cast("long")
+    }
+    val perQ = queries.map { case (qid, terms) =>
+      val ts = terms.distinct
+      val score = ts.map(termScore).reduce(_ + _)
+      val hasHit = ts.map(t => col(tfc(t)) > 0).reduce(_ || _)
+      struct(lit(qid).as("qid"),
+        when(hasHit, score).as("score_micro"))
+    }
+    val stacked = perDoc
+      .crossJoin(broadcast(one))
+      .select(col("doc_id"), explode(array(perQ: _*)).as("qs"))
+      .where(col("qs.score_micro").isNotNull)
+      .select(col("qs.qid").as("qid"), col("doc_id"),
+        col("qs.score_micro").as("score_micro"))
+    graft.plans.TopKPerGroup(stacked, keys = Seq("qid"),
+      orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
+  }
+
+  private def bm25ArrayForm(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int, k1: Double, b: Double,
+      allTerms: Seq[String], tc: Column): DataFrame = {
+    def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
+    val m = allTerms.size
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), tc.as("__tc"))
+      .where(expr(s"exists(slice(__tc, 1, $m), x -> x > 0)"))
+      .select(col("doc_id"), col("__tc"),
+        element_at(col("__tc"), m + 1).as("dl"))
     // one corpus pass for ALL model state: N, total token mass, per-term
-    // document frequencies — a single broadcast row
+    // document frequencies — a single broadcast row (dfs as ONE array)
     val statAggs = Seq(count(lit(1)).as("n_docs"),
       sum(element_at(col("__tc"), m + 1)).as("total_len")) ++
       allTerms.zipWithIndex.map { case (t, i) =>
@@ -753,29 +827,32 @@ object TextAnalysis {
     // null text while the oracle's idf/avgdl ignore those rows
     val one = docs.where(col(textCol).isNotNull)
       .select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
+      .select(col("n_docs"), col("total_len"),
+        array(allTerms.map(t => col(dfc(t))): _*).as("__df"))
     // operation order mirrors the oracle SQL text exactly (left-assoc
     // IEEE +,*,/): idf_micro = floor(ln((N - df + 0.5)/(df + 0.5) + 1)*1e6);
     // a zero-tf term scores exactly 0 (floor(idf * 0)), so the per-query
     // fixed-order integer sum equals the oracle's present-terms-only sum
-    val avgdl = col("total_len").cast("double") / col("n_docs")
-    def termScore(t: String): Column = {
-      val tf = col(tfc(t))
-      val idfMicro =
-        floor(log((col("n_docs") - col(dfc(t)) + lit(0.5)) /
-          (col(dfc(t)) + lit(0.5)) + lit(1.0)) * lit(1000000.0)).cast("long")
-      val tfn = tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-      floor(idfMicro * tfn).cast("long")
+    def scoreExpr(idx: Seq[Int]): String = {
+      val arr = idx.mkString("array(", ", ", ")")
+      s"""aggregate($arr, CAST(0 AS BIGINT), (acc, i) -> acc +
+         |  CAST(floor(
+         |    CAST(floor(ln((n_docs - element_at(__df, i) + 0.5)
+         |          / (element_at(__df, i) + 0.5) + 1.0) * 1000000.0) AS BIGINT)
+         |    * (element_at(__tc, i) * ${k1 + 1.0}
+         |       / (element_at(__tc, i) + $k1 * (${1.0 - b}
+         |          + $b * dl / (CAST(total_len AS DOUBLE) / n_docs))))
+         |  ) AS BIGINT))""".stripMargin
     }
-    // per-query score = projection over the per-doc tf columns; a doc
-    // emits a (qid, score) element only when it contains at least one of
-    // the query's terms (join-form semantics)
+    // per-query score = one aggregate lambda over the query's term
+    // positions; a doc emits a (qid, score) element only when it contains
+    // at least one of the query's terms (join-form semantics)
     val perQ = queries.map { case (qid, terms) =>
-      val ts = terms.distinct
-      val score = ts.map(termScore).reduce(_ + _)
-      val hasHit = ts.map(t => col(tfc(t)) > 0).reduce(_ || _)
+      val idx = terms.distinct.map(t => allTerms.indexOf(t) + 1)
+      val arr = idx.mkString("array(", ", ", ")")
       struct(lit(qid).as("qid"),
-        when(hasHit, score).as("score_micro"))
+        when(expr(s"exists($arr, i -> element_at(__tc, i) > 0)"),
+          expr(scoreExpr(idx))).as("score_micro"))
     }
     val stacked = perDoc
       .crossJoin(broadcast(one))
