@@ -2600,6 +2600,12 @@ object PipelineQueries {
     2 -> Seq("window", "sort", "query"),
     3 -> Seq("spark", "stream", "fast"))
 
+  /** rt4's parameters — ONE definition consumed by both the Spark entry
+    * and the DuckDB oracle builder, so they cannot desynchronize. */
+  private val rt4FbK = 10
+  private val rt4ExpK = 5
+  private val rt4K = 5
+
   private val overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd2_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
@@ -2649,8 +2655,8 @@ object PipelineQueries {
       Fixtures.registerRaw(s, dir)
       val docs = s.table("documents")
       val expanded = TextAnalysis.prfExpand(docs, "doc_id", "text",
-        bm25QueryDefs, fbK = 10, expK = 5)
-      TextAnalysis.bm25TopK(docs, "doc_id", "text", expanded, k = 5)
+        bm25QueryDefs, fbK = rt4FbK, expK = rt4ExpK)
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", expanded, k = rt4K)
         .orderBy(col("qid"), col("score_micro").desc, col("doc_id"))
     }),
 
@@ -3594,71 +3600,63 @@ object PipelineQueries {
     * Verify dumps THIS form, so `tools/compare.py` is runnable at every
     * scale (the static sf0.01 path previously false-failed ss3/ss5/ss6 at
     * any other sf). */
-  /** rt1's DuckDB oracle: the identical BM25 arithmetic, with the
-    * constants rendered from the SAME Scala doubles the Spark plan embeds
-    * (shortest-round-trip literals parse back to bit-identical doubles),
-    * idf quantized through the fixed-point-micro discipline, and the
-    * per-(query, doc) score an integer sum — order-free in both engines. */
-  private def bm25Oracle(k1: Double = 1.2, b: Double = 0.75): String = {
+  /** Shared BM25 oracle building blocks (ONE copy of the scoring math —
+    * rt1/rt2/rt4 all assemble from these, so an oracle-side fix can never
+    * silently diverge between the gates). `bm25PreludeSql` renders the
+    * original query VALUES + tok/dl/st corpus CTEs; `bm25ChainSql(n, qRel)`
+    * renders the tf$n/df$n/sc$n/ts$n/agg$n scoring chain over any term
+    * relation. Constants render from the same Scala doubles the Spark
+    * plans embed (shortest-round-trip literals parse back bit-identical). */
+  private def bm25PreludeSql: String = {
     val vals = bm25QueryDefs.flatMap { case (qid, ts) =>
       ts.distinct.map(t => s"($qid, '$t')")
     }.mkString(", ")
-    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals) t(qid, term)),
+    s"""q(qid, term) AS (SELECT * FROM (VALUES $vals) t(qid, term)),
        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-       |tf AS (SELECT t.doc_id, t.token, count(*) AS tf FROM tok t
-       |       JOIN (SELECT DISTINCT term FROM q) qt ON qt.term = t.token
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl)""".stripMargin
+  }
+
+  private def bm25ChainSql(
+      n: Int, qRel: String, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""tf$n AS (SELECT t.doc_id, t.token, count(*) AS tf FROM tok t
+       |       JOIN (SELECT DISTINCT term FROM $qRel) qt ON qt.term = t.token
        |       GROUP BY t.doc_id, t.token),
-       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-       |sc AS (SELECT tf.doc_id, tf.token,
-       |        CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro,
-       |        tf.tf * ${k1 + 1.0} / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))) AS tfn
-       |       FROM tf JOIN dfq ON dfq.token = tf.token
-       |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
-       |ts AS (SELECT q.qid, sc.doc_id,
-       |        CAST(floor(sc.idf_micro * sc.tfn) AS BIGINT) AS m
-       |       FROM sc JOIN q ON q.term = sc.token),
-       |agg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
-       |        FROM ts GROUP BY qid, doc_id)
+       |df$n AS (SELECT token, count(*) AS df FROM tf$n GROUP BY token),
+       |sc$n AS (SELECT tf$n.doc_id, tf$n.token,
+       |        CAST(floor(ln((st.n_docs - df$n.df + 0.5) / (df$n.df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro,
+       |        tf$n.tf * ${k1 + 1.0} / (tf$n.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))) AS tfn
+       |       FROM tf$n JOIN df$n ON df$n.token = tf$n.token
+       |       JOIN dl ON dl.doc_id = tf$n.doc_id CROSS JOIN st),
+       |ts$n AS (SELECT $qRel.qid, sc$n.doc_id,
+       |        CAST(floor(sc$n.idf_micro * sc$n.tfn) AS BIGINT) AS m
+       |       FROM sc$n JOIN $qRel ON $qRel.term = sc$n.token),
+       |agg$n AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+       |        FROM ts$n GROUP BY qid, doc_id)""".stripMargin
+
+  /** rt1's DuckDB oracle: the identical BM25 arithmetic assembled from
+    * the shared chain; `k` mirrors the Spark entry's top-k. */
+  private def bm25Oracle(k: Int = 5): String =
+    s"""WITH $bm25PreludeSql,
+       |${bm25ChainSql(1, "q")}
        |SELECT qid, doc_id, score_micro FROM (
        |  SELECT qid, doc_id, score_micro,
        |         row_number() OVER (PARTITION BY qid
        |             ORDER BY score_micro DESC, doc_id) AS rk
-       |  FROM agg) t
-       |WHERE rk <= 5 ORDER BY qid, score_micro DESC, doc_id""".stripMargin
-  }
+       |  FROM agg1) t
+       |WHERE rk <= $k ORDER BY qid, score_micro DESC, doc_id""".stripMargin
 
-  /** rt2's DuckDB oracle: the rt1 BM25 chain (k=20) and the ss1-style
-    * vector chain (k=20) re-derived independently, per-side ranks, then
-    * the identical integer RRF sum and top-10. */
-  private def hybridRrfOracle(k1: Double = 1.2, b: Double = 0.75): String = {
-    val vals = bm25QueryDefs.flatMap { case (qid, ts) =>
-      ts.distinct.map(t => s"($qid, '$t')")
-    }.mkString(", ")
+  /** rt2's DuckDB oracle: the shared BM25 chain (ranks to kEach) and the
+    * ss1-style vector chain (kEach), per-side ranks, then the identical
+    * integer RRF sum and top-k. */
+  private def hybridRrfOracle(kEach: Int = 20, k: Int = 10): String = {
     val qids = bm25QueryDefs.map(_._1).mkString(", ")
-    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals) t(qid, term)),
-       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-       |tf AS (SELECT t.doc_id, t.token, count(*) AS tf FROM tok t
-       |       JOIN (SELECT DISTINCT term FROM q) qt ON qt.term = t.token
-       |       GROUP BY t.doc_id, t.token),
-       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-       |sc AS (SELECT tf.doc_id, tf.token,
-       |        CAST(floor(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro,
-       |        tf.tf * ${k1 + 1.0} / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))) AS tfn
-       |       FROM tf JOIN dfq ON dfq.token = tf.token
-       |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
-       |ts AS (SELECT q.qid, sc.doc_id,
-       |        CAST(floor(sc.idf_micro * sc.tfn) AS BIGINT) AS m
-       |       FROM sc JOIN q ON q.term = sc.token),
-       |bagg AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
-       |        FROM ts GROUP BY qid, doc_id),
+    s"""WITH $bm25PreludeSql,
+       |${bm25ChainSql(1, "q")},
        |br AS (SELECT qid, doc_id,
        |        row_number() OVER (PARTITION BY qid
        |            ORDER BY score_micro DESC, doc_id) AS r
-       |       FROM bagg),
+       |       FROM agg1),
        |$duckVecs,
        |vq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
        |       WHERE vec_id IN ($qids)),
@@ -3670,10 +3668,10 @@ object PipelineQueries {
        |            ORDER BY cos DESC, vec_id) AS r
        |       FROM vc),
        |c AS (SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
-       |        1000000 // (60 + r) AS c FROM br WHERE r <= 20
+       |        1000000 // (60 + r) AS c FROM br WHERE r <= $kEach
        |      UNION ALL
        |      SELECT CAST(qid AS BIGINT), CAST(doc_id AS BIGINT),
-       |        1000000 // (60 + r) FROM vr WHERE r <= 20),
+       |        1000000 // (60 + r) FROM vr WHERE r <= $kEach),
        |agg AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
        |        FROM c GROUP BY qid, doc_id)
        |SELECT qid, doc_id, rrf_micro FROM (
@@ -3681,7 +3679,7 @@ object PipelineQueries {
        |         row_number() OVER (PARTITION BY qid
        |             ORDER BY rrf_micro DESC, doc_id) AS rk
        |  FROM agg) t
-       |WHERE rk <= 10 ORDER BY qid, rrf_micro DESC, doc_id""".stripMargin
+       |WHERE rk <= $k ORDER BY qid, rrf_micro DESC, doc_id""".stripMargin
   }
 
   /** rt3's DuckDB oracle: candidate relevance + pairwise sims quantized
@@ -3738,40 +3736,21 @@ object PipelineQueries {
        |FROM sel$kSel ORDER BY qid, mmr_rank""".stripMargin
   }
 
-  /** rt4's DuckDB oracle: the bm25 chain run twice — pass 1 over the
-    * original terms picks each query's top-10 feedback docs, the
+  /** rt4's DuckDB oracle: the shared BM25 chain run twice — pass 1 over
+    * the original terms picks each query's top-fbK feedback docs, the
     * expansion terms derive IN SQL (integer tf sums, term tiebreaks,
     * originals and the empty token excluded), and pass 2 re-runs the
-    * identical chain over the expanded term relation. */
-  private def prfOracle(k1: Double = 1.2, b: Double = 0.75): String = {
-    val vals = bm25QueryDefs.flatMap { case (qid, ts) =>
-      ts.distinct.map(t => s"($qid, '$t')")
-    }.mkString(", ")
-    def chain(n: Int, qRel: String): String =
-      s"""tf$n AS (SELECT t.doc_id, t.token, count(*) AS tf FROM tok t
-         |       JOIN (SELECT DISTINCT term FROM $qRel) qt ON qt.term = t.token
-         |       GROUP BY t.doc_id, t.token),
-         |df$n AS (SELECT token, count(*) AS df FROM tf$n GROUP BY token),
-         |sc$n AS (SELECT tf$n.doc_id, tf$n.token,
-         |        CAST(floor(ln((st.n_docs - df$n.df + 0.5) / (df$n.df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_micro,
-         |        tf$n.tf * ${k1 + 1.0} / (tf$n.tf + $k1 * (${1.0 - b} + $b * dl.dl / (CAST(st.total_len AS DOUBLE) / st.n_docs))) AS tfn
-         |       FROM tf$n JOIN df$n ON df$n.token = tf$n.token
-         |       JOIN dl ON dl.doc_id = tf$n.doc_id CROSS JOIN st),
-         |ts$n AS (SELECT $qRel.qid, sc$n.doc_id,
-         |        CAST(floor(sc$n.idf_micro * sc$n.tfn) AS BIGINT) AS m
-         |       FROM sc$n JOIN $qRel ON $qRel.term = sc$n.token),
-         |agg$n AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
-         |        FROM ts$n GROUP BY qid, doc_id)""".stripMargin
-    s"""WITH q(qid, term) AS (SELECT * FROM (VALUES $vals) t(qid, term)),
-       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
-       |${chain(1, "q")},
+    * identical chain over the expanded term relation. Parameters mirror
+    * the rt4 entry's prfExpand/bm25TopK call (rt4FbK/rt4ExpK/rt4K). */
+  private def prfOracle(
+      fbK: Int = rt4FbK, expK: Int = rt4ExpK, k: Int = rt4K): String =
+    s"""WITH $bm25PreludeSql,
+       |${bm25ChainSql(1, "q")},
        |fb AS (SELECT qid, doc_id FROM (
        |       SELECT qid, doc_id,
        |         row_number() OVER (PARTITION BY qid
        |             ORDER BY score_micro DESC, doc_id) AS rk
-       |       FROM agg1) t WHERE rk <= 10),
+       |       FROM agg1) t WHERE rk <= $fbK),
        |expw AS (SELECT fb.qid, t.token AS term, count(*) AS w
        |       FROM fb JOIN tok t ON t.doc_id = fb.doc_id
        |       WHERE t.token <> ''
@@ -3783,16 +3762,15 @@ object PipelineQueries {
        |       FROM expw e
        |       WHERE NOT EXISTS (SELECT 1 FROM q
        |                         WHERE q.qid = e.qid AND q.term = e.term)) t
-       |       WHERE r <= 5),
+       |       WHERE r <= $expK),
        |q2 AS (SELECT qid, term FROM q UNION SELECT qid, term FROM expf),
-       |${chain(2, "q2")}
+       |${bm25ChainSql(2, "q2")}
        |SELECT qid, doc_id, score_micro FROM (
        |  SELECT qid, doc_id, score_micro,
        |         row_number() OVER (PARTITION BY qid
        |             ORDER BY score_micro DESC, doc_id) AS rk
        |  FROM agg2) t
-       |WHERE rk <= 5 ORDER BY qid, score_micro DESC, doc_id""".stripMargin
-  }
+       |WHERE rk <= $k ORDER BY qid, score_micro DESC, doc_id""".stripMargin
 
   def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(

@@ -720,8 +720,6 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "bm25TopK needs at least one query")
     val allTerms = queries.flatMap(_._2).distinct
-    def tfc(t: String) = s"__tf_${allTerms.indexOf(t)}"
-    def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
     val m = allTerms.size
     // the corpus NEVER shuffles: per-term tfs + the doc's token count come
     // from the native token_term_counts kernel (one compiled byte pass,
@@ -752,6 +750,43 @@ object TextAnalysis {
       bm25ArrayForm(docs, idCol, textCol, queries, k, k1, b, allTerms, tc)
   }
 
+  /** Shared stats row of both bm25 forms: N, total token mass, per-term
+    * document frequencies — ONE scalar aggregation pass. NULL-text docs
+    * are outside the document universe: the oracle derives n_docs from
+    * tokenized docs (string_split(NULL) emits no rows), so an unfiltered
+    * count(lit(1)) would inflate N/avgdl on any corpus holding null text
+    * while the oracle's idf/avgdl ignore those rows. */
+  private def bm25Stats(
+      docs: DataFrame, textCol: String, allTerms: Seq[String],
+      tc: Column): DataFrame = {
+    def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
+    val m = allTerms.size
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(element_at(col("__tc"), m + 1)).as("total_len")) ++
+      allTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(element_at(col("__tc"), i + 1) > 0, 1L).otherwise(0L))
+          .as(dfc(t))
+      }
+    docs.where(col(textCol).isNotNull)
+      .select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
+  }
+
+  /** Shared ranking tail of both bm25 forms: broadcast the stats row over
+    * the hit-pruned per-doc frame, stack per-query (qid, score) structs,
+    * bounded-heap top-k. */
+  private def bm25StackAndRank(
+      perDoc: DataFrame, one: DataFrame, perQ: Seq[Column],
+      k: Int): DataFrame = {
+    val stacked = perDoc
+      .crossJoin(broadcast(one))
+      .select(col("doc_id"), explode(array(perQ: _*)).as("qs"))
+      .where(col("qs.score_micro").isNotNull)
+      .select(col("qs.qid").as("qid"), col("doc_id"),
+        col("qs.score_micro").as("score_micro"))
+    graft.plans.TopKPerGroup(stacked, keys = Seq("qid"),
+      orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
+  }
+
   private def bm25Columnar(
       docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, Seq[String])], k: Int, k1: Double, b: Double,
@@ -767,14 +802,7 @@ object TextAnalysis {
           element_at(col("__tc"), i + 1).as(tfc(t))
         }: _*)
       .where(allTerms.map(t => col(tfc(t)) > 0).reduce(_ || _))
-    val statAggs = Seq(count(lit(1)).as("n_docs"),
-      sum(element_at(col("__tc"), m + 1)).as("total_len")) ++
-      allTerms.zipWithIndex.map { case (t, i) =>
-        sum(when(element_at(col("__tc"), i + 1) > 0, 1L).otherwise(0L))
-          .as(dfc(t))
-      }
-    val one = docs.where(col(textCol).isNotNull)
-      .select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
+    val one = bm25Stats(docs, textCol, allTerms, tc)
     val avgdl = col("total_len").cast("double") / col("n_docs")
     def termScore(t: String): Column = {
       val tf = col(tfc(t))
@@ -792,14 +820,7 @@ object TextAnalysis {
       struct(lit(qid).as("qid"),
         when(hasHit, score).as("score_micro"))
     }
-    val stacked = perDoc
-      .crossJoin(broadcast(one))
-      .select(col("doc_id"), explode(array(perQ: _*)).as("qs"))
-      .where(col("qs.score_micro").isNotNull)
-      .select(col("qs.qid").as("qid"), col("doc_id"),
-        col("qs.score_micro").as("score_micro"))
-    graft.plans.TopKPerGroup(stacked, keys = Seq("qid"),
-      orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
+    bm25StackAndRank(perDoc, one, perQ, k)
   }
 
   private def bm25ArrayForm(
@@ -813,20 +834,9 @@ object TextAnalysis {
       .where(expr(s"exists(slice(__tc, 1, $m), x -> x > 0)"))
       .select(col("doc_id"), col("__tc"),
         element_at(col("__tc"), m + 1).as("dl"))
-    // one corpus pass for ALL model state: N, total token mass, per-term
-    // document frequencies — a single broadcast row (dfs as ONE array)
-    val statAggs = Seq(count(lit(1)).as("n_docs"),
-      sum(element_at(col("__tc"), m + 1)).as("total_len")) ++
-      allTerms.zipWithIndex.map { case (t, i) =>
-        sum(when(element_at(col("__tc"), i + 1) > 0, 1L).otherwise(0L))
-          .as(dfc(t))
-      }
-    // NULL-text docs are outside the document universe: the oracle derives
-    // n_docs from tokenized docs (string_split(NULL) emits no rows), so an
-    // unfiltered count(lit(1)) would inflate N/avgdl on any corpus holding
-    // null text while the oracle's idf/avgdl ignore those rows
-    val one = docs.where(col(textCol).isNotNull)
-      .select(tc.as("__tc")).agg(statAggs.head, statAggs.tail: _*)
+    // the shared stats row, with the per-term dfs packed into ONE array
+    // so downstream expressions stay O(1) in m
+    val one = bm25Stats(docs, textCol, allTerms, tc)
       .select(col("n_docs"), col("total_len"),
         array(allTerms.map(t => col(dfc(t))): _*).as("__df"))
     // operation order mirrors the oracle SQL text exactly (left-assoc
@@ -854,14 +864,7 @@ object TextAnalysis {
         when(expr(s"exists($arr, i -> element_at(__tc, i) > 0)"),
           expr(scoreExpr(idx))).as("score_micro"))
     }
-    val stacked = perDoc
-      .crossJoin(broadcast(one))
-      .select(col("doc_id"), explode(array(perQ: _*)).as("qs"))
-      .where(col("qs.score_micro").isNotNull)
-      .select(col("qs.qid").as("qid"), col("doc_id"),
-        col("qs.score_micro").as("score_micro"))
-    graft.plans.TopKPerGroup(stacked, keys = Seq("qid"),
-      orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
+    bm25StackAndRank(perDoc, one, perQ, k)
   }
 
   /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style PRF):
@@ -877,12 +880,24 @@ object TextAnalysis {
   def prfExpand(
       docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, Seq[String])], fbK: Int = 10,
-      expK: Int = 5): Seq[(Int, Seq[String])] = {
+      expK: Int = 5, k1: Double = 1.2, b: Double = 0.75): Seq[(Int, Seq[String])] = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    val fb = bm25TopK(docs, idCol, textCol, queries, k = fbK)
+    // pass 1 must rank with the SAME k1/b the caller will score pass 2
+    // with — defaults here would silently pick feedback docs under a
+    // different model
+    val fb = bm25TopK(docs, idCol, textCol, queries, k = fbK, k1 = k1, b = b)
       .select(col("qid"), col("doc_id"))
-    val tc = docs.select(col(idCol).as("doc_id"),
+      .localCheckpoint() // bounded (queries x fbK); consumed twice below
+    // tokenize ONLY the feedback docs: a broadcast semi-join prunes the
+    // corpus BEFORE token_counts, so the expansion pass neither explodes
+    // nor shuffles the full token stream (the unpruned spelling exploded
+    // every document's tokens and then discarded all but queries x fbK
+    // docs in the join)
+    val fbDocs = docs.join(
+      broadcast(fb.select(col("doc_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val tc = fbDocs.select(col(idCol).as("doc_id"),
       explode(graft.functions.TextFunctions.token_counts(col(textCol)))
         .as(Seq("term", "tf")))
     val orig = spark.createDataFrame(

@@ -243,6 +243,25 @@ class RetrievalChunkSpec extends AnyFunSuite {
     assert(!wide.head._2.contains(""))
   }
 
+  test("prfExpand sums tf ACROSS feedback docs and tiebreaks by term") {
+    import spark.implicits._
+    // both docs match "alpha" (fbK = 2 feedback set). Per-doc maxima
+    // favor "zzz" (3 in one doc), but the cross-doc SUM favors "beta"
+    // (2 + 2 = 4 > 3) — a per-doc max or last-doc-wins bug would pick
+    // zzz. "ccc" and "aaa" tie at w = 2; the term-asc tiebreak must
+    // order aaa before ccc.
+    val docs = Seq(
+      (1L, "alpha beta beta aaa ccc"),
+      (2L, "alpha beta beta zzz zzz zzz aaa ccc")
+    ).toDF("doc_id", "text")
+    val queries = Seq(9 -> Seq("alpha"))
+    val exp = graft.pipeline.TextAnalysis
+      .prfExpand(docs, "doc_id", "text", queries, fbK = 2, expK = 3)
+    // expansion order: beta (w=4), zzz (w=3), then the w=2 tie broken
+    // by term ascending -> aaa
+    assert(exp == Seq(9 -> Seq("alpha", "beta", "zzz", "aaa")), exp.toString)
+  }
+
   // --- hybrid RRF fusion ----------------------------------------------------
 
   test("hybridRrf: hand-computed reciprocal-rank fusion of two sides") {
