@@ -154,6 +154,12 @@ object Bench {
     System.err.println(perQueryJson)
     spark.stop()
     // AFTER spark.stop(): nothing else can write to stdout behind it.
+    // The per-query line prints SECOND-TO-LAST on stdout: the driver keeps
+    // only a tail of output, so anything after these two lines would push
+    // them out, and if the ~3 KB map itself clips, it clips at its FRONT —
+    // the totals line (last) always survives intact, and the full map is
+    // still in the BENCH_perquery.json artifact.
+    println(perQueryJson)
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":${failed.size}$filteredTag,"nqueries":${results.size},"value":${sec3(total)}}""")
     System.out.flush()
     if (failed.nonEmpty) {

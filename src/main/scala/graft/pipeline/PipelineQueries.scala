@@ -2606,6 +2606,12 @@ object PipelineQueries {
   private val rt4ExpK = 5
   private val rt4K = 5
 
+  /** rt2's fusion parameters — like rt4's, ONE definition consumed by both
+    * the Spark entry and [[hybridRrfOracle]], so a k change on one side
+    * cannot silently break the value-exact gate. */
+  private val rt2KEach = 20
+  private val rt2K = 10
+
   private val overrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd2_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
@@ -2635,10 +2641,10 @@ object PipelineQueries {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
       val bm = TextAnalysis.bm25TopK(s.table("documents"), "doc_id", "text",
-        bm25QueryDefs, k = 20)
+        bm25QueryDefs, k = rt2KEach)
       val vec = Similarity.bruteForceTopK(s.table("embeddings"), "vec_id",
-        "embedding", bm25QueryDefs.map(_._1.toLong), k = 20)
-      TextAnalysis.hybridRrf(bm, vec, k = 10)
+        "embedding", bm25QueryDefs.map(_._1.toLong), k = rt2KEach)
+      TextAnalysis.hybridRrf(bm, vec, k = rt2K, kEach = rt2KEach)
         .orderBy(col("qid"), col("rrf_micro").desc, col("doc_id"))
     }),
 
@@ -3775,7 +3781,7 @@ object PipelineQueries {
   def oracleSqlFor(sfDir: String): Map[String, String] =
     defs.map(q => q.name -> q.duckSql).toMap ++ Map(
       "rt1_bm25_topk" -> bm25Oracle(),
-      "rt2_hybrid_rrf" -> hybridRrfOracle(),
+      "rt2_hybrid_rrf" -> hybridRrfOracle(rt2KEach, rt2K),
       "rt3_mmr_rerank" -> mmrOracle(),
       "rt4_prf_expansion" -> prfOracle(),
 

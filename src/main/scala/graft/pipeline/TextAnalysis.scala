@@ -933,15 +933,21 @@ object TextAnalysis {
     * engine. */
   def hybridRrf(
       bm25: DataFrame, vector: DataFrame, k: Int = 10,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60, kEach: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wb = Window.partitionBy(col("qid"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     val wv = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
+    // the per-side cutoff is enforced HERE, not assumed of the caller:
+    // an input bounded differently from kEach would otherwise silently
+    // shift single-side documents' contributions relative to the oracle's
+    // `WHERE r <= kEach` (callers normally pre-bound to kEach, making the
+    // filter a no-op — it exists for the unbounded/misbounded caller)
     def contrib(df: DataFrame, id: String,
         w: org.apache.spark.sql.expressions.WindowSpec) = df
       .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= kEach)
       .select(col("qid").cast("long").as("qid"),
         col(id).cast("long").as("doc_id"),
         expr(s"CAST(1000000 DIV ($rrfK + __r) AS BIGINT)").as("__c"))

@@ -363,11 +363,24 @@ object EventStream {
     * supported), so the dedup lives in this processor's state instead.
     * A replay-heavy/high-frequency feed should pre-aggregate per
     * micro-batch upstream (e.g. foreachBatch distinct) before this
-    * stream. */
-  private class StickinessProcessor
+    * stream.
+    *
+    * State lifetime: a day's last possible contribution is an event ON
+    * that day (earlier days contribute forward, never backward), so once
+    * the event-time watermark passes end-of-day the per-(day, user)
+    * membership map is dead weight that can never change the counts
+    * again. With `finalize = true` (an event-time watermark on the input
+    * is then required) the first contribution registers ONE event-time
+    * timer at end-of-day; on expiry the day's map and counts are dropped,
+    * so live state is bounded by the watermark horizon (≈1 day of keys ×
+    * their users), not the stream's age. Without it (TimeMode.None —
+    * the replay/backfill mode the batch-equivalence specs use, where
+    * events arrive arbitrarily out of order) state is retained forever
+    * and the caller owns the horizon. */
+  private class StickinessProcessor(finalize: Boolean)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Int, DayContrib, (Int, Long, Long, Long)] {
-    import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TimerValues, TTLConfig, ValueState}
 
     @transient private var seen: MapState[Long, Int] = _
     @transient private var counts: ValueState[DayCounts] = _
@@ -382,10 +395,37 @@ object EventStream {
         org.apache.spark.sql.Encoders.product[DayCounts], TTLConfig.NONE)
     }
 
+    override def handleExpiredTimer(
+        key: Int, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Int, Long, Long, Long)] = {
+      // the day is final: every row that could touch it is behind the
+      // watermark. Drop the whole key's state; emit nothing (the final
+      // counts already went out in update mode).
+      seen.clear()
+      counts.clear()
+      Iterator.empty
+    }
+
     override def handleInputRows(
         key: Int, rows: Iterator[DayContrib],
         timerValues: TimerValues): Iterator[(Int, Long, Long, Long)] = {
-      val prev = if (counts.exists()) counts.get() else DayCounts(0L, 0L)
+      // late-data guard, enforced HERE rather than relying on the
+      // operator's late-row filter: the day-explode projection drops the
+      // watermarked ts attribute, so TransformWithStateExec cannot build
+      // its own late-event predicate and WOULD deliver late rows — which
+      // must not resurrect a day the expired timer already evicted
+      // (a resurrected day would restart its counts from zero and emit
+      // garbage update rows).
+      if (finalize &&
+          timerValues.getCurrentWatermarkInMs() >= (key + 1L) * 86400000L)
+        return Iterator.empty
+      val hadState = counts.exists()
+      if (finalize && !hadState)
+        // end of day `key` in epoch millis: day+1 boundary. Fires once
+        // the event-time watermark passes it — timers are per-(key, ts),
+        // so re-registering after an eviction is a fresh single timer.
+        getHandle.registerTimer((key + 1L) * 86400000L)
+      val prev = if (hadState) counts.get() else DayCounts(0L, 0L)
       var dau = prev.dau
       var wau = prev.wau
       rows.foreach { r =>
@@ -420,10 +460,10 @@ object EventStream {
     * count per stage. Events must arrive per-key in ts order (the same
     * in-order contract as [[AnomalyProcessor]] — upstream this is a
     * watermark-finalized feed); rows inside one batch are sorted here. */
-  private class FunnelProcessor
+  private class FunnelProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, FunnelEvent, (Long, String)] {
-    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{TimerValues, ValueState}
 
     @transient private var st: ValueState[FunnelState] = _
 
@@ -431,7 +471,7 @@ object EventStream {
         outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       st = getHandle.getValueState[FunnelState]("funnel",
-        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[FunnelState], ttl)
 
     override def handleInputRows(
         key: Long, rows: Iterator[FunnelEvent],
@@ -455,16 +495,29 @@ object EventStream {
   }
 
   /** Ordered-funnel stage stream over raw events — see
-    * [[FunnelProcessor]]. Requires the RocksDB state store. */
-  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    * [[FunnelProcessor]]. Requires the RocksDB state store.
+    *
+    * Per-user funnel state is three timestamps — tiny, but a user who
+    * never converts holds it for the life of the query, so an unbounded
+    * deployment sets `stateTtl` (e.g. 90 days: the attribution-window
+    * business rule — unlike stickiness there is no event-time point
+    * after which a user's funnel is provably final, so the horizon is a
+    * policy, not a watermark; TTL state requires processing-time mode). */
+  def funnelStream(
+      spark: SparkSession, events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    val (ttl, timeMode) = stateTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     events
       .selectExpr("user_id", "unix_micros(ts) AS tsUs", "event_type")
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .transformWithState(
-        new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+        new FunnelProcessor(ttl), timeMode, OutputMode.Append())
       .toDF("user_id", "stage")
   }
 
@@ -479,10 +532,10 @@ object EventStream {
     * weeks (idempotent under replay). Weeks must arrive per-key in
     * ascending order (the [[AnomalyProcessor]] in-order contract) so the
     * first observation IS the cohort. */
-  private class RetentionProcessor
+  private class RetentionProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, WeekEvent, (Int, Long)] {
-    import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, ValueState}
 
     @transient private var cohort: ValueState[CohortState] = _
     @transient private var weeks: MapState[Int, Boolean] = _
@@ -491,10 +544,10 @@ object EventStream {
         outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       cohort = getHandle.getValueState[CohortState]("cohort",
-        org.apache.spark.sql.Encoders.product[CohortState], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[CohortState], ttl)
       weeks = getHandle.getMapState[Int, Boolean]("weeks",
         org.apache.spark.sql.Encoders.scalaInt,
-        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaBoolean, ttl)
     }
 
     override def handleInputRows(
@@ -514,26 +567,55 @@ object EventStream {
   }
 
   /** Retention-cohort stage stream over raw events — see
-    * [[RetentionProcessor]]. Requires the RocksDB state store. */
-  def retentionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    * [[RetentionProcessor]]. Requires the RocksDB state store.
+    *
+    * Per-user state (cohort week + emitted-weeks map) grows by one map
+    * entry per active week, forever, on an unbounded stream. `stateTtl`
+    * bounds it by the retention-report horizon (e.g. 52 weeks of
+    * inactivity evicts the user; if they return, they re-cohort — the
+    * standard dashboard semantics for a lapsed-and-returned user). Like
+    * the funnel, the horizon is a business rule, not a watermark fact,
+    * so it is processing-time TTL rather than an event-time timer. */
+  def retentionStream(
+      spark: SparkSession, events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
+    val (ttl, timeMode) = stateTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     events
       .selectExpr("user_id",
         "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), DATE '1970-01-01') AS INT) AS wkDay")
       .as[WeekEvent]
       .groupByKey(_.user_id)
       .transformWithState(
-        new RetentionProcessor, TimeMode.None(), OutputMode.Append())
+        new RetentionProcessor(ttl), timeMode, OutputMode.Append())
       .toDF("cohort_day", "week_offset")
   }
 
   /** DAU/WAU stickiness stream over raw events — see
-    * [[StickinessProcessor]]. Requires the RocksDB state store. */
-  def stickinessStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    * [[StickinessProcessor]]. Requires the RocksDB state store.
+    *
+    * `watermarkDelay = Some(d)`: production mode — an event-time
+    * watermark (`ts` at most `d` late) finalizes each day and EVICTS its
+    * membership state via an event-time timer, bounding live state to
+    * the watermark horizon on an unbounded stream. Contributions to an
+    * already-finalized day are discarded by the processor (the
+    * projection drops the watermarked ts attribute, so the operator's
+    * own late-row filter cannot engage — the guard lives in
+    * handleInputRows). `None`: replay/backfill mode — arbitrary
+    * arrival order, state retained for the life of the query. */
+  def stickinessStream(
+      spark: SparkSession, events: DataFrame,
+      watermarkDelay: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    events
+    val src = watermarkDelay.fold(events)(events.withWatermark("ts", _))
+    val timeMode =
+      if (watermarkDelay.isDefined) TimeMode.EventTime() else TimeMode.None()
+    src
       .selectExpr("CAST(ts AS DATE) AS d", "user_id")
       .selectExpr(
         "explode(sequence(d, date_add(d, 6))) AS cd", "d", "user_id")
@@ -543,7 +625,8 @@ object EventStream {
       .as[DayContrib]
       .groupByKey(_.day)
       .transformWithState(
-        new StickinessProcessor, TimeMode.None(), OutputMode.Update())
+        new StickinessProcessor(finalize = watermarkDelay.isDefined),
+        timeMode, OutputMode.Update())
       .toDF("day", "dau", "wau", "stickiness_pm")
   }
 

@@ -200,6 +200,12 @@ object SqlValidator {
         // DISTRIBUTE BY x SORT BY y parses to the same node pair but with
         // different expressions and must keep the distribute-by message
         // (the reference sees the DISTRIBUTE BY token).
+        // KNOWN DIVERGENCE (accepted): `DISTRIBUTE BY x SORT BY x` — the
+        // identical-expression spelling — is indistinguishable from
+        // CLUSTER BY x at plan level, so it gets the cluster-by message
+        // where the token-based reference would say distribute-by. Both
+        // are rejected; only the message text differs, and recovering the
+        // token would mean re-lexing the SQL outside the parser.
         case s: Sort if !s.global && (s.child match {
           case r: RepartitionByExpression =>
             s.order.size == r.partitionExpressions.size &&
@@ -238,6 +244,14 @@ object SqlValidator {
         // Spark 4 parses `expr COLLATE name` natively; the reference
         // rejects collation expressions (`validation.rs:222-226`)
         case _: org.apache.spark.sql.catalyst.expressions.Collate =>
+          fail("collation expressions are not allowed")
+        // the equivalent FUNCTION-CALL spellings `collate(expr, 'name')` /
+        // `collation(expr)` parse as UnresolvedFunction, not Collate —
+        // without this arm they would bypass the keyword-form deny above
+        // (there is no general function allowlist to catch them)
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.lastOption.exists(n =>
+              n.equalsIgnoreCase("collate") || n.equalsIgnoreCase("collation")) =>
           fail("collation expressions are not allowed")
         case _ =>
       })

@@ -456,6 +456,69 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stickiness stream with event-time finalization: matches batch, evicts, ignores late rows") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // TIME-ordered feed (the production contract for the watermarked
+      // mode), 3 micro-batches
+      val ev = spark.sql(
+        """SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tsUs
+          |FROM events ORDER BY tsUs, event_id""".stripMargin)
+        .as[(Long, Long)].collect()
+      val maxDay = (ev.map(_._2).max / 86400000000L).toInt
+      val cuts = Seq(ev.length / 3, 2 * ev.length / 3, ev.length)
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](spark)
+      val src = ms.toDF.toDF("user_id", "tsUs")
+        .selectExpr("user_id", "timestamp_micros(tsUs) AS ts")
+      val q = EventStream.stickinessStream(spark, src,
+          watermarkDelay = Some("0 seconds"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName("stickiness_evict").start()
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(ev.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      // sentinel event 8 days past the last real day: advancing the
+      // watermark past end-of-maxDay finalizes (and EVICTS) every real day
+      val sentinelUs = (maxDay + 8L) * 86400000000L + 1L
+      ms.addData(Seq((ev.head._1, sentinelUs)))
+      q.processAllAvailable()
+      // state after eviction = only the sentinel's own 7-day window (7 day
+      // keys x 1 user) — without the timers it would be ~30 days x 15
+      // users of membership rows
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows < 60, s"state not evicted: $stateRows rows retained")
+      // a LATE row for long-finalized days must not resurrect evicted
+      // state (a resurrection restarts the day's counts at zero and emits
+      // a garbage update row)
+      val before = spark.table("stickiness_evict").count()
+      ms.addData(Seq(ev.head))
+      q.processAllAvailable()
+      assert(spark.table("stickiness_evict").count() == before,
+        "late row resurrected an evicted day")
+      q.stop()
+      // final counts (real days only; the sentinel day is synthetic)
+      // still equal batch ev4
+      val streamed = spark.table("stickiness_evict")
+        .where(col("day") <= maxDay)
+        .groupBy("day").agg(max("dau").as("dau"), max("wau").as("wau"))
+        .selectExpr("date_add(DATE '1970-01-01', day) AS d", "dau", "wau",
+          "CAST((1000 * dau) div wau AS BIGINT) AS stickiness_pm")
+      val batch = graft.SparkEntry.queries("ev4_active_user_ratios")(spark, sfDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("trainLinearClassifier separates a planted vocabulary; quantized weights serve") {
     import spark.implicits._
     // planted signal: positive docs speak 'good'-family tokens, negative

@@ -143,6 +143,12 @@ class ValidatorSpec extends AnyFunSuite {
       "invalid query: Distribute by clause is not allowed!")
     assert(errOf("select customername collate unicode_ci from customer") ==
       "invalid query: collation expressions are not allowed")
+    // the FUNCTION-CALL spellings parse as UnresolvedFunction, not the
+    // Collate node — they must hit the same deny, not slip past it
+    assert(errOf("select collate(customername, 'unicode_ci') from customer") ==
+      "invalid query: collation expressions are not allowed")
+    assert(errOf("select COLLATION(customername) from customer") ==
+      "invalid query: collation expressions are not allowed")
   }
 
   test("lateral views and table-valued functions rejected") {
