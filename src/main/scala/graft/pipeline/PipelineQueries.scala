@@ -2774,20 +2774,20 @@ object PipelineQueries {
       Fixtures.registerRaw(s, dir)
       val li = s.table("lineitem")
       val kmv = Sketches.kmvDistinct(li, "l_returnflag", "l_partkey", k = 64)
-      // groupedLowerMedian scans the sample twice (count histogram, then
-      // a target-bucket-pruned pick pass) — both scans are codegen'd
-      // filter+project over the parquet, cheaper than materializing the
-      // sampled values into per-bucket arrays. (A localCheckpoint of the
-      // sample was A/B'd in round 9 and LOST — with the allocation-free
-      // Md5Key48 filter the re-hash re-scan costs less than the
-      // checkpoint write+read: ap1 1.26 vs 0.94 s standalone at sf0.1.)
-      val samp = Sketches
-        .hashSample(li, Seq("l_orderkey", "l_linenumber"), oneIn = 10)
-        .select(col("l_returnflag"), col("l_extendedprice").as("price"))
-      // exact sampled median by bucketed selection (groupedLowerMedian):
-      // the sample never pays a per-group window sort — only the single
-      // target bucket per group reaches the row_number window
-      val med = Sketches.groupedLowerMedian(samp, "l_returnflag", "price")
+      // exact sampled median by bucketed selection, FEW-GROUPS form (3
+      // return flags): the histogram pass pays the md5 sample filter once;
+      // the pick pass filters to the collected target buckets BEFORE the
+      // md5, so the second scan hashes only the ~1/buckets in-bucket
+      // fraction (sf1: md5 re-scan 0.37 → ~0.2 s). Earlier A/Bs stay
+      // recorded: per-bucket value arrays in pass 1 LOST (unbounded
+      // collect_list shuffle), localCheckpoint of the sample LOST (round
+      // 9: 1.26 vs 0.94 s — write+read costs more than the re-scan).
+      val med = Sketches.groupedLowerMedianFiltered(
+          li.select(col("l_returnflag"), col("l_extendedprice").as("price"),
+            col("l_orderkey"), col("l_linenumber")),
+          graft.functions.HashFunctions
+            .md5_key48(col("l_orderkey"), col("l_linenumber")) % 10 === 0,
+          "l_returnflag", "price")
         .select(col("l_returnflag"), round(col("p50"), 2).as("p50_sample"))
       kmv.join(med, "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("kmv_parts"),

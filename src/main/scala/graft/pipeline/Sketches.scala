@@ -121,24 +121,76 @@ object Sketches {
   def groupedLowerMedian(
       df: DataFrame, groupCol: String, valueCol: String,
       bucketWidth: Double = 1024.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = df.select(col(groupCol), col(valueCol),
+    val b = withBucket(df, groupCol, valueCol, bucketWidth)
+    b.join(broadcast(targetBuckets(b, groupCol)), Seq(groupCol, "__bkt"))
+      .withColumn("__rn", rankInGroup(groupCol, valueCol))
+      .where(col("__rn") === col("__r_in"))
+      .select(col(groupCol), col(valueCol).as("p50"))
+  }
+
+  /** [[groupedLowerMedian]] for an EXPENSIVELY-FILTERED input over FEW
+    * groups (≤ dozens — ap1's 3 return flags): `base.where(rowFilter)` is
+    * the logical input, but the filter (ap1's per-row md5 sample
+    * predicate) is costly, so the pick pass must not re-pay it on every
+    * scanned row. The histogram pass pays it once; its |groups| target
+    * rows are then COLLECTED (bounded model state, the centroid/BPE
+    * pattern) and compiled into literal predicates, so the pick pass is
+    * `WHERE <bucket equalities> AND rowFilter` — conjunct order reaches
+    * the scan intact, the cheap floor-div equality short-circuits the
+    * expensive filter on the ~1/occupied-buckets out-of-bucket majority,
+    * and no join machinery materializes probe-hit rows.
+    *
+    * A/B'd against a join-residual form (md5 inside the broadcast join's
+    * CASE WHEN condition, one action, no collect): the join LOST by
+    * ~0.35 s at sf1 interleaved — every full-table row in the target
+    * bucket becomes a probe hit paying row construction before the
+    * residual filter, outweighing the saved hash work. The collect costs
+    * one extra job but its pass-2 plan is a bare codegen'd filter.
+    * MedianFilterOrderSpec pins the shape. */
+  def groupedLowerMedianFiltered(
+      base: DataFrame, rowFilter: Column, groupCol: String, valueCol: String,
+      bucketWidth: Double = 1024.0): DataFrame = {
+    val b = withBucket(base.where(rowFilter), groupCol, valueCol, bucketWidth)
+    val targets = targetBuckets(b, groupCol).collect()
+    if (targets.isEmpty)
+      return base.limit(0).select(col(groupCol), col(valueCol).as("p50"))
+    val inTarget = targets.map { r =>
+      col(groupCol) === lit(r.get(0)) &&
+        floor(col(valueCol) / bucketWidth).cast("long") === lit(r.getLong(1))
+    }.reduce(_ || _)
+    val rankWanted = targets.foldLeft(lit(null).cast("long")) { (acc, r) =>
+      when(col(groupCol) === lit(r.get(0)), lit(r.getLong(2))).otherwise(acc)
+    }
+    base.where(inTarget && rowFilter) // bucket equalities FIRST: short-circuit
+      .withColumn("__rn", rankInGroup(groupCol, valueCol))
+      .where(col("__rn") === rankWanted)
+      .select(col(groupCol), col(valueCol).as("p50"))
+  }
+
+  private def withBucket(
+      df: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Double): DataFrame =
+    df.select(col(groupCol), col(valueCol),
       floor(col(valueCol) / bucketWidth).cast("long").as("__bkt"))
-    val hist = b.groupBy(col(groupCol), col("__bkt"))
-      .agg(count(lit(1)).as("c"))
+
+  /** Histogram pass shared by both median forms: the single bucket per
+    * group holding the target rank, plus the rank offset within it. */
+  private def targetBuckets(b: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
     val wAll = Window.partitionBy(col(groupCol))
-    val tgt = hist
+    b.groupBy(col(groupCol), col("__bkt")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
       .where(expr("cum - c < (n + 1) DIV 2 AND cum >= (n + 1) DIV 2"))
       .select(col(groupCol), col("__bkt"),
         expr("(n + 1) DIV 2 - (cum - c)").as("__r_in"))
-    b.join(broadcast(tgt), Seq(groupCol, "__bkt"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
-      .where(col("__rn") === col("__r_in"))
-      .select(col(groupCol), col(valueCol).as("p50"))
+  }
+
+  private def rankInGroup(groupCol: String, valueCol: String): Column = {
+    import org.apache.spark.sql.expressions.Window
+    row_number().over(
+      Window.partitionBy(col(groupCol)).orderBy(col(valueCol)))
   }
 
   /** Grouped histogram QUANTILES (p50/p90/p99-style) from fixed-width

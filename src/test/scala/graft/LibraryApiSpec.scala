@@ -356,7 +356,27 @@ class LibraryApiSpec extends AnyFunSuite {
         .groupedLowerMedian(rows, "g", "v", bucketWidth = width)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       assert(got == naive, s"bucketWidth=$width")
+      // the few-groups (collected-targets) form must pick the identical
+      // rank — here with a row filter that keeps everything, so the two
+      // forms are value-equal by construction
+      val fg = graft.pipeline.Sketches
+        .groupedLowerMedianFiltered(rows, lit(true), "g", "v", bucketWidth = width)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(fg == naive, s"filtered bucketWidth=$width")
     }
+    // few-groups with a REAL row filter: the median of the filtered subset
+    val odd = rows.where(expr("v = CAST(v AS BIGINT) AND CAST(v AS BIGINT) % 2 != 0"))
+    val naiveOdd = odd.as[(String, Double)].collect().groupBy(_._1).map {
+      case (g, xs) =>
+        val sorted = xs.map(_._2).sorted
+        g -> sorted(((sorted.length + 1) / 2) - 1)
+    }
+    val fgOdd = graft.pipeline.Sketches
+      .groupedLowerMedianFiltered(rows,
+        expr("v = CAST(v AS BIGINT) AND CAST(v AS BIGINT) % 2 != 0"),
+        "g", "v", bucketWidth = 7.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fgOdd == naiveOdd)
   }
 
   test("pageRank: integer ranks are exact on a hand-computed graph; mass is conserved") {
