@@ -2600,6 +2600,11 @@ object PipelineQueries {
     2 -> Seq("window", "sort", "query"),
     3 -> Seq("spark", "stream", "fast"))
 
+  /** Probe-only accessor for the dev profiling tools (tools/ProfileRt2);
+    * product code keeps using the private val directly. */
+  private[graft] def bm25QueryDefsForProbe: Seq[(Int, Seq[String])] =
+    bm25QueryDefs
+
   /** rt4's parameters — ONE definition consumed by both the Spark entry
     * and the DuckDB oracle builder, so they cannot desynchronize. */
   private val rt4FbK = 10

@@ -34,9 +34,13 @@ object Similarity {
     val scored = q.join(v, col("__id") =!= col("qid"))
       .select(col("qid"), col("__id").as("vec_id"),
         round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
+    // bounded-heap top-k, not a row_number window: the window form sorts
+    // every (query, corpus) score through one task per query — the shape
+    // that stops scaling first; the heap keeps k rows per query per
+    // partition with partial+final phases (same rewrite as BM25's ranking)
+    graft.plans.TopKPerGroup(scored, keys = Seq("qid"),
+        orderBy = Seq(("cos", false), ("vec_id", true)), k = k)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
   /** MMR diversified rerank (Carbonell & Goldstein, SIGIR'98): greedily
