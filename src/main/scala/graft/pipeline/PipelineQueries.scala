@@ -623,6 +623,72 @@ object PipelineQueries {
          |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // ss10: FILTERED IVF — ss9's scale path. ss9 brute-scores every
+    // filter-passing row (exact, but scored mass grows with the corpus:
+    // the sf1→sf3 curve's worst growth at 2.34×); here the label
+    // predicate composes with ss2's coarse quantizer, so the scored set
+    // is (nprobe probed cells ∩ label <> query's) — bounded by cell
+    // occupancy, independent of how many rows pass the filter overall.
+    // The query routes through Similarity.ivfFilteredTopK (TopKPerGroup
+    // ranking); this SQL form is the two-implementation check and the
+    // oracle replays the identical assignment/probe/filter arithmetic.
+    Q("ss10_filtered_ivf",
+      s"""WITH vl AS (SELECT vec_id, label, embedding,
+         |             sqrt(${sparkDot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM vl WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(${sparkDot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM vl e CROSS JOIN cent c) a WHERE rnk = 1),
+         |q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe, nrm AS qn
+         |      FROM vl WHERE vec_id < 5),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |               ORDER BY round(${sparkDot("q.qe", "c.ce")} / (q.qn * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM q CROSS JOIN cent c) p WHERE rnk <= 2),
+         |c AS (SELECT q.qid, e.vec_id,
+         |             round(${sparkDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+         |      FROM q JOIN probe p ON p.qid = q.qid
+         |      JOIN assign a ON a.cid = p.cid
+         |      JOIN vl e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid
+         |                AND e.label <> q.qlab)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin,
+      s"""WITH vl AS (SELECT vec_id, label, embedding,
+         |             sqrt(${duckDot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM vl WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY round(${duckDot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM vl e CROSS JOIN cent c) a WHERE rnk = 1),
+         |q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qe, nrm AS qn
+         |      FROM vl WHERE vec_id < 5),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |               ORDER BY round(${duckDot("q.qe", "c.ce")} / (q.qn * c.cn), 6) DESC, c.cid) AS rnk
+         |    FROM q CROSS JOIN cent c) p WHERE rnk <= 2),
+         |c AS (SELECT q.qid, e.vec_id,
+         |             round(${duckDot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+         |      FROM q JOIN probe p ON p.qid = q.qid
+         |      JOIN assign a ON a.cid = p.cid
+         |      JOIN vl e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid
+         |                AND e.label <> q.qlab)
+         |SELECT qid, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM c) t
+         |WHERE rnk <= 5 ORDER BY qid, cos DESC, vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // tx1: n-gram/stopword language ID heuristic with deterministic argmax
     Q("tx1_langid",
       """SELECT doc_id, lang,
@@ -2576,6 +2642,19 @@ object PipelineQueries {
   private val sq8Cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
 
+  /** IVF cell assignment (ss10): the coarse-quantizer index — stored
+    * table state like the sq8/PQ codes (build once, serve many). Reads
+    * the PHYSICAL parquet, not the temp view, for the same view-churn
+    * immunity as the media caches (see mediaDocs). */
+  private val ivfAssignCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedIvfAssign(s: SparkSession, dir: String) =
+    cachedDataset(ivfAssignCache, s, dir)(
+      Similarity.ivfAssign(
+        graft.sources.LocalLayout.parquet(s, s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", centroidIds = 0L until 16L))
+
   /** Deduped click (one row per user,ts) and purchase frames — shared by
     * the backward (ao1) and forward (ao2) as-of drivers. */
   private def clickPurchFrames(s: SparkSession): (DataFrame, DataFrame) = {
@@ -2621,6 +2700,22 @@ object PipelineQueries {
     "dd2_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
+    }),
+
+    // ss10: filtered IVF (the ss9 scale path) — the label predicate
+    // composes with the coarse quantizer inside the library operator, and
+    // the cell assignment is CACHED index state (the sq8/PQ stored-table
+    // contract), so the measured work is the serve path: probe nprobe
+    // cells, filter inside them, score the survivors. LibraryApiSpec
+    // proves value identity with the SQL form above.
+    "ss10_filtered_ivf" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Similarity.ivfFilteredTopK(s.table("embeddings"), "vec_id", "embedding",
+          "label", queryIds = 0L until 5L, centroidIds = 0L until 16L,
+          k = 5, nprobe = 2,
+          storedAssign = Some(cachedIvfAssign(s, dir).toDF()))
+        .orderBy(col("qid"), col("cos").desc, col("vec_id"))
     }),
 
     // rt1: BM25 top-k retrieval for a small query set — the broadcast

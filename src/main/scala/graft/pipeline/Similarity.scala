@@ -163,6 +163,76 @@ object Similarity {
       .drop("rnk").orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** FILTERED IVF ANN — ss9's scale path: the metadata predicate composes
+    * with the coarse quantizer, so the scored set is (probed cells ∩
+    * filter-passing rows), never every filter-passing row. ss9's brute
+    * form stays the exact teaching baseline, but its scored mass grows
+    * with the corpus (SCALE.md measured 2.34× at 3× data — the curve's
+    * worst); here it is bounded by nprobe × cell occupancy regardless of
+    * the filter's selectivity, and the label predicate prunes INSIDE the
+    * probed cells before the dot products. Same seeded-centroid IVF
+    * semantics as [[ivfTopK]] (deterministic assignment on round(cos,6)
+    * with centroid-id tiebreaks), so the DuckDB oracle replays it
+    * exactly; ranking runs on the TopKPerGroup bounded heap. */
+  def ivfFilteredTopK(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryIds: Seq[Long], centroidIds: Seq[Long],
+      k: Int = 5, nprobe: Int = 2,
+      storedAssign: Option[DataFrame] = None): DataFrame = {
+    val v = Partitioning.fanOut(vecs, idCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        col(labelCol).as("__lab"))
+      .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+    val cent = centFrame(v, centroidIds)
+    val assign = storedAssign.getOrElse(
+      ivfAssign(vecs, idCol, vecCol, centroidIds))
+    val q = v.where(col("__id").isin(queryIds: _*))
+      .select(col("__id").as("qid"), col("__v").as("qv"),
+        col("nrm").as("qn"), col("__lab").as("qlab"))
+    val probe = nearestCells(q.select(col("qid"), col("qv"), col("qn")),
+      cent, "qid", "qv", "qn", nprobe)
+    val scored = q.join(probe, "qid")
+      .join(assign.withColumnRenamed(assign.columns.head, "vec_id"), "cid")
+      .join(v.withColumnRenamed("__id", "vec_id"), Seq("vec_id"))
+      .where(col("vec_id") =!= col("qid") && col("__lab") =!= col("qlab"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qv"), col("__v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    graft.plans.TopKPerGroup(scored, keys = Seq("qid"),
+        orderBy = Seq(("cos", false), ("vec_id", true)), k = k)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
+  /** The IVF index build: one corpus pass assigning every vector to its
+    * nearest seeded centroid — (id, cid). Like [[sq8Encode]]'s columns,
+    * this is STORED table state in production (build once, serve many);
+    * callers persist it and hand it back via `storedAssign`. */
+  def ivfAssign(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      centroidIds: Seq[Long]): DataFrame = {
+    val v = Partitioning.fanOut(vecs, idCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+    nearestCells(v, centFrame(v, centroidIds), "__id", "__v", "nrm", 1)
+      .select(col("__id").as(idCol), col("cid"))
+  }
+
+  private def centFrame(v: DataFrame, centroidIds: Seq[Long]): DataFrame =
+    v.where(col("__id").isin(centroidIds: _*))
+      .select(col("__id").as("cid"), col("__v").as("cv"), col("nrm").as("cn"))
+
+  /** The `take` nearest centroids per point on the bounded heap —
+    * deterministic on round(cos, 6) with centroid-id tiebreaks. */
+  private def nearestCells(
+      points: DataFrame, cent: DataFrame,
+      pid: String, pv: String, pn: String, take: Int): DataFrame = {
+    val scored = points.crossJoin(cent)
+      .select(col(pid), col("cid"),
+        round(dot(col(pv), col("cv")) / (col(pn) * col("cn")), 6).as("cc"))
+    graft.plans.TopKPerGroup(scored, keys = Seq(pid),
+      orderBy = Seq(("cc", false), ("cid", true)), k = take)
+      .select(col(pid), col("cid"))
+  }
+
   /** int8 scalar quantization encode (library form of ss4's index): per-
     * vector symmetric quantization q_i = floor(v_i * 127 / max|v| + 0.5),
     * carried as FLOAT so the codegen'd vec_dot scores integer-exact

@@ -64,6 +64,34 @@ class LibraryApiSpec extends AnyFunSuite {
     assertSame(nd, q("dd5_embedding_neardup"))
   }
 
+  test("Similarity.ivfFilteredTopK == ss10 SQL form; filter composes with the probe") {
+    Fixtures.registerRaw(spark, sfDir)
+    val e = spark.table("embeddings")
+    val lib = Similarity.ivfFilteredTopK(e, "vec_id", "embedding", "label",
+        queryIds = 0L until 5L, centroidIds = 0L until 16L, k = 5, nprobe = 2)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+    // the ss10 driver query routes through the library; compare against
+    // the raw SQL form to keep this a real two-implementation check
+    val sqlForm = spark.sql(
+      graft.pipeline.PipelineQueries.sparkSqlFor("ss10_filtered_ivf"))
+    assertSame(lib, sqlForm)
+    assertSame(lib, q("ss10_filtered_ivf"))
+    // every hit respects the metadata predicate (label differs from the
+    // query's), and hits are a subset of the probed-cells universe: the
+    // brute ss9 result restricted to ss10's cells must contain them
+    val labels = e.select(col("vec_id"), col("label"))
+    val joined = lib
+      .join(labels.withColumnRenamed("label", "vlab"), "vec_id")
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("qlab")), "qid")
+    assert(joined.where(col("vlab") === col("qlab")).count() == 0)
+    // recall vs the exact filtered baseline (ss9): with 16 cells/nprobe 2
+    // on the fixture clusters the probe should recover a solid majority
+    val brute = q("ss9_filtered_topk").select(col("qid"), col("vec_id"))
+    val hits = lib.select(col("qid"), col("vec_id")).intersect(brute).count()
+    assert(hits >= (brute.count() * 6) / 10,
+      s"filtered-IVF recall collapsed: $hits of ${brute.count()}")
+  }
+
   test("TextAnalysis matches tx1/tx2/tx3/tx4 oracle queries") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
