@@ -867,6 +867,76 @@ object TextAnalysis {
     bm25StackAndRank(perDoc, one, perQ, k)
   }
 
+  /** Frozen BM25 index stats — the single broadcast-row model state of
+    * [[bm25TopK]] collected to the driver: (N, total token mass, per-term
+    * document frequency). This is the STORED index a serving/streaming
+    * deployment scores against (build once over the indexed corpus, then
+    * score arriving documents row-locally — the streaming twin in
+    * `streaming/RetrievalStream` consumes it). */
+  final case class Bm25Frozen(
+      nDocs: Long, totalLen: Long, dfs: Map[String, Long])
+
+  def bm25FrozenStats(
+      docs: DataFrame, textCol: String,
+      queries: Seq[(Int, Seq[String])]): Bm25Frozen = {
+    val allTerms = queries.flatMap(_._2).distinct
+    val tc = graft.functions.TextFunctions
+      .token_term_counts(col(textCol), allTerms)
+    val row = bm25Stats(docs, textCol, allTerms, tc).collect()(0)
+    Bm25Frozen(row.getLong(0), row.getLong(1),
+      allTerms.zipWithIndex
+        .map { case (t, i) => t -> row.getLong(2 + i) }.toMap)
+  }
+
+  /** Row-local BM25 scoring against FROZEN stats: (qid, doc_id,
+    * score_micro) for every (query, hit-doc) pair — no aggregation, no
+    * shuffle, so it runs identically on a batch frame or a streaming one
+    * (the rt1 streaming twin's map stage). Arithmetic is bit-identical to
+    * [[bm25TopK]]'s columnar form: idf_micro is precomputed here with the
+    * same floor(ln(..)*1e6) on the same doubles, and the tf normalization
+    * is the same IEEE expression tree (a batch/stream equality spec pins
+    * it). */
+  def bm25ScoreFrozen(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], stats: Bm25Frozen,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25ScoreFrozen needs at least one query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val m = allTerms.size
+    def tfc(t: String) = s"__tf_${allTerms.indexOf(t)}"
+    val tc = graft.functions.TextFunctions
+      .token_term_counts(col(textCol), allTerms)
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), tc.as("__tc"))
+      .select(Seq(col("doc_id"),
+        element_at(col("__tc"), m + 1).as("dl")) ++
+        allTerms.zipWithIndex.map { case (t, i) =>
+          element_at(col("__tc"), i + 1).as(tfc(t))
+        }: _*)
+      .where(allTerms.map(t => col(tfc(t)) > 0).reduce(_ || _))
+    val avgdl = stats.totalLen.toDouble / stats.nDocs
+    def termScore(t: String): Column = {
+      val df = stats.dfs(t)
+      val idfMicro = math.floor(math.log(
+        (stats.nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0).toLong
+      val tf = col(tfc(t))
+      val tfn = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+      floor(lit(idfMicro) * tfn).cast("long")
+    }
+    val perQ = queries.map { case (qid, terms) =>
+      val ts = terms.distinct
+      val score = ts.map(termScore).reduce(_ + _)
+      val hasHit = ts.map(t => col(tfc(t)) > 0).reduce(_ || _)
+      struct(lit(qid).as("qid"), when(hasHit, score).as("score_micro"))
+    }
+    perDoc
+      .select(col("doc_id"), explode(array(perQ: _*)).as("qs"))
+      .where(col("qs.score_micro").isNotNull)
+      .select(col("qs.qid").as("qid"), col("doc_id"),
+        col("qs.score_micro").as("score_micro"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style PRF):
     * retrieve each query's top-`fbK` documents with [[bm25TopK]], then
     * expand the query with the `expK` highest-total-tf terms across
