@@ -24,13 +24,25 @@ import org.apache.spark.sql.functions._
   *    same customers/parts/suppliers — the TPC-H scale direction).
   *  - dimension tables (region/nation/customer/supplier/part): copied.
   *
-  * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies]
+  * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies] [flipOffset]
+  *
+  * `flipOffset` shifts which embedding dimension copy c sign-flips
+  * (dim c-1+flipOffset). It exists for CHAINED derivations (sf1 -> sf10):
+  * without it, a level-2 copy that re-flips the same dim a level-1 copy
+  * flipped cancels back to the base vector — every (a, a) diagonal pair
+  * becomes an exact duplicate and near-dup pair counts go quadratic. A
+  * disjoint dim range (sf10 uses 16) keeps all flip sets distinct, so
+  * cross-copy cosine stays in the near-dup band and pair mass stays
+  * linear, matching the single-level derivation's character.
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val flipOffset = if (args.length > 3) args(3).toInt else 0
+    require(copies - 1 + flipOffset < 64,
+      s"flip dims exceed the 64-dim embeddings: copies=$copies flipOffset=$flipOffset")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -85,7 +97,7 @@ object MakeScale {
       val perturbed =
         if (c == 0) emb
         else emb.withColumn("embedding",
-          expr(s"transform(embedding, (x, i) -> IF(i = ${c - 1}, CAST(-x AS FLOAT), x))"))
+          expr(s"transform(embedding, (x, i) -> IF(i = ${c - 1 + flipOffset}, CAST(-x AS FLOAT), x))"))
       perturbed.withColumn("vec_id", col("vec_id") + lit(c * vecBase))
     }
     write(embCopies.reduce(_.unionByName(_)), "embeddings")

@@ -45,7 +45,8 @@ def norm_cell(v):
         return "NaN"
     return v
 
-def main(sf_dir, out_dir, spark_times_file):
+def main(sf_dir, out_dir, spark_times_file, out_name="BENCH_sf1.json",
+         metric="sf1_total"):
     con = duckdb.connect()
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
@@ -127,7 +128,7 @@ def main(sf_dir, out_dir, spark_times_file):
     print(f"{'TOTAL':15s} {sum(v['n'] for v in fams.values()):2d}  "
           f"{tot_s:7.2f} {tot_d:7.2f}   {tot_s / tot_d:.2f}x")
     out = {
-        "metric": "sf1_total", "value": round(tot_s, 2), "unit": "sec",
+        "metric": metric, "value": round(tot_s, 2), "unit": "sec",
         "duckdb_total": round(tot_d, 2), "ratio": round(tot_s / tot_d, 3),
         "failures": failures, "queries": rows,
         "families": {f: {"spark": round(v["spark"], 2),
@@ -136,10 +137,10 @@ def main(sf_dir, out_dir, spark_times_file):
                      for f, v in fams.items()},
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_sf1.json"), "w") as fh:
+    with open(os.path.join(root, out_name), "w") as fh:
         json.dump(out, fh, indent=1)
-    print(f"[sf1] failures={failures}; wrote BENCH_sf1.json")
+    print(f"[sf1] failures={failures}; wrote {out_name}")
     return 1 if failures else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], *sys.argv[4:]))
