@@ -389,13 +389,17 @@ object HashFunctions {
   /** Both unsigned 32-bit md5 halves from one digest: array<long>[2]. */
   def md5_words(c: Column): Column = column(Md5Words(expression(c)))
 
-  /** Register `md5_48` for SQL use (e.g. inside `transform` lambdas) on
-    * this session. Idempotent. */
+  /** Register `md5_48` / `md5_key48` for SQL use (e.g. inside `transform`
+    * lambdas, or the SQL-form sketch queries). Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("md5_48")))
       reg.createOrReplaceTempFunction(
         "md5_48", exprs => Md5Prefix48(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("md5_key48")))
+      reg.createOrReplaceTempFunction(
+        "md5_key48", exprs => Md5Key48(exprs), "scala_udf")
   }
 }

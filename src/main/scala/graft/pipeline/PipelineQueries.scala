@@ -2021,18 +2021,18 @@ object PipelineQueries {
     // layout no other engine can replay. PipelineSpec keeps the classic
     // CMS guarantees pinned (never under-counts; over-count within eps*N).
     Q("ap2_heavy_hitters",
-      """WITH tok AS (SELECT token FROM documents
-        |        LATERAL VIEW explode(split(lower(text), ' ')) t AS token),
-        |cnts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      """WITH cnts AS (SELECT token, CAST(sum(c) AS BIGINT) AS cnt FROM documents
+        |        LATERAL VIEW explode(token_counts(lower(text))) t AS token, c
+        |      GROUP BY token),
         |exact AS (SELECT token, cnt AS exact_count FROM cnts
         |      ORDER BY cnt DESC, token LIMIT 20),
         |cms AS (SELECT j,
-        |         CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', token)), 1, 12), 16, 10) AS BIGINT) % 1024 AS bucket,
+        |         md5_key48(j, token) % 1024 AS bucket,
         |         CAST(sum(cnt) AS BIGINT) AS cnt
         |      FROM cnts LATERAL VIEW explode(sequence(0, 3)) s AS j
         |      GROUP BY 1, 2),
         |probe AS (SELECT token, exact_count, j,
-        |         CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', token)), 1, 12), 16, 10) AS BIGINT) % 1024 AS bucket
+        |         md5_key48(j, token) % 1024 AS bucket
         |      FROM exact LATERAL VIEW explode(sequence(0, 3)) s AS j)
         |SELECT p.token, p.exact_count, min(c.cnt) AS cms_estimate
         |FROM probe p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
@@ -3557,6 +3557,7 @@ object PipelineQueries {
         Fixtures.registerRaw(s, dir)
         graft.functions.VectorFunctions.register(s)
         graft.functions.TextFunctions.register(s)
+        graft.functions.HashFunctions.register(s)
         s.sql(q.sparkSql)
       })
     }.toMap ++ overrides // overrides supersede SQL forms and add Scala-only ops
