@@ -2688,6 +2688,11 @@ object PipelineQueries {
     * and the DuckDB oracle builder, so they cannot desynchronize. */
   private val rt4FbK = 10
   private val rt4ExpK = 5
+  /** rt5's parameters (same single-definition contract): BM25 candidate
+    * pool depth and negatives kept per query. bmK >= nNeg + 2 so the pool
+    * survives the <= 2 exclusions (query doc itself + the positive). */
+  private val rt5BmK = 10
+  private val rt5NNeg = 7
   private val rt4K = 5
 
   /** rt2's fusion parameters — like rt4's, ONE definition consumed by both
@@ -2778,6 +2783,24 @@ object PipelineQueries {
       Similarity.mmrRerank(s.table("embeddings"), "vec_id", "embedding",
           queryIds = bm25QueryDefs.map(_._1.toLong))
         .orderBy(col("qid"), col("mmr_rank"))
+    }),
+
+    // rt5: DPR-style hard-negative mining — the retrieval-training data
+    // prep pass: per query, the embedding top-1 neighbour is the positive
+    // and the BM25 top hits minus {positive, query doc} are the hard
+    // negatives a contrastive loss trains against. Both side operators
+    // are the existing corpus-pass shapes (bm25TopK shuffle-free kernel
+    // pass, bruteForceTopK bounded heap); the mining fusion is
+    // queries×k bounded, so the pair mine is flat at any corpus size.
+    "rt5_hard_negatives" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val bm = TextAnalysis.bm25TopK(s.table("documents"), "doc_id", "text",
+        bm25QueryDefs, k = rt5BmK)
+      val pos = Similarity.bruteForceTopK(s.table("embeddings"), "vec_id",
+        "embedding", bm25QueryDefs.map(_._1.toLong), k = 1)
+      TextAnalysis.hardNegatives(bm, pos, nNeg = rt5NNeg)
+        .orderBy(col("qid"), col("rnk"), col("doc_id"))
     }),
 
     // ck1: deterministic overlapping character chunks — pure row-local
@@ -3789,6 +3812,49 @@ object PipelineQueries {
        |WHERE rk <= $k ORDER BY qid, rrf_micro DESC, doc_id""".stripMargin
   }
 
+  /** rt5's DuckDB oracle: the shared BM25 chain provides the candidate
+    * pool; the ss1-style vector chain provides each query's top-1
+    * neighbour (the positive, scored as 1e-6-quantized cosine); negatives
+    * are the pool minus {positive, query doc}, re-ranked by
+    * (score DESC, doc_id) — both engines walk identical integer ranks. */
+  private def hardNegOracle(bmK: Int = rt5BmK, nNeg: Int = rt5NNeg): String = {
+    val qids = bm25QueryDefs.map(_._1).mkString(", ")
+    s"""WITH $bm25PreludeSql,
+       |${bm25ChainSql(1, "q")},
+       |bm AS (SELECT qid, doc_id, score_micro FROM (
+       |    SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+       |           score_micro,
+       |           row_number() OVER (PARTITION BY qid
+       |               ORDER BY score_micro DESC, doc_id) AS r
+       |    FROM agg1) t WHERE r <= $bmK),
+       |$duckVecs,
+       |vq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
+       |       WHERE vec_id IN ($qids)),
+       |vc AS (SELECT vq.qid, e.vec_id,
+       |        round(${duckDot("qe", "e.embedding")} / (qn * e.nrm), 6) AS cos
+       |       FROM vq CROSS JOIN v e WHERE e.vec_id <> vq.qid),
+       |pos AS (SELECT qid, vec_id, cos FROM (
+       |    SELECT qid, vec_id, cos,
+       |           row_number() OVER (PARTITION BY qid
+       |               ORDER BY cos DESC, vec_id) AS r
+       |    FROM vc) t WHERE r = 1),
+       |neg AS (SELECT qid, doc_id, rnk, score_micro FROM (
+       |    SELECT b.qid, b.doc_id, b.score_micro,
+       |           CAST(row_number() OVER (PARTITION BY b.qid
+       |               ORDER BY b.score_micro DESC, b.doc_id) AS BIGINT) AS rnk
+       |    FROM bm b JOIN pos p ON p.qid = b.qid
+       |    WHERE b.doc_id <> CAST(p.vec_id AS BIGINT) AND b.doc_id <> b.qid) t
+       |    WHERE rnk <= $nNeg)
+       |SELECT qid, doc_id, role, rnk, score_micro FROM (
+       |  SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS doc_id,
+       |         'pos' AS role, CAST(0 AS BIGINT) AS rnk,
+       |         CAST(round(cos * 1000000) AS BIGINT) AS score_micro
+       |  FROM pos
+       |  UNION ALL
+       |  SELECT qid, doc_id, 'neg' AS role, rnk, score_micro FROM neg) u
+       |ORDER BY qid, rnk, doc_id""".stripMargin
+  }
+
   /** rt3's DuckDB oracle: candidate relevance + pairwise sims quantized
     * to the same 1e-6 integers, then the greedy MMR rounds UNROLLED as
     * chained CTEs (sel1 → r2/sel2 → … — the LPA-oracle technique), so
@@ -3885,6 +3951,7 @@ object PipelineQueries {
       "rt2_hybrid_rrf" -> hybridRrfOracle(rt2KEach, rt2K),
       "rt3_mmr_rerank" -> mmrOracle(),
       "rt4_prf_expansion" -> prfOracle(),
+      "rt5_hard_negatives" -> hardNegOracle(),
 
       // ds1: the same hashed-bigram two-LM importance chain; every
       // log-prob quantizes through the micro-nat floor separately, so the

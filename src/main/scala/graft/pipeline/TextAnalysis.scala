@@ -1028,6 +1028,54 @@ object TextAnalysis {
       orderBy = Seq(("rrf_micro", false), ("doc_id", true)), k = k)
   }
 
+  /** DPR-style hard-negative mining (Karpukhin et al., EMNLP'20 — the
+    * standard training-pair prep for dense retrievers): per query, the
+    * POSITIVE is its nearest neighbour by embedding cosine, and the hard
+    * negatives are the BM25 top hits that are lexically close but NOT the
+    * positive (and not the query document itself) — exactly the
+    * plausible-but-wrong candidates a contrastive loss needs.
+    *
+    * Inputs are the two side operators' outputs ([[bm25TopK]] rows
+    * (qid, doc_id, score_micro) and `Similarity.bruteForceTopK(k = 1)`
+    * rows (qid, vec_id, cos)); like [[hybridRrf]], every frame here is
+    * queries×k bounded model state — the corpus-scale work lives in the
+    * side operators, so the mining step itself is flat at any corpus
+    * size. The per-query re-rank after exclusion is a row_number window
+    * over that bounded frame (the rt3 precedent — never corpus-wide).
+    *
+    * Determinism: negatives rank by (score_micro DESC, doc_id); the
+    * positive's score is its cosine quantized to 1e-6 integers (the
+    * mmrRerank discipline), so any engine reproduces the pair set
+    * bit-for-bit. Emits (qid, doc_id, role 'pos'|'neg', rnk [0 = pos,
+    * 1..nNeg = negatives], score_micro [cos-micro for the positive,
+    * BM25 micro-score for negatives]). */
+  def hardNegatives(bm25: DataFrame, pos: DataFrame, nNeg: Int): DataFrame = {
+    require(nNeg >= 1, s"nNeg must be >= 1, got $nNeg")
+    import org.apache.spark.sql.expressions.Window
+    // the positives frame is consumed twice (emitted rows + the exclusion
+    // join) with DIFFERENT column pruning, which defeats exchange reuse
+    // (the ap2/count() lesson) — without this the vector side's corpus
+    // pass runs twice. It is queries×1 bounded, so materializing is free.
+    val posM = pos.localCheckpoint()
+    val p = posM.select(col("qid").cast("long").as("qid"),
+      col("vec_id").cast("long").as("doc_id"),
+      lit("pos").as("role"), lit(0L).as("rnk"),
+      round(col("cos") * 1e6, 0).cast("long").as("score_micro"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val n = bm25.select(col("qid").cast("long").as("qid"),
+        col("doc_id").cast("long").as("doc_id"), col("score_micro"))
+      .join(posM.select(col("qid").cast("long").as("qid"),
+        col("vec_id").cast("long").as("__pos_doc")), Seq("qid"))
+      .where(col("doc_id") =!= col("__pos_doc") &&
+        col("doc_id") =!= col("qid"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= nNeg)
+      .select(col("qid"), col("doc_id"), lit("neg").as("role"),
+        col("rnk"), col("score_micro"))
+    p.unionByName(n)
+  }
+
   /** Deterministic overlapping character chunking — the RAG/long-context
     * pre-processing step that fans each document into fixed-size windows
     * with `chunkSize - stride` characters of overlap. Pure row-local
