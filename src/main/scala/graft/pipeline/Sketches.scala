@@ -150,6 +150,15 @@ object Sketches {
   def groupedLowerMedianFiltered(
       base: DataFrame, rowFilter: Column, groupCol: String, valueCol: String,
       bucketWidth: Double = 1024.0): DataFrame = {
+    // the filter is evaluated TWICE (histogram pass + pick pass) — a
+    // non-deterministic predicate (rand()-based sampling) would draw two
+    // different samples and silently return a wrong or missing median.
+    // Deterministic hash sampling (md5 on a key, ap1's form) is the
+    // supported spelling.
+    require(org.apache.spark.sql.graft.ColumnBridge
+        .expression(rowFilter).deterministic,
+      "groupedLowerMedianFiltered evaluates rowFilter in two passes; " +
+        "it must be deterministic (use hash-based sampling, not rand())")
     val b = withBucket(base.where(rowFilter), groupCol, valueCol, bucketWidth)
     val targets = targetBuckets(b, groupCol).collect()
     if (targets.isEmpty)

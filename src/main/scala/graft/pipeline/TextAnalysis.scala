@@ -787,31 +787,59 @@ object TextAnalysis {
       orderBy = Seq(("score_micro", false), ("doc_id", true)), k = k)
   }
 
-  private def bm25Columnar(
-      docs: DataFrame, idCol: String, textCol: String,
-      queries: Seq[(Int, Seq[String])], k: Int, k1: Double, b: Double,
+  /** Per-term tf column name shared by the columnar batch form and the
+    * frozen serving form — ONE naming scheme, so the projections below
+    * stay interchangeable. */
+  private def bm25TfCol(allTerms: Seq[String], t: String): String =
+    s"__tf_${allTerms.indexOf(t)}"
+
+  /** Shared per-document projection of the columnar batch form AND the
+    * frozen serving form: (doc_id, dl, per-term tf columns), pruned to
+    * docs with >= 1 hit. ONE builder so the two forms cannot drift —
+    * their bit-identity contract (RetrievalStreamSpec) is structural,
+    * not merely spec-detected. */
+  private def bm25PerDocColumnar(
+      docs: DataFrame, idCol: String,
       allTerms: Seq[String], tc: Column): DataFrame = {
-    def tfc(t: String) = s"__tf_${allTerms.indexOf(t)}"
-    def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
     val m = allTerms.size
-    val perDoc = docs
+    docs
       .select(col(idCol).as("doc_id"), tc.as("__tc"))
       .select(Seq(col("doc_id"),
         element_at(col("__tc"), m + 1).as("dl")) ++
         allTerms.zipWithIndex.map { case (t, i) =>
-          element_at(col("__tc"), i + 1).as(tfc(t))
+          element_at(col("__tc"), i + 1).as(bm25TfCol(allTerms, t))
         }: _*)
-      .where(allTerms.map(t => col(tfc(t)) > 0).reduce(_ || _))
+      .where(allTerms.map(t => col(bm25TfCol(allTerms, t)) > 0)
+        .reduce(_ || _))
+  }
+
+  /** Shared Okapi term score: floor(idf_micro · tf·(k1+1)/(tf + k1·(1−b +
+    * b·dl/avgdl))) as BIGINT. idf/avgdl arrive as Columns so the batch
+    * form references the broadcast stats row and the frozen form injects
+    * driver-side literals — the expression SHAPE (and so the float
+    * operation order both oracles replay) is identical in both. */
+  private def bm25TermScoreCol(
+      tf: Column, idfMicro: Column, avgdl: Column,
+      k1: Double, b: Double): Column = {
+    val tfn = tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    floor(idfMicro * tfn).cast("long")
+  }
+
+  private def bm25Columnar(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int, k1: Double, b: Double,
+      allTerms: Seq[String], tc: Column): DataFrame = {
+    def tfc(t: String) = bm25TfCol(allTerms, t)
+    def dfc(t: String) = s"__df_${allTerms.indexOf(t)}"
+    val perDoc = bm25PerDocColumnar(docs, idCol, allTerms, tc)
     val one = bm25Stats(docs, textCol, allTerms, tc)
     val avgdl = col("total_len").cast("double") / col("n_docs")
     def termScore(t: String): Column = {
-      val tf = col(tfc(t))
       val idfMicro =
         floor(log((col("n_docs") - col(dfc(t)) + lit(0.5)) /
           (col(dfc(t)) + lit(0.5)) + lit(1.0)) * lit(1000000.0)).cast("long")
-      val tfn = tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
-      floor(idfMicro * tfn).cast("long")
+      bm25TermScoreCol(col(tfc(t)), idfMicro, avgdl, k1, b)
     }
     val perQ = queries.map { case (qid, terms) =>
       val ts = terms.distinct
@@ -883,6 +911,11 @@ object TextAnalysis {
     val tc = graft.functions.TextFunctions
       .token_term_counts(col(textCol), allTerms)
     val row = bm25Stats(docs, textCol, allTerms, tc).collect()(0)
+    // an empty / all-null-text corpus leaves the sum() NULL — name the
+    // contract instead of an opaque NPE from getLong on a null cell
+    require(!row.isNullAt(1) && row.getLong(0) > 0,
+      "bm25FrozenStats: corpus has no tokenizable documents " +
+        "(empty input or all-null text) — nothing to index")
     Bm25Frozen(row.getLong(0), row.getLong(1),
       allTerms.zipWithIndex
         .map { case (t, i) => t -> row.getLong(2 + i) }.toMap)
@@ -902,27 +935,23 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "bm25ScoreFrozen needs at least one query")
     val allTerms = queries.flatMap(_._2).distinct
-    val m = allTerms.size
-    def tfc(t: String) = s"__tf_${allTerms.indexOf(t)}"
+    // serving drift guard: a query term absent from the frozen stats
+    // means the index generation predates the query set — name the
+    // contract instead of throwing a bare key-not-found from dfs(t)
+    val missing = allTerms.filterNot(stats.dfs.contains)
+    require(missing.isEmpty,
+      s"frozen BM25 stats lack term(s) ${missing.mkString("[", ", ", "]")}" +
+        " — rebuild the index (bm25FrozenStats) for the new query set")
+    def tfc(t: String) = bm25TfCol(allTerms, t)
     val tc = graft.functions.TextFunctions
       .token_term_counts(col(textCol), allTerms)
-    val perDoc = docs
-      .select(col(idCol).as("doc_id"), tc.as("__tc"))
-      .select(Seq(col("doc_id"),
-        element_at(col("__tc"), m + 1).as("dl")) ++
-        allTerms.zipWithIndex.map { case (t, i) =>
-          element_at(col("__tc"), i + 1).as(tfc(t))
-        }: _*)
-      .where(allTerms.map(t => col(tfc(t)) > 0).reduce(_ || _))
+    val perDoc = bm25PerDocColumnar(docs, idCol, allTerms, tc)
     val avgdl = stats.totalLen.toDouble / stats.nDocs
     def termScore(t: String): Column = {
       val df = stats.dfs(t)
       val idfMicro = math.floor(math.log(
         (stats.nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0).toLong
-      val tf = col(tfc(t))
-      val tfn = tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-      floor(lit(idfMicro) * tfn).cast("long")
+      bm25TermScoreCol(col(tfc(t)), lit(idfMicro), lit(avgdl), k1, b)
     }
     val perQ = queries.map { case (qid, terms) =>
       val ts = terms.distinct

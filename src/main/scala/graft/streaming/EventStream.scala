@@ -554,12 +554,22 @@ object EventStream {
         key: Long, rows: Iterator[WeekEvent],
         timerValues: TimerValues): Iterator[(Int, Long)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-      rows.toIndexedSeq.sortBy(_.wkDay).foreach { e =>
-        if (!cohort.exists()) cohort.update(CohortState(e.wkDay))
-        if (!weeks.containsKey(e.wkDay)) {
-          weeks.updateValue(e.wkDay, true)
-          val c = cohort.get().cohortDay
-          out += ((c, (e.wkDay - c).toLong / 7L))
+      val evs = rows.toIndexedSeq.sortBy(_.wkDay)
+      if (evs.nonEmpty) {
+        val c =
+          if (cohort.exists()) cohort.get().cohortDay else evs.head.wkDay
+        // UNCONDITIONAL re-write: ValueState TTL counts from the last
+        // update, so a continuously-active user must refresh the cohort
+        // every batch (the FunnelProcessor discipline). Writing only on
+        // first sight would expire the cohort `ttl` after the user's
+        // FIRST event and silently re-cohort a never-lapsed user — the
+        // eviction contract is ttl of INACTIVITY.
+        cohort.update(CohortState(c))
+        evs.foreach { e =>
+          if (!weeks.containsKey(e.wkDay)) {
+            weeks.updateValue(e.wkDay, true)
+            out += ((c, (e.wkDay - c).toLong / 7L))
+          }
         }
       }
       out.iterator
@@ -612,6 +622,19 @@ object EventStream {
       watermarkDelay: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // finalize mode evicts on UTC day boundaries ((key+1)·86400000 ms)
+    // while the day key derives from CAST(ts AS DATE) in the SESSION
+    // timezone. A west-of-UTC session would see its watermark cross the
+    // UTC boundary hours before the local day ends — on-time events
+    // silently dropped by the late-row guard. Fail fast instead: the
+    // engine's determinism contract pins UTC everywhere else already.
+    if (watermarkDelay.isDefined) {
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "Z",
+        s"stickinessStream with a watermark requires " +
+          s"spark.sql.session.timeZone=UTC (got $tz): day keys are " +
+          "session-tz dates but day-close timers fire on UTC boundaries")
+    }
     val src = watermarkDelay.fold(events)(events.withWatermark("ts", _))
     val timeMode =
       if (watermarkDelay.isDefined) TimeMode.EventTime() else TimeMode.None()

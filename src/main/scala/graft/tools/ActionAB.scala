@@ -11,34 +11,15 @@ import org.apache.spark.sql.SparkSession
 object ActionAB {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.broadcast.compress", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    sys.props("graft.wire.quiet") = "1"
-    def time(f: => Unit): Double = {
-      System.gc(); Thread.sleep(100)
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
+    val spark: SparkSession = ProfileSession.build()
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
       val fn = graft.SparkEntry.queries(n)
-      fn(spark, sfDir).count() // warmup (both actions share scans/codegen)
+      // cross-warm both actions so scans/codegen are shared state
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val cs = (1 to 3).map(_ => time(fn(spark, sfDir).count()))
-      val ns = (1 to 3).map(_ => time(
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()))
-      println(f"AB $n%-28s count=${cs.min}%.3f s noop=${ns.min}%.3f s")
+      val c = ProfileSession.timeMin()(fn(spark, sfDir).count())
+      val o = ProfileSession.timeMin()(
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      println(f"AB $n%-28s count=$c%.3f s noop=$o%.3f s")
     }
     spark.stop()
   }

@@ -9,26 +9,7 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq("dm2_dedup_across_sources")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      // see Bench: keep the codegen compile cache wide enough for the
-      // whole suite so timings match the Bench session's steady state
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // single-JVM local mode: compression is pure overhead (see Bench)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-      .config("spark.broadcast.compress", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // match Bench: wire diagnostics stay out of timed windows
-    sys.props("graft.wire.quiet") = "1"
+    val spark = ProfileSession.build()
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       fn(spark, sfDir).count() // warmup
