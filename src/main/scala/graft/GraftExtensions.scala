@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{TextEntropyStats, VectorDot, WordNGrams}
+import graft.functions.{Md5Key48, Md5Prefix48, TextEntropyStats, TokenCounts, VectorDot, WordNGrams}
 
 /** Spark-native entry point: `SparkSessionExtensions` installer so a plain
   * `spark.sql.extensions=graft.GraftExtensions` config (no code) gives every
@@ -35,6 +35,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 1, "text_stats takes exactly 1 argument")
           TextEntropyStats(exprs.head)
+        }))
+    // the SQL-exposed pipeline kernels: per-doc token frequency map and
+    // the allocation-free 48-bit md5 family (the sketch/sampling hash the
+    // SQL-form queries spell as md5_48 / md5_key48) — an extensions-only
+    // session must run the same SQL the library's query inventory ships
+    ext.injectFunction(
+      (FunctionIdentifier("token_counts"),
+        new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "token_counts takes exactly 1 argument")
+          TokenCounts(exprs.head)
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("md5_48"),
+        new ExpressionInfo(classOf[Md5Prefix48].getName, "md5_48"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "md5_48 takes exactly 1 argument")
+          Md5Prefix48(exprs.head)
+        }))
+    ext.injectFunction(
+      (FunctionIdentifier("md5_key48"),
+        new ExpressionInfo(classOf[Md5Key48].getName, "md5_key48"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.nonEmpty, "md5_key48 takes at least 1 argument")
+          Md5Key48(exprs)
         }))
     // whole-operator extension: bounded-heap top-k per group (no total sort)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -704,4 +704,97 @@ object EventStream {
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("p_ts"), col("click_id"), col("c_ts"), col("value"))
   }
+
+  final case class SessEvent(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      tsUs: Long, value: Double)
+  final case class SessOpen(
+      sessionIdx: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Streaming twin of batch q21 (gap sessionization with per-session
+    * aggregates), on the THIRD state API the engine demonstrates:
+    * `flatMapGroupsWithState` with an EVENT-TIME TIMEOUT. The
+    * `session_window` twin (q29, [[sessionAgg]]) covers the native
+    * windowed-agg spelling; this one carries CUSTOM per-session state
+    * (running sum + a per-user session counter, which session_window
+    * cannot number) and emits one APPEND row per CLOSED session —
+    * closed either by a later event arriving past the gap, or by the
+    * watermark passing last-event + gap (the timeout path, which is what
+    * bounds state: one open session per user, evicted as the stream
+    * moves on).
+    *
+    * Ordering contract: like [[transitionStream]], rows sort by
+    * (ts, event_id) within a batch and batches must respect per-user
+    * event-time order for session numbering to match the batch query
+    * (the replay/backfill specs feed in order; a production deployment
+    * gets this from partitioned, time-ordered ingestion). */
+  def sessionizeStream(
+      spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    def close(uid: Long, s: SessOpen): (Long, Long, Long, Double) =
+      // HALF_UP to match the batch query's round(sum(value), 2) exactly
+      // (math.rint is banker's rounding — wrong on .xx5 boundaries)
+      (uid, s.sessionIdx, s.n,
+        BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def fn(uid: Long, rows: Iterator[SessEvent],
+        state: GroupState[SessOpen]): Iterator[(Long, Long, Long, Double)] = {
+      if (state.hasTimedOut) {
+        // watermark passed last-event + gap: the open session is final.
+        // Keep a MARKER row (n = 0) carrying the session counter —
+        // removing state here would restart the next session at index 1
+        // (measured: batch/stream ids diverged on exactly the sessions
+        // following a timeout). Per-user numbering inherently costs one
+        // residual row per user, the same cardinality any per-user
+        // ordinal requires; no further timeout is registered, so the
+        // marker is inert.
+        val out = state.getOption.filter(_.n > 0).map(close(uid, _)).iterator
+        state.getOption.foreach(s =>
+          state.update(SessOpen(s.sessionIdx, s.lastUs, s.lastUs, 0L, 0.0)))
+        return out
+      }
+      val evs = rows.toIndexedSeq.sortBy(e => (e.tsUs, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      // n = 0 is the closed-session marker: no open session, but the
+      // counter continues from sessionIdx
+      var idxBase = 0L
+      var cur: SessOpen = null
+      state.getOption.foreach { s =>
+        if (s.n > 0) cur = s else idxBase = s.sessionIdx
+      }
+      evs.foreach { e =>
+        cur =
+          if (cur == null)
+            SessOpen(idxBase + 1L, e.tsUs, e.tsUs, 1L, e.value)
+          else if (e.tsUs / 1000000L - cur.lastUs / 1000000L > gapMinutes * 60L) {
+            // batch q21's boundary test is on WHOLE SECONDS
+            // (unix_timestamp lag diff > 1800) — mirror it exactly
+            out += close(uid, cur)
+            SessOpen(cur.sessionIdx + 1L, e.tsUs, e.tsUs, 1L, e.value)
+          } else
+            cur.copy(lastUs = math.max(cur.lastUs, e.tsUs),
+              n = cur.n + 1, sum = cur.sum + e.value)
+      }
+      if (cur != null) {
+        state.update(cur)
+        // fires once the event-time watermark passes last + gap
+        state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)
+      }
+      out.iterator
+    }
+    events
+      .withWatermark("ts", watermarkDelay)
+      // ts rides along: the watermark tag lives on the column, and
+      // EventTimeTimeout requires it to survive into the state operator
+      .selectExpr("user_id", "event_id", "ts",
+        "unix_micros(ts) AS tsUs", "value")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF("user_id", "session_id", "n_events", "sum_value")
+  }
 }

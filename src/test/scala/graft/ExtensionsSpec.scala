@@ -49,6 +49,20 @@ class ExtensionsSpec extends AnyFunSuite {
       // word_ngrams rides the same installer
       val g = s.sql("SELECT word_ngrams('a b c', 2) AS g").head.getSeq[String](0)
       assert(g == Seq("a b", "b c"))
+      // the SQL-form query inventory's kernels resolve too: token_counts
+      // (ap2's corpus pass) and the 48-bit md5 family (sketch hashing) —
+      // md5_key48(j, token) must equal the hex-string SQL spelling
+      val tcm = s.sql("SELECT token_counts('a b a') AS m")
+        .head.getMap[String, Long](0)
+      assert(tcm == Map("a" -> 2L, "b" -> 1L))
+      val hk = s.sql(
+        """SELECT md5_key48(0, 'tok') AS k,
+          |  CAST(conv(substring(md5(concat('0', ':', 'tok')), 1, 12), 16, 10) AS BIGINT) AS ref,
+          |  md5_48('x') AS h,
+          |  CAST(conv(substring(md5('x'), 1, 12), 16, 10) AS BIGINT) AS href
+          |""".stripMargin).head()
+      assert(hk.getLong(0) == hk.getLong(1))
+      assert(hk.getLong(2) == hk.getLong(3))
       // the planner strategy comes from the extensions too: plan a raw
       // TopKPerGroupNode WITHOUT the helper's self-install path
       import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
