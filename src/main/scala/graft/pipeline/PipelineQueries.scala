@@ -159,6 +159,61 @@ object PipelineQueries {
        |FROM ex LEFT JOIN iv ON iv.qid = ex.qid AND iv.vec_id = ex.vec_id
        |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin
 
+  /** ss11's shared SQL shape: ss8's recall eval swept across nprobe
+    * 1..4 — the TUNING CURVE an IVF deployment actually reads (recall
+    * rises with probed cells; the knee picks the operating point). The
+    * sweep needs a FINER quantizer than ss8's to be informative: with
+    * ss8's 16 cells, one probe already holds every exact neighbour on
+    * this corpus (near-dup siblings share the query's cell) and the
+    * curve is flat at 100% — measured, so ss11 uses 64 cells and
+    * held-out queries (ids 100..104, outside the np range of their own
+    * cells' dominance), which yields a real 3/5/8/10-of-25 climb at
+    * sf0.01. The corpus-side work is shared across the sweep: ONE cell
+    * assignment, ONE per-query cell ranking fanned over the nprobe
+    * values; only the bounded candidate set grows with np. recall_pm =
+    * hits × 40 (5 queries × top-5 = 25 exact slots per np) — integer
+    * arithmetic only, so the curve hash-matches in any engine. */
+  private def annRecallSweepSql(
+      vecs: String, dot: (String, String) => String): String =
+    s"""WITH $vecs,
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 64),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |               ORDER BY round(${dot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
+       |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
+       |      WHERE vec_id >= 100 AND vec_id < 105),
+       |nps AS (SELECT np FROM (VALUES (1), (2), (3), (4)) t(np)),
+       |cr AS (SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |               ORDER BY round(${dot("q.qe", "c.ce")} / (q.qn * c.cn), 6) DESC, c.cid) AS rnk
+       |       FROM q CROSS JOIN cent c),
+       |pr AS (SELECT n.np, cr.qid, cr.cid FROM nps n CROSS JOIN cr
+       |       WHERE cr.rnk <= n.np),
+       |iv AS (SELECT np, qid, vec_id FROM (
+       |    SELECT np, qid, vec_id,
+       |           row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM (SELECT p.np, q.qid, e.vec_id,
+       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+       |          FROM q JOIN pr p ON p.qid = q.qid
+       |          JOIN assign a ON a.cid = p.cid
+       |          JOIN v e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid) c) t
+       |    WHERE rnk <= 5),
+       |ex AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM (SELECT q.qid, e.vec_id,
+       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+       |          FROM q CROSS JOIN v e WHERE e.vec_id <> q.qid) c) t
+       |    WHERE rnk <= 5)
+       |SELECT nps.np, CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(iv.vec_id) AS BIGINT) AS hits,
+       |       CAST(count(iv.vec_id) * 40 AS BIGINT) AS recall_pm
+       |FROM nps CROSS JOIN ex
+       |LEFT JOIN iv ON iv.np = nps.np AND iv.qid = ex.qid AND iv.vec_id = ex.vec_id
+       |GROUP BY nps.np ORDER BY nps.np""".stripMargin
+
   private val defs: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -433,6 +488,19 @@ object PipelineQueries {
     Q("ss8_ann_recall",
       annRecallSql(sparkVecs, sparkDot),
       annRecallSql(duckVecs, duckDot)),
+
+    // ------------------------------------------------------------------
+    // ss11: RECALL-vs-NPROBE TUNING CURVE — ss8's eval swept across
+    // nprobe 1..4, the dashboard an IVF deployment reads to pick its
+    // operating point (recall rises with probed cells; the knee is the
+    // answer). One cell assignment + one per-query cell ranking shared
+    // across the whole sweep; recall in integer per-mille (hits × 40
+    // over the 25 exact slots) so the curve hash-matches in any engine.
+    // At corpus scale this runs over a query SAMPLE against the stored
+    // index — the same eval-side shape as ss8.
+    Q("ss11_recall_sweep",
+      annRecallSweepSql(sparkVecs, sparkDot),
+      annRecallSweepSql(duckVecs, duckDot)),
 
     // ------------------------------------------------------------------
     // ss7: margin-based BITEXT MINING (Artetxe & Schwenk 2019, ratio
