@@ -123,15 +123,36 @@ object PipelineQueries {
     * renderer): exact top-5 vs IVF top-5 (ss2's fixed-seed layout —
     * 16 cells from vec_id < 16, nprobe = 2), joined on (qid, vec_id)
     * to count hits. */
-  private def annRecallSql(vecs: String, dot: (String, String) => String): String =
-    s"""WITH $vecs,
-       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 16),
+  /** Shared CTE fragments of the ss8/ss11 recall evals — ONE copy of the
+    * assignment and exact-baseline discipline (round(cos, 6) before
+    * ranking, cid/vec_id tie-breaks), so the two oracle texts cannot
+    * drift (the bm25 shared-builder rule). `recallQSql` takes the query
+    * predicate; `recallCentSql` the quantizer size. */
+  private def recallCentSql(
+      nCells: Int, dot: (String, String) => String): String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < $nCells),
        |assign AS (SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY e.vec_id
        |               ORDER BY round(${dot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
-       |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
-       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v WHERE vec_id < 5),
+       |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1)""".stripMargin
+
+  private def recallQSql(where: String): String =
+    s"q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v $where)"
+
+  private def recallExSql(dot: (String, String) => String): String =
+    s"""ex AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM (SELECT q.qid, e.vec_id,
+       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+       |          FROM q CROSS JOIN v e WHERE e.vec_id <> q.qid) c) t
+       |    WHERE rnk <= 5)""".stripMargin
+
+  private def annRecallSql(vecs: String, dot: (String, String) => String): String =
+    s"""WITH $vecs,
+       |${recallCentSql(16, dot)},
+       |${recallQSql("WHERE vec_id < 5")},
        |probe AS (SELECT qid, cid FROM (
        |    SELECT q.qid, c.cid,
        |           row_number() OVER (PARTITION BY q.qid
@@ -146,13 +167,7 @@ object PipelineQueries {
        |          JOIN assign a ON a.cid = p.cid
        |          JOIN v e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid) c) t
        |    WHERE rnk <= 5),
-       |ex AS (SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
-       |    FROM (SELECT q.qid, e.vec_id,
-       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
-       |          FROM q CROSS JOIN v e WHERE e.vec_id <> q.qid) c) t
-       |    WHERE rnk <= 5)
+       |${recallExSql(dot)}
        |SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(count(iv.vec_id) AS BIGINT) AS hits,
        |       CAST(count(iv.vec_id) * 20 AS BIGINT) AS recall_pct
@@ -166,47 +181,35 @@ object PipelineQueries {
     * ss8's 16 cells, one probe already holds every exact neighbour on
     * this corpus (near-dup siblings share the query's cell) and the
     * curve is flat at 100% — measured, so ss11 uses 64 cells and
-    * held-out queries (ids 100..104, outside the np range of their own
-    * cells' dominance), which yields a real 3/5/8/10-of-25 climb at
-    * sf0.01. The corpus-side work is shared across the sweep: ONE cell
-    * assignment, ONE per-query cell ranking fanned over the nprobe
-    * values; only the bounded candidate set grows with np. recall_pm =
-    * hits × 40 (5 queries × top-5 = 25 exact slots per np) — integer
-    * arithmetic only, so the curve hash-matches in any engine. */
+    * held-out queries (ids 100..104), which yields a real
+    * 3/5/8/10-of-25 climb at sf0.01. Corpus-side work is shared across
+    * the sweep: ONE cell assignment, ONE per-query cell ranking, and
+    * each candidate's cosine scored ONCE (tagged with its cell's rank,
+    * max np = 4) — the per-np fan-out only replays cheap row_number
+    * windows over the pre-computed scores. recall_pm = hits × 40 (5
+    * queries × top-5 = 25 exact slots per np) — integer arithmetic
+    * only, so the curve hash-matches in any engine. */
   private def annRecallSweepSql(
       vecs: String, dot: (String, String) => String): String =
     s"""WITH $vecs,
-       |cent AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM v WHERE vec_id < 64),
-       |assign AS (SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |               ORDER BY round(${dot("e.embedding", "c.ce")} / (e.nrm * c.cn), 6) DESC, c.cid) AS rnk
-       |    FROM v e CROSS JOIN cent c) a WHERE rnk = 1),
-       |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM v
-       |      WHERE vec_id >= 100 AND vec_id < 105),
+       |${recallCentSql(64, dot)},
+       |${recallQSql("WHERE vec_id >= 100 AND vec_id < 105")},
        |nps AS (SELECT np FROM (VALUES (1), (2), (3), (4)) t(np)),
        |cr AS (SELECT q.qid, c.cid,
        |           row_number() OVER (PARTITION BY q.qid
        |               ORDER BY round(${dot("q.qe", "c.ce")} / (q.qn * c.cn), 6) DESC, c.cid) AS rnk
        |       FROM q CROSS JOIN cent c),
-       |pr AS (SELECT n.np, cr.qid, cr.cid FROM nps n CROSS JOIN cr
-       |       WHERE cr.rnk <= n.np),
+       |cand AS (SELECT cr.rnk AS cell_rnk, q.qid, e.vec_id,
+       |             round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
+       |         FROM q JOIN cr ON cr.qid = q.qid AND cr.rnk <= 4
+       |         JOIN assign a ON a.cid = cr.cid
+       |         JOIN v e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid),
        |iv AS (SELECT np, qid, vec_id FROM (
-       |    SELECT np, qid, vec_id,
-       |           row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, vec_id) AS rnk
-       |    FROM (SELECT p.np, q.qid, e.vec_id,
-       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
-       |          FROM q JOIN pr p ON p.qid = q.qid
-       |          JOIN assign a ON a.cid = p.cid
-       |          JOIN v e ON e.vec_id = a.vec_id AND e.vec_id <> q.qid) c) t
+       |    SELECT n.np, c.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY n.np, c.qid ORDER BY c.cos DESC, c.vec_id) AS rnk
+       |    FROM nps n JOIN cand c ON c.cell_rnk <= n.np) t
        |    WHERE rnk <= 5),
-       |ex AS (SELECT qid, vec_id FROM (
-       |    SELECT qid, vec_id,
-       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
-       |    FROM (SELECT q.qid, e.vec_id,
-       |                 round(${dot("q.qe", "e.embedding")} / (q.qn * e.nrm), 6) AS cos
-       |          FROM q CROSS JOIN v e WHERE e.vec_id <> q.qid) c) t
-       |    WHERE rnk <= 5)
+       |${recallExSql(dot)}
        |SELECT nps.np, CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(count(iv.vec_id) AS BIGINT) AS hits,
        |       CAST(count(iv.vec_id) * 40 AS BIGINT) AS recall_pm

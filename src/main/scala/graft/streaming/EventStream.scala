@@ -734,7 +734,6 @@ object EventStream {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapUs = gapMinutes * 60L * 1000000L
     def close(uid: Long, s: SessOpen): (Long, Long, Long, Double) =
       // HALF_UP to match the batch query's round(sum(value), 2) exactly
       // (math.rint is banker's rounding — wrong on .xx5 boundaries)
@@ -780,8 +779,15 @@ object EventStream {
       }
       if (cur != null) {
         state.update(cur)
-        // fires once the event-time watermark passes last + gap
-        state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)
+        // fires once the event-time watermark passes the FIRST instant
+        // that cannot extend this session. The gap test floors to whole
+        // seconds (batch q21's unix_timestamp diff > 1800), so an event
+        // at floored-second diff == gap still merges — a timeout at the
+        // microsecond-precise last+gap would close up to ~1 s early and
+        // split a batch-mergeable session across two emissions. Boundary
+        // = (floor(last_sec) + gap + 1) seconds.
+        state.setTimeoutTimestamp(
+          (cur.lastUs / 1000000L + gapMinutes * 60L + 1L) * 1000L)
       }
       out.iterator
     }
