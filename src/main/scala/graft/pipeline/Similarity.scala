@@ -366,8 +366,12 @@ object Similarity {
       if (n == 0) c else c.map(_ / n)
     }
     // zero-norm exclusion: same rationale as semanticDedupSeeded
-    val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
-      .withColumn("cid", assignExpr(unit, "__v"))
+    val v0 = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
+    // large k: centroids leave expression space for a broadcast frame
+    // (spec-pinned equal assignment; see joinAssignK for the boundary)
+    val v =
+      if (unit.size <= joinAssignK) v0.withColumn("cid", assignExpr(unit, "__v"))
+      else assignJoinFull(v0, unitCentroidFrame(vecs.sparkSession, unit))
     dedupWithinCluster(v, threshold, blockTarget)
   }
 
@@ -383,10 +387,81 @@ object Similarity {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
-    withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
-      .withColumn("cid", assignExpr(unit, "__v"))
-      .select(col("__id"), col("cid"))
+    val v0 = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
+    val assigned =
+      if (unit.size <= joinAssignK) v0.withColumn("cid", assignExpr(unit, "__v"))
+      else assignJoinFull(v0, unitCentroidFrame(vecs.sparkSession, unit))
+    assigned.select(col("__id"), col("cid"))
   }
+
+  /** Centroid count above which [[semanticDedupLearned]] /
+    * [[assignClusters]] / [[sphericalKMeans]] switch from the
+    * constant-matrix VectorScores projection to the broadcast-join path
+    * ([[assignClustersJoin]]). Measured at sf1 (ProfileAssignK, SCALE.md
+    * r12): the projection stays correct AND faster through k = 16384 —
+    * no Janino blowup at any k (the matrix is a reference object, not
+    * literal nodes) and no shuffle — so the boundary is NOT wall time at
+    * moderate k; it is closure mass: the k×dim matrix serializes into
+    * every task binary of every stage (1.1 MiB at k = 4096, linear in k),
+    * where the join path ships centroids once as a broadcast frame and
+    * reads them from a TABLE — the only form that works when the index
+    * is stored state too big to collect. Dispatch at the measured edge. */
+  val joinAssignK: Int = 16384
+
+  /** Unit-normalized centroid frame (cid, cvu: array<float>) from driver
+    * model state — the double-normalize-then-float prep of [[assignExpr]],
+    * so either assignment path scores bit-identical dots. At real index
+    * scale the frame comes straight from a stored table instead. */
+  def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      val u = if (n == 0) c else c.map(_ / n)
+      (i, u.map(_.toFloat))
+    }.toDF("cid", "cvu")
+  }
+
+  /** [[centroidFrame]] minus the normalize, for call sites that already
+    * hold unit centroids (re-dividing a unit vector by its ≈1.0 norm
+    * would perturb low bits and break parity with the assignExpr path). */
+  private def unitCentroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      unit: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    unit.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) }
+      .toDF("cid", "cvu")
+  }
+
+  /** Cluster assignment against a centroid DATAFRAME — the large-k scale
+    * path. The centroid frame (cid, cvu unit float vectors — see
+    * [[centroidFrame]]) broadcasts; every vector scores the broadcast side
+    * with the codegen'd vec_dot and the argmax runs on the TopKPerGroup
+    * bounded heap (score DESC, cid ASC — first-max-wins ties, exactly
+    * [[assignExpr]]'s array_position semantics, spec-pinned equal in
+    * SimilaritySpec). Unlike the projection form, centroids here are table
+    * state, never expression/codegen state, so k scales to broadcast
+    * memory; the heap's partial phase reduces map-side to one row per
+    * vector, so the one exchange moves the corpus once (the same cost
+    * class as the groupBy any downstream consumer adds). Zero-norm rows
+    * are excluded like every cosine-assignment caller. Returns
+    * (__id, cid). */
+  def assignClustersJoin(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    assignJoinFull(withNorm(vecs, idCol, vecCol).where(col("nrm") > 0), cents)
+      .select(col("__id"), col("cid"))
+
+  /** Join-path assignment over a prepared (__id, __v, nrm) frame, keeping
+    * the vector columns through the heap so pair-join consumers
+    * (dedupWithinCluster) need no second corpus join back by id. */
+  private def assignJoinFull(v: DataFrame, cents: DataFrame): DataFrame =
+    graft.plans.TopKPerGroup(
+      v.crossJoin(broadcast(cents))
+        .withColumn("__sc", dot(col("__v"), col("cvu"))),
+      keys = Seq("__id"), orderBy = Seq(("__sc", false), ("cid", true)), k = 1)
+      .drop("__sc", "cvu")
 
   /** Cluster count that keeps SemDeDup's pair envelope LINEAR in the
     * corpus: k = max(16, ceil(n / targetClusterSize)). With cluster sizes
@@ -514,7 +589,13 @@ object Similarity {
       .select(col("__v")).collect()
       .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)).toSeq
     for (_ <- 1 to iters) {
-      val assigned = v.withColumn("cid", assignExpr(cents, "__v"))
+      // same large-k dispatch as the serving paths: past joinAssignK the
+      // per-iteration assignment joins a broadcast centroid frame instead
+      // of carrying the matrix as expression state (iterates are unit-
+      // normalized, so the frame skips the re-normalize)
+      val assigned =
+        if (cents.size <= joinAssignK) v.withColumn("cid", assignExpr(cents, "__v"))
+        else assignJoinFull(v, unitCentroidFrame(vecs.sparkSession, cents))
       val sums = assigned.groupBy(col("cid"))
         .agg(avg(element_at(col("__v"), 1) / col("nrm")).as("d0"),
           (2 to dim).map(j =>

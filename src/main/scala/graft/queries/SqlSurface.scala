@@ -20,8 +20,12 @@ object SqlSurface {
        |orders_entity AS (${Views.ordersOracle})
        |""".stripMargin
 
-  /** name -> (spark SQL, oracle SQL override or None=same text + prelude). */
-  private case class Q(name: String, sparkSql: String, oracleOverride: Option[String] = None)
+  /** name -> (spark SQL, oracle SQL override or None=same text + prelude).
+    * `bridge` runs the Spark side through `SqlValidator.preprocess` first —
+    * for reference-dialect forms (TOP n, DISTINCT ON) Spark's parser
+    * rejects as raw tokens. */
+  private case class Q(name: String, sparkSql: String,
+      oracleOverride: Option[String] = None, bridge: Boolean = false)
 
   private val defs: Seq[Q] = Seq(
     // TPC-H Q3-style 3-way join + agg + sort + limit (webengine/src/main.rs:86-124)
@@ -416,13 +420,37 @@ object SqlSurface {
         |FROM nation n
         |JOIN (VALUES (0, 'africa'), (1, 'america'), (2, 'asia')) AS v(rk, region_tag)
         |  ON n.n_regionkey = v.rk
-        |GROUP BY v.region_tag ORDER BY v.region_tag""".stripMargin))
+        |GROUP BY v.region_tag ORDER BY v.region_tag""".stripMargin),
+
+    // the reference-dialect DISTINCT ON *token* form (validation.rs:413-422),
+    // bridged by SqlValidator.preprocess into the q12 row_number spelling on
+    // the Spark side; DuckDB executes the same DISTINCT ON text natively —
+    // two independent implementations of the Postgres first-row-per-group
+    // semantics must agree hash-exact. Window order carries a full tiebreak
+    // (acctbal DESC, custkey) so the kept row is deterministic in both.
+    Q("q37_distinct_on_literal",
+      """SELECT DISTINCT ON (nationkey) nationkey, custkey, acctbal
+        |FROM customer_entity
+        |ORDER BY nationkey, acctbal DESC, custkey""".stripMargin,
+      bridge = true),
+
+    // the T-SQL TOP-n *token* form (validation.rs:423-427), bridged to a
+    // trailing LIMIT; DuckDB has no TOP, so the oracle spells the LIMIT form
+    Q("q38_top_n",
+      """SELECT TOP 15 orderkey, totalprice FROM orders_entity
+        |ORDER BY totalprice DESC, orderkey""".stripMargin,
+      oracleOverride = Some(
+        s"""$prelude
+           |SELECT orderkey, totalprice FROM orders_entity
+           |ORDER BY totalprice DESC, orderkey LIMIT 15""".stripMargin),
+      bridge = true))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { q =>
       q.name -> ((s: SparkSession, dir: String) => {
         Views.registerAll(s, dir)
-        s.sql(q.sparkSql)
+        s.sql(if (q.bridge) graft.validation.SqlValidator.preprocess(q.sparkSql)
+        else q.sparkSql)
       })
     }.toMap
 

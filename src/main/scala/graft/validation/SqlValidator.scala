@@ -46,8 +46,99 @@ object SqlValidator {
     out.toString
   }
 
-  /** Preprocess dialect bridges before parsing (currently SIMILAR TO). */
-  def preprocess(sql: String): String = translateSimilarTo(sql)
+  /** `TOP n` -> trailing `LIMIT n` (the T-SQL quantity form the
+    * reference's sqlparser accepts, `validation.rs:423-427`): Spark's
+    * grammar has no TOP token, so a user porting reference-accepted SQL
+    * hit a parse error before this bridge. Handles `TOP n` / `TOP (n)`
+    * after `SELECT [DISTINCT]`; the `PERCENT` / `WITH TIES` variants have
+    * no LIMIT equivalent and fall through to the parser's error. */
+  private[validation] def translateTopN(sql: String): String = {
+    val p = java.util.regex.Pattern.compile(
+      "(?is)^(\\s*SELECT\\s+(?:DISTINCT\\s+)?)TOP\\s*\\(?\\s*(\\d+)\\s*\\)?\\s+(?!PERCENT\\b|WITH\\b)(.*)$")
+    val m = p.matcher(sql)
+    if (!m.matches()) sql
+    else s"${m.group(1)}${m.group(3)} LIMIT ${m.group(2)}"
+  }
+
+  /** `SELECT DISTINCT ON (exprs) ...` -> the row_number()-window form
+    * (q12's spelling): the reference's sqlparser accepts Postgres
+    * DISTINCT ON (`validation.rs:413-422`); Spark's parser rejects the
+    * tokens. The rewrite keeps first-row-per-group semantics — partition
+    * by the ON exprs, order by the statement's ORDER BY (or the ON exprs
+    * when absent), rank filter rn = 1 — and restores the outer ORDER BY.
+    * It applies only when every projection item has a derivable output
+    * name (an identifier or an `... AS name` alias); star or unnamed
+    * expression projections fall through unchanged to the parser's error,
+    * the pre-bridge behavior. */
+  private[validation] def translateDistinctOn(sql: String): String = {
+    val p = java.util.regex.Pattern.compile(
+      "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]+)\\)\\s+(.*?)\\s+FROM\\s+(.*?)(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*$")
+    val m = p.matcher(sql)
+    if (!m.matches()) return sql
+    val onExprs = m.group(1).trim
+    val proj = m.group(2).trim
+    val fromRest = m.group(3).trim
+    val orderBy = Option(m.group(4)).map(_.trim)
+    val names = splitTopLevel(proj).map(outputName)
+    if (names.exists(_.isEmpty)) return sql
+    val ord = orderBy.getOrElse(onExprs)
+    val outer = orderBy.map(o => s" ORDER BY $o").getOrElse("")
+    s"SELECT ${names.flatten.mkString(", ")} FROM " +
+      s"(SELECT $proj, row_number() OVER (PARTITION BY $onExprs ORDER BY $ord) " +
+      s"AS __graft_rn FROM $fromRest) __graft_don WHERE __graft_rn = 1$outer"
+  }
+
+  /** Top-level comma split: quote- and paren-aware, so function arguments
+    * and string literals never split a projection item. */
+  private[validation] def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inSingle = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' => inSingle = !inSingle; cur += c
+        case '(' if !inSingle => depth += 1; cur += c
+        case ')' if !inSingle => depth -= 1; cur += c
+        case ',' if !inSingle && depth == 0 =>
+          out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** Output column name of a projection item: trailing `AS name` alias,
+    * or the last segment of a (possibly qualified) identifier. None for
+    * unnamed expressions — the DISTINCT ON bridge then declines. */
+  private[validation] def outputName(item: String): Option[String] = {
+    val t = item.trim
+    val as = java.util.regex.Pattern
+      .compile("(?is)^.*\\s+AS\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$").matcher(t)
+    if (as.matches()) Some(as.group(1))
+    else if (t.matches("[A-Za-z_][A-Za-z_0-9]*(\\.[A-Za-z_][A-Za-z_0-9]*)?"))
+      Some(t.split('.').last)
+    else None
+  }
+
+  /** `LISTAGG(...) ... ON OVERFLOW ERROR` -> drop the clause: Spark 4's
+    * listagg has no overflow clause, and ERROR is its only behavior (no
+    * VARCHAR length cap exists to overflow), so the semantics are
+    * preserved. The TRUNCATE variant has no Spark equivalent and falls
+    * through to the parser's error. (`validation.rs:302-312`.) */
+  private[validation] def translateListAggOverflow(sql: String): String =
+    sql.replaceAll("(?i)\\s+ON\\s+OVERFLOW\\s+ERROR\\b", "")
+
+  /** Preprocess dialect bridges before parsing: SIMILAR TO -> anchored
+    * RLIKE, TOP n -> LIMIT n, DISTINCT ON -> row_number window,
+    * LISTAGG ON OVERFLOW ERROR -> dropped clause. */
+  def preprocess(sql: String): String =
+    translateDistinctOn(translateTopN(translateListAggOverflow(
+      translateSimilarTo(sql))))
 
   /** Validate `sql`; returns the single referenced entity name.
     * Mirrors `validate_sql` (`validation.rs:24-59`). Callers executing the

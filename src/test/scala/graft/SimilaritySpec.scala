@@ -229,4 +229,23 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = gotSet.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.15, s"ivfpq recall@5 = $recall")
   }
+
+  test("broadcast-join centroid assignment equals the projection path, ties included") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val learned = Similarity.sphericalKMeans(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 1)
+    // duplicate two centroids at higher cids to force EXACT score ties:
+    // first-max-wins must resolve to the lower cid in both paths
+    val cents = learned ++ Seq(learned.head, learned(3))
+    val viaExpr = Similarity.assignClusters(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val viaJoin = Similarity.assignClustersJoin(emb, "vec_id", "embedding",
+        Similarity.centroidFrame(spark, cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(viaExpr.nonEmpty && viaExpr == viaJoin)
+    // the duplicated centroids (cids 16, 17) can never win a tie
+    assert(!viaJoin.values.exists(c => c == 16 || c == 17))
+    // both original duplicates still receive members through their low cid
+    assert(viaJoin.values.toSet.contains(0) && viaJoin.values.toSet.contains(3))
+  }
 }

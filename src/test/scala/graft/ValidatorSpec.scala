@@ -87,6 +87,68 @@ class ValidatorSpec extends AnyFunSuite {
     assert(viaLike.count() > 0)
   }
 
+  test("TOP n bridges to LIMIT n and validates/executes (validation.rs:423-427)") {
+    assert(SqlValidator.preprocess(
+      "SELECT TOP 5 custkey FROM customer ORDER BY custkey") ==
+      "SELECT custkey FROM customer ORDER BY custkey LIMIT 5")
+    assert(SqlValidator.preprocess(
+      "select distinct top (3) mktsegment from customer") ==
+      "select distinct mktsegment from customer LIMIT 3")
+    // PERCENT / WITH TIES have no LIMIT equivalent: fall through untouched
+    assert(SqlValidator.preprocess("SELECT TOP 5 PERCENT x FROM t") ==
+      "SELECT TOP 5 PERCENT x FROM t")
+    // a column named top / top_5 is not a quantity — untouched
+    assert(SqlValidator.preprocess("SELECT top FROM t") == "SELECT top FROM t")
+    assert(SqlValidator.validate(
+      "SELECT TOP 7 custkey FROM customer ORDER BY custkey", spark) == "customer")
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
+    val viaTop = session.sql("SELECT TOP 7 custkey FROM customer ORDER BY custkey")
+    val viaLimit = session.sql("SELECT custkey FROM customer ORDER BY custkey LIMIT 7")
+    assert(viaTop.collect().toSeq == viaLimit.collect().toSeq)
+    assert(viaTop.count() == 7)
+  }
+
+  test("DISTINCT ON bridges to the row_number form and validates/executes (validation.rs:413-422)") {
+    val don = "SELECT DISTINCT ON (nationkey) nationkey, custkey, acctbal " +
+      "FROM customer ORDER BY nationkey, acctbal DESC, custkey"
+    val bridged = SqlValidator.preprocess(don)
+    assert(bridged ==
+      "SELECT nationkey, custkey, acctbal FROM (SELECT nationkey, custkey, acctbal, " +
+        "row_number() OVER (PARTITION BY nationkey ORDER BY nationkey, acctbal DESC, custkey) " +
+        "AS __graft_rn FROM customer) __graft_don WHERE __graft_rn = 1 " +
+        "ORDER BY nationkey, acctbal DESC, custkey")
+    // no ORDER BY -> the ON exprs order the window
+    assert(SqlValidator.preprocess("SELECT DISTINCT ON (k) k, v FROM t") ==
+      "SELECT k, v FROM (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY k) " +
+        "AS __graft_rn FROM t) __graft_don WHERE __graft_rn = 1")
+    // aliased expressions derive their output name from the alias
+    assert(SqlValidator.preprocess(
+      "SELECT DISTINCT ON (k) k, round(v, 2) AS rv FROM t").startsWith("SELECT k, rv FROM "))
+    // star projections cannot be re-projected: untouched (pre-bridge behavior)
+    assert(SqlValidator.preprocess("SELECT DISTINCT ON (k) * FROM t") ==
+      "SELECT DISTINCT ON (k) * FROM t")
+    assert(SqlValidator.validate(don, spark) == "customer")
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
+    val viaDon = session.sql(don)
+    val viaRn = session.sql(
+      "SELECT nationkey, custkey, acctbal FROM (" +
+        "SELECT nationkey, custkey, acctbal, row_number() OVER (" +
+        "PARTITION BY nationkey ORDER BY acctbal DESC, custkey) AS rn FROM customer) t " +
+        "WHERE rn = 1 ORDER BY nationkey")
+    assert(viaDon.collect().toSeq == viaRn.collect().toSeq)
+    assert(viaDon.count() > 0)
+  }
+
+  test("LISTAGG ON OVERFLOW ERROR clause drops; TRUNCATE falls through (validation.rs:302-312)") {
+    assert(SqlValidator.preprocess(
+      "SELECT listagg(name, ',') WITHIN GROUP (ORDER BY name) ON OVERFLOW ERROR FROM t") ==
+      "SELECT listagg(name, ',') WITHIN GROUP (ORDER BY name) FROM t")
+    assert(SqlValidator.preprocess("SELECT x ON OVERFLOW TRUNCATE FROM t") ==
+      "SELECT x ON OVERFLOW TRUNCATE FROM t")
+  }
+
   test("golden: literal {}-brace predicate survives validation and execution (query4)") {
     // the reference's query4 (`test/queries.py:16-20`): `{tax_val}` braces
     // are LITERAL characters inside string literals — they must pass the
