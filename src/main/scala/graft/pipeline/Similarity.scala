@@ -216,6 +216,53 @@ object Similarity {
       .select(col("__id").as(idCol), col("cid"))
   }
 
+  /** One frozen serving query of [[ivfFilteredTopK]]: vector, norm, label
+    * and the nprobe cells its probe step selects — all computed at index
+    * build time, so the streaming twin scores arriving vectors with zero
+    * per-row query work beyond the cosine. */
+  final case class IvfQueryFrozen(
+      qid: Long, qv: Seq[Float], qn: Double, qlab: Long, probed: Seq[Long])
+
+  /** Freeze the SERVING state of [[ivfFilteredTopK]] for a fixed query
+    * set: the seeded centroids (id-ordered, with their Spark-computed
+    * norms — [[seedCentroids]]) plus each query's vector/norm/label and
+    * probed cells. Probe selection replays [[nearestCells]]'s exact
+    * arithmetic driver-side (sequential float→double dot — VectorDot's
+    * loop — then Spark's HALF_UP round at 6 dp, ranked cos DESC, cid
+    * ASC), so the frozen probe set is bit-identical to the batch plan's.
+    * Everything here is model state: k×dim centroid floats + queries —
+    * the collect pattern of every stored-index build in this file. */
+  def ivfFilteredFrozen(
+      vecs: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryIds: Seq[Long], centroidIds: Seq[Long],
+      nprobe: Int = 2): (Seq[(Long, Seq[Float], Double)], Seq[IvfQueryFrozen]) = {
+    val cents = seedCentroids(vecs, idCol, vecCol, centroidIds)
+    def dotFD(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val qRows = Partitioning.fanOut(vecs, idCol)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col(labelCol).cast("long").as("__lab"))
+      .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+      .where(col("__id").isin(queryIds: _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2), r.getDouble(3)))
+    val queries = qRows.sortBy(_._1).map { case (qid, qv, qlab, qn) =>
+      val probed = cents
+        .map { case (cid, cv, cn) =>
+          (cid, graft.functions.VectorCosScores.round6(dotFD(qv, cv) / (qn * cn)))
+        }
+        .sortBy { case (cid, cc) => (-cc, cid) }
+        .take(nprobe).map(_._1)
+      IvfQueryFrozen(qid, qv, qn, qlab, probed)
+    }.toSeq
+    (cents, queries)
+  }
+
   private def centFrame(v: DataFrame, centroidIds: Seq[Long]): DataFrame =
     v.where(col("__id").isin(centroidIds: _*))
       .select(col("__id").as("cid"), col("__v").as("cv"), col("nrm").as("cn"))

@@ -184,8 +184,16 @@ object SqlSurface {
         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM flagged)
-        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       CAST(floor(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 10000.0 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      // sum_value goes through the suite's integer-micro discipline
+      // (quantize each value to 1e-6 BIGINT, sum exactly, ONE
+      // floor-half-up render to 2 dp): a raw double sum aggregates in
+      // nondeterministic partition order, and the streaming twin
+      // (EventStream.sessionizeStream) accumulates per event — near a
+      // .xx5 boundary the two could round differently. Integer sums are
+      // order- and engine-exact, so batch == stream is structural.
       oracleOverride = Some(
         """WITH ordered AS (
           |  SELECT user_id, event_id, ts, value,
@@ -200,7 +208,8 @@ object SqlSurface {
           |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |  FROM flagged)
-          |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |       CAST(floor(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) / 10000.0 + 0.5) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_value
           |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
     // semi-structured: JSON path access on the events props column

@@ -133,10 +133,10 @@ object EventStream {
     * `handleInputRows`. This is the successor API to `mapGroupsWithState`
     * (composable multi-state, timers, TTL) and requires the RocksDB state
     * store provider, which changelog-checkpoints at cluster scale. */
-  private class UserStatsProcessor
+  private class UserStatsProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, UserEvent, (Long, Long, Double)] {
-    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{TimerValues, ValueState}
 
     @transient private var stats: ValueState[UserState] = _
 
@@ -144,7 +144,7 @@ object EventStream {
         outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       stats = getHandle.getValueState[UserState](
-        "stats", org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+        "stats", org.apache.spark.sql.Encoders.product[UserState], ttl)
 
     override def handleInputRows(
         key: Long, rows: Iterator[UserEvent],
@@ -243,10 +243,10 @@ object EventStream {
     * (PipelineSpec) as long as each key's events arrive in order —
     * upstream that is a watermark-ordered source, exactly the
     * [[AnomalyProcessor]] contract. */
-  private class TransitionProcessor
+  private class TransitionProcessor(ttl: org.apache.spark.sql.streaming.TTLConfig)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, SeqEvent, (String, String)] {
-    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{TimerValues, ValueState}
 
     @transient private var last: ValueState[LastEvent] = _
 
@@ -254,7 +254,7 @@ object EventStream {
         outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       last = getHandle.getValueState[LastEvent](
-        "last", org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+        "last", org.apache.spark.sql.Encoders.product[LastEvent], ttl)
 
     override def handleInputRows(
         key: Long, rows: Iterator[SeqEvent],
@@ -302,29 +302,71 @@ object EventStream {
           | / sqrt((ss - s * s / CAST(k AS DOUBLE)) / k + CAST(1 AS DOUBLE))) > 3) AS anomaly""".stripMargin)
   }
 
+  /** TTL/TimeMode pair for an optional idle-state horizon — the
+    * FunnelProcessor discipline shared by every per-user processor whose
+    * state has no event-time point of provable finality: the horizon is a
+    * business rule (days of INACTIVITY), so it is processing-time TTL,
+    * not a watermark timer. None = replay/backfill mode, state kept for
+    * the life of the query (the batch-equivalence specs' mode).
+    *
+    * Deployment note: in processing-time mode the stateful operator asks
+    * for another batch after every batch (to advance its clock), so the
+    * default 0 ms trigger busy-loops and drain-style termination
+    * (processAllAvailable / Trigger.AvailableNow) never settles — a TTL
+    * deployment must set a real processing-time trigger interval and
+    * stop by policy. The TTL spec in PipelineSpec runs 100 ms-trigger
+    * phases over a shared checkpoint, which also pins that TTL state
+    * survives query restarts. */
+  private def ttlMode(stateTtl: Option[java.time.Duration]):
+      (org.apache.spark.sql.streaming.TTLConfig,
+        org.apache.spark.sql.streaming.TimeMode) = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    stateTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
+  }
+
   /** Per-user journey transition stream — see [[TransitionProcessor]].
-    * Requires the RocksDB state store. */
-  def transitionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    * Requires the RocksDB state store.
+    *
+    * Per-user state is one LastEvent (three fields), but it lives as long
+    * as the user is remembered: on a months-long stream, lifetime distinct
+    * users × idle last-event state is the growth term. `stateTtl` bounds
+    * it (e.g. 30 days: a user idle that long restarts their journey —
+    * their next event emits no transition, exactly a fresh user). */
+  def transitionStream(
+      spark: SparkSession, events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.streaming.OutputMode
+    val (ttl, timeMode) = ttlMode(stateTtl)
     events
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS tsUs", "event_type")
       .as[SeqEvent]
       .groupByKey(_.user_id)
       .transformWithState(
-        new TransitionProcessor, TimeMode.None(), OutputMode.Append())
+        new TransitionProcessor(ttl), timeMode, OutputMode.Append())
       .toDF("from_type", "to_type")
   }
 
   /** `runningUserStats` on the transformWithState API. The session must run
-    * the RocksDB state store provider (the API requires it). */
-  def runningUserStatsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    * the RocksDB state store provider (the API requires it).
+    *
+    * `stateTtl` bounds idle-user state like [[transitionStream]]: an
+    * evicted user's counters restart at zero on return — the dashboard
+    * semantics of a stats horizon, vs. the unbounded lifetime-total mode
+    * (None) the batch-equivalence specs exercise. */
+  def runningUserStatsTws(
+      spark: SparkSession, events: DataFrame,
+      stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.streaming.OutputMode
+    val (ttl, timeMode) = ttlMode(stateTtl)
     events.selectExpr("user_id", "value").as[UserEvent]
       .groupByKey(_.user_id)
       .transformWithState(
-        new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+        new UserStatsProcessor(ttl), timeMode, OutputMode.Update())
       .toDF("user_id", "n_events", "sum_value")
   }
 
@@ -507,11 +549,8 @@ object EventStream {
       spark: SparkSession, events: DataFrame,
       stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
-    val (ttl, timeMode) = stateTtl match {
-      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
-      case None => (TTLConfig.NONE, TimeMode.None())
-    }
+    import org.apache.spark.sql.streaming.OutputMode
+    val (ttl, timeMode) = ttlMode(stateTtl)
     events
       .selectExpr("user_id", "unix_micros(ts) AS tsUs", "event_type")
       .as[FunnelEvent]
@@ -565,6 +604,14 @@ object EventStream {
         // FIRST event and silently re-cohort a never-lapsed user — the
         // eviction contract is ttl of INACTIVITY.
         cohort.update(CohortState(c))
+        // same discipline for the week markers: MapState TTL is
+        // per-ENTRY from its last write, so without a re-touch an old
+        // week of a continuously-active user expires on its own and an
+        // at-least-once replay of that week re-emits its (cohort,
+        // offset) row — the whole user's memory must age as one unit,
+        // from last activity. O(markers) per active user per batch,
+        // bounded by the report horizon (~52 with a 1-year ttl).
+        weeks.keys().toSeq.foreach(k => weeks.updateValue(k, true))
         evs.foreach { e =>
           if (!weeks.containsKey(e.wkDay)) {
             weeks.updateValue(e.wkDay, true)
@@ -590,11 +637,8 @@ object EventStream {
       spark: SparkSession, events: DataFrame,
       stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig}
-    val (ttl, timeMode) = stateTtl match {
-      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
-      case None => (TTLConfig.NONE, TimeMode.None())
-    }
+    import org.apache.spark.sql.streaming.OutputMode
+    val (ttl, timeMode) = ttlMode(stateTtl)
     events
       .selectExpr("user_id",
         "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), DATE '1970-01-01') AS INT) AS wkDay")
@@ -708,8 +752,14 @@ object EventStream {
   final case class SessEvent(
       user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       tsUs: Long, value: Double)
+  // sum carried as integer micro-units (value quantized to 1e-6 BIGINT,
+  // the suite's score_micro discipline): the batch query aggregates in
+  // nondeterministic partition order while this processor accumulates in
+  // per-event order — double sums near a .xx5 boundary could round
+  // differently at 2 dp, so both sides sum exact integers instead and
+  // batch == stream holds structurally, not just on fixture values.
   final case class SessOpen(
-      sessionIdx: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+      sessionIdx: Long, startUs: Long, lastUs: Long, n: Long, sumMicro: Long)
 
   /** Streaming twin of batch q21 (gap sessionization with per-session
     * aggregates), on the THIRD state API the engine demonstrates:
@@ -735,10 +785,12 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     def close(uid: Long, s: SessOpen): (Long, Long, Long, Double) =
-      // HALF_UP to match the batch query's round(sum(value), 2) exactly
-      // (math.rint is banker's rounding — wrong on .xx5 boundaries)
+      // the batch query's exact render: micro -> cents by one IEEE
+      // division + floor-half-up, cents -> 2-dp double by an exact /100
+      // (integer-valued doubles below 2^53 divide by 100 exactly), so
+      // every engine produces the identical bits
       (uid, s.sessionIdx, s.n,
-        BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        math.floor(s.sumMicro / 10000.0 + 0.5).toLong / 100.0)
     def fn(uid: Long, rows: Iterator[SessEvent],
         state: GroupState[SessOpen]): Iterator[(Long, Long, Long, Double)] = {
       if (state.hasTimedOut) {
@@ -752,7 +804,7 @@ object EventStream {
         // marker is inert.
         val out = state.getOption.filter(_.n > 0).map(close(uid, _)).iterator
         state.getOption.foreach(s =>
-          state.update(SessOpen(s.sessionIdx, s.lastUs, s.lastUs, 0L, 0.0)))
+          state.update(SessOpen(s.sessionIdx, s.lastUs, s.lastUs, 0L, 0L)))
         return out
       }
       val evs = rows.toIndexedSeq.sortBy(e => (e.tsUs, e.event_id))
@@ -764,18 +816,20 @@ object EventStream {
       state.getOption.foreach { s =>
         if (s.n > 0) cur = s else idxBase = s.sessionIdx
       }
+      // the batch query's exact quantizer: floor(value * 1e6 + 0.5)
+      def micro(v: Double): Long = math.floor(v * 1000000.0 + 0.5).toLong
       evs.foreach { e =>
         cur =
           if (cur == null)
-            SessOpen(idxBase + 1L, e.tsUs, e.tsUs, 1L, e.value)
+            SessOpen(idxBase + 1L, e.tsUs, e.tsUs, 1L, micro(e.value))
           else if (e.tsUs / 1000000L - cur.lastUs / 1000000L > gapMinutes * 60L) {
             // batch q21's boundary test is on WHOLE SECONDS
             // (unix_timestamp lag diff > 1800) — mirror it exactly
             out += close(uid, cur)
-            SessOpen(cur.sessionIdx + 1L, e.tsUs, e.tsUs, 1L, e.value)
+            SessOpen(cur.sessionIdx + 1L, e.tsUs, e.tsUs, 1L, micro(e.value))
           } else
             cur.copy(lastUs = math.max(cur.lastUs, e.tsUs),
-              n = cur.n + 1, sum = cur.sum + e.value)
+              n = cur.n + 1, sumMicro = cur.sumMicro + micro(e.value))
       }
       if (cur != null) {
         state.update(cur)

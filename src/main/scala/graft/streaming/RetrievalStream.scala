@@ -30,16 +30,18 @@ object RetrievalStream {
 
   final case class TopEntry(score_micro: Long, doc_id: Long)
   final case class TopKState(version: Long, entries: Seq[TopEntry])
-  final case class ScoredHit(qid: Int, doc_id: Long, score_micro: Long)
+  final case class ScoredHit(qid: Long, doc_id: Long, score_micro: Long)
 
   /** Per-query bounded top-k maintenance: merge the batch's hits into the
     * stored k-best (dedup by doc id — replay-idempotent), and on any
     * change emit the FULL new top-k as (qid, version, rank, doc_id,
     * score_micro) rows; consumers read the max version per qid. State is
-    * exactly k entries per query — no TTL needed, it cannot grow. */
+    * exactly k entries per query — no TTL needed, it cannot grow. Shared
+    * by the BM25 twin and the ANN twin: both serve a fixed query set
+    * against frozen index state, so the keyed stage is identical. */
   private class TopKProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Int, ScoredHit, (Int, Long, Int, Long, Long)] {
+        Long, ScoredHit, (Long, Long, Int, Long, Long)] {
     import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
 
     @transient private var st: ValueState[TopKState] = _
@@ -51,8 +53,8 @@ object RetrievalStream {
         org.apache.spark.sql.Encoders.product[TopKState], TTLConfig.NONE)
 
     override def handleInputRows(
-        key: Int, rows: Iterator[ScoredHit],
-        timerValues: TimerValues): Iterator[(Int, Long, Int, Long, Long)] = {
+        key: Long, rows: Iterator[ScoredHit],
+        timerValues: TimerValues): Iterator[(Long, Long, Int, Long, Long)] = {
       val prev = if (st.exists()) st.get() else TopKState(0L, Nil)
       val merged = (prev.entries ++ rows.map(r =>
           TopEntry(r.score_micro, r.doc_id)))
@@ -70,6 +72,19 @@ object RetrievalStream {
     }
   }
 
+  /** The shared keyed tail of both serving twins: per-query bounded top-k
+    * over a stream of (qid, doc_id, score_micro) hits. */
+  private def topKStream(
+      spark: SparkSession, hits: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    hits.as[ScoredHit]
+      .groupByKey(_.qid)
+      .transformWithState(
+        new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+      .toDF("qid", "version", "rank", "doc_id", "score_micro")
+  }
+
   /** BM25 top-k over a document stream against frozen index stats — see
     * the object doc. Requires the RocksDB state store (transformWithState).
     * Output: (qid, version, rank, doc_id, score_micro) in update mode;
@@ -78,16 +93,68 @@ object RetrievalStream {
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, Seq[String])], stats: TextAnalysis.Bm25Frozen,
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    TextAnalysis
+    val hits = TextAnalysis
       .bm25ScoreFrozen(docs, idCol, textCol, queries, stats, k1, b)
-      .selectExpr("CAST(qid AS INT) AS qid", "CAST(doc_id AS BIGINT) AS doc_id",
+      .selectExpr("CAST(qid AS BIGINT) AS qid",
+        "CAST(doc_id AS BIGINT) AS doc_id", "score_micro")
+    topKStream(spark, hits, k)
+      // preserve the historical schema: BM25 query ids are small ints
+      .selectExpr("CAST(qid AS INT) AS qid", "version", "rank", "doc_id",
         "score_micro")
-      .as[ScoredHit]
-      .groupByKey(_.qid)
-      .transformWithState(
-        new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
-      .toDF("qid", "version", "rank", "doc_id", "score_micro")
+  }
+
+  /** Streaming twin of ss10 (filtered IVF ANN serving): vectors arrive on
+    * a stream and are scored ROW-LOCALLY against the FROZEN IVF index
+    * ([[graft.pipeline.Similarity.ivfFilteredFrozen]] — seeded centroids
+    * + each query's vector/label/probed cells), then the shared
+    * [[TopKProcessor]] maintains each query's top-k. The serving split
+    * mirrors the BM25 twin exactly: index state is stored model state
+    * refreshed by a periodic batch build; arriving vectors never shuffle
+    * the corpus — per row it is one k-centroid cell assignment (the
+    * codegen'd VectorCosScores kernel, identical rounded-cosine +
+    * lowest-cid-tie arithmetic as the batch coarse quantizer) plus one
+    * cosine per query whose probe set covers the cell and whose label
+    * filter passes. Hits carry cos quantized to 1e-6 micro integers
+    * (round(cos·1e6) of the already-6-dp cosine — exact), ranked
+    * (score DESC, doc ASC) = the batch plan's (cos DESC, vec_id ASC).
+    * Replay-idempotent: scores are deterministic and the top-k merge
+    * dedups by vec id. Requires the RocksDB state store. */
+  def ivfFilteredTopKStream(
+      spark: SparkSession, vecs: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      cents: Seq[(Long, Seq[Float], Double)],
+      queries: Seq[graft.pipeline.Similarity.IvfQueryFrozen],
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{vec_dot => dot}
+    require(cents.nonEmpty && queries.nonEmpty,
+      "ivfFilteredTopKStream needs frozen centroids and >= 1 query")
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("__v"), col(labelCol).cast("long").as("__lab"))
+      .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+    // cell assignment: k rounded cosines against the frozen centroid
+    // matrix, first-max-wins — cents are id-ordered, so array_position
+    // picks the lowest cid on ties, exactly the batch nearestCells order
+    val scores = graft.functions.VectorFunctions.vec_cos_scores(
+      col("__v"), col("nrm"),
+      cents.map(_._2.toIndexedSeq).toIndexedSeq, cents.map(_._3))
+    val cidArr = array(cents.map(c => lit(c._1)): _*)
+    val assigned = v.withColumn("__cell",
+      element_at(cidArr, array_position(scores, array_max(scores)).cast("int")))
+    // per-query scoring struct: null unless the vector's cell is probed,
+    // the label filter passes, and the vector is not the query itself
+    val perQ = queries.map { q =>
+      val cond = col("__cell").isin(q.probed: _*) &&
+        col("__lab") =!= lit(q.qlab) && col("vec_id") =!= lit(q.qid)
+      val qvArr = array(q.qv.map(x => lit(x)): _*)
+      val cos = round(dot(qvArr, col("__v")) / (lit(q.qn) * col("nrm")), 6)
+      struct(lit(q.qid).as("qid"), when(cond, cos).as("cos"))
+    }
+    val hits = assigned
+      .select(col("vec_id"), explode(array(perQ: _*)).as("qs"))
+      .where(col("qs.cos").isNotNull)
+      .select(col("qs.qid").as("qid"), col("vec_id").as("doc_id"),
+        round(col("qs.cos") * lit(1000000.0)).cast("long").as("score_micro"))
+    topKStream(spark, hits, k)
   }
 }

@@ -1,7 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev probe: the Bench/TimeQueries harnesses drive queries with
   * `df.count()`, a DIFFERENT QueryExecution than the df's own collect —
   * so plan properties verified on the collect plan (exchange reuse,
@@ -11,16 +9,11 @@ import org.apache.spark.sql.SparkSession
 object CountPlanProbe {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the bench-matching session (ProfileSession), NOT a hand-rolled
+    // builder: the probe explains Bench/TimeQueries plans, and a config
+    // drift (advisory size, coalesce policy, compression) can change the
+    // post-AQE plan it prints
+    val spark = ProfileSession.build()
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       // mirror the harness: count() builds its own QueryExecution

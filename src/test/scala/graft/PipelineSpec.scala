@@ -1052,6 +1052,107 @@ class PipelineSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stateTtl evicts idle per-user streaming state; active-window equality holds") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, sfDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // processing-time TTL mode re-triggers micro-batches CONTINUOUSLY
+    // (the stateful operator asks for another batch to advance its clock,
+    // so neither processAllAvailable nor Trigger.AvailableNow ever
+    // settles — the reason the stream builders document a real trigger
+    // interval for TTL deployments). Each phase here runs a 100 ms
+    // trigger over a file source with a shared checkpoint, polls until
+    // the staged rows are consumed, then stops — the restart also pins
+    // that TTL state survives across queries and ages by wall clock.
+    def runPhase(
+        src: org.apache.spark.sql.DataFrame,
+        ttlStream: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        ckpt: String, name: String, mode: String,
+        minInput: Long): Seq[org.apache.spark.sql.Row] = {
+      // foreachBatch, not the memory sink: only checkpoint-recoverable
+      // sinks can resume phase 2 from phase 1's offsets
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val q = ttlStream(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => buf.synchronized { buf ++= b.collect() }: Unit)
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis + 120000
+        def consumed: Long = q.recentProgress.map(_.numInputRows).sum
+        while (consumed < minInput && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(consumed >= minInput, s"$name consumed only $consumed rows")
+        Thread.sleep(700) // grace: let the consuming batch's output commit
+      } finally q.stop()
+      buf.synchronized(buf.toSeq)
+    }
+    def stage(dir: String,
+        rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "event_id", "tsUs", "event_type")
+        .selectExpr("user_id", "event_id",
+          "timestamp_micros(tsUs) AS ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir): Unit
+    try {
+      // --- eviction: a user idle past the ttl horizon restarts their
+      // journey — the resumed event emits NO transition (fresh-user
+      // semantics), instead of a stale (last-before-idle -> new) edge
+      val dir = java.nio.file.Files.createTempDirectory("graft_ttl_src").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ck").toString
+      val src = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING")
+        .parquet(dir)
+      def stream(s: org.apache.spark.sql.DataFrame) = graft.streaming.EventStream
+        .transitionStream(spark, s, stateTtl = Some(java.time.Duration.ofSeconds(2)))
+      stage(dir, Seq((1L, 1L, 1000000L, "view"), (1L, 2L, 2000000L, "click")))
+      val p1 = runPhase(src, stream, ckpt, "ttl_transitions", "append", 2L)
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(p1 == Seq(("view", "click")), s"phase 1 got $p1")
+      Thread.sleep(3000) // idle past the 2 s ttl
+      stage(dir, Seq((1L, 3L, 3000000L, "purchase")))
+      val p2 = runPhase(src, stream, ckpt, "ttl_transitions_2", "append", 1L)
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(p2.isEmpty, s"idle state not evicted: phase 2 emitted $p2")
+      // --- active window: a generous ttl must not perturb results —
+      // running stats over a continuously-active feed equal the batch
+      // aggregate exactly (the same contract as the no-ttl spec above)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_ttl_src2").toString
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ttl_ck2").toString
+      val ev = spark.sql(
+        """SELECT user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tsUs,
+          |       value FROM events ORDER BY tsUs, event_id""".stripMargin)
+        .as[(Long, Long, Double)].collect()
+      def stage2(rows: Seq[(Long, Long, Double)]): Unit =
+        rows.toDF("user_id", "tsUs", "value")
+          .selectExpr("user_id", "timestamp_micros(tsUs) AS ts", "value")
+          .coalesce(1).write.mode("append").parquet(dir2): Unit
+      val src2 = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(dir2)
+      def stream2(s: org.apache.spark.sql.DataFrame) = graft.streaming.EventStream
+        .runningUserStatsTws(spark, s, stateTtl = Some(java.time.Duration.ofHours(1)))
+      stage2(ev.slice(0, ev.length / 2).toSeq)
+      val h1 = runPhase(src2, stream2, ckpt2, "ttl_user_stats_1", "update",
+        (ev.length / 2).toLong)
+      stage2(ev.slice(ev.length / 2, ev.length).toSeq)
+      val h2 = runPhase(src2, stream2, ckpt2, "ttl_user_stats_2", "update",
+        (ev.length - ev.length / 2).toLong)
+      // phase-2 updates build on phase-1 state (checkpoint restart);
+      // the final per-user count is the max across both emissions
+      val finalStats = (h1 ++ h2)
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).max) }
+      val batch = spark.table("events").groupBy("user_id")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(finalStats.toMap == batch)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("real PNG codec: encode/decode round-trips bytes; resize keeps geometry") {
     val payload = (0 until 100).map(_.toByte).toArray
     val png = Multimodal.encodePng(payload)

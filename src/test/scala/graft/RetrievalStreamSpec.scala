@@ -87,4 +87,64 @@ class RetrievalStreamSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming filtered-IVF ANN converges to batch ss10 under cuts and replay") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    Fixtures.registerRaw(spark, sfDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emb = spark.table("embeddings")
+      // frozen index state: ss10's exact parameters (5 queries, 16 seeded
+      // centroids, nprobe 2, label-exclusion filter)
+      val (cents, qdefs) = Similarity.ivfFilteredFrozen(
+        emb, "vec_id", "embedding", "label",
+        queryIds = 0L until 5L, centroidIds = 0L until 16L, nprobe = 2)
+      assert(cents.size == 16 && qdefs.size == 5 &&
+        qdefs.forall(_.probed.size == 2))
+      val all = emb.select(col("vec_id").cast("long"), col("embedding"),
+          col("label").cast("long"))
+        .as[(Long, Seq[Float], Long)].collect()
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float], Long)](spark)
+      val src = ms.toDF.toDF("vec_id", "embedding", "label")
+      val q = RetrievalStream.ivfFilteredTopKStream(
+          spark, src, "vec_id", "embedding", "label", cents, qdefs, k = 5)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("ss10_stream").start()
+      try {
+        val cuts = Seq(all.length / 3, 2 * all.length / 3, all.length)
+        var from = 0
+        cuts.foreach { to =>
+          ms.addData(all.slice(from, to).toSeq)
+          q.processAllAvailable()
+          from = to
+        }
+        // at-least-once replay: identical scores re-merge into identical
+        // state — no new versions
+        val before = spark.table("ss10_stream").count()
+        ms.addData(all.slice(0, all.length / 3).toSeq)
+        q.processAllAvailable()
+        assert(spark.table("ss10_stream").count() == before,
+          "replayed vectors changed the top-k (idempotency broken)")
+      } finally q.stop()
+      val finalTop = spark.table("ss10_stream")
+        .withColumn("__mv", max(col("version"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))))
+        .where(col("version") === col("__mv"))
+        .select(col("qid"), col("doc_id").as("vec_id"), col("score_micro"))
+      // the oracle-gated batch query, cos quantized through the same
+      // round(cos * 1e6) the stream applies (exact: cos is already 6 dp)
+      val batch = graft.SparkEntry.queries("ss10_filtered_ivf")(spark, sfDir)
+        .select(col("qid").cast("long").as("qid"),
+          col("vec_id").cast("long").as("vec_id"),
+          round(col("cos") * lit(1000000.0)).cast("long").as("score_micro"))
+      assert(finalTop.count() == batch.count())
+      assert(finalTop.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(finalTop).count() == 0)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
