@@ -895,6 +895,84 @@ object TextAnalysis {
     bm25StackAndRank(perDoc, one, perQ, k)
   }
 
+  /** rt4's SHARED corpus kernel: one `token_counts` pass materializes the
+    * per-doc (term -> tf) map + token count, and BOTH BM25 passes of a
+    * PRF pipeline read tfs from it by map lookup instead of re-running
+    * the term-count kernel over the corpus strings. The map is exactly
+    * `split(text, ' ')` frequencies (the token_term_counts contract, so
+    * `element_at(map, term)` == the kernel's count for any term) and the
+    * row count is non-null-text docs (token_counts(NULL) = NULL rows are
+    * kept and filtered by the stats pass like the text column was).
+    * Call `.localCheckpoint()` on the result before feeding two passes —
+    * the two consumers prune different columns, which defeats exchange
+    * reuse (the rt5/ap2 lesson). */
+  def bm25DocTermCounts(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.token_counts(col(textCol)).as("__tcmap"))
+      .withColumn("__dl", expr(
+        "aggregate(map_values(__tcmap), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+
+  /** [[bm25TopK]] over a [[bm25DocTermCounts]] frame: identical scoring
+    * expression shapes (the per-term tf vector is assembled from map
+    * lookups instead of the byte-scan kernel; every downstream double op
+    * is unchanged), so scores are bit-identical — only the corpus pass
+    * differs. */
+  def bm25TopKCounts(
+      perDoc: DataFrame, queries: Seq[(Int, Seq[String])], k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKCounts needs at least one query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val tc = array(allTerms.map(t =>
+      coalesce(element_at(col("__tcmap"), lit(t)), lit(0L))) :+ col("__dl"): _*)
+    // same m-dispatch as bm25TopK (the column form's optimizer blowup is
+    // about expression shape, not where tfs come from)
+    if (allTerms.size <= 10)
+      bm25Columnar(perDoc, "doc_id", "__tcmap", queries, k, k1, b, allTerms, tc)
+    else
+      bm25ArrayForm(perDoc, "doc_id", "__tcmap", queries, k, k1, b, allTerms, tc)
+  }
+
+  /** The engine-exact expansion-selection tail shared by both prfExpand
+    * variants: per-query top-`expK` non-original terms by integer tf sum
+    * over the feedback docs, term tiebreaks. */
+  private def prfSelect(
+      spark: org.apache.spark.sql.SparkSession, fb: DataFrame, tc: DataFrame,
+      queries: Seq[(Int, Seq[String])], expK: Int): Seq[(Int, Seq[String])] = {
+    import org.apache.spark.sql.expressions.Window
+    val orig = spark.createDataFrame(
+      queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) })
+      .toDF("qid", "term")
+    val expw = fb.join(tc, "doc_id")
+      .where(col("term") =!= "")
+      .groupBy("qid", "term").agg(sum("tf").as("w"))
+      .join(orig, Seq("qid", "term"), "left_anti")
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("w").desc, col("term"))
+    val top = expw.withColumn("__r", row_number().over(wE))
+      .where(col("__r") <= expK).select("qid", "term").collect()
+    queries.map { case (q, ts) =>
+      q -> (ts ++ top.filter(_.getInt(0) == q).map(_.getString(1))).distinct
+    }
+  }
+
+  /** [[prfExpand]] over a shared [[bm25DocTermCounts]] frame: the
+    * feedback pass ranks with [[bm25TopKCounts]] and term frequencies
+    * explode straight from the materialized maps (broadcast-semi-join
+    * pruned to the queries×fbK feedback docs) — no second kernel pass. */
+  def prfExpandCounts(
+      perDoc: DataFrame, queries: Seq[(Int, Seq[String])], fbK: Int = 10,
+      expK: Int = 5, k1: Double = 1.2, b: Double = 0.75): Seq[(Int, Seq[String])] = {
+    val spark = perDoc.sparkSession
+    val fb = bm25TopKCounts(perDoc, queries, k = fbK, k1 = k1, b = b)
+      .select(col("qid"), col("doc_id"))
+      .localCheckpoint() // bounded (queries x fbK); consumed twice below
+    val tc = perDoc
+      .join(broadcast(fb.select(col("doc_id")).distinct()), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("__tcmap")).as(Seq("term", "tf")))
+    prfSelect(spark, fb, tc, queries, expK)
+  }
+
   /** Frozen BM25 index stats — the single broadcast-row model state of
     * [[bm25TopK]] collected to the driver: (N, total token mass, per-term
     * document frequency). This is the STORED index a serving/streaming
@@ -999,20 +1077,7 @@ object TextAnalysis {
     val tc = fbDocs.select(col(idCol).as("doc_id"),
       explode(graft.functions.TextFunctions.token_counts(col(textCol)))
         .as(Seq("term", "tf")))
-    val orig = spark.createDataFrame(
-      queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) })
-      .toDF("qid", "term")
-    val expw = fb.join(tc, "doc_id")
-      .where(col("term") =!= "")
-      .groupBy("qid", "term").agg(sum("tf").as("w"))
-      .join(orig, Seq("qid", "term"), "left_anti")
-    val wE = Window.partitionBy(col("qid"))
-      .orderBy(col("w").desc, col("term"))
-    val top = expw.withColumn("__r", row_number().over(wE))
-      .where(col("__r") <= expK).select("qid", "term").collect()
-    queries.map { case (q, ts) =>
-      q -> (ts ++ top.filter(_.getInt(0) == q).map(_.getString(1))).distinct
-    }
+    prfSelect(spark, fb, tc, queries, expK)
   }
 
   /** Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack, Clarke
