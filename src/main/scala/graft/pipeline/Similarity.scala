@@ -237,6 +237,11 @@ object Similarity {
       queryIds: Seq[Long], centroidIds: Seq[Long],
       nprobe: Int = 2): (Seq[(Long, Seq[Float], Double)], Seq[IvfQueryFrozen]) = {
     val cents = seedCentroids(vecs, idCol, vecCol, centroidIds)
+    // fail at BUILD time, not at serve time: a zero-norm centroid or
+    // query makes every cosine NaN, and the driver-side round6 below
+    // (like the stream's VectorCosScores kernel) throws on NaN
+    require(cents.forall(_._3 > 0),
+      "ivfFilteredFrozen: zero-norm centroid vector — no cosine direction")
     def dotFD(a: Seq[Float], b: Seq[Float]): Double = {
       val n = math.min(a.length, b.length)
       var acc = 0.0
@@ -252,6 +257,9 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2), r.getDouble(3)))
     val queries = qRows.sortBy(_._1).map { case (qid, qv, qlab, qn) =>
+      require(qn > 0,
+        s"ivfFilteredFrozen: query $qid has a zero-norm vector — " +
+          "no cosine direction")
       val probed = cents
         .map { case (cid, cv, cn) =>
           (cid, graft.functions.VectorCosScores.round6(dotFD(qv, cv) / (qn * cn)))

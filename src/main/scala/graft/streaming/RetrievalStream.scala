@@ -132,6 +132,11 @@ object RetrievalStream {
     val v = vecs.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("__v"), col(labelCol).cast("long").as("__lab"))
       .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+      // drop zero-norm arrivals BEFORE the kernel: they have no cosine
+      // direction, and VectorCosScores' exact-round path throws on the
+      // NaN a 0/0 produces (BigDecimal has no NaN) — on a long-running
+      // serving query that would kill the stream, not one row
+      .where(col("nrm") > 0)
     // cell assignment: k rounded cosines against the frozen centroid
     // matrix, first-max-wins — cents are id-ordered, so array_position
     // picks the lowest cid on ties, exactly the batch nearestCells order

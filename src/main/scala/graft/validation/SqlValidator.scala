@@ -46,17 +46,90 @@ object SqlValidator {
     out.toString
   }
 
+  /** Apply `f` only OUTSIDE single-quoted string literals: the text
+    * splits at quote boundaries, non-literal segments map through `f`,
+    * literal bytes pass through untouched (a SQL phrase cannot span a
+    * literal boundary, so segment-local rewriting is lossless). Keeps
+    * every bridge from corrupting user data the way an unguarded
+    * replaceAll would — the same literal-safety contract the {}-brace
+    * golden pins for validation itself. */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inSingle = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inSingle) {
+        if (c == '\'') {
+          out.append(f(seg.toString)); seg.clear()
+          inSingle = true; out += c
+        } else seg += c
+      } else {
+        out += c
+        if (c == '\'') inSingle = false
+      }
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
+  /** First index of `word` (case-insensitive, word-boundaried) at paren
+    * depth 0 outside string literals, or -1. The scanner the rewrite
+    * bridges use to find CLAUSE keywords — a regex would also match the
+    * same token inside a subquery or a literal. */
+  private def findTopLevel(s: String, word: String, from: Int = 0): Int = {
+    var depth = 0
+    var inSingle = false
+    var i = from
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false }
+      else c match {
+        case '\'' => inSingle = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, word, 0, word.length) &&
+              (i == 0 || !isIdent(s.charAt(i - 1))) &&
+              (i + word.length >= s.length || !isIdent(s.charAt(i + word.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def hasTopLevel(s: String, words: Seq[String]): Boolean =
+    words.exists(findTopLevel(s, _) >= 0)
+
+  private def containsOutsideLiterals(s: String, ch: Char): Boolean = {
+    var found = false
+    mapOutsideLiterals(s) { seg =>
+      if (seg.indexOf(ch.toInt) >= 0) found = true; seg
+    }
+    found
+  }
+
   /** `TOP n` -> trailing `LIMIT n` (the T-SQL quantity form the
     * reference's sqlparser accepts, `validation.rs:423-427`): Spark's
     * grammar has no TOP token, so a user porting reference-accepted SQL
     * hit a parse error before this bridge. Handles `TOP n` / `TOP (n)`
     * after `SELECT [DISTINCT]`; the `PERCENT` / `WITH TIES` variants have
-    * no LIMIT equivalent and fall through to the parser's error. */
+    * no LIMIT equivalent and fall through to the parser's error — as does
+    * any statement with a top-level set operation or a stray ';', where a
+    * trailing LIMIT would bind to the whole union instead of TOP's own
+    * SELECT branch (T-SQL scopes TOP per branch; silently changing that
+    * would be worse than the parse error). */
   private[validation] def translateTopN(sql: String): String = {
     val p = java.util.regex.Pattern.compile(
       "(?is)^(\\s*SELECT\\s+(?:DISTINCT\\s+)?)TOP\\s*\\(?\\s*(\\d+)\\s*\\)?\\s+(?!PERCENT\\b|WITH\\b)(.*)$")
     val m = p.matcher(sql)
     if (!m.matches()) sql
+    else if (hasTopLevel(m.group(3), Seq("UNION", "INTERSECT", "EXCEPT")) ||
+      containsOutsideLiterals(m.group(3), ';')) sql
     else s"${m.group(1)}${m.group(3)} LIMIT ${m.group(2)}"
   }
 
@@ -71,20 +144,73 @@ object SqlValidator {
     * expression projections fall through unchanged to the parser's error,
     * the pre-bridge behavior. */
   private[validation] def translateDistinctOn(sql: String): String = {
-    val p = java.util.regex.Pattern.compile(
-      "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(([^)]+)\\)\\s+(.*?)\\s+FROM\\s+(.*?)(?:\\s+ORDER\\s+BY\\s+(.+?))?\\s*$")
-    val m = p.matcher(sql)
-    if (!m.matches()) return sql
-    val onExprs = m.group(1).trim
-    val proj = m.group(2).trim
-    val fromRest = m.group(3).trim
-    val orderBy = Option(m.group(4)).map(_.trim)
+    val head = java.util.regex.Pattern
+      .compile("(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(").matcher(sql)
+    if (!head.lookingAt()) return sql
+    // matching close paren of the ON list (quote/paren-aware — the exprs
+    // may themselves contain calls)
+    val openIdx = head.end() - 1
+    var depth = 0
+    var inSingle = false
+    var closeIdx = -1
+    var i = openIdx
+    while (i < sql.length && closeIdx < 0) {
+      val c = sql.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false }
+      else c match {
+        case '\'' => inSingle = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) closeIdx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (closeIdx < 0) return sql
+    val onExprs = sql.substring(openIdx + 1, closeIdx).trim
+    val rest = sql.substring(closeIdx + 1)
+    if (onExprs.isEmpty) return sql
+    // set operations cannot be scoped through this rewrite (the window
+    // would wrap only the first branch) — decline to the parser's error
+    if (hasTopLevel(rest, Seq("UNION", "INTERSECT", "EXCEPT")) ||
+      containsOutsideLiterals(rest, ';')) return sql
+    // clause keywords located by the TOP-LEVEL scanner, never a regex: a
+    // subquery's FROM/ORDER BY sits inside parens and a literal's inside
+    // quotes — the round-12 review caught the regex form capturing the
+    // FIRST "ORDER BY" anywhere, garbling valid dialect SQL into
+    // neither-dialect text instead of declining
+    val fromIdx = findTopLevel(rest, "FROM")
+    if (fromIdx < 0) return sql
+    val proj = rest.substring(0, fromIdx).trim
+    val afterFrom = rest.substring(fromIdx + 4)
     val names = splitTopLevel(proj).map(outputName)
     if (names.exists(_.isEmpty)) return sql
-    val ord = orderBy.getOrElse(onExprs)
-    val outer = orderBy.map(o => s" ORDER BY $o").getOrElse("")
+    val obIdx = findTopLevel(afterFrom, "ORDER")
+    val byOk = obIdx >= 0 && java.util.regex.Pattern
+      .compile("(?is)^ORDER\\s+BY\\s").matcher(afterFrom.substring(obIdx))
+      .lookingAt()
+    // split a trailing LIMIT/OFFSET: the paging clause belongs on the
+    // OUTER query (Postgres pages the distinct result, not the source)
+    def splitPaging(s: String): (String, String) = {
+      val cut = Seq(findTopLevel(s, "LIMIT"), findTopLevel(s, "OFFSET"))
+        .filter(_ >= 0).sorted.headOption
+      cut match {
+        case Some(cx) => (s.substring(0, cx).trim, " " + s.substring(cx).trim)
+        case None => (s.trim, "")
+      }
+    }
+    val (fromRest, ordList, paging, hadOrder) =
+      if (byOk) {
+        val (oa, pg) = splitPaging(afterFrom.substring(obIdx)
+          .replaceFirst("(?is)^ORDER\\s+BY\\s+", ""))
+        (afterFrom.substring(0, obIdx).trim, oa, pg, true)
+      } else {
+        val (fr, pg) = splitPaging(afterFrom)
+        (fr, onExprs, pg, false)
+      }
+    if (ordList.isEmpty || fromRest.isEmpty) return sql
+    val outer = if (hadOrder) s" ORDER BY $ordList$paging" else paging
     s"SELECT ${names.flatten.mkString(", ")} FROM " +
-      s"(SELECT $proj, row_number() OVER (PARTITION BY $onExprs ORDER BY $ord) " +
+      s"(SELECT $proj, row_number() OVER (PARTITION BY $onExprs ORDER BY $ordList) " +
       s"AS __graft_rn FROM $fromRest) __graft_don WHERE __graft_rn = 1$outer"
   }
 
@@ -129,9 +255,12 @@ object SqlValidator {
     * listagg has no overflow clause, and ERROR is its only behavior (no
     * VARCHAR length cap exists to overflow), so the semantics are
     * preserved. The TRUNCATE variant has no Spark equivalent and falls
-    * through to the parser's error. (`validation.rs:302-312`.) */
+    * through to the parser's error. (`validation.rs:302-312`.) The strip
+    * applies OUTSIDE string literals only — a literal containing the
+    * phrase must survive byte-for-byte (the {}-brace golden's contract). */
   private[validation] def translateListAggOverflow(sql: String): String =
-    sql.replaceAll("(?i)\\s+ON\\s+OVERFLOW\\s+ERROR\\b", "")
+    mapOutsideLiterals(sql)(
+      _.replaceAll("(?i)\\s+ON\\s+OVERFLOW\\s+ERROR\\b", ""))
 
   /** Preprocess dialect bridges before parsing: SIMILAR TO -> anchored
     * RLIKE, TOP n -> LIMIT n, DISTINCT ON -> row_number window,

@@ -88,6 +88,29 @@ class RetrievalStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("counts-based BM25/PRF APIs are bit-equal to the kernel path (both m-forms)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val perDoc = TextAnalysis.bm25DocTermCounts(docs, "doc_id", "text")
+      .localCheckpoint()
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("score_micro").desc, col("doc_id"))
+        .collect().toSeq
+    // columnar form (m <= 10 distinct terms)
+    val viaKernel = ranked(TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, k = 7))
+    val viaCounts = ranked(TextAnalysis.bm25TopKCounts(perDoc, queries, k = 7))
+    assert(viaKernel.nonEmpty && viaKernel == viaCounts)
+    // expansion selection is engine-exact in both variants
+    val e1 = TextAnalysis.prfExpand(docs, "doc_id", "text", queries, fbK = 5, expK = 4)
+    val e2 = TextAnalysis.prfExpandCounts(perDoc, queries, fbK = 5, expK = 4)
+    assert(e1 == e2)
+    // the expanded set crosses the m > 10 dispatch: array form engages
+    assert(e1.flatMap(_._2).distinct.size > 10)
+    val bigKernel = ranked(TextAnalysis.bm25TopK(docs, "doc_id", "text", e1, k = 5))
+    val bigCounts = ranked(TextAnalysis.bm25TopKCounts(perDoc, e2, k = 5))
+    assert(bigKernel.nonEmpty && bigKernel == bigCounts)
+  }
+
   test("streaming filtered-IVF ANN converges to batch ss10 under cuts and replay") {
     import spark.implicits._
     import graft.pipeline.Similarity

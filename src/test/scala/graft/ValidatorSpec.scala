@@ -99,6 +99,17 @@ class ValidatorSpec extends AnyFunSuite {
       "SELECT TOP 5 PERCENT x FROM t")
     // a column named top / top_5 is not a quantity — untouched
     assert(SqlValidator.preprocess("SELECT top FROM t") == "SELECT top FROM t")
+    // T-SQL scopes TOP to its own SELECT branch; a trailing LIMIT would
+    // bind to the whole union — decline to the parser's error instead of
+    // silently changing semantics (round-12 review finding)
+    val topUnion = "SELECT TOP 3 custkey FROM customer UNION ALL SELECT custkey FROM customer"
+    assert(SqlValidator.preprocess(topUnion) == topUnion)
+    // a UNION inside a string literal is not a set operation — bridged
+    assert(SqlValidator.preprocess("SELECT TOP 2 x FROM t WHERE y = ' UNION '")
+      == "SELECT x FROM t WHERE y = ' UNION ' LIMIT 2")
+    // a stray statement separator would garble the appended LIMIT
+    assert(SqlValidator.preprocess("SELECT TOP 2 x FROM t; ") ==
+      "SELECT TOP 2 x FROM t; ")
     assert(SqlValidator.validate(
       "SELECT TOP 7 custkey FROM customer ORDER BY custkey", spark) == "customer")
     graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
@@ -128,6 +139,28 @@ class ValidatorSpec extends AnyFunSuite {
     // star projections cannot be re-projected: untouched (pre-bridge behavior)
     assert(SqlValidator.preprocess("SELECT DISTINCT ON (k) * FROM t") ==
       "SELECT DISTINCT ON (k) * FROM t")
+    // a subquery's ORDER BY is NOT the outer ORDER BY (round-12 review
+    // finding: the regex form captured the first occurrence anywhere and
+    // emitted garbled SQL) — the scanner leaves the derived table intact
+    // and orders the window by the ON exprs
+    assert(SqlValidator.preprocess(
+      "SELECT DISTINCT ON (k) k, v FROM (SELECT k, v FROM u ORDER BY v DESC LIMIT 3) t") ==
+      "SELECT k, v FROM (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY k) " +
+        "AS __graft_rn FROM (SELECT k, v FROM u ORDER BY v DESC LIMIT 3) t) " +
+        "__graft_don WHERE __graft_rn = 1")
+    // trailing paging belongs to the DISTINCT result, not the source
+    assert(SqlValidator.preprocess(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 4") ==
+      "SELECT k, v FROM (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY k, v DESC) " +
+        "AS __graft_rn FROM t) __graft_don WHERE __graft_rn = 1 ORDER BY k, v DESC LIMIT 4")
+    // a FROM inside a projection string literal does not split the clause
+    assert(SqlValidator.preprocess(
+      "SELECT DISTINCT ON (k) k, ' FROM ' AS tag FROM t") ==
+      "SELECT k, tag FROM (SELECT k, ' FROM ' AS tag, row_number() OVER (" +
+        "PARTITION BY k ORDER BY k) AS __graft_rn FROM t) __graft_don WHERE __graft_rn = 1")
+    // set operations cannot scope through the rewrite — untouched
+    val donUnion = "SELECT DISTINCT ON (k) k FROM t UNION SELECT k FROM u"
+    assert(SqlValidator.preprocess(donUnion) == donUnion)
     assert(SqlValidator.validate(don, spark) == "customer")
     graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
     val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
@@ -147,6 +180,11 @@ class ValidatorSpec extends AnyFunSuite {
       "SELECT listagg(name, ',') WITHIN GROUP (ORDER BY name) FROM t")
     assert(SqlValidator.preprocess("SELECT x ON OVERFLOW TRUNCATE FROM t") ==
       "SELECT x ON OVERFLOW TRUNCATE FROM t")
+    // the phrase inside a string literal survives byte-for-byte (round-12
+    // review finding: the unguarded replaceAll corrupted the literal)
+    assert(SqlValidator.preprocess(
+      "SELECT count(*) FROM events WHERE props LIKE '% ON OVERFLOW ERROR%'") ==
+      "SELECT count(*) FROM events WHERE props LIKE '% ON OVERFLOW ERROR%'")
   }
 
   test("golden: literal {}-brace predicate survives validation and execution (query4)") {

@@ -26,6 +26,10 @@ FAMILY = {
     "rj": "temporal", "tk": "temporal", "ts": "temporal",
     "mm": "multimodal", "cs": "curation", "dc": "curation", "sp": "curation",
     "ev": "sql+join", "cp": "curation", "ap": "approx",
+    # round 12: label the once-"other" tail by its real family
+    "rt": "retrieval", "tok": "text", "tc": "text", "ml": "text",
+    "emb": "ann", "cq": "ann", "gr": "graph", "ch": "curation",
+    "ck": "curation", "cd": "curation", "ds": "curation",
 }
 
 # name-level overrides: queries whose wall-clock measures something other
