@@ -1018,12 +1018,17 @@ object Similarity {
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cu))), s -> s.cu)")
         .as("carr"))
+    // native VectorDotI64 == the aggregate(zip_with(..)) lambda spelling
+    // (exact long arithmetic either way) but codegen'd — the interpreted
+    // form ran ~2·dim closure calls per row and was emb1's whole cost
+    // (JobProfile r12: one 1.6 s task-time stage on a 20 k-row corpus)
+    import graft.functions.VectorFunctions.{vec_dot_i64 => doti}
     v.join(broadcast(cent), "label")
       .select(col("vec_id"), col("label"),
         round(
-          expr("aggregate(zip_with(vu, carr, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)") /
-            (sqrt(expr("aggregate(transform(vu, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double")) *
-              sqrt(expr("aggregate(transform(carr, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double"))),
+          doti(col("vu"), col("carr")) /
+            (sqrt(doti(col("vu"), col("vu")).cast("double")) *
+              sqrt(doti(col("carr"), col("carr")).cast("double"))),
           6).as("centroid_cos"))
   }
 
@@ -1093,11 +1098,15 @@ object Similarity {
       .groupBy("clabel")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cu))), s -> s.cu)")
         .as("carr"))
+    // same native integer-dot swap as centroidOutliers (emb2 scores
+    // |V| × k of these per corpus — the interpreted lambda form was the
+    // dominant cost)
+    import graft.functions.VectorFunctions.{vec_dot_i64 => doti}
     val cosAll = v.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("clabel"),
-        (expr("aggregate(zip_with(vu, carr, (a, b) -> a * b), CAST(0 AS BIGINT), (s, x) -> s + x)") /
-          (sqrt(expr("aggregate(transform(vu, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double")) *
-            sqrt(expr("aggregate(transform(carr, a -> a * a), CAST(0 AS BIGINT), (s, x) -> s + x)").cast("double"))))
+        (doti(col("vu"), col("carr")) /
+          (sqrt(doti(col("vu"), col("vu")).cast("double")) *
+            sqrt(doti(col("carr"), col("carr")).cast("double"))))
           .as("cos"))
     val sil = cosAll.groupBy("vec_id", "label")
       .agg(

@@ -83,6 +83,30 @@ class VectorDotSpec extends AnyFunSuite {
     self.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("vec_dot_i64 equals the aggregate/zip_with integer spelling (random arrays)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val rows = (1 to 200).map { i =>
+      (i.toLong,
+        Seq.fill(64)(rnd.nextLong() % 1000000L),
+        Seq.fill(64)(rnd.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(
+      VectorFunctions.vec_dot_i64(col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (s, x) -> s + x)")
+        .as("slow"),
+      VectorFunctions.vec_dot_i64(col("a"), col("a")).as("fast_self"),
+      expr("aggregate(transform(a, x -> x * x), CAST(0 AS BIGINT), (s, x) -> s + x)")
+        .as("slow_self"))
+    assert(both.where(col("fast") =!= col("slow") ||
+      col("fast_self") =!= col("slow_self")).count() == 0)
+    // null propagates like the lambda form
+    val n = df.select(VectorFunctions.vec_dot_i64(
+      expr("CAST(NULL AS ARRAY<BIGINT>)"), col("b")).as("d")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("whole-stage codegen stays enabled around vec_dot") {
     VectorFunctions.register(spark)
     val e = spark.read.parquet(s"${TestSessions.sfDir}/embeddings.parquet")
