@@ -248,4 +248,22 @@ class SimilaritySpec extends AnyFunSuite {
     // both original duplicates still receive members through their low cid
     assert(viaJoin.values.toSet.contains(0) && viaJoin.values.toSet.contains(3))
   }
+
+  test("assignClustersJoin serves from a STORED centroid table round-trip") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val learned = Similarity.sphericalKMeans(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 1)
+    // the production shape: the centroid frame is WRITTEN index state
+    // (parquet preserves the float vectors bit-for-bit), read back and
+    // served via the broadcast join — never driver/expression state
+    val dir = java.nio.file.Files.createTempDirectory("graft_cents").toString
+    Similarity.centroidFrame(spark, learned)
+      .write.mode("overwrite").parquet(dir)
+    val viaStored = Similarity.assignClustersJoin(
+        emb, "vec_id", "embedding", spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val viaExpr = Similarity.assignClusters(emb, "vec_id", "embedding", learned)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(viaStored.nonEmpty && viaStored == viaExpr)
+  }
 }
