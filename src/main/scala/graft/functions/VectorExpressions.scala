@@ -219,9 +219,15 @@ object VectorCosScores {
   * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,x) -> acc+x)`
   * (long arithmetic is exact and order-free incl. two's-complement
   * wrap), but compiled to a tight loop instead of ~2·dim interpreted
-  * closure calls per row. */
+  * closure calls per row. UNEQUAL lengths yield NULL, exactly like the
+  * lambda spelling (zip_with null-pads the shorter side and the sum goes
+  * NULL) — a ragged row must stay visibly invalid, not produce a
+  * plausible truncated dot. NOTE this differs from [[VectorDot]], which
+  * mins the lengths. */
 case class VectorDotI64(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def dataType: DataType = LongType
 
@@ -240,14 +246,17 @@ case class VectorDotI64(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      acc += x.getLong(i) * y.getLong(i)
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -256,12 +265,16 @@ case class VectorDotI64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -183,6 +183,13 @@ object Similarity {
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         col(labelCol).as("__lab"))
       .withColumn("nrm", sqrt(dot(col("__v"), col("__v"))))
+      // zero-norm exclusion (the semanticDedupSeeded rationale): a vector
+      // with no cosine direction scores NaN, and Spark's descending sort
+      // ranks NaN ABOVE every real hit — it would surface as the #1
+      // neighbour of any query probing its cell. Excluding it here also
+      // keeps the serving twin (ivfFilteredTopKStream, which must drop
+      // such rows before its exact-rounding kernel) structurally equal.
+      .where(col("nrm") > 0)
     val cent = centFrame(v, centroidIds)
     val assign = storedAssign.getOrElse(
       ivfAssign(vecs, idCol, vecCol, centroidIds))

@@ -46,30 +46,44 @@ object SqlValidator {
     out.toString
   }
 
-  /** Apply `f` only OUTSIDE single-quoted string literals: the text
-    * splits at quote boundaries, non-literal segments map through `f`,
-    * literal bytes pass through untouched (a SQL phrase cannot span a
-    * literal boundary, so segment-local rewriting is lossless). Keeps
-    * every bridge from corrupting user data the way an unguarded
-    * replaceAll would — the same literal-safety contract the {}-brace
-    * golden pins for validation itself. */
+  /** Index just past the closing quote of the string literal opening at
+    * `start` (s(start) is ' or "): Spark's default lexing — BOTH quote
+    * chars delimit string literals and backslash escapes the next char
+    * (escapedStringLiterals=false, the default everywhere this engine
+    * runs). Returns s.length when unterminated. Shared by every bridge
+    * scanner so none can disagree about where literal data lives. */
+  private def literalEnd(s: String, start: Int): Int = {
+    val q = s.charAt(start)
+    var i = start + 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == q) return i + 1
+      else i += 1
+    }
+    s.length
+  }
+
+  /** Apply `f` only OUTSIDE string literals (single- OR double-quoted,
+    * backslash-escape-aware — [[literalEnd]]): the text splits at quote
+    * boundaries, non-literal segments map through `f`, literal bytes pass
+    * through untouched (a SQL phrase cannot span a literal boundary, so
+    * segment-local rewriting is lossless). Keeps every bridge from
+    * corrupting user data the way an unguarded replaceAll would — the
+    * same literal-safety contract the {}-brace golden pins for validation
+    * itself. */
   private def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val out = new StringBuilder
     val seg = new StringBuilder
-    var inSingle = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (!inSingle) {
-        if (c == '\'') {
-          out.append(f(seg.toString)); seg.clear()
-          inSingle = true; out += c
-        } else seg += c
-      } else {
-        out += c
-        if (c == '\'') inSingle = false
-      }
-      i += 1
+      if (c == '\'' || c == '"') {
+        out.append(f(seg.toString)); seg.clear()
+        val end = literalEnd(sql, i)
+        out.append(sql.substring(i, end))
+        i = end
+      } else { seg += c; i += 1 }
     }
     out.append(f(seg.toString))
     out.toString
@@ -81,14 +95,12 @@ object SqlValidator {
     * same token inside a subquery or a literal. */
   private def findTopLevel(s: String, word: String, from: Int = 0): Int = {
     var depth = 0
-    var inSingle = false
     var i = from
     def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inSingle) { if (c == '\'') inSingle = false }
-      else c match {
-        case '\'' => inSingle = true
+      c match {
+        case '\'' | '"' => i = literalEnd(s, i) - 1
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -127,10 +139,18 @@ object SqlValidator {
     val p = java.util.regex.Pattern.compile(
       "(?is)^(\\s*SELECT\\s+(?:DISTINCT\\s+)?)TOP\\s*\\(?\\s*(\\d+)\\s*\\)?\\s+(?!PERCENT\\b|WITH\\b)(.*)$")
     val m = p.matcher(sql)
-    if (!m.matches()) sql
-    else if (hasTopLevel(m.group(3), Seq("UNION", "INTERSECT", "EXCEPT")) ||
-      containsOutsideLiterals(m.group(3), ';')) sql
-    else s"${m.group(1)}${m.group(3)} LIMIT ${m.group(2)}"
+    if (!m.matches()) return sql
+    // a CALL to a function named top — `SELECT top(5) AS x FROM t` —
+    // also matches the quantity pattern; the giveaway is the remnant
+    // starting where a projection item cannot (AS / ',' / ')' / a binary
+    // operator). Decline rather than garble a working query.
+    val rem = m.group(3)
+    val callRemnant = java.util.regex.Pattern
+      .compile("(?is)^(?:AS\\b|,|\\)|\\|\\||[+\\-/%<>=]).*").matcher(rem).matches()
+    if (callRemnant ||
+      hasTopLevel(rem, Seq("UNION", "INTERSECT", "EXCEPT")) ||
+      containsOutsideLiterals(rem, ';')) sql
+    else s"${m.group(1)}$rem LIMIT ${m.group(2)}"
   }
 
   /** `SELECT DISTINCT ON (exprs) ...` -> the row_number()-window form
@@ -151,14 +171,11 @@ object SqlValidator {
     // may themselves contain calls)
     val openIdx = head.end() - 1
     var depth = 0
-    var inSingle = false
     var closeIdx = -1
     var i = openIdx
     while (i < sql.length && closeIdx < 0) {
-      val c = sql.charAt(i)
-      if (inSingle) { if (c == '\'') inSingle = false }
-      else c match {
-        case '\'' => inSingle = true
+      sql.charAt(i) match {
+        case '\'' | '"' => i = literalEnd(sql, i) - 1
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) closeIdx = i
         case _ =>
@@ -208,27 +225,37 @@ object SqlValidator {
         (fr, onExprs, pg, false)
       }
     if (ordList.isEmpty || fromRest.isEmpty) return sql
+    // ordinal sort keys (ORDER BY 1, 2) resolve in Sort/Aggregate but NOT
+    // inside a window spec — there they'd be constant literals and the
+    // kept row per group would be arbitrary. Decline to the parser's
+    // error rather than silently diverge from DISTINCT ON semantics.
+    if (hadOrder && splitTopLevel(ordList).exists(_.trim.matches(
+        "(?is)\\d+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?")))
+      return sql
     val outer = if (hadOrder) s" ORDER BY $ordList$paging" else paging
     s"SELECT ${names.flatten.mkString(", ")} FROM " +
       s"(SELECT $proj, row_number() OVER (PARTITION BY $onExprs ORDER BY $ordList) " +
       s"AS __graft_rn FROM $fromRest) __graft_don WHERE __graft_rn = 1$outer"
   }
 
-  /** Top-level comma split: quote- and paren-aware, so function arguments
-    * and string literals never split a projection item. */
+  /** Top-level comma split: quote- and paren-aware ([[literalEnd]]), so
+    * function arguments and string literals never split a projection
+    * item. */
   private[validation] def splitTopLevel(s: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
-    var inSingle = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       c match {
-        case '\'' => inSingle = !inSingle; cur += c
-        case '(' if !inSingle => depth += 1; cur += c
-        case ')' if !inSingle => depth -= 1; cur += c
-        case ',' if !inSingle && depth == 0 =>
+        case '\'' | '"' =>
+          val end = literalEnd(s, i)
+          cur.append(s.substring(i, end))
+          i = end - 1
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 =>
           out += cur.toString; cur.clear()
         case _ => cur += c
       }

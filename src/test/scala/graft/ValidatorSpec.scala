@@ -110,6 +110,13 @@ class ValidatorSpec extends AnyFunSuite {
     // a stray statement separator would garble the appended LIMIT
     assert(SqlValidator.preprocess("SELECT TOP 2 x FROM t; ") ==
       "SELECT TOP 2 x FROM t; ")
+    // a backslash-escaped quote must not flip the literal scanner: the
+    // UNION after 'a\'b' is REAL and the bridge must decline
+    val escUnion = "SELECT TOP 2 x FROM t WHERE y = 'a\\'b' UNION ALL SELECT x FROM t"
+    assert(SqlValidator.preprocess(escUnion) == escUnion)
+    // a CALL to a function named top is not the quantity form — untouched
+    assert(SqlValidator.preprocess("SELECT top(5) AS x FROM t") ==
+      "SELECT top(5) AS x FROM t")
     assert(SqlValidator.validate(
       "SELECT TOP 7 custkey FROM customer ORDER BY custkey", spark) == "customer")
     graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
@@ -161,6 +168,10 @@ class ValidatorSpec extends AnyFunSuite {
     // set operations cannot scope through the rewrite — untouched
     val donUnion = "SELECT DISTINCT ON (k) k FROM t UNION SELECT k FROM u"
     assert(SqlValidator.preprocess(donUnion) == donUnion)
+    // ordinal sort keys do not resolve inside a window spec — declined
+    // rather than silently ordering the window by a constant
+    val donOrd = "SELECT DISTINCT ON (k) k, v FROM t ORDER BY 1, 2 DESC"
+    assert(SqlValidator.preprocess(donOrd) == donOrd)
     assert(SqlValidator.validate(don, spark) == "customer")
     graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
     val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
@@ -185,6 +196,10 @@ class ValidatorSpec extends AnyFunSuite {
     assert(SqlValidator.preprocess(
       "SELECT count(*) FROM events WHERE props LIKE '% ON OVERFLOW ERROR%'") ==
       "SELECT count(*) FROM events WHERE props LIKE '% ON OVERFLOW ERROR%'")
+    // double-quoted Spark string literals are literals too
+    assert(SqlValidator.preprocess(
+      "SELECT count(*) FROM events WHERE props LIKE \"% ON OVERFLOW ERROR%\"") ==
+      "SELECT count(*) FROM events WHERE props LIKE \"% ON OVERFLOW ERROR%\"")
   }
 
   test("golden: literal {}-brace predicate survives validation and execution (query4)") {

@@ -105,6 +105,11 @@ class VectorDotSpec extends AnyFunSuite {
     val n = df.select(VectorFunctions.vec_dot_i64(
       expr("CAST(NULL AS ARRAY<BIGINT>)"), col("b")).as("d")).head()
     assert(n.isNullAt(0))
+    // ragged lengths go NULL (zip_with null-pads and the sum goes NULL) —
+    // never a plausible truncated dot
+    val ragged = df.select(VectorFunctions.vec_dot_i64(
+      expr("slice(a, 1, 63)"), col("b")).as("d")).head()
+    assert(ragged.isNullAt(0))
   }
 
   test("whole-stage codegen stays enabled around vec_dot") {
