@@ -671,6 +671,32 @@ object Similarity {
     cents
   }
 
+  /** [[sphericalKMeans]] trained on a deterministic md5-threshold SAMPLE
+    * of the corpus — the industry-standard quantizer-training shape at
+    * corpus scale (train on a bounded sample, serve assignment over every
+    * row via [[assignClustersJoin]]): past joinAssignK the per-iteration
+    * update collect is k×dim model state but the thing that actually
+    * stops scaling is touching ALL corpus rows per Lloyd iteration.
+    * `rate`/256 of rows train (md5-hex threshold on the id — the sp1
+    * discipline, reproducible on any engine/cluster); seed rows are
+    * always included so every centroid initializes. Returned centroids
+    * feed the same serving paths; recall/cohesion trade with the sample
+    * size exactly as in FAISS-style offline index builds. */
+  def sphericalKMeansSampled(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int = 3, dim: Int = 64,
+      rate: Int = 64, salt: String = "kms"): Seq[Seq[Double]] = {
+    require(rate >= 1 && rate <= 256, s"rate must be 1..256, got $rate")
+    // 256 = keep-all: "100" would LOSE lexicographically to "11".."ff" —
+    // "g" sorts after every hex digit (the stratifiedSample trick)
+    val thr = if (rate >= 256) "g" else f"$rate%02x"
+    val draw = substring(
+      md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 2)
+    val sampled = vecs.where(
+      draw < lit(thr) || col(idCol).isin(seedIds: _*))
+    sphericalKMeans(sampled, idCol, vecCol, seedIds, iters, dim)
+  }
+
   /** Argmax-of-(dot + bias) assignment against constant centroids:
     * returns the 0-based index of the best-scoring centroid as a column.
     * bias = 0 per centroid gives the cosine argmax (scale-invariant);

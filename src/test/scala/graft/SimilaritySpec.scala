@@ -249,6 +249,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaJoin.values.toSet.contains(0) && viaJoin.values.toSet.contains(3))
   }
 
+  test("sample-trained k-means: rate=256 equals full training; sampled stays usable") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val full = Similarity.sphericalKMeans(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 2)
+    // keep-all sampling is the identity: same rows -> same iterates
+    val all = Similarity.sphericalKMeansSampled(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 2, rate = 256)
+    assert(all == full)
+    // a 1/4 sample still learns unit centroids whose corpus-wide cohesion
+    // beats the raw seeds (the quantizer-quality property that matters;
+    // FAISS-style index builds train on samples of this order)
+    val sampled = Similarity.sphericalKMeansSampled(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 2, rate = 64)
+    assert(sampled.size == 16)
+    sampled.foreach(c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    val v = Similarity.withNorm(emb, "vec_id", "embedding")
+    val seedCents = v.where(col("__id").isin(seeds: _*)).orderBy(col("__id"))
+      .collect().map { r =>
+        val raw = r.getSeq[Float](1).map(_.toDouble)
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        raw.map(_ / n).toSeq
+      }.toSeq
+    assert(cohesion(sampled) > cohesion(seedCents))
+  }
+
+  test("assignClustersJoin plans a broadcast join, never a cartesian product") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val learned = Similarity.sphericalKMeans(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 1)
+    val df = Similarity.assignClustersJoin(emb, "vec_id", "embedding",
+      Similarity.centroidFrame(spark, learned))
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the centroid side must ride a broadcast (corpus never moves for the
+    // scoring) and the heap's partial phase must appear before the final
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("TopKPerGroup".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("assignClustersJoin serves from a STORED centroid table round-trip") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     val learned = Similarity.sphericalKMeans(
