@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Hash of `salt` + the row's id rendered as two lowercase hex chars —
-    * a uniform draw from 256 buckets, usable as a threshold test. */
-  private def hexDraw(idCol: Column, salt: String): Column =
+    * a uniform draw from 256 buckets, usable as a threshold test. Shared
+    * across the package (Similarity's sample-trained quantizer draws with
+    * the same discipline) so the engine-portable md5 sampling never forks. */
+  private[pipeline] def hexDraw(idCol: Column, salt: String): Column =
     substring(md5(concat(lit(s"$salt:"), idCol.cast("string"))), 1, 2)
+
+  /** `n`/256 as the fixed-width hex threshold [[hexDraw]] compares
+    * against; "g" (sorts after every hex digit) encodes keep-all. */
+  private[pipeline] def hexByte(n: Int): String =
+    if (n >= 256) "g" else f"${math.max(n, 0)}%02x"
 
   /** Keep each row with probability `rates(stratum)/256` (default
     * `defaultRate`), deterministically: the row's 2-hex-char draw is
@@ -28,10 +35,8 @@ object Sampling {
       rates: Map[String, Int], defaultRate: Int = 0,
       salt: String = "sp1"): DataFrame = {
     // 256 = keep-all: every 2-hex-char draw must beat the threshold, but
-    // f"100" would LOSE lexicographically to "11".."ff" — use "g", which
-    // sorts after every hex digit
-    def hexByte(n: Int): String =
-      if (n >= 256) "g" else f"${math.max(n, 0)}%02x"
+    // f"100" would LOSE lexicographically to "11".."ff" — hexByte encodes
+    // it as "g", which sorts after every hex digit
     val threshold = rates.foldLeft(lit(hexByte(defaultRate))) {
       case (acc, (stratum, rate)) =>
         when(col(strataCol) === stratum, lit(hexByte(rate))).otherwise(acc)

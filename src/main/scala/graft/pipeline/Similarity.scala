@@ -550,11 +550,24 @@ object Similarity {
       threshold: Double = 0.4, targetClusterSize: Int = 4096,
       iters: Int = 2, dim: Int = 64,
       blockTarget: Option[Int] = None): DataFrame = {
-    val k = targetK(vecs.count(), targetClusterSize)
+    val n = vecs.count()
+    val k = targetK(n, targetClusterSize)
     val seeds = vecs.select(col(idCol).cast("long").as("__id"))
       .orderBy(col("__id")).limit(k)
       .collect().map(_.getLong(0)).toIndexedSeq
-    val cents = sphericalKMeans(vecs, idCol, vecCol, seeds, iters, dim)
+    val cents =
+      if (k <= joinAssignK)
+        sphericalKMeans(vecs, idCol, vecCol, seeds, iters, dim)
+      else {
+        // past the join-assignment boundary, full-corpus Lloyd iterations
+        // stop paying for themselves — train the quantizer on ~64 points
+        // per centroid (the FAISS-order sample); serving assignment still
+        // sees every row via the join path semanticDedupLearned
+        // dispatches to at this k
+        val rate = math.min(256L,
+          math.max(1L, (256L * 64L * k) / math.max(n, 1L))).toInt
+        sphericalKMeansSampled(vecs, idCol, vecCol, seeds, iters, dim, rate)
+      }
     semanticDedupLearned(vecs, idCol, vecCol, cents, threshold, blockTarget)
   }
 
@@ -687,14 +700,22 @@ object Similarity {
       seedIds: Seq[Long], iters: Int = 3, dim: Int = 64,
       rate: Int = 64, salt: String = "kms"): Seq[Seq[Double]] = {
     require(rate >= 1 && rate <= 256, s"rate must be 1..256, got $rate")
-    // 256 = keep-all: "100" would LOSE lexicographically to "11".."ff" —
-    // "g" sorts after every hex digit (the stratifiedSample trick)
-    val thr = if (rate >= 256) "g" else f"$rate%02x"
-    val draw = substring(
-      md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 2)
+    // keep-all is LITERALLY the identity (no filter at all): a null-id
+    // row would fail any draw predicate and silently diverge from full
+    // training, and the point of rate=256 is bit-equal delegation
+    if (rate >= 256)
+      return sphericalKMeans(vecs, idCol, vecCol, seedIds, iters, dim)
+    // the sp1 md5 draw (Sampling.hexDraw — ONE engine-portable sampling
+    // discipline for the package), seed rows always kept
     val sampled = vecs.where(
-      draw < lit(thr) || col(idCol).isin(seedIds: _*))
-    sphericalKMeans(sampled, idCol, vecCol, seedIds, iters, dim)
+      Sampling.hexDraw(col(idCol), salt) < lit(Sampling.hexByte(rate)) ||
+        col(idCol).isin(seedIds: _*))
+      // MATERIALIZE the sample: the filter is lazy, and without this
+      // every Lloyd iteration would re-scan and re-hash the FULL corpus —
+      // the exact cost this function exists to avoid
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sphericalKMeans(sampled, idCol, vecCol, seedIds, iters, dim)
+    finally { sampled.unpersist(); () }
   }
 
   /** Argmax-of-(dot + bias) assignment against constant centroids:
