@@ -544,7 +544,22 @@ object Similarity {
     * (k = [[targetK]](n)) — the form a pipeline calls at scale. Seeds are
     * the k lowest ids (deterministic); learning and the dedup tail are the
     * standard spherical-k-means + within-cluster pair join. The count and
-    * seed scan are INDEX BUILD (once per corpus), not serving work. */
+    * seed scan are INDEX BUILD (once per corpus), not serving work.
+    *
+    * The at-scale call signature is safe BY DEFAULT:
+    *  - `blockTarget = None` derives `4 * targetClusterSize`, so the
+    *    mega-cluster skew valve ([[dedupWithinCluster]]'s triangle
+    *    blocking) is always armed — one cluster holding a large corpus
+    *    fraction can never make a single task's pair work quadratic. At
+    *    the default, clusters at or near the target size get nb = 1
+    *    (no extra replication); pass an explicit `Some(b)` to tune, or an
+    *    effectively-infinite bound to approximate the unblocked plan.
+    *  - past [[joinAssignK]] the ENTIRE training loop moves to table
+    *    state ([[sphericalKMeansTable]]): seeds, centroids, and every
+    *    Lloyd update live as DataFrames — nothing k-sized ever reaches
+    *    the driver, matching how serving already reads centroids
+    *    ([[assignClustersJoin]]). Below the boundary the driver-Seq
+    *    trainer keeps the measured-faster VectorScores projection. */
   def semanticDedupScaled(
       vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.4, targetClusterSize: Int = 4096,
@@ -552,23 +567,26 @@ object Similarity {
       blockTarget: Option[Int] = None): DataFrame = {
     val n = vecs.count()
     val k = targetK(n, targetClusterSize)
-    val seeds = vecs.select(col(idCol).cast("long").as("__id"))
-      .orderBy(col("__id")).limit(k)
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val cents =
-      if (k <= joinAssignK)
-        sphericalKMeans(vecs, idCol, vecCol, seeds, iters, dim)
-      else {
-        // past the join-assignment boundary, full-corpus Lloyd iterations
-        // stop paying for themselves — train the quantizer on ~64 points
-        // per centroid (the FAISS-order sample); serving assignment still
-        // sees every row via the join path semanticDedupLearned
-        // dispatches to at this k
-        val rate = math.min(256L,
-          math.max(1L, (256L * 64L * k) / math.max(n, 1L))).toInt
-        sphericalKMeansSampled(vecs, idCol, vecCol, seeds, iters, dim, rate)
-      }
-    semanticDedupLearned(vecs, idCol, vecCol, cents, threshold, blockTarget)
+    val bt = Some(blockTarget.getOrElse(4 * targetClusterSize))
+    if (k <= joinAssignK) {
+      val seeds = vecs.select(col(idCol).cast("long").as("__id"))
+        .orderBy(col("__id")).limit(k)
+        .collect().map(_.getLong(0)).toIndexedSeq
+      val cents = sphericalKMeans(vecs, idCol, vecCol, seeds, iters, dim)
+      semanticDedupLearned(vecs, idCol, vecCol, cents, threshold, bt)
+    } else {
+      // past the join-assignment boundary, full-corpus Lloyd iterations
+      // stop paying for themselves — train the quantizer on ~64 points
+      // per centroid (the FAISS-order sample), with centroid state as a
+      // TABLE end to end; serving assignment sees every row via the same
+      // broadcast-join path
+      val rate = math.min(256L,
+        math.max(1L, (256L * 64L * k) / math.max(n, 1L))).toInt
+      val cents = sphericalKMeansTable(vecs, idCol, vecCol, k, iters, dim, rate)
+      val v0 = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
+      dedupWithinCluster(
+        assignJoinFull(v0, centroidServingFrame(cents)), threshold, bt)
+    }
   }
 
   /** Shared within-cluster dedup tail: pair join on cluster id, exact
@@ -706,16 +724,116 @@ object Similarity {
     if (rate >= 256)
       return sphericalKMeans(vecs, idCol, vecCol, seedIds, iters, dim)
     // the sp1 md5 draw (Sampling.hexDraw — ONE engine-portable sampling
-    // discipline for the package), seed rows always kept
-    val sampled = vecs.where(
-      Sampling.hexDraw(col(idCol), salt) < lit(Sampling.hexByte(rate)) ||
-        col(idCol).isin(seedIds: _*))
+    // discipline for the package), seed rows always kept. Seeds ride a
+    // broadcast semi-join over the draw's complement rather than an
+    // isin(seedIds) literal list — the predicate form would put |seeds|
+    // literal nodes back into driver/plan state on the one path built to
+    // avoid exactly that. (Union is exact: for non-null ids the two
+    // branches partition `draw || seed`; a null id draws null and can
+    // never be a seed — excluded by both forms.)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val drawKeep = Sampling.hexDraw(col(idCol), salt) < lit(Sampling.hexByte(rate))
+    val seedDf = broadcast(seedIds.toDF("__graft_sid"))
+    val sampled = vecs.where(drawKeep)
+      .union(vecs.where(!drawKeep).join(
+        seedDf, col(idCol).cast("long") === col("__graft_sid"), "left_semi"))
       // MATERIALIZE the sample: the filter is lazy, and without this
       // every Lloyd iteration would re-scan and re-hash the FULL corpus —
       // the exact cost this function exists to avoid
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try sphericalKMeans(sampled, idCol, vecCol, seedIds, iters, dim)
     finally { sampled.unpersist(); () }
+  }
+
+  /** Serving form of a table-trained centroid frame: (cid, cvu) with the
+    * unit centroids cast to float — the [[assignClustersJoin]] /
+    * [[assignJoinFull]] input schema, the same double→float rounding the
+    * driver-Seq paths apply at assignment time. */
+  def centroidServingFrame(cents: DataFrame): DataFrame =
+    cents.select(col("cid"),
+      transform(col("cv"), x => x.cast("float")).as("cvu"))
+
+  /** Spherical k-means with centroid state as a TABLE end to end — the
+    * 100 TB training path. [[sphericalKMeans]] holds centroids as a driver
+    * `Seq` and collects the k×dim Lloyd update each iteration; at
+    * k ≈ 10⁶ (n ≈ 4B vectors at the default target cluster size) that is
+    * ~0.5 GB through the driver per iteration. Here nothing k-sized ever
+    * leaves the cluster:
+    *  - SEEDS are the k lowest ids via TakeOrderedAndProject
+    *    (`orderBy(id).limit(k)` — a distributed bounded heap, no collect),
+    *    numbered by one window over the ≤ k surviving rows;
+    *  - ASSIGNMENT is the [[assignClustersJoin]] shape: centroids
+    *    broadcast as a frame, argmax on the TopKPerGroup bounded heap;
+    *  - the UPDATE stays a map-side-combinable groupBy whose result is
+    *    LEFT-JOINED back onto the centroid frame (empty cells retain
+    *    their previous centroid) and re-normalized in SQL;
+    *  - each iterate is `localCheckpoint`ed so the lineage stays one
+    *    iteration deep.
+    * Arithmetic mirrors the Seq path exactly — double-precision norms and
+    * averages, float rounding only at assignment — so at small k the two
+    * trainers agree to merge-order ε (spec-pinned).
+    *
+    * `rate`/256 of rows train (the [[sphericalKMeansSampled]] md5 draw,
+    * seed rows always retained via broadcast semi-join); the sample is
+    * persisted across iterations. Returns (cid: int, cv: array<double>)
+    * unit centroids — feed [[centroidServingFrame]] to serve. */
+  def sphericalKMeansTable(
+      vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3, dim: Int = 64,
+      rate: Int = 256, salt: String = "kms"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rate >= 1 && rate <= 256, s"rate must be 1..256, got $rate")
+    val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
+    // k lowest ids of the raw input (pre-norm-filter, matching
+    // semanticDedupScaled's historical seed choice); zero-norm seeds drop
+    // at the semi-join and the survivors renumber densely, exactly like
+    // the Seq path's collect-and-index
+    val seedIdsDf = vecs.select(col(idCol).as("__id"))
+      .orderBy(col("__id")).limit(k)
+    val w = Window.orderBy(col("__id"))
+    def unitize(m: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(n > 0, transform(m, x => x / n)).otherwise(m)
+    val seedDv = v.join(broadcast(seedIdsDf), Seq("__id"), "left_semi")
+      .select(col("__id"), transform(col("__v"), x => x.cast("double")).as("__dv"))
+      .withColumn("__n",
+        sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
+    var cents = seedDv
+      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("cid"), unitize(col("__dv"), col("__n")).as("cv"))
+      .localCheckpoint()
+    val train =
+      if (rate >= 256) v
+      else {
+        // same draw + seed-retention partition as sphericalKMeansSampled
+        val drawKeep =
+          Sampling.hexDraw(col("__id"), salt) < lit(Sampling.hexByte(rate))
+        v.where(drawKeep)
+          .union(v.where(!drawKeep)
+            .join(broadcast(seedIdsDf), Seq("__id"), "left_semi"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = assignJoinFull(train, centroidServingFrame(cents))
+        val sums = assigned.groupBy(col("cid"))
+          .agg(avg(element_at(col("__v"), 1) / col("nrm")).as("d0"),
+            (2 to dim).map(j =>
+              avg(element_at(col("__v"), j) / col("nrm")).as(s"d${j - 1}")): _*)
+          .select(col("cid"),
+            array((0 until dim).map(j => col(s"d$j")): _*).as("__s"))
+        cents = cents.join(sums, Seq("cid"), "left")
+          .withColumn("__n",
+            sqrt(aggregate(col("__s"), lit(0.0), (a, x) => a + x * x)))
+          .select(col("cid"),
+            when(col("__s").isNull, col("cv"))
+              .otherwise(unitize(col("__s"), col("__n"))).as("cv"))
+          .localCheckpoint()
+      }
+      cents
+    } finally {
+      if (!(train eq v)) { train.unpersist(); () }
+    }
   }
 
   /** Argmax-of-(dot + bias) assignment against constant centroids:

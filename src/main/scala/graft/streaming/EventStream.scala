@@ -610,8 +610,12 @@ object EventStream {
         // at-least-once replay of that week re-emits its (cohort,
         // offset) row — the whole user's memory must age as one unit,
         // from last activity. O(markers) per active user per batch,
-        // bounded by the report horizon (~52 with a 1-year ttl).
-        weeks.keys().toSeq.foreach(k => weeks.updateValue(k, true))
+        // bounded by the report horizon (~52 with a 1-year ttl). The
+        // re-touch exists ONLY to keep per-entry TTLs aligned: in no-TTL
+        // mode nothing expires, so skip the O(markers) state writes (and
+        // their changelog churn) entirely.
+        if (ttl != org.apache.spark.sql.streaming.TTLConfig.NONE)
+          weeks.keys().toSeq.foreach(k => weeks.updateValue(k, true))
         evs.foreach { e =>
           if (!weeks.containsKey(e.wkDay)) {
             weeks.updateValue(e.wkDay, true)

@@ -146,16 +146,24 @@ object RetrievalStream {
     val cidArr = array(cents.map(c => lit(c._1)): _*)
     val assigned = v.withColumn("__cell",
       element_at(cidArr, array_position(scores, array_max(scores)).cast("int")))
+    // all query dots in ONE VectorScores kernel: the query matrix rides
+    // as a single reference object instead of queries × dim lit() nodes —
+    // the same analysis/codegen-mass fix the batch assignment paths use
+    // (large frozen query sets would otherwise bloat every micro-batch's
+    // plan). Element i is bit-identical to dot(qv_i, __v): float multiply
+    // commutes and both spellings accumulate by index.
+    val qDots = graft.functions.VectorFunctions.vec_scores(
+      col("__v"), queries.map(_.qv.toIndexedSeq), queries.map(_ => 0.0))
     // per-query scoring struct: null unless the vector's cell is probed,
     // the label filter passes, and the vector is not the query itself
-    val perQ = queries.map { q =>
+    val perQ = queries.zipWithIndex.map { case (q, i) =>
       val cond = col("__cell").isin(q.probed: _*) &&
         col("__lab") =!= lit(q.qlab) && col("vec_id") =!= lit(q.qid)
-      val qvArr = array(q.qv.map(x => lit(x)): _*)
-      val cos = round(dot(qvArr, col("__v")) / (lit(q.qn) * col("nrm")), 6)
+      val cos = round(
+        element_at(col("__qd"), i + 1) / (lit(q.qn) * col("nrm")), 6)
       struct(lit(q.qid).as("qid"), when(cond, cos).as("cos"))
     }
-    val hits = assigned
+    val hits = assigned.withColumn("__qd", qDots)
       .select(col("vec_id"), explode(array(perQ: _*)).as("qs"))
       .where(col("qs.cos").isNotNull)
       .select(col("qs.qid").as("qid"), col("vec_id").as("doc_id"),

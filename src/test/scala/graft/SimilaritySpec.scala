@@ -294,6 +294,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert("TopKPerGroup".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("table-state k-means equals the driver-Seq trainer at small k") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val full = Similarity.sphericalKMeans(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 2)
+    // same seeds (k lowest ids), same Lloyd arithmetic — centroid state as
+    // a DataFrame end to end; ε because two executions merge partial
+    // averages in shuffle-arrival order
+    val table = Similarity.sphericalKMeansTable(
+        emb, "vec_id", "embedding", k = 16, iters = 2)
+      .orderBy("cid").collect().map(_.getSeq[Double](1).toSeq)
+    assert(table.length == full.size)
+    table.zip(full).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("table-state SAMPLED training matches the Seq sampled trainer") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val seq = Similarity.sphericalKMeansSampled(
+      emb, "vec_id", "embedding", seedIds = seeds, iters = 2, rate = 64)
+    val table = Similarity.sphericalKMeansTable(
+        emb, "vec_id", "embedding", k = 16, iters = 2, rate = 64)
+      .orderBy("cid").collect().map(_.getSeq[Double](1).toSeq)
+    assert(table.length == seq.size)
+    table.zip(seq).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("table-trained centroids serve through a parquet round-trip") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val cents = Similarity.sphericalKMeansTable(
+      emb, "vec_id", "embedding", k = 16, iters = 1)
+    val serving = Similarity.centroidServingFrame(cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcents").toString
+    serving.write.mode("overwrite").parquet(dir)
+    val direct = Similarity.assignClustersJoin(emb, "vec_id", "embedding", serving)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val stored = Similarity.assignClustersJoin(
+        emb, "vec_id", "embedding", spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(direct.nonEmpty && direct == stored)
+  }
+
+  test("semanticDedupScaled arms the skew valve by default, result unchanged") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    // the manual small-k composition WITHOUT the valve (pre-round-13
+    // default): same seeds, same trainer, unblocked pair join
+    val seeds16 = 0L until 16L
+    val cents = Similarity.sphericalKMeans(
+      emb, "vec_id", "embedding", seedIds = seeds16, iters = 2)
+    val unblocked = Similarity.semanticDedupLearned(
+      emb, "vec_id", "embedding", cents)
+    val byDefault = Similarity.semanticDedupScaled(emb, "vec_id", "embedding")
+    assert(byDefault.collect().toSeq == unblocked.collect().toSeq)
+    assert(byDefault.count() > 0)
+  }
+
   test("assignClustersJoin serves from a STORED centroid table round-trip") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     val learned = Similarity.sphericalKMeans(
