@@ -452,6 +452,57 @@ object SqlSurface {
         s"""$prelude
            |SELECT orderkey, totalprice FROM orders_entity
            |ORDER BY totalprice DESC, orderkey LIMIT 15""".stripMargin),
+      bridge = true),
+
+    // quantified comparison predicates (validation.rs:164-171 AnyOp/AllOp),
+    // bridged to IN / NOT IN / MIN-MAX scalar subqueries on the Spark side;
+    // DuckDB executes the SAME text natively — two independent
+    // implementations of the quantifier semantics must agree hash-exact
+    Q("q39_quantified_anyall",
+      """SELECT custkey, nationkey, round(acctbal, 2) AS bal
+        |FROM customer_entity
+        |WHERE acctbal > ANY (SELECT acctbal FROM customer_entity WHERE mktsegment = 'BUILDING')
+        |  AND custkey = ANY (SELECT custkey FROM orders_entity WHERE totalprice > 300000)
+        |  AND custkey <> ALL (SELECT custkey FROM orders_entity WHERE totalprice < 1000)
+        |ORDER BY custkey""".stripMargin,
+      bridge = true),
+
+    // AT TIME ZONE (validation.rs:176 AtTimeZone), bridged to
+    // to/from_utc_timestamp — both the naive->instant direction and the
+    // chained instant->wall-clock round-trip; epochs projected as BIGINT
+    // (the q20 discipline: Spark emits tz-annotated timestamps, DuckDB
+    // naive ones — an epoch sidesteps the annotation mismatch)
+    Q("q40_at_time_zone",
+      """SELECT event_id,
+        |  CAST(unix_timestamp(CAST(ts AS TIMESTAMP) AT TIME ZONE 'America/New_York') AS BIGINT) AS epoch_ny,
+        |  CAST(unix_timestamp(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo') AS BIGINT) AS epoch_tokyo_wall
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin,
+      oracleOverride = Some(
+        """SELECT event_id,
+          |  CAST(floor(epoch(CAST(ts AS TIMESTAMP) AT TIME ZONE 'America/New_York')) AS BIGINT) AS epoch_ny,
+          |  CAST(floor(epoch((CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo')) AS BIGINT) AS epoch_tokyo_wall
+          |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin),
+      bridge = true),
+
+    // the remaining reference-whitelist corners in one oracled query:
+    // IS UNKNOWN (validation.rs:109-116 — Spark parses it natively),
+    // LISTAGG ... ON OVERFLOW TRUNCATE (validation.rs:306-312 — clause
+    // stripped; no VARCHAR cap means truncation can never fire), and
+    // ARRAY(subquery) (validation.rs:296 — bridged to a scalar
+    // collect_list). DuckDB spells string_agg / array_to_string.
+    Q("q41_whitelist_corners",
+      """SELECT nationkey,
+        |  count(*) FILTER (WHERE (CASE WHEN custkey % 3 = 0 THEN NULL ELSE acctbal > 5000 END) IS UNKNOWN) AS n_unknown,
+        |  listagg(DISTINCT mktsegment, '|' ON OVERFLOW TRUNCATE '...' WITH COUNT) WITHIN GROUP (ORDER BY mktsegment) AS segs,
+        |  array_join(ARRAY(SELECT DISTINCT mktsegment FROM customer_entity ORDER BY 1), ',') AS all_segs
+        |FROM customer_entity GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+      oracleOverride = Some(
+        s"""$prelude
+           |SELECT nationkey,
+           |  count(*) FILTER (WHERE (CASE WHEN custkey % 3 = 0 THEN NULL ELSE acctbal > 5000 END) IS UNKNOWN) AS n_unknown,
+           |  string_agg(DISTINCT mktsegment, '|' ORDER BY mktsegment) AS segs,
+           |  array_to_string(ARRAY(SELECT DISTINCT mktsegment FROM customer_entity ORDER BY 1), ',') AS all_segs
+           |FROM customer_entity GROUP BY nationkey ORDER BY nationkey""".stripMargin),
       bridge = true))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -201,6 +201,10 @@ object SqlValidator {
     val afterFrom = rest.substring(fromIdx + 4)
     val names = splitTopLevel(proj).map(outputName)
     if (names.exists(_.isEmpty)) return sql
+    // duplicate output names would make the rebuilt outer projection (and
+    // its restored ORDER BY) ambiguous — Postgres itself would accept the
+    // statement only to error on reference; decline to the parser error
+    if (names.flatten.map(_.toLowerCase).distinct.size != names.size) return sql
     val obIdx = findTopLevel(afterFrom, "ORDER")
     val byOk = obIdx >= 0 && java.util.regex.Pattern
       .compile("(?is)^ORDER\\s+BY\\s").matcher(afterFrom.substring(obIdx))
@@ -225,6 +229,20 @@ object SqlValidator {
         (fr, onExprs, pg, false)
       }
     if (ordList.isEmpty || fromRest.isEmpty) return sql
+    // Postgres demands the ON exprs be the LEADING ORDER BY exprs ("SELECT
+    // DISTINCT ON expressions must match initial ORDER BY expressions");
+    // a statement Postgres rejects must not bridge into some OTHER
+    // semantics here — decline to the parser error instead
+    if (hadOrder) {
+      def norm(e: String) = e.trim.replaceAll("\\s+", " ").toLowerCase
+      def stripDir(e: String) = e.trim
+        .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
+        .replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "")
+      val ons = splitTopLevel(onExprs).map(norm)
+      val ords = splitTopLevel(ordList).map(e => norm(stripDir(e)))
+      if (ords.size < ons.size ||
+          ons.zip(ords).exists { case (a, b) => a != b }) return sql
+    }
     // ordinal sort keys (ORDER BY 1, 2) resolve in Sort/Aggregate but NOT
     // inside a window spec — there they'd be constant literals and the
     // kept row per group would be arbitrary. Decline to the parser's
@@ -278,23 +296,317 @@ object SqlValidator {
     else None
   }
 
-  /** `LISTAGG(...) ... ON OVERFLOW ERROR` -> drop the clause: Spark 4's
-    * listagg has no overflow clause, and ERROR is its only behavior (no
-    * VARCHAR length cap exists to overflow), so the semantics are
-    * preserved. The TRUNCATE variant has no Spark equivalent and falls
-    * through to the parser's error. (`validation.rs:302-312`.) The strip
-    * applies OUTSIDE string literals only — a literal containing the
-    * phrase must survive byte-for-byte (the {}-brace golden's contract). */
-  private[validation] def translateListAggOverflow(sql: String): String =
-    mapOutsideLiterals(sql)(
-      _.replaceAll("(?i)\\s+ON\\s+OVERFLOW\\s+ERROR\\b", ""))
+  /** Case-insensitive word-boundaried match of `word` at index `i`. */
+  private def wordAt(s: String, i: Int, word: String): Boolean = {
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    i >= 0 && s.regionMatches(true, i, word, 0, word.length) &&
+      (i == 0 || !isIdent(s.charAt(i - 1))) &&
+      (i + word.length == s.length || !isIdent(s.charAt(i + word.length)))
+  }
 
-  /** Preprocess dialect bridges before parsing: SIMILAR TO -> anchored
-    * RLIKE, TOP n -> LIMIT n, DISTINCT ON -> row_number window,
-    * LISTAGG ON OVERFLOW ERROR -> dropped clause. */
-  def preprocess(sql: String): String =
-    translateDistinctOn(translateTopN(translateListAggOverflow(
-      translateSimilarTo(sql))))
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    i
+  }
+
+  /** `LISTAGG(...) ... ON OVERFLOW ERROR|TRUNCATE [filler] [WITH[OUT]
+    * COUNT]` -> drop the clause (`validation.rs:302-312`): Spark 4's
+    * listagg has no overflow clause, and since no VARCHAR length cap
+    * exists nothing can overflow — ERROR can never raise and TRUNCATE
+    * (with any filler / count decoration) can never fire, so the strip is
+    * semantics-preserving for BOTH variants. Scanner-based: the phrase is
+    * located outside string literals and only inside a call's parens
+    * (depth > 0 — a JOIN's ON at depth 0 can never match since OVERFLOW
+    * must follow); the TRUNCATE filler is itself a string literal and is
+    * excised via [[literalEnd]], never a regex. */
+  private[validation] def translateListAggOverflow(sql: String): String = {
+    val out = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val end = literalEnd(sql, i); out.append(sql.substring(i, end)); i = end
+      } else if (c == '(') { depth += 1; out += c; i += 1 }
+      else if (c == ')') { depth -= 1; out += c; i += 1 }
+      else if (depth > 0 && wordAt(sql, i, "ON")) {
+        var p = skipWs(sql, i + 2)
+        if (!wordAt(sql, p, "OVERFLOW")) { out += c; i += 1 }
+        else {
+          p = skipWs(sql, p + 8)
+          if (wordAt(sql, p, "ERROR")) {
+            while (out.nonEmpty && Character.isWhitespace(out.last))
+              out.setLength(out.length - 1)
+            i = p + 5
+          } else if (wordAt(sql, p, "TRUNCATE")) {
+            p += 8
+            var q = skipWs(sql, p)
+            if (q < sql.length && (sql.charAt(q) == '\'' || sql.charAt(q) == '"'))
+              p = literalEnd(sql, q)
+            q = skipWs(sql, p)
+            val withLen =
+              if (wordAt(sql, q, "WITHOUT")) 7
+              else if (wordAt(sql, q, "WITH")) 4 else 0
+            if (withLen > 0) {
+              val r = skipWs(sql, q + withLen)
+              if (wordAt(sql, r, "COUNT")) p = r + 5
+            }
+            while (out.nonEmpty && Character.isWhitespace(out.last))
+              out.setLength(out.length - 1)
+            i = p
+          } else { out += c; i += 1 }
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** `ARRAY(subquery)` (`validation.rs:296` ArraySubquery — the Postgres
+    * array-from-rows constructor the reference's sqlparser accepts;
+    * Spark's `array(...)` only takes element expressions) -> a scalar
+    * `collect_list` subquery:
+    * `(SELECT collect_list(c) FROM (subquery) t(c))`. The subquery's
+    * ORDER BY survives: the final single-group aggregate concatenates
+    * partial lists in map-output order, which a range-partitioned Sort
+    * makes the sorted order (q41 pins this against DuckDB's native
+    * ARRAY). Applies only when the parenthesized body starts with
+    * SELECT/WITH — `array(1, 2)` element constructors pass through. */
+  private[validation] def translateArraySubquery(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val end = literalEnd(sql, i); out.append(sql.substring(i, end)); i = end
+      } else if (wordAt(sql, i, "ARRAY")) {
+        val p = skipWs(sql, i + 5)
+        val close =
+          if (p < sql.length && sql.charAt(p) == '(') matchParen(sql, p) else -1
+        val body = if (close < 0) "" else sql.substring(p + 1, close).trim
+        if (close >= 0 && (body.regionMatches(true, 0, "SELECT", 0, 6) ||
+            body.regionMatches(true, 0, "WITH", 0, 4))) {
+          out.append("(SELECT collect_list(__graft_ac) FROM (")
+            .append(translateArraySubquery(body))
+            .append(") __graft_at(__graft_ac))")
+          i = close + 1
+        } else { out += c; i += 1 }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Index of the ')' matching the '(' at `open` (literal-aware), or -1. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' | '"' => i = literalEnd(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Quantified comparison predicates `op ANY/SOME/ALL (subquery)`
+    * (`validation.rs:164-171` AnyOp/AllOp — whitelisted by the reference's
+    * sqlparser; Spark's grammar has no quantified form): the standard
+    * equivalences —
+    *   `= ANY` -> `IN`, `<> ALL` / `!= ALL` -> `NOT IN`,
+    *   `> ANY` -> `> (SELECT MIN ...)`, `>= ANY` -> `>= (SELECT MIN ...)`,
+    *   `< ANY` -> `< (SELECT MAX ...)`, `<= ANY` -> `<= (SELECT MAX ...)`,
+    *   `> ALL` -> `> (SELECT MAX ...)`, `>= ALL` -> `>= (SELECT MAX ...)`,
+    *   `< ALL` -> `< (SELECT MIN ...)`, `<= ALL` -> `<= (SELECT MIN ...)`;
+    * SOME is ANY's synonym. Forms with no faithful rewrite (`= ALL`,
+    * `<> ANY`) decline to the parser's error, as does a keyword not
+    * followed by a parenthesized SELECT/WITH (so `UNION ALL`, `SELECT ALL`
+    * and `any(...)` calls pass through untouched). The MIN/MAX forms agree
+    * with quantifier semantics wherever the predicate FILTERS (WHERE/
+    * HAVING/CASE): over an empty or all-NULL subquery they yield NULL
+    * where the quantifier yields FALSE/TRUE-vacuously — under filtering
+    * NULL and FALSE are indistinguishable; a PROJECTED bare boolean can
+    * tell them apart, which this engine documents as its NULL behavior. */
+  private[validation] def translateQuantified(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val end = literalEnd(sql, i); out.append(sql.substring(i, end)); i = end
+      } else {
+        val kw = Seq("ANY", "SOME", "ALL").find(wordAt(sql, i, _))
+        val consumed = kw.exists { w =>
+          // the comparison operator immediately before (in emitted text)
+          var j = out.length
+          while (j > 0 && Character.isWhitespace(out.charAt(j - 1))) j -= 1
+          var o = j
+          while (o > 0 && "=<>!".indexOf(out.charAt(o - 1)) >= 0) o -= 1
+          val op = out.substring(o, j)
+          val p = skipWs(sql, i + w.length)
+          val close =
+            if (op.nonEmpty && p < sql.length && sql.charAt(p) == '(')
+              matchParen(sql, p)
+            else -1
+          val body0 = if (close < 0) "" else sql.substring(p + 1, close).trim
+          if (close < 0 || !(body0.regionMatches(true, 0, "SELECT", 0, 6) ||
+              body0.regionMatches(true, 0, "WITH", 0, 4))) false
+          else {
+            val body = translateQuantified(body0)
+            val isAll = w.equalsIgnoreCase("ALL")
+            val repl: Option[String] = (op, isAll) match {
+              case ("=", false) => Some(s"IN ($body)")
+              case ("<>", true) | ("!=", true) => Some(s"NOT IN ($body)")
+              case (">", false) | (">=", false) | ("<", true) | ("<=", true) =>
+                Some(s"$op (SELECT MIN(__graft_qc) FROM ($body) __graft_qt(__graft_qc))")
+              case ("<", false) | ("<=", false) | (">", true) | (">=", true) =>
+                Some(s"$op (SELECT MAX(__graft_qc) FROM ($body) __graft_qt(__graft_qc))")
+              case _ => None
+            }
+            repl.exists { r =>
+              out.delete(o, out.length)
+              out.append(r)
+              i = close + 1
+              true
+            }
+          }
+        }
+        if (!consumed) { out += c; i += 1 }
+      }
+    }
+    out.toString
+  }
+
+  /** `expr AT TIME ZONE 'tz'` (`validation.rs:176` AtTimeZone): Spark's
+    * grammar has no AT TIME ZONE operator. The bridge implements the
+    * Postgres operator over the timestamp types the engine carries:
+    *  - naive operand -> `to_utc_timestamp(expr, 'tz')` — interpret the
+    *    wall-clock in `tz`, produce the instant (DuckDB/Postgres
+    *    timestamp-without-tz semantics, q40-pinned hash-exact);
+    *  - a CHAINED application, whose operand is itself an already-bridged
+    *    `to_utc_timestamp(...)`/`from_utc_timestamp(...)` call (an
+    *    instant), maps to `from_utc_timestamp(expr, 'tz')` — instant ->
+    *    wall-clock in `tz` — so the Postgres naive->instant->naive
+    *    round-trip composes exactly.
+    * The operand is the preceding primary expression: an optionally
+    * qualified identifier, a call or parenthesized expression, or a typed
+    * literal (`TIMESTAMP '...'`). Anything else — or a zone that is not a
+    * string literal — declines to the parser's error. */
+  private[validation] def translateAtTimeZone(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val end = literalEnd(sql, i); out.append(sql.substring(i, end)); i = end
+      } else if (wordAt(sql, i, "AT")) {
+        var ok = false
+        var p = skipWs(sql, i + 2)
+        if (wordAt(sql, p, "TIME")) {
+          p = skipWs(sql, p + 4)
+          if (wordAt(sql, p, "ZONE")) {
+            p = skipWs(sql, p + 4)
+            if (p < sql.length && sql.charAt(p) == '\'') {
+              val zEnd = literalEnd(sql, p)
+              val zone = sql.substring(p, zEnd)
+              operandStart(out.toString).foreach { st =>
+                val operand = out.substring(st).trim
+                val fn =
+                  if (operand.regionMatches(true, 0, "to_utc_timestamp(", 0, 17) ||
+                      operand.regionMatches(true, 0, "from_utc_timestamp(", 0, 19))
+                    "from_utc_timestamp"
+                  else "to_utc_timestamp"
+                out.delete(st, out.length)
+                out.append(s"$fn($operand, $zone)")
+                i = zEnd
+                ok = true
+              }
+            }
+          }
+        }
+        if (!ok) { out += c; i += 1 }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** Start index of the primary expression ending at `s`'s end (trailing
+    * whitespace allowed): a call/parenthesized expression (with its
+    * optionally qualified callee name), a string literal (with an
+    * optional TIMESTAMP/DATE/TIME type keyword), or a qualified
+    * identifier. None when the tail is anything else — the AT TIME ZONE
+    * bridge then declines. Paren matching and literal bounds come from
+    * one forward pass ([[literalEnd]]), never a backwards quote scan. */
+  private def operandStart(s: String): Option[Int] = {
+    // forward maps: literal membership + matching open paren per close
+    val inLit = new Array[Boolean](s.length)
+    val litStart = new Array[Int](s.length)
+    val openOf = Array.fill(s.length)(-1)
+    val stack = mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val e = literalEnd(s, i)
+        var k = i
+        while (k < e) { inLit(k) = true; litStart(k) = i; k += 1 }
+        i = e
+      } else {
+        if (c == '(') stack += i
+        else if (c == ')' && stack.nonEmpty)
+          openOf(i) = stack.remove(stack.length - 1)
+        i += 1
+      }
+    }
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var j = s.length
+    while (j > 0 && Character.isWhitespace(s.charAt(j - 1))) j -= 1
+    if (j == 0) return None
+    val last = s.charAt(j - 1)
+    if (last == ')') {
+      val open = openOf(j - 1)
+      if (open < 0) return None
+      // include a directly-preceding (qualified) callee name, if any
+      var st = open
+      while (st > 0 && (isIdent(s.charAt(st - 1)) || s.charAt(st - 1) == '.'))
+        st -= 1
+      Some(st)
+    } else if (inLit(j - 1)) {
+      val ls = litStart(j - 1)
+      // typed literal: include a TIMESTAMP/DATE/TIME keyword before it
+      var k = ls
+      while (k > 0 && Character.isWhitespace(s.charAt(k - 1))) k -= 1
+      val kwEndsHere = Seq("TIMESTAMP", "DATE", "TIME").find(w =>
+        k >= w.length && wordAt(s, k - w.length, w))
+      Some(kwEndsHere.map(w => k - w.length).getOrElse(ls))
+    } else if (isIdent(last)) {
+      var st = j
+      while (st > 0 && (isIdent(s.charAt(st - 1)) || s.charAt(st - 1) == '.'))
+        st -= 1
+      Some(st)
+    } else None
+  }
+
+  /** Preprocess dialect bridges before parsing: a single trailing ';' is
+    * dropped (quote-aware — the common terminator would otherwise make
+    * every set-op/semicolon-shy bridge decline bridgeable SQL), then
+    * SIMILAR TO -> anchored RLIKE, LISTAGG ON OVERFLOW -> dropped clause,
+    * ARRAY(subquery) -> scalar collect_list, AT TIME ZONE ->
+    * to/from_utc_timestamp, quantified ANY/SOME/ALL -> IN / NOT IN /
+    * MIN-MAX subqueries, TOP n -> LIMIT n, DISTINCT ON -> row_number
+    * window. (`IS [NOT] UNKNOWN` needs no bridge — Spark 4 parses it
+    * natively with the reference's semantics, q41-pinned.) */
+  def preprocess(sql: String): String = {
+    val one = splitStatements(sql) match {
+      case Seq(s) => s
+      case _ => sql
+    }
+    translateDistinctOn(translateTopN(translateQuantified(translateAtTimeZone(
+      translateArraySubquery(translateListAggOverflow(translateSimilarTo(one)))))))
+  }
 
   /** Validate `sql`; returns the single referenced entity name.
     * Mirrors `validate_sql` (`validation.rs:24-59`). Callers executing the

@@ -107,9 +107,13 @@ class ValidatorSpec extends AnyFunSuite {
     // a UNION inside a string literal is not a set operation — bridged
     assert(SqlValidator.preprocess("SELECT TOP 2 x FROM t WHERE y = ' UNION '")
       == "SELECT x FROM t WHERE y = ' UNION ' LIMIT 2")
-    // a stray statement separator would garble the appended LIMIT
+    // the common trailing terminator is stripped BEFORE the bridges run
+    // (round-12 advice: declining `...;` on otherwise-bridgeable SQL) —
+    // only an EMBEDDED separator still declines
     assert(SqlValidator.preprocess("SELECT TOP 2 x FROM t; ") ==
-      "SELECT TOP 2 x FROM t; ")
+      "SELECT x FROM t LIMIT 2")
+    assert(SqlValidator.preprocess("SELECT TOP 2 x FROM t; SELECT 1") ==
+      "SELECT TOP 2 x FROM t; SELECT 1")
     // a backslash-escaped quote must not flip the literal scanner: the
     // UNION after 'a\'b' is REAL and the bridge must decline
     val escUnion = "SELECT TOP 2 x FROM t WHERE y = 'a\\'b' UNION ALL SELECT x FROM t"
@@ -186,9 +190,33 @@ class ValidatorSpec extends AnyFunSuite {
   }
 
   test("LISTAGG ON OVERFLOW ERROR clause drops; TRUNCATE falls through (validation.rs:302-312)") {
+    // SQL:2016 places the clause INSIDE the LISTAGG parens:
+    // LISTAGG(expr, sep ON OVERFLOW ...) WITHIN GROUP (...)
     assert(SqlValidator.preprocess(
-      "SELECT listagg(name, ',') WITHIN GROUP (ORDER BY name) ON OVERFLOW ERROR FROM t") ==
+      "SELECT listagg(name, ',' ON OVERFLOW ERROR) WITHIN GROUP (ORDER BY name) FROM t") ==
       "SELECT listagg(name, ',') WITHIN GROUP (ORDER BY name) FROM t")
+    // at paren depth 0 the phrase cannot be a listagg clause (no valid SQL
+    // puts it there) — untouched, so the parser rejects it like the
+    // reference's sqlparser would
+    assert(SqlValidator.preprocess("SELECT x ON OVERFLOW ERROR FROM t") ==
+      "SELECT x ON OVERFLOW ERROR FROM t")
+    // TRUNCATE never fires either (Spark has no VARCHAR cap): strip the
+    // clause with its filler literal and count decoration intact
+    assert(SqlValidator.preprocess(
+      "SELECT listagg(name, ',' ON OVERFLOW TRUNCATE) FROM t") ==
+      "SELECT listagg(name, ',') FROM t")
+    assert(SqlValidator.preprocess(
+      "SELECT listagg(name, ',' ON OVERFLOW TRUNCATE '...' WITH COUNT) FROM t") ==
+      "SELECT listagg(name, ',') FROM t")
+    assert(SqlValidator.preprocess(
+      "SELECT listagg(name ON OVERFLOW TRUNCATE WITHOUT COUNT) FROM t") ==
+      "SELECT listagg(name) FROM t")
+    // the filler is a string literal — a ') ' inside it must not confuse
+    // the call-paren tracking
+    assert(SqlValidator.preprocess(
+      "SELECT listagg(name, ',' ON OVERFLOW TRUNCATE ') oops' WITH COUNT) FROM t") ==
+      "SELECT listagg(name, ',') FROM t")
+    // at depth 0 the phrase is not a listagg clause — untouched
     assert(SqlValidator.preprocess("SELECT x ON OVERFLOW TRUNCATE FROM t") ==
       "SELECT x ON OVERFLOW TRUNCATE FROM t")
     // the phrase inside a string literal survives byte-for-byte (round-12
@@ -200,6 +228,121 @@ class ValidatorSpec extends AnyFunSuite {
     assert(SqlValidator.preprocess(
       "SELECT count(*) FROM events WHERE props LIKE \"% ON OVERFLOW ERROR%\"") ==
       "SELECT count(*) FROM events WHERE props LIKE \"% ON OVERFLOW ERROR%\"")
+  }
+
+  test("quantified ANY/SOME/ALL bridges to IN / NOT IN / MIN-MAX subqueries (validation.rs:164-171)") {
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE k = ANY (SELECT k FROM t WHERE v > 1)") ==
+      "SELECT k FROM t WHERE k IN (SELECT k FROM t WHERE v > 1)")
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE k = SOME (SELECT k FROM u)") ==
+      "SELECT k FROM t WHERE k IN (SELECT k FROM u)")
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE k <> ALL (SELECT k FROM u)") ==
+      "SELECT k FROM t WHERE k NOT IN (SELECT k FROM u)")
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE v > ANY (SELECT v FROM u)") ==
+      "SELECT k FROM t WHERE v > (SELECT MIN(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE v <= ALL (SELECT v FROM u)") ==
+      "SELECT k FROM t WHERE v <= (SELECT MIN(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE v < ANY (SELECT v FROM u)") ==
+      "SELECT k FROM t WHERE v < (SELECT MAX(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE v >= ALL (SELECT v FROM u)") ==
+      "SELECT k FROM t WHERE v >= (SELECT MAX(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
+    // no faithful rewrite: = ALL and <> ANY decline to the parser's error
+    val eqAll = "SELECT k FROM t WHERE v = ALL (SELECT v FROM u)"
+    assert(SqlValidator.preprocess(eqAll) == eqAll)
+    val neAny = "SELECT k FROM t WHERE v <> ANY (SELECT v FROM u)"
+    assert(SqlValidator.preprocess(neAny) == neAny)
+    // non-subquery operands and non-operator contexts pass through:
+    // UNION ALL, SELECT ALL, aggregate any(...), LIKE ANY pattern lists
+    val ua = "SELECT k FROM t UNION ALL SELECT k FROM u"
+    assert(SqlValidator.preprocess(ua) == ua)
+    val likeAny = "SELECT k FROM t WHERE s LIKE ANY ('a%', 'b%')"
+    assert(SqlValidator.preprocess(likeAny) == likeAny)
+    val anyCall = "SELECT any(flag) FROM t"
+    assert(SqlValidator.preprocess(anyCall) == anyCall)
+    // literal safety: the phrase inside a string survives byte-for-byte
+    val lit = "SELECT k FROM t WHERE s = '= ANY (SELECT 1)'"
+    assert(SqlValidator.preprocess(lit) == lit)
+    // validates + executes end-to-end over one entity, equal to native IN
+    assert(SqlValidator.validate(
+      "SELECT custkey FROM customer WHERE nationkey = ANY (SELECT nationkey FROM customer WHERE acctbal > 9000)",
+      spark) == "customer")
+    graft.mesh.Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val session = new graft.mesh.MeshSession(spark, graft.mesh.Fixtures.mesh, "global")
+    val viaAny = session.sql(
+      "SELECT custkey FROM customer WHERE acctbal > ANY (SELECT acctbal FROM customer WHERE nationkey = 1) ORDER BY custkey")
+    val viaMin = session.sql(
+      "SELECT custkey FROM customer WHERE acctbal > (SELECT min(acctbal) FROM customer WHERE nationkey = 1) ORDER BY custkey")
+    assert(viaAny.collect().toSeq == viaMin.collect().toSeq)
+    assert(viaAny.count() > 0)
+  }
+
+  test("AT TIME ZONE bridges to to/from_utc_timestamp (validation.rs:176)") {
+    assert(SqlValidator.preprocess(
+      "SELECT ts AT TIME ZONE 'America/New_York' FROM events") ==
+      "SELECT to_utc_timestamp(ts, 'America/New_York') FROM events")
+    // qualified identifier operand
+    assert(SqlValidator.preprocess(
+      "SELECT e.ts AT TIME ZONE 'UTC' FROM events e") ==
+      "SELECT to_utc_timestamp(e.ts, 'UTC') FROM events e")
+    // call operand keeps its callee
+    assert(SqlValidator.preprocess(
+      "SELECT date_trunc('hour', ts) AT TIME ZONE 'Asia/Tokyo' FROM events") ==
+      "SELECT to_utc_timestamp(date_trunc('hour', ts), 'Asia/Tokyo') FROM events")
+    // typed literal operand
+    assert(SqlValidator.preprocess(
+      "SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'UTC'") ==
+      "SELECT to_utc_timestamp(TIMESTAMP '2024-01-01 00:00:00', 'UTC')")
+    // chained: the second application sees an instant -> from_utc_timestamp
+    assert(SqlValidator.preprocess(
+      "SELECT ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' FROM events") ==
+      "SELECT from_utc_timestamp(to_utc_timestamp(ts, 'UTC'), 'America/New_York') FROM events")
+    // zone must be a string literal; otherwise decline to the parser error
+    val zexpr = "SELECT ts AT TIME ZONE tzcol FROM events"
+    assert(SqlValidator.preprocess(zexpr) == zexpr)
+    // literal safety
+    val lit = "SELECT k FROM t WHERE s = 'AT TIME ZONE ''x'''"
+    assert(SqlValidator.preprocess(lit) == lit)
+    assert(SqlValidator.validate(
+      "SELECT ts AT TIME ZONE 'UTC' AS tsu FROM events", spark) == "events")
+  }
+
+  test("ARRAY(subquery) bridges to a scalar collect_list (validation.rs:296)") {
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k FROM u ORDER BY k) AS arr FROM t") ==
+      "SELECT (SELECT collect_list(__graft_ac) FROM (SELECT k FROM u ORDER BY k) " +
+        "__graft_at(__graft_ac)) AS arr FROM t")
+    // the element-expression constructor is Spark-native — untouched
+    assert(SqlValidator.preprocess("SELECT array(1, 2) FROM t") ==
+      "SELECT array(1, 2) FROM t")
+    // an ARRAY type mention (cast) is not the constructor — untouched
+    assert(SqlValidator.preprocess("SELECT CAST(x AS ARRAY<INT>) FROM t") ==
+      "SELECT CAST(x AS ARRAY<INT>) FROM t")
+    val lit = "SELECT 'ARRAY(SELECT 1)' FROM t"
+    assert(SqlValidator.preprocess(lit) == lit)
+  }
+
+  test("DISTINCT ON declines non-Postgres ORDER BY prefixes and duplicate names") {
+    // Postgres: "SELECT DISTINCT ON expressions must match initial ORDER BY
+    // expressions" — a mismatched prefix must not bridge into DIFFERENT
+    // semantics (round-12 advice)
+    val badOrder = "SELECT DISTINCT ON (k) k, v FROM t ORDER BY v DESC"
+    assert(SqlValidator.preprocess(badOrder) == badOrder)
+    val badOrder2 = "SELECT DISTINCT ON (k, j) k, j, v FROM t ORDER BY k, v"
+    assert(SqlValidator.preprocess(badOrder2) == badOrder2)
+    // matching prefix with direction decoration still bridges
+    assert(SqlValidator.preprocess(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k ASC, v DESC") !=
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k ASC, v DESC")
+    // duplicate projection output names would make the outer projection
+    // ambiguous — decline
+    val dup = "SELECT DISTINCT ON (k) k, a.v, b.v FROM t ORDER BY k"
+    assert(SqlValidator.preprocess(dup) == dup)
   }
 
   test("golden: literal {}-brace predicate survives validation and execution (query4)") {
