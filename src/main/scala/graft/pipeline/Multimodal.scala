@@ -317,9 +317,7 @@ object Multimodal {
       val codec = taskPngCodec()
       it.map(r => (r.doc_id, averageHash(codec.decodeGray(r.payload), bits)._1))
     }.toDF("doc_id", "phash").localCheckpoint()
-    val banded = ph.select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bv", expr(s"shiftright(phash, band * $bandBits) & $mask"))
+    val banded = bandedPhash(ph, bandBits, bands, mask)
     val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
       col("band"), col("bv"))
     val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
@@ -329,6 +327,88 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb")).distinct()
       .withColumn("hamming",
         expr("bit_count(pa ^ pb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Row-local band explode over a (doc_id, phash) frame — shared by the
+    * batch self-join and the stored-index build so the two can never
+    * disagree on bucket boundaries. */
+  private def bandedPhash(
+      ph: DataFrame, bandBits: Int, bands: Int, mask: Long): DataFrame =
+    ph.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bv", expr(s"shiftright(phash, band * $bandBits) & $mask"))
+
+  /** Stored band index of an already-ingested media corpus's perceptual
+    * hashes — the incremental-ingest counterpart of [[phashNearDupPairs]],
+    * following the text pipeline's stored-band-index discipline
+    * (`Dedup.bandIndex` / `incrementalNearDupPairs`): at warehouse scale
+    * the corpus decodes and hashes ONCE at ingest, the (doc_id, phash,
+    * band, bv) rows persist as a table, and every new batch probes the
+    * stored buckets instead of re-decoding the corpus. The index carries
+    * its banding scheme (ph_bits, ph_bands): hashes banded under a
+    * different scheme never collide, so a silent mismatch would find zero
+    * candidates — the probe fails loudly instead. */
+  def phashBandIndex(records: Dataset[MediaRecord], bits: Int = 48,
+      bands: Int = 6): DataFrame = {
+    import records.sparkSession.implicits._
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val ph = records.mapPartitions { it =>
+      val codec = taskPngCodec()
+      it.map(r => (r.doc_id, averageHash(codec.decodeGray(r.payload), bits)._1))
+    }.toDF("doc_id", "phash")
+    bandedPhash(ph, bandBits, bands, mask)
+      .withColumn("ph_bits", lit(bits))
+      .withColumn("ph_bands", lit(bands))
+  }
+
+  /** Incremental image near-dup ingest: hamming-near pairs between a NEW
+    * media batch and an already-indexed corpus (plus batch-internal
+    * pairs) — corpus-vs-corpus pairs were found at index build and are
+    * not recomputed, and ONLY the batch decodes ([[phashBandIndex]] holds
+    * the corpus side). Verification is row-local popcount over the
+    * phashes both sides already carry — no payload ever re-reads. Batch
+    * and corpus ids must be disjoint. Same output contract as
+    * [[phashNearDupPairs]]: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def incrementalPhashPairs(batch: Dataset[MediaRecord], index: DataFrame,
+      bits: Int = 48, bands: Int = 6, maxHamming: Int = 5): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
+    require(index.columns.contains("ph_bits") && index.columns.contains("ph_bands"),
+      "stored phash index has no scheme stamp (ph_bits/ph_bands) — built by " +
+        "a pre-versioning build; rebuild it (banding schemes are not " +
+        "cross-compatible)")
+    index.select(col("ph_bits"), col("ph_bands")).head(1).foreach { r =>
+      require(r.getInt(0) == bits && r.getInt(1) == bands,
+        s"stored phash index banding (bits=${r.getInt(0)}, bands=${r.getInt(1)}) " +
+          s"does not match this ingest (bits=$bits, bands=$bands) — bucket " +
+          "values never collide across schemes; rebuild or pass the matching " +
+          "parameters")
+    }
+    // eager localCheckpoint: the batch's band rows feed BOTH sides of the
+    // candidate join (directly and through the union) and the decode
+    // subtree must not run twice
+    val bi = phashBandIndex(batch, bits, bands)
+      .select(col("doc_id"), col("phash"), col("band"), col("bv"))
+      .localCheckpoint()
+    val all = index.select(col("doc_id"), col("phash"), col("band"), col("bv"))
+      .union(bi)
+    bi.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      // normalize pair order (a cross pair may arrive with the larger id on
+      // the batch side) and keep each side's phash aligned with the order
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.phash"))
+          .otherwise(col("b.phash")).as("pa"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.phash"))
+          .otherwise(col("a.phash")).as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

@@ -559,6 +559,50 @@ class LibraryApiSpec extends AnyFunSuite {
       s"banded=${got.size} brute=${expected.size}; diff ${(got diff expected) ++ (expected diff got)}")
   }
 
+  test("incrementalPhashPairs: stored-index ingest equals the batch re-band") {
+    import graft.pipeline.Multimodal
+    // same 12-family corpus as the batch spec; first 18 ids are the
+    // already-ingested corpus, the rest arrive as a new batch
+    val recs = (0 until 36).map { i =>
+      val fam = i / 3
+      val bytes = Array.tabulate(96)(j => ((fam * 37 + j * 11) % 251).toByte)
+      (0 until (i % 3) * 3).foreach { k =>
+        val p = (k * 7) % 96
+        bytes(p) = (bytes(p) + 40).toByte
+      }
+      (i.toLong, bytes)
+    }
+    def ds(rs: Seq[(Long, Array[Byte])]) = spark.createDataset(rs.map {
+      case (id, b) => Multimodal.MediaRecord(id, Multimodal.encodePng(b),
+        Multimodal.MediaMeta("image/png", b.length, 1, 1))
+    })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val (corpus, batch) = recs.partition(_._1 < 18)
+    // the index is STORED state: parquet round-trip like a real ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft_phidx").toString
+    Multimodal.phashBandIndex(ds(corpus)).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val inc = Multimodal.incrementalPhashPairs(ds(batch), stored)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Multimodal.phashNearDupPairs(ds(recs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val corpusOnly = Multimodal.phashNearDupPairs(ds(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ingest finds exactly the batch-internal + cross pairs — full result
+    // minus what the index build already found
+    assert(inc == (full -- corpusOnly),
+      s"inc=${inc.size} full=${full.size} corpus=${corpusOnly.size}")
+    assert(inc.exists { case (a, b, _) => a < 18 && b >= 18 },
+      "fixture produced no cross pair — spec is vacuous")
+    assert(inc.exists { case (a, b, _) => a >= 18 && b >= 18 },
+      "fixture produced no batch-internal pair — spec is vacuous")
+    // a mismatched banding scheme fails loudly, never silently empty
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.incrementalPhashPairs(ds(batch), stored, bits = 48, bands = 8)
+        .collect()
+    }
+    assert(e.getMessage.contains("does not match this ingest"))
+  }
+
   test("bpeEncode in training order reproduces bpeTrain's tokenization; round-trips") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents").limit(200)
