@@ -350,17 +350,24 @@ object Multimodal {
     * its banding scheme (ph_bits, ph_bands): hashes banded under a
     * different scheme never collide, so a silent mismatch would find zero
     * candidates — the probe fails loudly instead. */
-  def phashBandIndex(records: Dataset[MediaRecord], bits: Int = 48,
-      bands: Int = 6): DataFrame = {
+  /** Decode + hash only: the slim (doc_id, phash) frame — 16 bytes/row,
+    * corpus-cardinality — that both the batch self-join and the index
+    * build b and from. */
+  private def phashFrame(
+      records: Dataset[MediaRecord], bits: Int): DataFrame = {
     import records.sparkSession.implicits._
-    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
-    val ph = records.mapPartitions { it =>
+    records.mapPartitions { it =>
       val codec = taskPngCodec()
       it.map(r => (r.doc_id, averageHash(codec.decodeGray(r.payload), bits)._1))
     }.toDF("doc_id", "phash")
-    bandedPhash(ph, bandBits, bands, mask)
+  }
+
+  def phashBandIndex(records: Dataset[MediaRecord], bits: Int = 48,
+      bands: Int = 6): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    bandedPhash(phashFrame(records, bits), bandBits, bands, mask)
       .withColumn("ph_bits", lit(bits))
       .withColumn("ph_bands", lit(bands))
   }
@@ -371,7 +378,12 @@ object Multimodal {
     * not recomputed, and ONLY the batch decodes ([[phashBandIndex]] holds
     * the corpus side). Verification is row-local popcount over the
     * phashes both sides already carry — no payload ever re-reads. Batch
-    * and corpus ids must be disjoint. Same output contract as
+    * and corpus ids must be disjoint (the
+    * [[graft.pipeline.Dedup.incrementalNearDupPairs]] convention —
+    * unvalidated because checking costs a full index scan per ingest; a
+    * re-ingested id with CHANGED bytes would carry two phashes and a pair
+    * of it could surface twice with different hamming values). Same
+    * output contract as
     * [[phashNearDupPairs]]: (doc_a, doc_b, hamming), doc_a < doc_b. */
   def incrementalPhashPairs(batch: Dataset[MediaRecord], index: DataFrame,
       bits: Int = 48, bands: Int = 6, maxHamming: Int = 5): DataFrame = {
@@ -388,12 +400,16 @@ object Multimodal {
           "values never collide across schemes; rebuild or pass the matching " +
           "parameters")
     }
-    // eager localCheckpoint: the batch's band rows feed BOTH sides of the
-    // candidate join (directly and through the union) and the decode
-    // subtree must not run twice
-    val bi = phashBandIndex(batch, bits, bands)
-      .select(col("doc_id"), col("phash"), col("band"), col("bv"))
-      .localCheckpoint()
+    // eager localCheckpoint of the SLIM (doc_id, phash) frame — the
+    // phashNearDupPairs checkpoint discipline: the batch feeds BOTH sides
+    // of the candidate join and the decode subtree must not run twice,
+    // but the row-local band explode is free to recompute (checkpointing
+    // post-explode would store bands x the rows for nothing)
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    val bandBits = bits / bands
+    val bi = bandedPhash(
+      phashFrame(batch, bits).localCheckpoint(),
+      bandBits, bands, (1L << bandBits) - 1)
     val all = index.select(col("doc_id"), col("phash"), col("band"), col("bv"))
       .union(bi)
     bi.as("a").join(all.as("b"),

@@ -527,12 +527,13 @@ class LibraryApiSpec extends AnyFunSuite {
       s"got ${got.mkString(", ")}")
   }
 
-  test("phashNearDupPairs: banded join finds exactly the all-pairs hamming matches") {
-    import spark.implicits._
-    import graft.pipeline.Multimodal
-    // 12 families x 3 variants; variant v mutates 3v bytes of the family
-    // base pattern, giving a spread of intra-family hamming distances
-    val recs = (0 until 36).map { i =>
+  /** 12 families x 3 variants; variant v mutates 3v bytes of the family
+    * base pattern, giving a spread of intra-family hamming distances.
+    * SHARED by the batch phash spec and the incremental-ingest spec — the
+    * inc == full - corpus equivalence is only meaningful over the same
+    * corpus the batch spec validates. */
+  private def phashFamilyCorpus: Seq[(Long, Array[Byte])] =
+    (0 until 36).map { i =>
       val fam = i / 3
       val bytes = Array.tabulate(96)(j => ((fam * 37 + j * 11) % 251).toByte)
       (0 until (i % 3) * 3).foreach { k =>
@@ -541,10 +542,19 @@ class LibraryApiSpec extends AnyFunSuite {
       }
       (i.toLong, bytes)
     }
-    val ds = spark.createDataset(recs.map { case (id, b) =>
+
+  private def phashMediaDs(rs: Seq[(Long, Array[Byte])]) = {
+    import graft.pipeline.Multimodal
+    spark.createDataset(rs.map { case (id, b) =>
       Multimodal.MediaRecord(id, Multimodal.encodePng(b),
         Multimodal.MediaMeta("image/png", b.length, 1, 1))
-    })
+    })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+  }
+
+  test("phashNearDupPairs: banded join finds exactly the all-pairs hamming matches") {
+    import graft.pipeline.Multimodal
+    val recs = phashFamilyCorpus
+    val ds = phashMediaDs(recs)
     val got = Multimodal.phashNearDupPairs(ds)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // brute-force reference over the same hash function (PNG is lossless,
@@ -561,21 +571,10 @@ class LibraryApiSpec extends AnyFunSuite {
 
   test("incrementalPhashPairs: stored-index ingest equals the batch re-band") {
     import graft.pipeline.Multimodal
-    // same 12-family corpus as the batch spec; first 18 ids are the
-    // already-ingested corpus, the rest arrive as a new batch
-    val recs = (0 until 36).map { i =>
-      val fam = i / 3
-      val bytes = Array.tabulate(96)(j => ((fam * 37 + j * 11) % 251).toByte)
-      (0 until (i % 3) * 3).foreach { k =>
-        val p = (k * 7) % 96
-        bytes(p) = (bytes(p) + 40).toByte
-      }
-      (i.toLong, bytes)
-    }
-    def ds(rs: Seq[(Long, Array[Byte])]) = spark.createDataset(rs.map {
-      case (id, b) => Multimodal.MediaRecord(id, Multimodal.encodePng(b),
-        Multimodal.MediaMeta("image/png", b.length, 1, 1))
-    })(org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    // same 12-family corpus as the batch spec (shared fixture); first 18
+    // ids are the already-ingested corpus, the rest arrive as a new batch
+    val recs = phashFamilyCorpus
+    val ds = phashMediaDs _
     val (corpus, batch) = recs.partition(_._1 < 18)
     // the index is STORED state: parquet round-trip like a real ingest
     val dir = java.nio.file.Files.createTempDirectory("graft_phidx").toString
