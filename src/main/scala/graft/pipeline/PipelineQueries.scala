@@ -273,6 +273,55 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // dd11: INCREMENTAL ingest dedup — the production shape where the
+    // corpus's band index is STORED state and only the new batch
+    // (doc_id % 10 = 0) is shingled/hashed at ingest
+    // (Dedup.incrementalNearDupPairs; superseded by the library override
+    // below, which probes the cached stored index). The oracle is dd2's
+    // full re-band restricted to pairs touching the batch: candidate
+    // generation against a stored index finds exactly the banded pairs
+    // with >= 1 batch member, and verification is the same exact Jaccard.
+    Q("dd11_incremental_ingest",
+      s"""WITH $sparkShingles,
+         |$sparkMinhashHs,
+         |$minhashSig,
+         |$sparkMinhashBands,
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh s1 ON s1.doc_id = c.da
+         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+         |  AND (da % 10 = 0 OR db % 10 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $duckShingles,
+         |$duckMinhashHs,
+         |$minhashSig,
+         |$duckMinhashBands,
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh s1 ON s1.doc_id = c.da
+         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+         |  AND (da % 10 = 0 OR db % 10 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ------------------------------------------------------------------
     // dd3: exact n-gram Jaccard on a deterministic pair sample (metric
     // correctness incl. zero-overlap pairs; LEFT JOIN keeps jaccard=0).
     Q("dd3_ngram_jaccard",
@@ -2726,6 +2775,44 @@ object PipelineQueries {
         graft.sources.LocalLayout.parquet(s, s"$dir/embeddings.parquet"),
         "vec_id", "embedding", centroidIds = 0L until 16L))
 
+  /** dd11's stored corpus band index (doc_id % 10 != 0 = the already-
+    * ingested corpus), cached per (session, sf) like the IVF assignment —
+    * in production this is a table written once per corpus generation,
+    * so the measured ingest work must be the batch probe, not an index
+    * rebuild per run. dd12's signature index and mm9's phash band index
+    * follow the same contract. */
+  private val bandIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedBandIndex(s: SparkSession, dir: String) =
+    cachedDataset(bandIndexCache, s, dir)(
+      Dedup.bandIndex(
+        graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
+          .where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        "doc_id", "text"))
+
+  private val simhashIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedSimhashIndex(s: SparkSession, dir: String) =
+    cachedDataset(simhashIndexCache, s, dir)(
+      Dedup.simhash(
+        graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
+          .where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        "doc_id", "text"))
+
+  private val phashIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedPhashIndex(s: SparkSession, dir: String) =
+    cachedDataset(phashIndexCache, s, dir)(
+      Multimodal.phashBandIndex(Multimodal.toMediaRecords(s,
+        mediaDocs(s, dir)
+          // mm9 splits on % 5 = 2 (not dd11's % 10): the sf0.01 fixture's
+          // phash pairs happen to avoid % 10 = 0 ids entirely, which would
+          // make the oracle vacuously empty
+          .where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 2))))
+
   /** Deduped click (one row per user,ts) and purchase frames — shared by
     * the backward (ao1) and forward (ao2) as-of drivers. */
   private def clickPurchFrames(s: SparkSession): (DataFrame, DataFrame) = {
@@ -2776,6 +2863,50 @@ object PipelineQueries {
     "dd2_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       Fixtures.registerRaw(s, dir)
       Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text")
+    }),
+
+    // dd11: incremental ingest against the STORED band index — the corpus
+    // (doc_id % 10 != 0) indexed once and cached (the sq8/IVF stored-state
+    // contract), the batch (doc_id % 10 = 0) probes it; only the batch is
+    // shingled/hashed at ingest
+    "dd11_incremental_ingest" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      Dedup.incrementalNearDupPairs(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        cachedBandIndex(s, dir).toDF(),
+        "doc_id", "text")
+    }),
+
+    // dd12: incremental SIMHASH ingest — the stored state is the 16-byte
+    // (doc_id, simhash) signature index; only the batch tokenizes at
+    // ingest. The 2-of-8 combination banding is EXHAUSTIVE for
+    // hamming <= 6 (pigeonhole), so the oracle is dd6's brute-force
+    // hamming join restricted to pairs touching the batch.
+    "dd12_incremental_simhash" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Dedup.incrementalSimhashPairs(
+        s.table("documents").where(col("doc_id") % 10 === 0),
+        cachedSimhashIndex(s, dir).toDF(),
+        "doc_id", "text")
+    }),
+
+    // mm9: incremental IMAGE ingest — mm8 against the stored phash band
+    // index (Multimodal.phashBandIndex); only the batch's (doc_id % 5 = 2)
+    // images decode, verification popcounts the stored hashes. Oracle =
+    // mm8's char-wise phash re-derivation restricted to pairs touching
+    // the batch (banding is identical on both sides of the split, so the
+    // stored index finds exactly the full re-band's batch-touching pairs).
+    "mm9_image_ingest" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Multimodal.incrementalPhashPairs(
+        cachedMedia(s, dir).where(col("doc_id") % 5 === 2),
+        cachedPhashIndex(s, dir).toDF())
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // ss10: filtered IVF (the ss9 scale path) — the label predicate
@@ -4520,6 +4651,32 @@ object PipelineQueries {
           |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
           |ORDER BY doc_a, doc_b""".stripMargin,
 
+      // mm9: mm8's derivation + banding restricted to pairs with >= 1
+      // batch (doc_id % 5 = 2) member — bucket sharing is symmetric and
+      // split-independent, so the stored-index ingest finds exactly these
+      "mm9_image_ingest" ->
+        """WITH p AS (SELECT doc_id,
+          |  CAST(coalesce(list_sum(list_transform(range(0, 48),
+          |       j -> CASE WHEN px[CAST(j + 1 AS INT)] > list_sum(px) / 48.0
+          |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS phash
+          |FROM (SELECT doc_id,
+          |        list_transform(range(0, 48),
+          |          j -> CASE WHEN length(text) = 0 THEN 0
+          |               ELSE ord(substr(text, CAST((j * length(text)) // 48 + 1 AS INT), 1)) END) AS px
+          |      FROM documents) s),
+          |bands AS (SELECT doc_id, phash, band,
+          |        (phash >> CAST(band * 8 AS INT)) & 255 AS bv
+          |      FROM p, unnest(range(0, 6)) AS t(band)),
+          |cand AS (SELECT DISTINCT a.doc_id AS da, a.phash AS pa,
+          |               b.doc_id AS db, b.phash AS pb
+          |         FROM bands a JOIN bands b
+          |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+          |SELECT da AS doc_a, db AS doc_b,
+          |       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
+          |  AND (da % 5 = 2 OR db % 5 = 2)
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
       "cp1_curation" ->
         """WITH gated AS (
           |  SELECT doc_id, text FROM documents
@@ -4574,6 +4731,32 @@ object PipelineQueries {
           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+          |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // dd12: dd6's brute-force hamming join (the 2-of-8 banding is
+      // exhaustive at hamming <= 6) restricted to pairs with >= 1 batch
+      // (doc_id % 10 = 0) member — exactly what the stored-index ingest
+      // computes
+      "dd12_incremental_simhash" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          |th AS (SELECT doc_id, token, substring(md5(token), 1, 16) AS h8 FROM tok),
+          |bits AS (SELECT doc_id, b,
+          |         sum(CASE WHEN ((CAST(position(substring(h8, (b // 4) + 1, 1)
+          |                        IN '0123456789abcdef') AS INT) - 1)
+          |                        >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |         FROM th, unnest(range(0, 64)) AS tb(b)
+          |         GROUP BY doc_id, b),
+          |sim AS (SELECT doc_id,
+          |        CAST(sum(CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+          |                 WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+          |                 ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END)
+          |             AS BIGINT) AS simhash
+          |        FROM bits GROUP BY doc_id)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+          |  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
           |ORDER BY doc_a, doc_b""".stripMargin,
 
       // char-wise re-derivation of the 16-bin histogram (the mm2 oracle's
