@@ -307,17 +307,13 @@ object Multimodal {
     * instead of collapsing. */
   def phashNearDupPairs(records: Dataset[MediaRecord], bits: Int = 48,
       bands: Int = 6, maxHamming: Int = 5): DataFrame = {
-    import records.sparkSession.implicits._
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val ph = records.mapPartitions { it =>
-      val codec = taskPngCodec()
-      it.map(r => (r.doc_id, averageHash(codec.decodeGray(r.payload), bits)._1))
-    }.toDF("doc_id", "phash").localCheckpoint()
-    val banded = bandedPhash(ph, bandBits, bands, mask)
+    val banded = bandedPhash(
+      phashFrame(records, bits).localCheckpoint(), bandBits, bands, mask)
     val a = banded.select(col("doc_id").as("doc_a"), col("phash").as("pa"),
       col("band"), col("bv"))
     val b = banded.select(col("doc_id").as("doc_b"), col("phash").as("pb"),
@@ -340,6 +336,18 @@ object Multimodal {
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bv", expr(s"shiftright(phash, band * $bandBits) & $mask"))
 
+  /** Decode + hash only: the slim (doc_id, phash) frame — 16 bytes/row,
+    * corpus-cardinality — that both the batch self-join and the index
+    * build band rows from. */
+  private def phashFrame(
+      records: Dataset[MediaRecord], bits: Int): DataFrame = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val codec = taskPngCodec()
+      it.map(r => (r.doc_id, averageHash(codec.decodeGray(r.payload), bits)._1))
+    }.toDF("doc_id", "phash")
+  }
+
   /** Stored band index of an already-ingested media corpus's perceptual
     * hashes — the incremental-ingest counterpart of [[phashNearDupPairs]],
     * following the text pipeline's stored-band-index discipline
@@ -350,18 +358,6 @@ object Multimodal {
     * its banding scheme (ph_bits, ph_bands): hashes banded under a
     * different scheme never collide, so a silent mismatch would find zero
     * candidates — the probe fails loudly instead. */
-  /** Decode + hash only: the slim (doc_id, phash) frame — 16 bytes/row,
-    * corpus-cardinality — that both the batch self-join and the index
-    * build b and from. */
-  private def phashFrame(
-      records: Dataset[MediaRecord], bits: Int): DataFrame = {
-    import records.sparkSession.implicits._
-    records.mapPartitions { it =>
-      val codec = taskPngCodec()
-      it.map(r => (r.doc_id, averageHash(codec.decodeGray(r.payload), bits)._1))
-    }.toDF("doc_id", "phash")
-  }
-
   def phashBandIndex(records: Dataset[MediaRecord], bits: Int = 48,
       bands: Int = 6): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")

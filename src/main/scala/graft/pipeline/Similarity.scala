@@ -725,19 +725,22 @@ object Similarity {
       return sphericalKMeans(vecs, idCol, vecCol, seedIds, iters, dim)
     // the sp1 md5 draw (Sampling.hexDraw — ONE engine-portable sampling
     // discipline for the package), seed rows always kept. Seeds ride a
-    // broadcast semi-join over the draw's complement rather than an
-    // isin(seedIds) literal list — the predicate form would put |seeds|
-    // literal nodes back into driver/plan state on the one path built to
-    // avoid exactly that. (Union is exact: for non-null ids the two
-    // branches partition `draw || seed`; a null id draws null and can
-    // never be a seed — excluded by both forms.)
+    // broadcast LEFT join marker rather than an isin(seedIds) literal
+    // list — the predicate form would put |seeds| literal nodes back
+    // into driver/plan state on the one path built to avoid exactly
+    // that — and the draw + seed retention evaluate in ONE corpus pass
+    // (a union of complementary filters would scan and md5 the corpus
+    // twice to build the sample). Exact: a matched seed keeps the row
+    // regardless of its draw; a null id draws null and joins nothing,
+    // so `null OR false` filters it like the isin form did.
     val spark = vecs.sparkSession
     import spark.implicits._
     val drawKeep = Sampling.hexDraw(col(idCol), salt) < lit(Sampling.hexByte(rate))
     val seedDf = broadcast(seedIds.toDF("__graft_sid"))
-    val sampled = vecs.where(drawKeep)
-      .union(vecs.where(!drawKeep).join(
-        seedDf, col(idCol).cast("long") === col("__graft_sid"), "left_semi"))
+    val sampled = vecs.join(
+        seedDf, col(idCol).cast("long") === col("__graft_sid"), "left")
+      .where(drawKeep || col("__graft_sid").isNotNull)
+      .drop("__graft_sid")
       // MATERIALIZE the sample: the filter is lazy, and without this
       // every Lloyd iteration would re-scan and re-hash the FULL corpus —
       // the exact cost this function exists to avoid
@@ -805,12 +808,15 @@ object Similarity {
     val train =
       if (rate >= 256) v
       else {
-        // same draw + seed-retention partition as sphericalKMeansSampled
+        // same one-pass draw + broadcast seed-marker retention as
+        // sphericalKMeansSampled (a complementary-filter union would
+        // scan and md5 the corpus twice)
         val drawKeep =
           Sampling.hexDraw(col("__id"), salt) < lit(Sampling.hexByte(rate))
-        v.where(drawKeep)
-          .union(v.where(!drawKeep)
-            .join(broadcast(seedIdsDf), Seq("__id"), "left_semi"))
+        v.join(broadcast(seedIdsDf.withColumn("__graft_seed", lit(true))),
+            Seq("__id"), "left")
+          .where(drawKeep || col("__graft_seed").isNotNull)
+          .drop("__graft_seed")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     try {

@@ -455,11 +455,19 @@ object SqlSurface {
       bridge = true),
 
     // quantified comparison predicates (validation.rs:164-171 AnyOp/AllOp),
-    // bridged to IN / NOT IN / MIN-MAX scalar subqueries on the Spark side;
-    // DuckDB executes the SAME text natively — two independent
-    // implementations of the quantifier semantics must agree hash-exact
+    // bridged to IN / NOT IN / exact three-valued CASE subqueries on the
+    // Spark side; DuckDB executes the SAME text natively — two independent
+    // implementations of the quantifier semantics must agree hash-exact,
+    // INCLUDING the projected tri-state corners: vacuous TRUE over an
+    // empty subquery (all_empty), witness-FALSE despite NULLs
+    // (lt_all_nulls), and witness-TRUE/UNKNOWN mixing (gt_any_nulls)
     Q("q39_quantified_anyall",
-      """SELECT custkey, nationkey, round(acctbal, 2) AS bal
+      """SELECT custkey, nationkey, round(acctbal, 2) AS bal,
+        |  (acctbal > ALL (SELECT acctbal FROM customer_entity WHERE custkey < 0)) AS all_empty,
+        |  (acctbal < ALL (SELECT CASE WHEN nationkey = 1 THEN acctbal END
+        |                  FROM customer_entity WHERE nationkey <= 1)) AS lt_all_nulls,
+        |  (acctbal > ANY (SELECT CASE WHEN nationkey = 1 THEN acctbal END
+        |                  FROM customer_entity WHERE nationkey <= 1)) AS gt_any_nulls
         |FROM customer_entity
         |WHERE acctbal > ANY (SELECT acctbal FROM customer_entity WHERE mktsegment = 'BUILDING')
         |  AND custkey = ANY (SELECT custkey FROM orders_entity WHERE totalprice > 300000)

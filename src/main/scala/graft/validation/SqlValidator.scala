@@ -366,12 +366,21 @@ object SqlValidator {
     * array-from-rows constructor the reference's sqlparser accepts;
     * Spark's `array(...)` only takes element expressions) -> a scalar
     * `collect_list` subquery:
-    * `(SELECT collect_list(c) FROM (subquery) t(c))`. The subquery's
-    * ORDER BY survives: the final single-group aggregate concatenates
-    * partial lists in map-output order, which a range-partitioned Sort
-    * makes the sorted order (q41 pins this against DuckDB's native
-    * ARRAY). Applies only when the parenthesized body starts with
-    * SELECT/WITH — `array(1, 2)` element constructors pass through. */
+    * `(SELECT collect_list(c) FROM (subquery) t(c))`. Element order is
+    * made CLUSTER-SAFE, never left to shuffle-fetch order (Spark's final
+    * aggregation concatenates partial lists in whatever order remote
+    * blocks arrive — only local mode happens to preserve a sort):
+    *  - body ordered `ORDER BY 1 [ASC]` (by the projected value, the
+    *    Postgres-idiomatic spelling) -> `array_sort(collect_list(...))`,
+    *    which IS that order regardless of merge order (q41 pins it
+    *    against DuckDB's native ARRAY; NULLS sort last in both engines'
+    *    defaults here);
+    *  - no ORDER BY -> plain collect_list (the standard leaves the order
+    *    unspecified; so does this engine);
+    *  - any other ORDER BY (DESC, expressions, multiple keys) has no
+    *    merge-order-independent spelling -> decline to the parser error.
+    * Applies only when the parenthesized body starts with SELECT/WITH —
+    * `array(1, 2)` element constructors pass through. */
   private[validation] def translateArraySubquery(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -384,13 +393,34 @@ object SqlValidator {
         val close =
           if (p < sql.length && sql.charAt(p) == '(') matchParen(sql, p) else -1
         val body = if (close < 0) "" else sql.substring(p + 1, close).trim
-        if (close >= 0 && (body.regionMatches(true, 0, "SELECT", 0, 6) ||
-            body.regionMatches(true, 0, "WITH", 0, 4))) {
-          out.append("(SELECT collect_list(__graft_ac) FROM (")
-            .append(translateArraySubquery(body))
-            .append(") __graft_at(__graft_ac))")
-          i = close + 1
-        } else { out += c; i += 1 }
+        val agg: Option[String] =
+          if (close < 0 || !(body.regionMatches(true, 0, "SELECT", 0, 6) ||
+              body.regionMatches(true, 0, "WITH", 0, 4))) None
+          else {
+            val obIdx = findTopLevel(body, "ORDER")
+            val isOb = obIdx >= 0 && java.util.regex.Pattern
+              .compile("(?is)^ORDER\\s+BY\\s").matcher(body.substring(obIdx))
+              .lookingAt()
+            if (!isOb) Some("collect_list(__graft_ac)")
+            else {
+              val tail = body.substring(obIdx)
+                .replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
+              val cut = Seq(findTopLevel(tail, "LIMIT"),
+                findTopLevel(tail, "OFFSET")).filter(_ >= 0).sorted.headOption
+              val keys = cut.map(tail.substring(0, _)).getOrElse(tail).trim
+              if (keys.matches("(?is)1(\\s+ASC)?"))
+                Some("array_sort(collect_list(__graft_ac))")
+              else None
+            }
+          }
+        agg match {
+          case Some(a) =>
+            out.append(s"(SELECT $a FROM (")
+              .append(translateArraySubquery(body))
+              .append(") __graft_at(__graft_ac))")
+            i = close + 1
+          case None => out += c; i += 1
+        }
       } else { out += c; i += 1 }
     }
     out.toString
@@ -414,22 +444,28 @@ object SqlValidator {
 
   /** Quantified comparison predicates `op ANY/SOME/ALL (subquery)`
     * (`validation.rs:164-171` AnyOp/AllOp — whitelisted by the reference's
-    * sqlparser; Spark's grammar has no quantified form): the standard
-    * equivalences —
-    *   `= ANY` -> `IN`, `<> ALL` / `!= ALL` -> `NOT IN`,
-    *   `> ANY` -> `> (SELECT MIN ...)`, `>= ANY` -> `>= (SELECT MIN ...)`,
-    *   `< ANY` -> `< (SELECT MAX ...)`, `<= ANY` -> `<= (SELECT MAX ...)`,
-    *   `> ALL` -> `> (SELECT MAX ...)`, `>= ALL` -> `>= (SELECT MAX ...)`,
-    *   `< ALL` -> `< (SELECT MIN ...)`, `<= ALL` -> `<= (SELECT MIN ...)`;
-    * SOME is ANY's synonym. Forms with no faithful rewrite (`= ALL`,
-    * `<> ANY`) decline to the parser's error, as does a keyword not
-    * followed by a parenthesized SELECT/WITH (so `UNION ALL`, `SELECT ALL`
-    * and `any(...)` calls pass through untouched). The MIN/MAX forms agree
-    * with quantifier semantics wherever the predicate FILTERS (WHERE/
-    * HAVING/CASE): over an empty or all-NULL subquery they yield NULL
-    * where the quantifier yields FALSE/TRUE-vacuously — under filtering
-    * NULL and FALSE are indistinguishable; a PROJECTED bare boolean can
-    * tell them apart, which this engine documents as its NULL behavior. */
+    * sqlparser; Spark's grammar has no quantified form). Two rewrite
+    * classes, both EXACT under SQL's three-valued logic:
+    *  - `= ANY` -> `IN`, `<> ALL` / `!= ALL` -> `NOT IN` (the standard
+    *    identities — Spark's IN over a subquery already implements the
+    *    quantifier's NULL semantics);
+    *  - the inequality forms (`> >= < <=` × ANY/ALL) capture the LEFT
+    *    operand (the same primary-expression scanner AT TIME ZONE uses)
+    *    and expand to a parenthesized CASE over three scalar subqueries:
+    *    empty set -> FALSE (ANY) / TRUE (ALL, vacuous); a witness against
+    *    the non-null MIN/MAX -> TRUE (ANY) / FALSE (ALL); otherwise NULL
+    *    when the subquery contains NULLs or the operand is NULL, else
+    *    FALSE/TRUE — reproducing Postgres/DuckDB bit-for-bit even in
+    *    PROJECTED position and against empty or NULL-bearing subqueries
+    *    (q39 pins all three regions against DuckDB's native quantifiers).
+    *    The operand evaluates up to twice (comparison + IS NULL) — fine
+    *    for the deterministic expressions the validator admits.
+    * SOME is ANY's synonym. Declined to the parser's error: `= ALL` and
+    * `<> ANY` (no faithful scalar rewrite), a keyword not followed by a
+    * parenthesized SELECT/WITH (`UNION ALL`, `SELECT ALL`, `any(...)`
+    * calls pass through untouched), an inequality whose left operand is
+    * not a parenthesizable primary (`a + b > ALL (...)` — write
+    * `(a + b) > ALL (...)`), and a CASE-expression operand. */
   private[validation] def translateQuantified(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -457,20 +493,57 @@ object SqlValidator {
           else {
             val body = translateQuantified(body0)
             val isAll = w.equalsIgnoreCase("ALL")
-            val repl: Option[String] = (op, isAll) match {
-              case ("=", false) => Some(s"IN ($body)")
-              case ("<>", true) | ("!=", true) => Some(s"NOT IN ($body)")
-              case (">", false) | (">=", false) | ("<", true) | ("<=", true) =>
-                Some(s"$op (SELECT MIN(__graft_qc) FROM ($body) __graft_qt(__graft_qc))")
-              case ("<", false) | ("<=", false) | (">", true) | (">=", true) =>
-                Some(s"$op (SELECT MAX(__graft_qc) FROM ($body) __graft_qt(__graft_qc))")
-              case _ => None
-            }
-            repl.exists { r =>
-              out.delete(o, out.length)
-              out.append(r)
-              i = close + 1
-              true
+            def cnt = s"(SELECT count(*) FROM ($body) __graft_qt(__graft_qc))"
+            def nNull =
+              s"(SELECT count(*) - count(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
+            def ext(f: String) =
+              s"(SELECT $f(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
+            (op, isAll) match {
+              case ("=", false) | ("<>", true) | ("!=", true) =>
+                val r = if (isAll) s"NOT IN ($body)" else s"IN ($body)"
+                out.delete(o, out.length)
+                // never glue onto an unspaced operand: `k=ANY(...)` must
+                // become `k IN (...)`, not the identifier `kIN`
+                if (out.nonEmpty && !Character.isWhitespace(out.last))
+                  out.append(' ')
+                out.append(r)
+                i = close + 1
+                true
+              case (">", _) | (">=", _) | ("<", _) | ("<=", _) =>
+                // witness extremum over the NON-NULL values: ANY needs the
+                // friendliest element (MIN for >/>=), ALL the harshest
+                val f =
+                  if ((op == ">" || op == ">=") != isAll) "MIN" else "MAX"
+                val vStart = operandStart(out.substring(0, o))
+                // reject captures that are only a FRAGMENT of the real
+                // operand: arithmetic/concat tails (a + b) and CASE ends
+                val okCapture = vStart.exists { st =>
+                  val v = out.substring(st, o).trim
+                  var q = st
+                  while (q > 0 && Character.isWhitespace(out.charAt(q - 1)))
+                    q -= 1
+                  val pc = if (q == 0) ' ' else out.charAt(q - 1)
+                  v.nonEmpty && !v.equalsIgnoreCase("END") &&
+                    "+-*/%^|&<>=!.".indexOf(pc) < 0
+                }
+                if (!okCapture) false
+                else {
+                  val st = vStart.get
+                  val v = out.substring(st, o).trim
+                  val branch =
+                    if (isAll)
+                      s"WHEN NOT ($v $op ${ext(f)}) THEN FALSE"
+                    else s"WHEN $v $op ${ext(f)} THEN TRUE"
+                  val emptyV = if (isAll) "TRUE" else "FALSE"
+                  out.delete(st, out.length)
+                  out.append(
+                    s"(CASE WHEN $cnt = 0 THEN $emptyV $branch " +
+                      s"WHEN $nNull > 0 THEN NULL WHEN $v IS NULL THEN NULL " +
+                      s"ELSE $emptyV END)")
+                  i = close + 1
+                  true
+                }
+              case _ => false
             }
           }
         }
@@ -514,9 +587,16 @@ object SqlValidator {
               val zone = sql.substring(p, zEnd)
               operandStart(out.toString).foreach { st =>
                 val operand = out.substring(st).trim
+                // instant detection must see through wrapping parens:
+                // `(ts AT TIME ZONE 'UTC') AT TIME ZONE 'x'` arrives here
+                // as `(to_utc_timestamp(ts, 'UTC'))` and is an instant
+                var peeled = operand
+                while (peeled.startsWith("(") &&
+                    matchParen(peeled, 0) == peeled.length - 1)
+                  peeled = peeled.substring(1, peeled.length - 1).trim
                 val fn =
-                  if (operand.regionMatches(true, 0, "to_utc_timestamp(", 0, 17) ||
-                      operand.regionMatches(true, 0, "from_utc_timestamp(", 0, 19))
+                  if (peeled.regionMatches(true, 0, "to_utc_timestamp(", 0, 17) ||
+                      peeled.regionMatches(true, 0, "from_utc_timestamp(", 0, 19))
                     "from_utc_timestamp"
                   else "to_utc_timestamp"
                 out.delete(st, out.length)

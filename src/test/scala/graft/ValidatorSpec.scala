@@ -230,7 +230,21 @@ class ValidatorSpec extends AnyFunSuite {
       "SELECT count(*) FROM events WHERE props LIKE \"% ON OVERFLOW ERROR%\"")
   }
 
-  test("quantified ANY/SOME/ALL bridges to IN / NOT IN / MIN-MAX subqueries (validation.rs:164-171)") {
+  /** Expected emission of the inequality-quantifier CASE rewrite. */
+  private def quantCase(
+      v: String, op: String, ext: String, body: String, isAll: Boolean): String = {
+    val cnt = s"(SELECT count(*) FROM ($body) __graft_qt(__graft_qc))"
+    val nn = s"(SELECT count(*) - count(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
+    val ex = s"(SELECT $ext(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
+    val e = if (isAll) "TRUE" else "FALSE"
+    val branch =
+      if (isAll) s"WHEN NOT ($v $op $ex) THEN FALSE"
+      else s"WHEN $v $op $ex THEN TRUE"
+    s"(CASE WHEN $cnt = 0 THEN $e $branch WHEN $nn > 0 THEN NULL " +
+      s"WHEN $v IS NULL THEN NULL ELSE $e END)"
+  }
+
+  test("quantified ANY/SOME/ALL bridges to IN / NOT IN / exact CASE subqueries (validation.rs:164-171)") {
     assert(SqlValidator.preprocess(
       "SELECT k FROM t WHERE k = ANY (SELECT k FROM t WHERE v > 1)") ==
       "SELECT k FROM t WHERE k IN (SELECT k FROM t WHERE v > 1)")
@@ -240,18 +254,30 @@ class ValidatorSpec extends AnyFunSuite {
     assert(SqlValidator.preprocess(
       "SELECT k FROM t WHERE k <> ALL (SELECT k FROM u)") ==
       "SELECT k FROM t WHERE k NOT IN (SELECT k FROM u)")
+    // unspaced operators must not glue onto the operand (k=ANY -> k IN)
     assert(SqlValidator.preprocess(
-      "SELECT k FROM t WHERE v > ANY (SELECT v FROM u)") ==
-      "SELECT k FROM t WHERE v > (SELECT MIN(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
-    assert(SqlValidator.preprocess(
-      "SELECT k FROM t WHERE v <= ALL (SELECT v FROM u)") ==
-      "SELECT k FROM t WHERE v <= (SELECT MIN(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
-    assert(SqlValidator.preprocess(
-      "SELECT k FROM t WHERE v < ANY (SELECT v FROM u)") ==
-      "SELECT k FROM t WHERE v < (SELECT MAX(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
-    assert(SqlValidator.preprocess(
-      "SELECT k FROM t WHERE v >= ALL (SELECT v FROM u)") ==
-      "SELECT k FROM t WHERE v >= (SELECT MAX(__graft_qc) FROM (SELECT v FROM u) __graft_qt(__graft_qc))")
+      "SELECT k FROM t WHERE k=ANY(SELECT k FROM u)") ==
+      "SELECT k FROM t WHERE k IN (SELECT k FROM u)")
+    // inequality quantifiers expand to the exact three-valued CASE:
+    // empty -> FALSE/TRUE, witness vs the non-null extremum, NULL when
+    // the subquery carries NULLs or the operand is NULL
+    val b = "SELECT v FROM u"
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE v > ANY ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("v", ">", "MIN", b, isAll = false)}")
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE v <= ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("v", "<=", "MIN", b, isAll = true)}")
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE v < ANY ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("v", "<", "MAX", b, isAll = false)}")
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE v >= ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("v", ">=", "MAX", b, isAll = true)}")
+    // parenthesized and call operands capture whole; a bare arithmetic
+    // operand would capture a fragment -> decline to the parser error
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE (a + b) > ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("(a + b)", ">", "MAX", b, isAll = true)}")
+    val frag = s"SELECT k FROM t WHERE a + b > ALL ($b)"
+    assert(SqlValidator.preprocess(frag) == frag)
+    val caseOp = s"SELECT k FROM t WHERE CASE WHEN p THEN q ELSE r END > ALL ($b)"
+    assert(SqlValidator.preprocess(caseOp) == caseOp)
     // no faithful rewrite: = ALL and <> ANY decline to the parser's error
     val eqAll = "SELECT k FROM t WHERE v = ALL (SELECT v FROM u)"
     assert(SqlValidator.preprocess(eqAll) == eqAll)
@@ -302,6 +328,10 @@ class ValidatorSpec extends AnyFunSuite {
     assert(SqlValidator.preprocess(
       "SELECT ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' FROM events") ==
       "SELECT from_utc_timestamp(to_utc_timestamp(ts, 'UTC'), 'America/New_York') FROM events")
+    // ... and through wrapping parens (Postgres accepts the explicit form)
+    assert(SqlValidator.preprocess(
+      "SELECT (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' FROM events") ==
+      "SELECT from_utc_timestamp((to_utc_timestamp(ts, 'UTC')), 'Asia/Tokyo') FROM events")
     // zone must be a string literal; otherwise decline to the parser error
     val zexpr = "SELECT ts AT TIME ZONE tzcol FROM events"
     assert(SqlValidator.preprocess(zexpr) == zexpr)
@@ -313,10 +343,23 @@ class ValidatorSpec extends AnyFunSuite {
   }
 
   test("ARRAY(subquery) bridges to a scalar collect_list (validation.rs:296)") {
+    // ORDER BY 1 (by the projected value) -> array_sort, which IS that
+    // order independent of partial-list merge order — the only
+    // cluster-safe spelling (shuffle fetch order is not deterministic)
     assert(SqlValidator.preprocess(
-      "SELECT ARRAY(SELECT k FROM u ORDER BY k) AS arr FROM t") ==
-      "SELECT (SELECT collect_list(__graft_ac) FROM (SELECT k FROM u ORDER BY k) " +
+      "SELECT ARRAY(SELECT k FROM u ORDER BY 1) AS arr FROM t") ==
+      "SELECT (SELECT array_sort(collect_list(__graft_ac)) FROM " +
+        "(SELECT k FROM u ORDER BY 1) __graft_at(__graft_ac)) AS arr FROM t")
+    // no ORDER BY: unspecified order, like the standard — plain collect
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k FROM u) AS arr FROM t") ==
+      "SELECT (SELECT collect_list(__graft_ac) FROM (SELECT k FROM u) " +
         "__graft_at(__graft_ac)) AS arr FROM t")
+    // any other ORDER BY has no merge-order-independent spelling: decline
+    val byCol = "SELECT ARRAY(SELECT k FROM u ORDER BY k) AS arr FROM t"
+    assert(SqlValidator.preprocess(byCol) == byCol)
+    val byDesc = "SELECT ARRAY(SELECT k FROM u ORDER BY 1 DESC) AS arr FROM t"
+    assert(SqlValidator.preprocess(byDesc) == byDesc)
     // the element-expression constructor is Spark-native — untouched
     assert(SqlValidator.preprocess("SELECT array(1, 2) FROM t") ==
       "SELECT array(1, 2) FROM t")
