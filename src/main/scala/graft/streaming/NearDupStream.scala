@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** Streaming twin of dd11 (`Dedup.incrementalNearDupPairs`): continuous
+  * NEAR-DUP ingest against the FROZEN stored band index — documents arrive
+  * forever, and each is checked against the already-indexed corpus ON
+  * ARRIVAL. Completes the frozen-index serving triad (exact dedup / BM25 /
+  * filtered-IVF ANN already have streaming twins): index state is written
+  * once per corpus build; arrivals never reshuffle or re-hash the corpus.
+  *
+  * Shape — STATELESS, pure stream-static:
+  *  - the arriving doc's band rows come from the SAME projection the
+  *    stored index was built with (`Dedup.bandProject` — one derivation,
+  *    so a probe can never disagree with the index on bucket boundaries),
+  *    with the doc's text riding the projection's tag column;
+  *  - candidates are a stream-static equi-join on (band, bsig);
+  *  - verification is EXACT Jaccard computed ROW-LOCALLY: the candidate
+  *    row joins the static corpus table for the matched doc's text and
+  *    both shingle sets reduce through array_distinct/array_intersect —
+  *    the same set arithmetic as the batch verifier
+  *    (`Dedup.jaccardVerifySets`), so scores are engine-exact. No
+  *    aggregation, no watermark, no keyed state: append mode end to end.
+  *
+  * Emission contract: one (doc_a, doc_b, jaccard) row PER SHARED BAND of
+  * a verified pair (deduplicating in-stream would need keyed state for a
+  * value that is already deterministic); rows for the same pair are
+  * bit-identical, so the usual idempotent sink keyed on (doc_a, doc_b)
+  * collapses them — the DedupStream verdict contract. Replay is
+  * idempotent the same way. Stream-vs-corpus pairs only: intra-stream
+  * near-dups belong to the periodic batch re-index (the same division a
+  * production pipeline draws — arrivals are admitted against the current
+  * index GENERATION; generations swap atomically).
+  *
+  * Scale shape: per arriving doc the work is one row-local signature
+  * projection + `bands` index-bucket probes + one corpus-row lookup per
+  * candidate. The static sides are hash-joinable stored tables; nothing
+  * grows with stream lifetime. */
+object NearDupStream {
+
+  /** Near-dup verdicts over a streaming document frame against a stored
+    * band index (`Dedup.bandIndex` output, hash_family-stamped) and the
+    * static corpus table it indexes. Output: (doc_a, doc_b, jaccard)
+    * with doc_a < doc_b, jaccard rounded to 4 decimals — the batch
+    * incremental operator's columns. Stream and corpus ids must be
+    * disjoint (the incrementalNearDupPairs convention). */
+  def nearDupIngestStream(
+      spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, corpus: DataFrame,
+      corpusIdCol: String, corpusTextCol: String,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      fastHash: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    // same loud scheme check as the batch ingest: a mismatched signature
+    // family finds zero candidates with no error otherwise. The index is
+    // STATIC state, so the one-row probe runs at stream setup, not per
+    // micro-batch.
+    require(index.columns.contains("hash_family"),
+      "stored band index has no hash_family column — built by a " +
+        "pre-versioning Dedup.bandIndex; rebuild it")
+    val expected = Dedup.hashFamily(fastHash)
+    index.select(col("hash_family")).head(1).foreach { r =>
+      require(r.getString(0) == expected,
+        s"stored band index hash family '${r.getString(0)}' does not match " +
+          s"this stream's '$expected' — rebuild or pass the matching fastHash")
+    }
+    def shingles(c: Column): Column =
+      array_distinct(graft.functions.TextFunctions.word_ngrams(c, 3))
+    // band rows with the arriving text riding the tag column — zero-gram
+    // docs drop inside the shared projection, exactly like the index build
+    val banded = Dedup.bandProject(
+      docs.select(col(idCol).cast("long").as("__did"),
+        col(textCol).as("__dtext")),
+      "__did", "__dtext", k, bands, fastHash, tagCol = Some("__dtext"))
+    val idx = index.select(col("__id").as("__cid"), col("band"), col("bsig"))
+    val corp = corpus.select(col(corpusIdCol).cast("long").as("__cid"),
+      col(corpusTextCol).as("__ctext"))
+    banded.join(idx, Seq("band", "bsig"))
+      .where(col("__id") =!= col("__cid"))
+      .join(corp, Seq("__cid"))
+      .withColumn("__sa", shingles(col("__tag")))
+      .withColumn("__sb", shingles(col("__ctext")))
+      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", round(
+        col("__i").cast("double") /
+          (size(col("__sa")) + size(col("__sb")) - col("__i")), 4))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("__id"), col("__cid")).as("doc_a"),
+        greatest(col("__id"), col("__cid")).as("doc_b"),
+        col("jaccard"))
+  }
+}
