@@ -736,7 +736,9 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     val drawKeep = Sampling.hexDraw(col(idCol), salt) < lit(Sampling.hexByte(rate))
-    val seedDf = broadcast(seedIds.toDF("__graft_sid"))
+    // distinct: a duplicated seed id must not multiply its row through
+    // the join and double-weight the Lloyd averages
+    val seedDf = broadcast(seedIds.distinct.toDF("__graft_sid"))
     val sampled = vecs.join(
         seedDf, col(idCol).cast("long") === col("__graft_sid"), "left")
       .where(drawKeep || col("__graft_sid").isNotNull)
@@ -792,7 +794,10 @@ object Similarity {
     // semanticDedupScaled's historical seed choice); zero-norm seeds drop
     // at the semi-join and the survivors renumber densely, exactly like
     // the Seq path's collect-and-index
-    val seedIdsDf = vecs.select(col(idCol).as("__id"))
+    // distinct BEFORE the bounded sort: k lowest distinct ids, and a
+    // duplicate corpus id can never multiply rows through the retention
+    // join below (which would double-weight its Lloyd contribution)
+    val seedIdsDf = vecs.select(col(idCol).as("__id")).distinct()
       .orderBy(col("__id")).limit(k)
     val w = Window.orderBy(col("__id"))
     def unitize(m: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =

@@ -69,27 +69,35 @@ object NearDupStream {
     }
     def shingles(c: Column): Column =
       array_distinct(graft.functions.TextFunctions.word_ngrams(c, 3))
-    // band rows with the arriving text riding the tag column — zero-gram
-    // docs drop inside the shared projection, exactly like the index build
+    // band rows with the arriving doc's SHINGLE SET riding the tag column
+    // (computed at banding — per-arrival cost, never per-candidate);
+    // zero-gram docs drop inside the shared projection, exactly like the
+    // index build
     val banded = Dedup.bandProject(
       docs.select(col(idCol).cast("long").as("__did"),
-        col(textCol).as("__dtext")),
-      "__did", "__dtext", k, bands, fastHash, tagCol = Some("__dtext"))
+        col(textCol).as("__dtext"),
+        shingles(col(textCol)).as("__dsh")),
+      "__did", "__dtext", k, bands, fastHash, tagCol = Some("__dsh"))
     val idx = index.select(col("__id").as("__cid"), col("band"), col("bsig"))
+    // corpus shingle sets are STATIC serving state, derived once and
+    // persisted for the stream's lifetime (the production pipeline stores
+    // them next to the band index) — never recomputed per candidate row
+    // per micro-batch
     val corp = corpus.select(col(corpusIdCol).cast("long").as("__cid"),
-      col(corpusTextCol).as("__ctext"))
+        shingles(col(corpusTextCol)).as("__sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.join(idx, Seq("band", "bsig"))
       .where(col("__id") =!= col("__cid"))
       .join(corp, Seq("__cid"))
-      .withColumn("__sa", shingles(col("__tag")))
-      .withColumn("__sb", shingles(col("__ctext")))
-      .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))))
-      .withColumn("jaccard", round(
-        col("__i").cast("double") /
-          (size(col("__sa")) + size(col("__sb")) - col("__i")), 4))
-      .where(col("jaccard") >= threshold)
+      .withColumn("__i", size(array_intersect(col("__tag"), col("__sb"))))
+      // filter on the EXACT quotient and round only for emission — the
+      // batch verifier's order (a pair at 0.79996 must not round up into
+      // admission)
+      .withColumn("__j", col("__i").cast("double") /
+        (size(col("__tag")) + size(col("__sb")) - col("__i")))
+      .where(col("__j") >= threshold)
       .select(least(col("__id"), col("__cid")).as("doc_a"),
         greatest(col("__id"), col("__cid")).as("doc_b"),
-        col("jaccard"))
+        round(col("__j"), 4).as("jaccard"))
   }
 }

@@ -366,17 +366,21 @@ object SqlValidator {
     * array-from-rows constructor the reference's sqlparser accepts;
     * Spark's `array(...)` only takes element expressions) -> a scalar
     * `collect_list` subquery:
-    * `(SELECT collect_list(c) FROM (subquery) t(c))`. Element order is
-    * made CLUSTER-SAFE, never left to shuffle-fetch order (Spark's final
-    * aggregation concatenates partial lists in whatever order remote
-    * blocks arrive — only local mode happens to preserve a sort):
+    * `(SELECT <agg> FROM (subquery) t(c))`. NULL elements survive —
+    * collect_list alone would silently DROP them where Postgres/DuckDB
+    * ARRAY keeps them, so rows collect as one-field structs (never null)
+    * and unwrap with a transform. Element order is made CLUSTER-SAFE,
+    * never left to shuffle-fetch order (Spark's final aggregation
+    * concatenates partial lists in whatever order remote blocks arrive —
+    * only local mode happens to preserve a sort):
     *  - body ordered `ORDER BY 1 [ASC]` (by the projected value, the
-    *    Postgres-idiomatic spelling) -> `array_sort(collect_list(...))`,
-    *    which IS that order regardless of merge order (q41 pins it
-    *    against DuckDB's native ARRAY; NULLS sort last in both engines'
-    *    defaults here);
-    *  - no ORDER BY -> plain collect_list (the standard leaves the order
-    *    unspecified; so does this engine);
+    *    Postgres-idiomatic spelling) ->
+    *    `array_sort(transform(collect_list(struct(c)), x -> x.c))`, which
+    *    IS that order regardless of merge order — ascending, NULLS LAST,
+    *    matching DuckDB's ORDER BY default (q41 pins it against DuckDB's
+    *    native ARRAY);
+    *  - no ORDER BY -> the unsorted unwrap (the standard leaves the
+    *    order unspecified; so does this engine);
     *  - any other ORDER BY (DESC, expressions, multiple keys) has no
     *    merge-order-independent spelling -> decline to the parser error.
     * Applies only when the parenthesized body starts with SELECT/WITH —
@@ -401,7 +405,9 @@ object SqlValidator {
             val isOb = obIdx >= 0 && java.util.regex.Pattern
               .compile("(?is)^ORDER\\s+BY\\s").matcher(body.substring(obIdx))
               .lookingAt()
-            if (!isOb) Some("collect_list(__graft_ac)")
+            val unwrap =
+              "transform(collect_list(struct(__graft_ac)), x -> x.__graft_ac)"
+            if (!isOb) Some(unwrap)
             else {
               val tail = body.substring(obIdx)
                 .replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
@@ -409,7 +415,7 @@ object SqlValidator {
                 findTopLevel(tail, "OFFSET")).filter(_ >= 0).sorted.headOption
               val keys = cut.map(tail.substring(0, _)).getOrElse(tail).trim
               if (keys.matches("(?is)1(\\s+ASC)?"))
-                Some("array_sort(collect_list(__graft_ac))")
+                Some(s"array_sort($unwrap)")
               else None
             }
           }
@@ -523,8 +529,10 @@ object SqlValidator {
                   while (q > 0 && Character.isWhitespace(out.charAt(q - 1)))
                     q -= 1
                   val pc = if (q == 0) ' ' else out.charAt(q - 1)
+                  // ':' covers '::' casts — `a::int > ALL (...)` must
+                  // decline whole, not capture the bare type name
                   v.nonEmpty && !v.equalsIgnoreCase("END") &&
-                    "+-*/%^|&<>=!.".indexOf(pc) < 0
+                    "+-*/%^|&<>=!.:".indexOf(pc) < 0
                 }
                 if (!okCapture) false
                 else {

@@ -278,6 +278,9 @@ class ValidatorSpec extends AnyFunSuite {
     assert(SqlValidator.preprocess(frag) == frag)
     val caseOp = s"SELECT k FROM t WHERE CASE WHEN p THEN q ELSE r END > ALL ($b)"
     assert(SqlValidator.preprocess(caseOp) == caseOp)
+    // a '::' cast operand is a fragment too — decline whole
+    val castOp = s"SELECT k FROM t WHERE a::int > ALL ($b)"
+    assert(SqlValidator.preprocess(castOp) == castOp)
     // no faithful rewrite: = ALL and <> ANY decline to the parser's error
     val eqAll = "SELECT k FROM t WHERE v = ALL (SELECT v FROM u)"
     assert(SqlValidator.preprocess(eqAll) == eqAll)
@@ -345,15 +348,18 @@ class ValidatorSpec extends AnyFunSuite {
   test("ARRAY(subquery) bridges to a scalar collect_list (validation.rs:296)") {
     // ORDER BY 1 (by the projected value) -> array_sort, which IS that
     // order independent of partial-list merge order — the only
-    // cluster-safe spelling (shuffle fetch order is not deterministic)
+    // cluster-safe spelling (shuffle fetch order is not deterministic).
+    // Rows collect as one-field structs so NULL elements survive like
+    // DuckDB/Postgres ARRAY (collect_list alone would drop them).
+    val unwrap = "transform(collect_list(struct(__graft_ac)), x -> x.__graft_ac)"
     assert(SqlValidator.preprocess(
       "SELECT ARRAY(SELECT k FROM u ORDER BY 1) AS arr FROM t") ==
-      "SELECT (SELECT array_sort(collect_list(__graft_ac)) FROM " +
+      s"SELECT (SELECT array_sort($unwrap) FROM " +
         "(SELECT k FROM u ORDER BY 1) __graft_at(__graft_ac)) AS arr FROM t")
-    // no ORDER BY: unspecified order, like the standard — plain collect
+    // no ORDER BY: unspecified order, like the standard
     assert(SqlValidator.preprocess(
       "SELECT ARRAY(SELECT k FROM u) AS arr FROM t") ==
-      "SELECT (SELECT collect_list(__graft_ac) FROM (SELECT k FROM u) " +
+      s"SELECT (SELECT $unwrap FROM (SELECT k FROM u) " +
         "__graft_at(__graft_ac)) AS arr FROM t")
     // any other ORDER BY has no merge-order-independent spelling: decline
     val byCol = "SELECT ARRAY(SELECT k FROM u ORDER BY k) AS arr FROM t"
