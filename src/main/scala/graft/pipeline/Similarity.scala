@@ -569,7 +569,11 @@ object Similarity {
     val k = targetK(n, targetClusterSize)
     val bt = Some(blockTarget.getOrElse(4 * targetClusterSize))
     if (k <= joinAssignK) {
-      val seeds = vecs.select(col(idCol).cast("long").as("__id"))
+      // distinct + cast-to-long ordering, IDENTICAL to the table trainer's
+      // seed frame: a duplicated corpus id (or a raw ordering differing
+      // from long ordering) must not make the two sides of the
+      // joinAssignK boundary train from different seed sets
+      val seeds = vecs.select(col(idCol).cast("long").as("__id")).distinct()
         .orderBy(col("__id")).limit(k)
         .collect().map(_.getLong(0)).toIndexedSeq
       val cents = sphericalKMeans(vecs, idCol, vecCol, seeds, iters, dim)
@@ -765,9 +769,14 @@ object Similarity {
     * k ≈ 10⁶ (n ≈ 4B vectors at the default target cluster size) that is
     * ~0.5 GB through the driver per iteration. Here nothing k-sized ever
     * leaves the cluster:
-    *  - SEEDS are the k lowest ids via TakeOrderedAndProject
+    *  - SEEDS are the k lowest distinct ids via TakeOrderedAndProject
     *    (`orderBy(id).limit(k)` — a distributed bounded heap, no collect),
-    *    numbered by one window over the ≤ k surviving rows;
+    *    and the seed id IS the cluster id: nothing renumbers densely, so
+    *    no single-task window (or any other k-sized serialization point)
+    *    exists anywhere in the training path — consumers only need
+    *    DISTINCT cluster labels ([[assignJoinFull]]'s heap keys on cid),
+    *    and cid order equals seed-id order so tie-breaks match the dense
+    *    numbering the Seq trainer uses (spec-pinned ≡ after label remap);
     *  - ASSIGNMENT is the [[assignClustersJoin]] shape: centroids
     *    broadcast as a frame, argmax on the TopKPerGroup bounded heap;
     *  - the UPDATE stays a map-side-combinable groupBy whose result is
@@ -781,8 +790,9 @@ object Similarity {
     *
     * `rate`/256 of rows train (the [[sphericalKMeansSampled]] md5 draw,
     * seed rows always retained via broadcast semi-join); the sample is
-    * persisted across iterations. Returns (cid: int, cv: array<double>)
-    * unit centroids — feed [[centroidServingFrame]] to serve. */
+    * persisted across iterations. Returns (cid: long = the seed's id,
+    * cv: array<double>) unit centroids — feed [[centroidServingFrame]]
+    * to serve. */
   def sphericalKMeansTable(
       vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, dim: Int = 64,
@@ -790,26 +800,8 @@ object Similarity {
     require(k >= 1, s"k must be positive, got $k")
     require(rate >= 1 && rate <= 256, s"rate must be 1..256, got $rate")
     val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
-    // k lowest ids of the raw input (pre-norm-filter, matching
-    // semanticDedupScaled's historical seed choice); zero-norm seeds drop
-    // at the semi-join and the survivors renumber densely, exactly like
-    // the Seq path's collect-and-index
-    // distinct BEFORE the bounded sort: k lowest distinct ids, and a
-    // duplicate corpus id can never multiply rows through the retention
-    // join below (which would double-weight its Lloyd contribution)
-    val seedIdsDf = vecs.select(col(idCol).as("__id")).distinct()
-      .orderBy(col("__id")).limit(k)
-    val w = Window.orderBy(col("__id"))
-    def unitize(m: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-      when(n > 0, transform(m, x => x / n)).otherwise(m)
-    val seedDv = v.join(broadcast(seedIdsDf), Seq("__id"), "left_semi")
-      .select(col("__id"), transform(col("__v"), x => x.cast("double")).as("__dv"))
-      .withColumn("__n",
-        sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
-    var cents = seedDv
-      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
-      .select(col("cid"), unitize(col("__dv"), col("__n")).as("cv"))
-      .localCheckpoint()
+    val seedIdsDf = seedIdsFrame(vecs, idCol, k)
+    var cents = seedCentroidFrame(vecs, idCol, vecCol, k).localCheckpoint()
     val train =
       if (rate >= 256) v
       else {
@@ -818,10 +810,10 @@ object Similarity {
         // scan and md5 the corpus twice)
         val drawKeep =
           Sampling.hexDraw(col("__id"), salt) < lit(Sampling.hexByte(rate))
-        v.join(broadcast(seedIdsDf.withColumn("__graft_seed", lit(true))),
-            Seq("__id"), "left")
-          .where(drawKeep || col("__graft_seed").isNotNull)
-          .drop("__graft_seed")
+        v.join(broadcast(seedIdsDf),
+            col("__id").cast("long") === col("__sid"), "left")
+          .where(drawKeep || col("__sid").isNotNull)
+          .drop("__sid")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     try {
@@ -845,6 +837,44 @@ object Similarity {
     } finally {
       if (!(train eq v)) { train.unpersist(); () }
     }
+  }
+
+  /** Unit-normalize an array column (zero-norm vectors pass through). */
+  private def unitize(
+      m: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(n > 0, transform(m, x => x / n)).otherwise(m)
+
+  /** The k lowest DISTINCT ids, cast to long — [[sphericalKMeansTable]]'s
+    * seed frame, matching the Seq trainers' collect (distinct + long
+    * ordering) so seed selection is identical on both sides of the
+    * joinAssignK dispatch boundary. TakeOrderedAndProject: a distributed
+    * bounded heap, never a collect. */
+  private def seedIdsFrame(vecs: DataFrame, idCol: String, k: Int): DataFrame =
+    vecs.select(col(idCol).cast("long").as("__sid")).distinct()
+      .orderBy(col("__sid")).limit(k)
+
+  /** Unit seed-centroid frame (cid = THE SEED'S ID, cv unit double
+    * vector): the seed id is the cluster label — no dense renumbering.
+    * The former row_number() window here had no PARTITION BY, i.e. ONE
+    * task sorting all k seed rows (~1 GB of dim-64 arrays at k ≈ 10⁶) —
+    * the last k-sized serialization point in the training path. Consumers
+    * only need DISTINCT labels ([[assignJoinFull]]'s heap keys on cid),
+    * and long ordering of cid equals seed ordering, so argmax tie-breaks
+    * (score DESC, cid ASC) elect the same centroid the densely-numbered
+    * form did. Zero-norm seeds drop at the semi-join, exactly like the
+    * Seq path's collect-and-index. Exposed for SimilaritySpec's plan
+    * assertion that no single-partition window remains. */
+  private[graft] def seedCentroidFrame(
+      vecs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
+    v.join(broadcast(seedIdsFrame(vecs, idCol, k)),
+        col("__id").cast("long") === col("__sid"), "left_semi")
+      .select(col("__id").cast("long").as("cid"),
+        transform(col("__v"), x => x.cast("double")).as("__dv"))
+      .withColumn("__n",
+        sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
+      .select(col("cid"), unitize(col("__dv"), col("__n")).as("cv"))
   }
 
   /** Argmax-of-(dot + bias) assignment against constant centroids:

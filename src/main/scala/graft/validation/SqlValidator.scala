@@ -455,23 +455,33 @@ object SqlValidator {
     *  - `= ANY` -> `IN`, `<> ALL` / `!= ALL` -> `NOT IN` (the standard
     *    identities — Spark's IN over a subquery already implements the
     *    quantifier's NULL semantics);
-    *  - the inequality forms (`> >= < <=` × ANY/ALL) capture the LEFT
-    *    operand (the same primary-expression scanner AT TIME ZONE uses)
-    *    and expand to a parenthesized CASE over three scalar subqueries:
-    *    empty set -> FALSE (ANY) / TRUE (ALL, vacuous); a witness against
-    *    the non-null MIN/MAX -> TRUE (ANY) / FALSE (ALL); otherwise NULL
-    *    when the subquery contains NULLs or the operand is NULL, else
-    *    FALSE/TRUE — reproducing Postgres/DuckDB bit-for-bit even in
+    *  - every other operator × quantifier combination (`> >= < <=` ×
+    *    ANY/ALL, plus `= ALL` and `<> ANY`) captures the LEFT operand
+    *    (the same primary-expression scanner AT TIME ZONE uses) and
+    *    expands to a parenthesized CASE over ONE struct-valued scalar
+    *    subquery `(SELECT struct(MIN(c) AS mn, MAX(c) AS mx, <default> AS
+    *    r) FROM body)`: a witness against the non-null extremum decides
+    *    TRUE (ANY) / FALSE (ALL) — for the equality forms the witness is
+    *    a non-null element differing from the operand (`v <> mn OR
+    *    v <> mx`); a NULL operand against a non-empty set is NULL; every
+    *    no-witness outcome folds into the subquery-computed default `r`
+    *    (empty -> FALSE/TRUE vacuous, NULL-bearing -> NULL, else
+    *    FALSE/TRUE) — reproducing Postgres/DuckDB bit-for-bit even in
     *    PROJECTED position and against empty or NULL-bearing subqueries
-    *    (q39 pins all three regions against DuckDB's native quantifiers).
-    *    The operand evaluates up to twice (comparison + IS NULL) — fine
-    *    for the deterministic expressions the validator admits.
-    * SOME is ANY's synonym. Declined to the parser's error: `= ALL` and
-    * `<> ANY` (no faithful scalar rewrite), a keyword not followed by a
-    * parenthesized SELECT/WITH (`UNION ALL`, `SELECT ALL`, `any(...)`
-    * calls pass through untouched), an inequality whose left operand is
-    * not a parenthesizable primary (`a + b > ALL (...)` — write
-    * `(a + b) > ALL (...)`), and a CASE-expression operand. */
+    *    (q39/q42 pin the corners against DuckDB's native quantifiers).
+    *    The struct subquery is referenced by field access up to three
+    *    times but the references are textually IDENTICAL, so Spark
+    *    executes it ONCE (subquery reuse dedupes identical plans —
+    *    measured: the three-reference form costs the same jobs as one
+    *    reference, vs one job per subquery for the former
+    *    three-distinct-subquery emission). The operand evaluates up to
+    *    thrice (comparison + IS NULL) — fine for the deterministic
+    *    expressions the validator admits.
+    * SOME is ANY's synonym. Declined to the parser's error: a keyword not
+    * followed by a parenthesized SELECT/WITH (`UNION ALL`, `SELECT ALL`,
+    * `any(...)` calls pass through untouched), a comparison whose left
+    * operand is not a parenthesizable primary (`a + b > ALL (...)` —
+    * write `(a + b) > ALL (...)`), and a CASE-expression operand. */
   private[validation] def translateQuantified(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -499,11 +509,41 @@ object SqlValidator {
           else {
             val body = translateQuantified(body0)
             val isAll = w.equalsIgnoreCase("ALL")
-            def cnt = s"(SELECT count(*) FROM ($body) __graft_qt(__graft_qc))"
-            def nNull =
-              s"(SELECT count(*) - count(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
-            def ext(f: String) =
-              s"(SELECT $f(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
+            val emptyV = if (isAll) "TRUE" else "FALSE"
+            // ONE struct subquery per quantifier: extrema + the
+            // no-witness default (empty -> vacuous TRUE/FALSE,
+            // NULL-bearing -> NULL, else vacuous again). Field accesses
+            // below repeat this text verbatim — identical subquery plans
+            // execute once (Spark's subquery reuse), so the whole
+            // predicate costs one aggregation over the body.
+            def sq =
+              s"(SELECT struct(MIN(__graft_qc) AS mn, MAX(__graft_qc) AS mx, " +
+                s"CASE WHEN count(*) = 0 THEN $emptyV " +
+                s"WHEN count(__graft_qc) < count(*) THEN NULL " +
+                s"ELSE $emptyV END AS r) FROM ($body) __graft_qt(__graft_qc))"
+            // the CASE shared by every captured-operand form: a witness
+            // decides immediately (its comparison NULL-skips when the
+            // relevant extremum is NULL — empty or all-NULL set); a NULL
+            // operand against a set with any non-null member is NULL; all
+            // remaining outcomes are the subquery-computed default
+            def emitCase(
+                vStart: Option[Int], o: Int,
+                witness: (String, String) => String,
+                nullGuardField: String): Boolean = {
+              val okCapture = vStart.exists(wholeCapture(out, _, o))
+              if (!okCapture) false
+              else {
+                val st = vStart.get
+                val v = out.substring(st, o).trim
+                out.delete(st, out.length)
+                out.append(
+                  s"(CASE ${witness(v, sq)} " +
+                    s"WHEN $v IS NULL AND $sq.$nullGuardField IS NOT NULL THEN NULL " +
+                    s"ELSE $sq.r END)")
+                i = close + 1
+                true
+              }
+            }
             (op, isAll) match {
               case ("=", false) | ("<>", true) | ("!=", true) =>
                 val r = if (isAll) s"NOT IN ($body)" else s"IN ($body)"
@@ -519,38 +559,22 @@ object SqlValidator {
                 // witness extremum over the NON-NULL values: ANY needs the
                 // friendliest element (MIN for >/>=), ALL the harshest
                 val f =
-                  if ((op == ">" || op == ">=") != isAll) "MIN" else "MAX"
-                val vStart = operandStart(out.substring(0, o))
-                // reject captures that are only a FRAGMENT of the real
-                // operand: arithmetic/concat tails (a + b) and CASE ends
-                val okCapture = vStart.exists { st =>
-                  val v = out.substring(st, o).trim
-                  var q = st
-                  while (q > 0 && Character.isWhitespace(out.charAt(q - 1)))
-                    q -= 1
-                  val pc = if (q == 0) ' ' else out.charAt(q - 1)
-                  // ':' covers '::' casts — `a::int > ALL (...)` must
-                  // decline whole, not capture the bare type name
-                  v.nonEmpty && !v.equalsIgnoreCase("END") &&
-                    "+-*/%^|&<>=!.:".indexOf(pc) < 0
-                }
-                if (!okCapture) false
-                else {
-                  val st = vStart.get
-                  val v = out.substring(st, o).trim
-                  val branch =
-                    if (isAll)
-                      s"WHEN NOT ($v $op ${ext(f)}) THEN FALSE"
-                    else s"WHEN $v $op ${ext(f)} THEN TRUE"
-                  val emptyV = if (isAll) "TRUE" else "FALSE"
-                  out.delete(st, out.length)
-                  out.append(
-                    s"(CASE WHEN $cnt = 0 THEN $emptyV $branch " +
-                      s"WHEN $nNull > 0 THEN NULL WHEN $v IS NULL THEN NULL " +
-                      s"ELSE $emptyV END)")
-                  i = close + 1
-                  true
-                }
+                  if ((op == ">" || op == ">=") != isAll) "mn" else "mx"
+                emitCase(operandStart(out.substring(0, o)), o,
+                  (v, s) =>
+                    if (isAll) s"WHEN NOT ($v $op $s.$f) THEN FALSE"
+                    else s"WHEN $v $op $s.$f THEN TRUE",
+                  f)
+              case ("=", true) | ("<>", false) | ("!=", false) =>
+                // equality quantifiers: the witness is a non-null element
+                // DIFFERING from the operand — exists iff min != v or
+                // max != v over the non-null values (total order), which
+                // NULL-skips exactly when no non-null element exists
+                emitCase(operandStart(out.substring(0, o)), o,
+                  (v, s) =>
+                    s"WHEN ($v <> $s.mn OR $v <> $s.mx) " +
+                      s"THEN ${if (isAll) "FALSE" else "TRUE"}",
+                  "mn")
               case _ => false
             }
           }
@@ -575,7 +599,10 @@ object SqlValidator {
     * The operand is the preceding primary expression: an optionally
     * qualified identifier, a call or parenthesized expression, or a typed
     * literal (`TIMESTAMP '...'`). Anything else — or a zone that is not a
-    * string literal — declines to the parser's error. */
+    * string literal, or a capture that is only a FRAGMENT of the real
+    * operand (`x::timestamp AT TIME ZONE ...`, a CASE tail — the
+    * [[wholeCapture]] guard the quantifier bridge shares) — declines to
+    * the parser's error. */
   private[validation] def translateAtTimeZone(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -593,7 +620,8 @@ object SqlValidator {
             if (p < sql.length && sql.charAt(p) == '\'') {
               val zEnd = literalEnd(sql, p)
               val zone = sql.substring(p, zEnd)
-              operandStart(out.toString).foreach { st =>
+              operandStart(out.toString)
+                  .filter(wholeCapture(out, _, out.length)).foreach { st =>
                 val operand = out.substring(st).trim
                 // instant detection must see through wrapping parens:
                 // `(ts AT TIME ZONE 'UTC') AT TIME ZONE 'x'` arrives here
@@ -619,6 +647,25 @@ object SqlValidator {
       } else { out += c; i += 1 }
     }
     out.toString
+  }
+
+  /** Whether the primary captured at `emitted[st, end)` is usable as a
+    * WHOLE operand: non-empty, not a CASE tail (`END`), and not preceded
+    * by a binary operator / field access / '::' cast — those mean
+    * [[operandStart]] saw only a FRAGMENT of the real expression
+    * (`a + b`, `x::int`, `CASE ... END`), and a bridge must decline whole
+    * to the parser's error rather than emit garbled SQL. Shared by every
+    * operand-capturing bridge so they cannot disagree on what counts as
+    * capturable. */
+  private def wholeCapture(emitted: StringBuilder, st: Int, end: Int): Boolean = {
+    val v = emitted.substring(st, end).trim
+    var q = st
+    while (q > 0 && Character.isWhitespace(emitted.charAt(q - 1))) q -= 1
+    val pc = if (q == 0) ' ' else emitted.charAt(q - 1)
+    // ':' covers '::' casts — `a::int > ALL (...)` must decline whole,
+    // not capture the bare type name
+    v.nonEmpty && !v.equalsIgnoreCase("END") &&
+      "+-*/%^|&<>=!.:".indexOf(pc.toInt) < 0
   }
 
   /** Start index of the primary expression ending at `s`'s end (trailing
@@ -732,24 +779,25 @@ object SqlValidator {
 
   /** Quote-aware top-level split on ';' (the reference parses the full text
     * and counts statements; Spark's parser is single-statement, so we count
-    * before parsing). */
+    * before parsing). Literal bounds come from [[literalEnd]] — the SAME
+    * backslash-escape-aware scanner every bridge uses, so statement
+    * splitting and bridge rewriting can never disagree about where literal
+    * data lives (a quote-toggling scanner mis-split `'a\';b'`). */
   private[validation] def splitStatements(sql: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var i = 0
-    var inSingle = false
-    var inDouble = false
     while (i < sql.length) {
       val c = sql.charAt(i)
-      c match {
-        case '\'' if !inDouble => inSingle = !inSingle; cur += c
-        case '"' if !inSingle  => inDouble = !inDouble; cur += c
-        case ';' if !inSingle && !inDouble =>
-          if (cur.toString.trim.nonEmpty) out += cur.toString
-          cur.clear()
-        case _ => cur += c
-      }
-      i += 1
+      if (c == '\'' || c == '"') {
+        val end = literalEnd(sql, i)
+        cur.append(sql.substring(i, end))
+        i = end
+      } else if (c == ';') {
+        if (cur.toString.trim.nonEmpty) out += cur.toString
+        cur.clear()
+        i += 1
+      } else { cur += c; i += 1 }
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString
     out.toSeq

@@ -323,6 +323,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("seed-centroid frame labels by seed id with no single-task window") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val seedFrame = Similarity.seedCentroidFrame(emb, "vec_id", "embedding", 16)
+    // the round-13 form renumbered seeds with an unpartitioned
+    // row_number() window — ONE task sorting all k centroid rows, the
+    // last k-sized serialization point in the training path. The label
+    // is now the seed id itself: no Window node of any kind may appear.
+    val plan = seedFrame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // labels = the k lowest distinct ids (not a dense 0..k-1 renumbering)
+    val cids = seedFrame.select("cid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cids == seeds.sorted.toSeq)
+  }
+
   test("table-trained centroids serve through a parquet round-trip") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
     val cents = Similarity.sphericalKMeansTable(
@@ -331,10 +345,10 @@ class SimilaritySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_tcents").toString
     serving.write.mode("overwrite").parquet(dir)
     val direct = Similarity.assignClustersJoin(emb, "vec_id", "embedding", serving)
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val stored = Similarity.assignClustersJoin(
         emb, "vec_id", "embedding", spark.read.parquet(dir))
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(direct.nonEmpty && direct == stored)
   }
 

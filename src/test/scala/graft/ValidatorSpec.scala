@@ -230,18 +230,36 @@ class ValidatorSpec extends AnyFunSuite {
       "SELECT count(*) FROM events WHERE props LIKE \"% ON OVERFLOW ERROR%\"")
   }
 
+  /** The ONE struct subquery every captured-operand quantifier rewrite
+    * references (extrema + no-witness default). */
+  private def quantSq(body: String, isAll: Boolean): String = {
+    val e = if (isAll) "TRUE" else "FALSE"
+    s"(SELECT struct(MIN(__graft_qc) AS mn, MAX(__graft_qc) AS mx, " +
+      s"CASE WHEN count(*) = 0 THEN $e " +
+      s"WHEN count(__graft_qc) < count(*) THEN NULL " +
+      s"ELSE $e END AS r) FROM ($body) __graft_qt(__graft_qc))"
+  }
+
   /** Expected emission of the inequality-quantifier CASE rewrite. */
   private def quantCase(
       v: String, op: String, ext: String, body: String, isAll: Boolean): String = {
-    val cnt = s"(SELECT count(*) FROM ($body) __graft_qt(__graft_qc))"
-    val nn = s"(SELECT count(*) - count(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
-    val ex = s"(SELECT $ext(__graft_qc) FROM ($body) __graft_qt(__graft_qc))"
-    val e = if (isAll) "TRUE" else "FALSE"
+    val sq = quantSq(body, isAll)
+    val f = ext.toLowerCase match { case "min" => "mn"; case _ => "mx" }
     val branch =
-      if (isAll) s"WHEN NOT ($v $op $ex) THEN FALSE"
-      else s"WHEN $v $op $ex THEN TRUE"
-    s"(CASE WHEN $cnt = 0 THEN $e $branch WHEN $nn > 0 THEN NULL " +
-      s"WHEN $v IS NULL THEN NULL ELSE $e END)"
+      if (isAll) s"WHEN NOT ($v $op $sq.$f) THEN FALSE"
+      else s"WHEN $v $op $sq.$f THEN TRUE"
+    s"(CASE $branch WHEN $v IS NULL AND $sq.$f IS NOT NULL THEN NULL " +
+      s"ELSE $sq.r END)"
+  }
+
+  /** Expected emission of the equality-quantifier (`= ALL` / `<> ANY`)
+    * CASE rewrite: witness = a non-null element differing from v. */
+  private def quantEqCase(v: String, body: String, isAll: Boolean): String = {
+    val sq = quantSq(body, isAll)
+    val wv = if (isAll) "FALSE" else "TRUE"
+    s"(CASE WHEN ($v <> $sq.mn OR $v <> $sq.mx) THEN $wv " +
+      s"WHEN $v IS NULL AND $sq.mn IS NOT NULL THEN NULL " +
+      s"ELSE $sq.r END)"
   }
 
   test("quantified ANY/SOME/ALL bridges to IN / NOT IN / exact CASE subqueries (validation.rs:164-171)") {
@@ -281,11 +299,21 @@ class ValidatorSpec extends AnyFunSuite {
     // a '::' cast operand is a fragment too — decline whole
     val castOp = s"SELECT k FROM t WHERE a::int > ALL ($b)"
     assert(SqlValidator.preprocess(castOp) == castOp)
-    // no faithful rewrite: = ALL and <> ANY decline to the parser's error
-    val eqAll = "SELECT k FROM t WHERE v = ALL (SELECT v FROM u)"
-    assert(SqlValidator.preprocess(eqAll) == eqAll)
-    val neAny = "SELECT k FROM t WHERE v <> ANY (SELECT v FROM u)"
-    assert(SqlValidator.preprocess(neAny) == neAny)
+    // = ALL and <> ANY bridge to the equality-witness CASE (a non-null
+    // element differing from the operand decides; the dual identities
+    // = ANY -> IN / <> ALL -> NOT IN stay on Spark's native IN)
+    assert(SqlValidator.preprocess("SELECT k FROM t WHERE v = ALL (SELECT v FROM u)") ==
+      s"SELECT k FROM t WHERE ${quantEqCase("v", "SELECT v FROM u", isAll = true)}")
+    assert(SqlValidator.preprocess("SELECT k FROM t WHERE v <> ANY (SELECT v FROM u)") ==
+      s"SELECT k FROM t WHERE ${quantEqCase("v", "SELECT v FROM u", isAll = false)}")
+    assert(SqlValidator.preprocess("SELECT k FROM t WHERE v != ANY (SELECT v FROM u)") ==
+      s"SELECT k FROM t WHERE ${quantEqCase("v", "SELECT v FROM u", isAll = false)}")
+    // the equality forms share the fragment guard: an arithmetic operand
+    // declines whole, and literal bytes survive untouched
+    val eqFrag = "SELECT k FROM t WHERE a + b = ALL (SELECT v FROM u)"
+    assert(SqlValidator.preprocess(eqFrag) == eqFrag)
+    val eqLit = "SELECT k FROM t WHERE s = '= ALL (SELECT 1)'"
+    assert(SqlValidator.preprocess(eqLit) == eqLit)
     // non-subquery operands and non-operator contexts pass through:
     // UNION ALL, SELECT ALL, aggregate any(...), LIKE ANY pattern lists
     val ua = "SELECT k FROM t UNION ALL SELECT k FROM u"
@@ -338,6 +366,16 @@ class ValidatorSpec extends AnyFunSuite {
     // zone must be a string literal; otherwise decline to the parser error
     val zexpr = "SELECT ts AT TIME ZONE tzcol FROM events"
     assert(SqlValidator.preprocess(zexpr) == zexpr)
+    // fragment captures decline WHOLE (the wholeCapture guard the
+    // quantifier bridge shares): a '::' cast tail or a CASE END must not
+    // rewrite into garbled `x::to_utc_timestamp(timestamp, ...)` text
+    val castFrag = "SELECT x::timestamp AT TIME ZONE 'UTC' FROM events"
+    assert(SqlValidator.preprocess(castFrag) == castFrag)
+    val caseFrag =
+      "SELECT CASE WHEN p THEN ts ELSE ts END AT TIME ZONE 'UTC' FROM events"
+    assert(SqlValidator.preprocess(caseFrag) == caseFrag)
+    val arithFrag = "SELECT ts + i AT TIME ZONE 'UTC' FROM events"
+    assert(SqlValidator.preprocess(arithFrag) == arithFrag)
     // literal safety
     val lit = "SELECT k FROM t WHERE s = 'AT TIME ZONE ''x'''"
     assert(SqlValidator.preprocess(lit) == lit)
