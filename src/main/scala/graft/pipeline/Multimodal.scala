@@ -328,9 +328,10 @@ object Multimodal {
   }
 
   /** Row-local band explode over a (doc_id, phash) frame — shared by the
-    * batch self-join and the stored-index build so the two can never
-    * disagree on bucket boundaries. */
-  private def bandedPhash(
+    * batch self-join, the stored-index build, and the streaming ingest
+    * twin ([[graft.streaming.PhashStream]]) so no probe can ever disagree
+    * with the index on bucket boundaries. */
+  private[graft] def bandedPhash(
       ph: DataFrame, bandBits: Int, bands: Int, mask: Long): DataFrame =
     ph.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -363,9 +364,42 @@ object Multimodal {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
+    // the scheme rides both as data columns and as schema metadata
+    // (graft.pipeline.IndexStamp): metadata survives parquet round-trips,
+    // so even an EMPTY index stays verifiable at probe time
     bandedPhash(phashFrame(records, bits), bandBits, bands, mask)
-      .withColumn("ph_bits", lit(bits))
-      .withColumn("ph_bands", lit(bands))
+      .select(col("doc_id"), col("phash"), col("band"), col("bv"),
+        lit(bits).as("ph_bits", IndexStamp.long("ph_bits", bits.toLong)),
+        lit(bands).as("ph_bands", IndexStamp.long("ph_bands", bands.toLong)))
+  }
+
+  /** Fold a NEW media batch's band rows into a stored phash index — the
+    * generation merge a rolling image pipeline needs ([[phashBandIndex]]
+    * is written once per generation; without a merge every generation
+    * swap would re-decode the whole corpus). Band rows are row-local and
+    * append-only, so the merged index is bit-identical to re-banding
+    * corpus ∪ batch (MultimodalSpec pins it) at the cost of decoding ONLY
+    * the batch. Scheme-validated first (empty-index safe) and restamped
+    * on the output. Batch and corpus ids must be disjoint. */
+  def appendToPhashIndex(index: DataFrame, batch: Dataset[MediaRecord],
+      bits: Int = 48, bands: Int = 6): DataFrame = {
+    requirePhashScheme(index, bits, bands)
+    index.select(col("doc_id"), col("phash"), col("band"), col("bv"),
+        col("ph_bits"), col("ph_bands"))
+      .union(phashBandIndex(batch, bits, bands))
+      .select(col("doc_id"), col("phash"), col("band"), col("bv"),
+        col("ph_bits").as("ph_bits", IndexStamp.long("ph_bits", bits.toLong)),
+        col("ph_bands").as("ph_bands", IndexStamp.long("ph_bands", bands.toLong)))
+  }
+
+  /** The loud scheme gate every phash-index probe runs: banding schemes
+    * never collide, so a mismatch would silently find zero candidates.
+    * Metadata-first ([[IndexStamp]] — works on an EMPTY index), first-row
+    * fallback for pre-metadata indexes, loud failure when empty AND
+    * unstamped. */
+  private def requirePhashScheme(index: DataFrame, bits: Int, bands: Int): Unit = {
+    IndexStamp.require(index, "ph_bits", bits.toString, "phash index")
+    IndexStamp.require(index, "ph_bands", bands.toString, "phash index")
   }
 
   /** Incremental image near-dup ingest: hamming-near pairs between a NEW
@@ -385,17 +419,10 @@ object Multimodal {
       bits: Int = 48, bands: Int = 6, maxHamming: Int = 5): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
-    require(index.columns.contains("ph_bits") && index.columns.contains("ph_bands"),
-      "stored phash index has no scheme stamp (ph_bits/ph_bands) — built by " +
-        "a pre-versioning build; rebuild it (banding schemes are not " +
-        "cross-compatible)")
-    index.select(col("ph_bits"), col("ph_bands")).head(1).foreach { r =>
-      require(r.getInt(0) == bits && r.getInt(1) == bands,
-        s"stored phash index banding (bits=${r.getInt(0)}, bands=${r.getInt(1)}) " +
-          s"does not match this ingest (bits=$bits, bands=$bands) — bucket " +
-          "values never collide across schemes; rebuild or pass the matching " +
-          "parameters")
-    }
+    // loud scheme gate, EMPTY-index safe: the former first-row probe
+    // skipped validation entirely on a zero-row index, silently yielding
+    // only batch-internal pairs under a parameter mismatch
+    requirePhashScheme(index, bits, bands)
     // eager localCheckpoint of the SLIM (doc_id, phash) frame — the
     // phashNearDupPairs checkpoint discipline: the batch feeds BOTH sides
     // of the candidate join and the decode subtree must not run twice,

@@ -322,6 +322,58 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // dd13: GENERATION MERGE ingest — the rolling-pipeline shape dd11
+    // stops short of: generation 0 indexes the base corpus (doc_id % 10
+    // NOT IN (0, 5)); batch1 (% 10 = 5) is folded in via
+    // Dedup.appendToBandIndex / appendToShingleSets (banding ONLY batch1,
+    // never re-banding the corpus); batch2 (% 10 = 0) then probes the
+    // MERGED generation with stored-shingle verification (no text
+    // re-reads). The library override below holds generation 1 as cached
+    // stored state. Oracle: the full re-band restricted to pairs touching
+    // batch2 — band rows are row-local, so an index built by appends is
+    // bit-identical to one built at once (PipelineSpec pins it) and finds
+    // exactly the same candidates.
+    Q("dd13_generation_merge",
+      s"""WITH $sparkShingles,
+         |$sparkMinhashHs,
+         |$minhashSig,
+         |$sparkMinhashBands,
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh s1 ON s1.doc_id = c.da
+         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+         |  AND (da % 10 = 0 OR db % 10 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $duckShingles,
+         |$duckMinhashHs,
+         |$minhashSig,
+         |$duckMinhashBands,
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.da, c.db, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh s1 ON s1.doc_id = c.da
+         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT da AS doc_a, db AS doc_b,
+         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+         |  AND (da % 10 = 0 OR db % 10 = 0)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ------------------------------------------------------------------
     // dd3: exact n-gram Jaccard on a deterministic pair sample (metric
     // correctness incl. zero-overlap pairs; LEFT JOIN keeps jaccard=0).
     Q("dd3_ngram_jaccard",
@@ -2791,6 +2843,55 @@ object PipelineQueries {
           .where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
         "doc_id", "text"))
 
+  /** dd11's shingle-set SIDECAR (the stored verification state written
+    * beside the band index): cached per (session, sf) under the same
+    * stored-state contract — the measured ingest work must be the batch
+    * probe + stored-set verification, never a corpus re-shingle. */
+  private val shingleStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedShingleStore(s: SparkSession, dir: String) =
+    cachedDataset(shingleStoreCache, s, dir)(
+      Dedup.shingleSets(
+        graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
+          .where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        "doc_id", "text"))
+
+  /** dd13's merged GENERATION 1: base corpus (doc_id % 10 NOT IN (0, 5))
+    * indexed once, batch1 (% 10 = 5) folded in by appendToBandIndex /
+    * appendToShingleSets — only batch1 is banded at the merge. Cached as
+    * stored state so dd13 measures the batch2 probe against the merged
+    * generation, the rolling-pipeline serve path. */
+  private val mergedIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+  private val mergedShingleCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def dd13Docs(s: SparkSession, dir: String) =
+    graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
+
+  private def cachedMergedIndex(s: SparkSession, dir: String) =
+    cachedDataset(mergedIndexCache, s, dir) {
+      import org.apache.spark.sql.functions.col
+      val docs = dd13Docs(s, dir)
+      Dedup.appendToBandIndex(
+        Dedup.bandIndex(
+          docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          "doc_id", "text"),
+        docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
+    }
+
+  private def cachedMergedShingles(s: SparkSession, dir: String) =
+    cachedDataset(mergedShingleCache, s, dir) {
+      import org.apache.spark.sql.functions.col
+      val docs = dd13Docs(s, dir)
+      Dedup.appendToShingleSets(
+        Dedup.shingleSets(
+          docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          "doc_id", "text"),
+        docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
+    }
+
   private val simhashIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
 
@@ -2868,7 +2969,10 @@ object PipelineQueries {
     // dd11: incremental ingest against the STORED band index — the corpus
     // (doc_id % 10 != 0) indexed once and cached (the sq8/IVF stored-state
     // contract), the batch (doc_id % 10 = 0) probes it; only the batch is
-    // shingled/hashed at ingest
+    // shingled/hashed at ingest, and verification reads the STORED
+    // shingle-set sidecar (corpus text is never re-read — the gap that
+    // kept dd11's ingest saving behind dd12's, whose stored signatures
+    // already carried everything verification needs)
     "dd11_incremental_ingest" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
@@ -2877,7 +2981,24 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 === 0),
         docs.where(col("doc_id") % 10 =!= 0),
         cachedBandIndex(s, dir).toDF(),
-        "doc_id", "text")
+        "doc_id", "text",
+        storedShingles = Some(cachedShingleStore(s, dir).toDF()))
+    }),
+
+    // dd13: the GENERATION-MERGE ingest — batch2 (% 10 = 0) probes the
+    // cached merged generation (base corpus + batch1 folded in by
+    // appendToBandIndex/appendToShingleSets), stored-set verification
+    // throughout; the corpus is never re-banded or re-read at any step
+    "dd13_generation_merge" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      Dedup.incrementalNearDupPairs(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        cachedMergedIndex(s, dir).toDF(),
+        "doc_id", "text",
+        storedShingles = Some(cachedMergedShingles(s, dir).toDF()))
     }),
 
     // dd12: incremental SIMHASH ingest — the stored state is the 16-byte

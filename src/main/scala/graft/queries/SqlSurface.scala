@@ -498,6 +498,27 @@ object SqlSurface {
     // stripped; no VARCHAR cap means truncation can never fire), and
     // ARRAY(subquery) (validation.rs:296 — bridged to a scalar
     // collect_list). DuckDB spells string_agg / array_to_string.
+    // the LAST two quantifier spellings (validation.rs:164-171): = ALL and
+    // <> ANY, bridged to the equality-witness CASE over one struct
+    // subquery; DuckDB executes the SAME text natively. Corners pinned in
+    // PROJECTED position: vacuous empty-set values, all-equal sets,
+    // witness-over-NULLs domination, NULL-bearing sets, and a NULL
+    // operand (the parenthesized CASE); plus a CORRELATED = ALL in WHERE
+    // (the subquery body references the outer row).
+    Q("q42_eq_quantifiers",
+      """SELECT c1.custkey, c1.nationkey,
+        |  (c1.nationkey = ALL (SELECT c2.nationkey FROM customer_entity c2 WHERE c2.custkey < 0)) AS eq_all_empty,
+        |  (c1.nationkey = ALL (SELECT c2.nationkey FROM customer_entity c2 WHERE c2.nationkey = 1)) AS eq_all_one,
+        |  (c1.nationkey = ALL (SELECT CASE WHEN c2.custkey % 3 = 0 THEN 1 END FROM customer_entity c2 WHERE c2.nationkey = 1)) AS eq_all_nulls,
+        |  (c1.nationkey <> ANY (SELECT c2.nationkey FROM customer_entity c2 WHERE c2.custkey < 0)) AS ne_any_empty,
+        |  (c1.nationkey <> ANY (SELECT c2.nationkey FROM customer_entity c2 WHERE c2.nationkey = 1)) AS ne_any_one,
+        |  ((CASE WHEN c1.custkey % 7 = 0 THEN c1.nationkey END) <> ANY (SELECT CASE WHEN c2.custkey % 3 = 0 THEN 1 END FROM customer_entity c2 WHERE c2.nationkey = 1)) AS ne_any_nullop
+        |FROM customer_entity c1
+        |WHERE c1.custkey <= 400
+        |  AND c1.custkey = ALL (SELECT c2.custkey FROM customer_entity c2 WHERE c2.custkey = c1.custkey)
+        |ORDER BY c1.custkey""".stripMargin,
+      bridge = true),
+
     Q("q41_whitelist_corners",
       """SELECT nationkey,
         |  count(*) FILTER (WHERE (CASE WHEN custkey % 3 = 0 THEN NULL ELSE acctbal > 5000 END) IS UNKNOWN) AS n_unknown,

@@ -46,27 +46,33 @@ object NearDupStream {
     * static corpus table it indexes. Output: (doc_a, doc_b, jaccard)
     * with doc_a < doc_b, jaccard rounded to 4 decimals — the batch
     * incremental operator's columns. Stream and corpus ids must be
-    * disjoint (the incrementalNearDupPairs convention). */
+    * disjoint (the incrementalNearDupPairs convention).
+    *
+    * `storedShingles` (the `Dedup.shingleSets` sidecar written beside the
+    * band index — the production shape) makes stream SETUP corpus-free:
+    * the verification sets load straight from stored state, so a stream
+    * (re)start never pays a corpus text-shingling pass. Without it the
+    * sets derive from the corpus table once at setup (correct, but each
+    * restart re-shingles the corpus to rebuild serving state the sidecar
+    * would have held). */
   def nearDupIngestStream(
       spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       index: DataFrame, corpus: DataFrame,
       corpusIdCol: String, corpusTextCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = false,
+      storedShingles: Option[DataFrame] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // same loud scheme check as the batch ingest: a mismatched signature
+    // same loud scheme gate as the batch ingest (IndexStamp: metadata
+    // first, so even an empty index verifies): a mismatched signature
     // family finds zero candidates with no error otherwise. The index is
-    // STATIC state, so the one-row probe runs at stream setup, not per
-    // micro-batch.
-    require(index.columns.contains("hash_family"),
-      "stored band index has no hash_family column — built by a " +
-        "pre-versioning Dedup.bandIndex; rebuild it")
-    val expected = Dedup.hashFamily(fastHash)
-    index.select(col("hash_family")).head(1).foreach { r =>
-      require(r.getString(0) == expected,
-        s"stored band index hash family '${r.getString(0)}' does not match " +
-          s"this stream's '$expected' — rebuild or pass the matching fastHash")
-    }
+    // STATIC state, so the probe runs at stream setup, not per
+    // micro-batch. A mismatched shingle width would yield silently WRONG
+    // Jaccard values — the sidecar's stamp is gated the same way.
+    graft.pipeline.IndexStamp.require(
+      index, "hash_family", Dedup.hashFamily(fastHash), "band index")
+    storedShingles.foreach(graft.pipeline.IndexStamp.require(
+      _, "shingle_n", "3", "shingle-set sidecar"))
     def shingles(c: Column): Column =
       array_distinct(graft.functions.TextFunctions.word_ngrams(c, 3))
     // band rows with the arriving doc's SHINGLE SET riding the tag column
@@ -79,12 +85,14 @@ object NearDupStream {
         shingles(col(textCol)).as("__dsh")),
       "__did", "__dtext", k, bands, fastHash, tagCol = Some("__dsh"))
     val idx = index.select(col("__id").as("__cid"), col("band"), col("bsig"))
-    // corpus shingle sets are STATIC serving state, derived once and
-    // persisted for the stream's lifetime (the production pipeline stores
-    // them next to the band index) — never recomputed per candidate row
-    // per micro-batch
-    val corp = corpus.select(col(corpusIdCol).cast("long").as("__cid"),
-        shingles(col(corpusTextCol)).as("__sb"))
+    // corpus shingle sets are STATIC serving state: loaded from the
+    // stored sidecar when present (no corpus pass at all), else derived
+    // once at setup; persisted for the stream's lifetime either way —
+    // never recomputed per candidate row per micro-batch
+    val corp = storedShingles
+      .map(_.select(col("__id").cast("long").as("__cid"), col("__sh").as("__sb")))
+      .getOrElse(corpus.select(col(corpusIdCol).cast("long").as("__cid"),
+        shingles(col(corpusTextCol)).as("__sb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.join(idx, Seq("band", "bsig"))
       .where(col("__id") =!= col("__cid"))

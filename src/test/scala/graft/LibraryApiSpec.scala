@@ -599,7 +599,64 @@ class LibraryApiSpec extends AnyFunSuite {
       Multimodal.incrementalPhashPairs(ds(batch), stored, bits = 48, bands = 8)
         .collect()
     }
-    assert(e.getMessage.contains("does not match this ingest"))
+    assert(e.getMessage.contains("does not match"))
+  }
+
+  test("appendToPhashIndex: sequential appends == one build; empty index verifiable") {
+    import graft.pipeline.Multimodal
+    val recs = phashFamilyCorpus
+    val ds = phashMediaDs _
+    // boundaries deliberately OFF the 3-id family stride, so families span
+    // both the corpus/b1 and the b1/b2 seams: b2's cross pairs against b1
+    // are findable ONLY through the merged generation — a broken merge
+    // could not pass the viaMerged == viaFresh equality below
+    val (corpus, rest) = recs.partition(_._1 < 11)
+    val (b1, b2) = rest.partition(_._1 < 23)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getInt(4), r.getInt(5))).toSet
+    val oneShot = rows(Multimodal.phashBandIndex(ds(recs)))
+    // generation merge through a REAL parquet round-trip per generation —
+    // the rolling-pipeline shape: only each batch decodes, never the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_phmerge").toString
+    Multimodal.phashBandIndex(ds(corpus)).write.parquet(s"$dir/g0")
+    Multimodal.appendToPhashIndex(spark.read.parquet(s"$dir/g0"), ds(b1))
+      .write.parquet(s"$dir/g1")
+    val merged = Multimodal.appendToPhashIndex(spark.read.parquet(s"$dir/g1"), ds(b2))
+    assert(rows(merged) == oneShot,
+      s"merged=${rows(merged).size} oneShot=${oneShot.size}")
+    // probing the merged generation equals probing a fresh full build
+    merged.write.parquet(s"$dir/g2")
+    val viaMerged = Multimodal
+      .incrementalPhashPairs(ds(b2), spark.read.parquet(s"$dir/g1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFresh = Multimodal
+      .incrementalPhashPairs(ds(b2), Multimodal.phashBandIndex(ds(corpus ++ b1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaMerged == viaFresh && viaMerged.nonEmpty)
+    assert(viaMerged.exists { case (a, b, _) => a < 23 && b >= 23 },
+      "no cross pair spans the b1/b2 seam — the merge is not exercised")
+    // an EMPTY index stays verifiable through parquet (schema metadata):
+    // matching scheme passes, a mismatch still fails loudly — the
+    // first-row probe used to skip the check entirely on zero rows
+    Multimodal.phashBandIndex(ds(Seq.empty)).write.parquet(s"$dir/empty")
+    val empty = spark.read.parquet(s"$dir/empty")
+    assert(Multimodal.appendToPhashIndex(empty, ds(b1)).count() > 0)
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.incrementalPhashPairs(ds(b1), empty, bits = 48, bands = 8)
+    }
+    assert(e1.getMessage.contains("does not match"))
+    // empty AND stripped of metadata -> unverifiable, loud (never a
+    // silent batch-internal-only result)
+    val stripped = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        empty.schema.fields.map(_.copy(
+          metadata = org.apache.spark.sql.types.Metadata.empty))))
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.incrementalPhashPairs(ds(b1), stripped)
+    }
+    assert(e2.getMessage.contains("EMPTY"))
   }
 
   test("bpeEncode in training order reproduces bpeTrain's tokenization; round-trips") {

@@ -73,4 +73,52 @@ class NearDupStreamSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("does not match"))
   }
+
+  test("stored-shingle sidecar serves the stream with identical verdicts") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_ndside").toString
+    Dedup.bandIndex(corpus, "doc_id", "text").write.parquet(s"$root/idx")
+    // the sidecar is the production serving state: stream SETUP loads it
+    // instead of re-shingling the corpus at every (re)start
+    Dedup.shingleSets(corpus, "doc_id", "text").write.parquet(s"$root/sh")
+    val stored = spark.read.parquet(s"$root/idx")
+    val sidecar = spark.read.parquet(s"$root/sh")
+    val expected = Dedup
+      .incrementalNearDupPairs(batch, corpus, stored, "doc_id", "text",
+        storedShingles = Some(sidecar))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }.toSet
+    assert(expected.nonEmpty)
+    val all = batch.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val src = ms.toDF.toDF("doc_id", "text")
+    val q = NearDupStream.nearDupIngestStream(
+        spark, src, "doc_id", "text", stored, corpus, "doc_id", "text",
+        storedShingles = Some(sidecar))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nd_side_stream").start()
+    try {
+      ms.addData(all.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("nd_side_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"stream=${got.size} batch=${expected.size}; " +
+          s"diff ${(got diff expected) ++ (expected diff got)}")
+    } finally q.stop()
+    // a sidecar built at a different shingle width would verify WRONG
+    // Jaccard values — refused loudly at stream setup
+    val e = intercept[IllegalArgumentException] {
+      NearDupStream.nearDupIngestStream(
+        spark, src, "doc_id", "text", stored, corpus, "doc_id", "text",
+        storedShingles = Some(Dedup.shingleSets(corpus, "doc_id", "text", n = 2)))
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
 }

@@ -893,6 +893,106 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${expected -- got}, extra=${got -- expected}")
   }
 
+  test("stored-shingle verification equals the text re-read path (dd11 sidecar)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val batch = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+    val index = graft.pipeline.Dedup.bandIndex(corpus, "doc_id", "text")
+    // the sidecar is STORED state: parquet round-trip like a real ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft_shstore").toString
+    graft.pipeline.Dedup.shingleSets(corpus, "doc_id", "text")
+      .write.parquet(s"$dir/sh")
+    val store = spark.read.parquet(s"$dir/sh")
+    def run(ss: Option[org.apache.spark.sql.DataFrame]) = graft.pipeline.Dedup
+      .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
+        storedShingles = ss)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaStore = run(Some(store))
+    val viaText = run(None)
+    assert(viaStore == viaText && viaStore.nonEmpty,
+      s"store=${viaStore.size} text=${viaText.size}; " +
+        s"diff ${(viaStore diff viaText) ++ (viaText diff viaStore)}")
+    // a sidecar built at a different shingle width would yield silently
+    // WRONG Jaccard values — refused loudly at the gate instead
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.incrementalNearDupPairs(
+        batch, corpus, index, "doc_id", "text",
+        storedShingles = Some(
+          graft.pipeline.Dedup.shingleSets(corpus, "doc_id", "text", n = 2)))
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
+
+  test("band-index generation merge: sequential appends == one build") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val c0 = docs.where(col("doc_id") % 4 <= 1)
+    val b1 = docs.where(col("doc_id") % 4 === 2)
+    val b2 = docs.where(col("doc_id") % 4 === 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3))).toSet
+    val oneShot = rows(graft.pipeline.Dedup.bandIndex(docs, "doc_id", "text"))
+    // each generation round-trips parquet — the rolling-pipeline shape:
+    // only the batch is ever banded, never the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_bimerge").toString
+    graft.pipeline.Dedup.bandIndex(c0, "doc_id", "text").write.parquet(s"$dir/g0")
+    graft.pipeline.Dedup
+      .appendToBandIndex(spark.read.parquet(s"$dir/g0"), b1, "doc_id", "text")
+      .write.parquet(s"$dir/g1")
+    val merged = graft.pipeline.Dedup
+      .appendToBandIndex(spark.read.parquet(s"$dir/g1"), b2, "doc_id", "text")
+    assert(rows(merged) == oneShot,
+      s"merged=${rows(merged).size} oneShot=${oneShot.size}")
+    // a mismatched hash family refuses the merge (schemes never collide)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.appendToBandIndex(
+        spark.read.parquet(s"$dir/g1"), b2, "doc_id", "text", fastHash = true)
+    }
+    assert(e.getMessage.contains("does not match"))
+    // an EMPTY index stays verifiable through parquet (schema metadata):
+    // append works, and an empty index stripped of metadata is refused
+    // loudly as unverifiable
+    graft.pipeline.Dedup.bandIndex(docs.where(lit(false)), "doc_id", "text")
+      .write.parquet(s"$dir/empty")
+    val empty = spark.read.parquet(s"$dir/empty")
+    assert(graft.pipeline.Dedup
+      .appendToBandIndex(empty, b1, "doc_id", "text").count() > 0)
+    val stripped = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        empty.schema.fields.map(_.copy(
+          metadata = org.apache.spark.sql.types.Metadata.empty))))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.appendToBandIndex(stripped, b1, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("EMPTY"))
+    // the shingle-set sidecar merges the same way (per-document,
+    // append-only): sets compare as SETS (collect order is merge order)
+    def shRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet,
+        r.getInt(2))).toSet
+    val shOne = shRows(graft.pipeline.Dedup.shingleSets(docs, "doc_id", "text"))
+    graft.pipeline.Dedup.shingleSets(c0, "doc_id", "text")
+      .write.parquet(s"$dir/sh0")
+    val shMerged = graft.pipeline.Dedup.appendToShingleSets(
+      graft.pipeline.Dedup.appendToShingleSets(
+        spark.read.parquet(s"$dir/sh0"), b1, "doc_id", "text"),
+      b2, "doc_id", "text")
+    assert(shRows(shMerged) == shOne)
+    // simhash index merge: signatures are per-document and append-only
+    def simRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simOne = simRows(graft.pipeline.Dedup.simhash(docs, "doc_id", "text"))
+    val simMerged = simRows(graft.pipeline.Dedup.appendToSimhashIndex(
+      graft.pipeline.Dedup.appendToSimhashIndex(
+        graft.pipeline.Dedup.simhash(c0, "doc_id", "text"),
+        b1, "doc_id", "text"),
+      b2, "doc_id", "text"))
+    assert(simMerged == simOne)
+  }
+
   test("streaming ingest dedup: foreachBatch + stored band index equals batch recompute") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
