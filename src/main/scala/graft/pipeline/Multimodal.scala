@@ -392,6 +392,19 @@ object Multimodal {
         col("ph_bands").as("ph_bands", IndexStamp.long("ph_bands", bands.toLong)))
   }
 
+  /** The batch's band rows alone, scheme-validated against the target
+    * index — the append-files merge form
+    * ([[graft.pipeline.Dedup.bandIndexDeltaFor]]'s media companion):
+    * write with mode("append") into the stored index's table for
+    * batch-proportional IO; [[appendToPhashIndex]]'s union form rewrites
+    * the corpus and exists for one-shot compaction or in-memory merged
+    * reads. */
+  def phashIndexDeltaFor(index: DataFrame, batch: Dataset[MediaRecord],
+      bits: Int = 48, bands: Int = 6): DataFrame = {
+    requirePhashScheme(index, bits, bands)
+    phashBandIndex(batch, bits, bands)
+  }
+
   /** The loud scheme gate every phash-index probe runs: banding schemes
     * never collide, so a mismatch would silently find zero candidates.
     * Metadata-first ([[IndexStamp]] — works on an EMPTY index), first-row

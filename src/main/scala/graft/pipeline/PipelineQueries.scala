@@ -2843,50 +2843,20 @@ object PipelineQueries {
           .where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
         "doc_id", "text"))
 
-  /** dd11's shingle-set SIDECAR (the stored verification state written
-    * beside the band index): cached per (session, sf) under the same
-    * stored-state contract — the measured ingest work must be the batch
-    * probe + stored-set verification, never a corpus re-shingle. */
-  private val shingleStoreCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
-
-  private def cachedShingleStore(s: SparkSession, dir: String) =
-    cachedDataset(shingleStoreCache, s, dir)(
-      Dedup.shingleSets(
-        graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
-          .where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
-        "doc_id", "text"))
-
   /** dd13's merged GENERATION 1: base corpus (doc_id % 10 NOT IN (0, 5))
-    * indexed once, batch1 (% 10 = 5) folded in by appendToBandIndex /
-    * appendToShingleSets — only batch1 is banded at the merge. Cached as
-    * stored state so dd13 measures the batch2 probe against the merged
-    * generation, the rolling-pipeline serve path. */
+    * indexed once, batch1 (% 10 = 5) folded in by appendToBandIndex —
+    * only batch1 is banded at the merge. Cached as stored state so dd13
+    * measures the batch2 probe against the merged generation, the
+    * rolling-pipeline serve path. */
   private val mergedIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
-  private val mergedShingleCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
-
-  private def dd13Docs(s: SparkSession, dir: String) =
-    graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
 
   private def cachedMergedIndex(s: SparkSession, dir: String) =
     cachedDataset(mergedIndexCache, s, dir) {
       import org.apache.spark.sql.functions.col
-      val docs = dd13Docs(s, dir)
+      val docs = graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
       Dedup.appendToBandIndex(
         Dedup.bandIndex(
-          docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
-          "doc_id", "text"),
-        docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
-    }
-
-  private def cachedMergedShingles(s: SparkSession, dir: String) =
-    cachedDataset(mergedShingleCache, s, dir) {
-      import org.apache.spark.sql.functions.col
-      val docs = dd13Docs(s, dir)
-      Dedup.appendToShingleSets(
-        Dedup.shingleSets(
           docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
           "doc_id", "text"),
         docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
@@ -2969,10 +2939,14 @@ object PipelineQueries {
     // dd11: incremental ingest against the STORED band index — the corpus
     // (doc_id % 10 != 0) indexed once and cached (the sq8/IVF stored-state
     // contract), the batch (doc_id % 10 = 0) probes it; only the batch is
-    // shingled/hashed at ingest, and verification reads the STORED
-    // shingle-set sidecar (corpus text is never re-read — the gap that
-    // kept dd11's ingest saving behind dd12's, whose stored signatures
-    // already carried everything verification needs)
+    // shingled/hashed at ingest. Verification deliberately RE-READS the
+    // candidate docs' text rather than serving the shingle-set sidecar:
+    // the stored-set path was built, spec-pinned equal, and A/B'd at sf10
+    // (ProfileDd11Store) — it LOSES here (5.2 vs 3.6 s) because candidate
+    // ids spread uniformly across the id space (every row group holds
+    // some, so no layout prunes) and the set arrays out-byte the text
+    // they derive from. Recorded in SCALE.md; the sidecar remains the
+    // right call where text is expensive to reacquire.
     "dd11_incremental_ingest" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
@@ -2981,14 +2955,13 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 === 0),
         docs.where(col("doc_id") % 10 =!= 0),
         cachedBandIndex(s, dir).toDF(),
-        "doc_id", "text",
-        storedShingles = Some(cachedShingleStore(s, dir).toDF()))
+        "doc_id", "text")
     }),
 
     // dd13: the GENERATION-MERGE ingest — batch2 (% 10 = 0) probes the
     // cached merged generation (base corpus + batch1 folded in by
-    // appendToBandIndex/appendToShingleSets), stored-set verification
-    // throughout; the corpus is never re-banded or re-read at any step
+    // appendToBandIndex, banding only batch1); verification keeps dd11's
+    // measured-faster text path (see above)
     "dd13_generation_merge" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       Fixtures.registerRaw(s, dir)
@@ -2997,8 +2970,7 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 === 0),
         docs.where(col("doc_id") % 10 =!= 0),
         cachedMergedIndex(s, dir).toDF(),
-        "doc_id", "text",
-        storedShingles = Some(cachedMergedShingles(s, dir).toDF()))
+        "doc_id", "text")
     }),
 
     // dd12: incremental SIMHASH ingest — the stored state is the 16-byte

@@ -84,7 +84,7 @@ class NearDupStreamSpec extends AnyFunSuite {
     Dedup.bandIndex(corpus, "doc_id", "text").write.parquet(s"$root/idx")
     // the sidecar is the production serving state: stream SETUP loads it
     // instead of re-shingling the corpus at every (re)start
-    Dedup.shingleSets(corpus, "doc_id", "text").write.parquet(s"$root/sh")
+    Dedup.shingleSetStore(corpus, "doc_id", "text").write.parquet(s"$root/sh")
     val stored = spark.read.parquet(s"$root/idx")
     val sidecar = spark.read.parquet(s"$root/sh")
     val expected = Dedup

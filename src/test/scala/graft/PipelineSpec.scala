@@ -945,6 +945,17 @@ class PipelineSpec extends AnyFunSuite {
       .appendToBandIndex(spark.read.parquet(s"$dir/g1"), b2, "doc_id", "text")
     assert(rows(merged) == oneShot,
       s"merged=${rows(merged).size} oneShot=${oneShot.size}")
+    // the append-FILES delta form: stored generation ∪ validated batch
+    // rows == the one-shot build (what mode("append") into the stored
+    // table produces, with batch-proportional IO)
+    val delta = graft.pipeline.Dedup.bandIndexDeltaFor(
+      spark.read.parquet(s"$dir/g1"), b2, "doc_id", "text")
+    assert(rows(spark.read.parquet(s"$dir/g1")) ++ rows(delta) == oneShot)
+    val eDelta = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.bandIndexDeltaFor(
+        spark.read.parquet(s"$dir/g1"), b2, "doc_id", "text", fastHash = true)
+    }
+    assert(eDelta.getMessage.contains("does not match"))
     // a mismatched hash family refuses the merge (schemes never collide)
     val e = intercept[IllegalArgumentException] {
       graft.pipeline.Dedup.appendToBandIndex(
