@@ -64,6 +64,37 @@ object PipelineQueries {
               .mkString(" ")} END AS bsig
        |    FROM sig, unnest(range(0, 4)) AS t(band))""".stripMargin
 
+  /** dd11 AND dd13 share ONE oracle text (both probe batch %10=0 against
+    * everything else; dd13 merely reaches its index via the generation
+    * merge): the full re-band restricted to batch-touching pairs. Single
+    * definition so the two chains can never drift apart — a tweak to the
+    * shingle/minhash/band CTEs lands in both or neither. */
+  private def batchIngestSql(shingles: String, hs: String, bands: String) =
+    s"""WITH $shingles,
+       |$hs,
+       |$minhashSig,
+       |$bands,
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.da, c.db, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh s1 ON s1.doc_id = c.da
+       |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+       |          GROUP BY c.da, c.db),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+       |  AND (da % 10 = 0 OR db % 10 = 0)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val batchIngestSparkSql =
+    batchIngestSql(sparkShingles, sparkMinhashHs, sparkMinhashBands)
+  private val batchIngestDuckSql =
+    batchIngestSql(duckShingles, duckMinhashHs, duckMinhashBands)
+
   // full minhash-LSH chain through verified pairs + symmetrized edges
   // (DuckDB dialect) — the shared prefix of every oracle that consumes the
   // near-dup graph (dd7 clusters, gr1 pagerank). Mirrors
@@ -281,97 +312,21 @@ object PipelineQueries {
     // full re-band restricted to pairs touching the batch: candidate
     // generation against a stored index finds exactly the banded pairs
     // with >= 1 batch member, and verification is the same exact Jaccard.
-    Q("dd11_incremental_ingest",
-      s"""WITH $sparkShingles,
-         |$sparkMinhashHs,
-         |$minhashSig,
-         |$sparkMinhashBands,
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.da, c.db, count(*) AS i
-         |          FROM cand c
-         |          JOIN sh s1 ON s1.doc_id = c.da
-         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
-         |          GROUP BY c.da, c.db),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT da AS doc_a, db AS doc_b,
-         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
-         |  AND (da % 10 = 0 OR db % 10 = 0)
-         |ORDER BY doc_a, doc_b""".stripMargin,
-      s"""WITH $duckShingles,
-         |$duckMinhashHs,
-         |$minhashSig,
-         |$duckMinhashBands,
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.da, c.db, count(*) AS i
-         |          FROM cand c
-         |          JOIN sh s1 ON s1.doc_id = c.da
-         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
-         |          GROUP BY c.da, c.db),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT da AS doc_a, db AS doc_b,
-         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
-         |  AND (da % 10 = 0 OR db % 10 = 0)
-         |ORDER BY doc_a, doc_b""".stripMargin),
+    Q("dd11_incremental_ingest", batchIngestSparkSql, batchIngestDuckSql),
 
     // ------------------------------------------------------------------
     // dd13: GENERATION MERGE ingest — the rolling-pipeline shape dd11
     // stops short of: generation 0 indexes the base corpus (doc_id % 10
     // NOT IN (0, 5)); batch1 (% 10 = 5) is folded in via
-    // Dedup.appendToBandIndex / appendToShingleSets (banding ONLY batch1,
-    // never re-banding the corpus); batch2 (% 10 = 0) then probes the
-    // MERGED generation with stored-shingle verification (no text
-    // re-reads). The library override below holds generation 1 as cached
-    // stored state. Oracle: the full re-band restricted to pairs touching
+    // Dedup.appendToBandIndex (banding ONLY batch1, never re-banding the
+    // corpus); batch2 (% 10 = 0) then probes the MERGED generation. The
+    // library override below holds generation 1 as cached stored state.
+    // Oracle: IDENTICAL to dd11's (one shared definition — the two chains
+    // cannot drift): the full re-band restricted to pairs touching
     // batch2 — band rows are row-local, so an index built by appends is
     // bit-identical to one built at once (PipelineSpec pins it) and finds
     // exactly the same candidates.
-    Q("dd13_generation_merge",
-      s"""WITH $sparkShingles,
-         |$sparkMinhashHs,
-         |$minhashSig,
-         |$sparkMinhashBands,
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.da, c.db, count(*) AS i
-         |          FROM cand c
-         |          JOIN sh s1 ON s1.doc_id = c.da
-         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
-         |          GROUP BY c.da, c.db),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT da AS doc_a, db AS doc_b,
-         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
-         |  AND (da % 10 = 0 OR db % 10 = 0)
-         |ORDER BY doc_a, doc_b""".stripMargin,
-      s"""WITH $duckShingles,
-         |$duckMinhashHs,
-         |$minhashSig,
-         |$duckMinhashBands,
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |inter AS (SELECT c.da, c.db, count(*) AS i
-         |          FROM cand c
-         |          JOIN sh s1 ON s1.doc_id = c.da
-         |          JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
-         |          GROUP BY c.da, c.db),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT da AS doc_a, db AS doc_b,
-         |       round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
-         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
-         |  AND (da % 10 = 0 OR db % 10 = 0)
-         |ORDER BY doc_a, doc_b""".stripMargin),
+    Q("dd13_generation_merge", batchIngestSparkSql, batchIngestDuckSql),
 
     // ------------------------------------------------------------------
     // dd3: exact n-gram Jaccard on a deterministic pair sample (metric

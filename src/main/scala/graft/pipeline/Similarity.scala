@@ -872,6 +872,12 @@ object Similarity {
         col("__id").cast("long") === col("__sid"), "left_semi")
       .select(col("__id").cast("long").as("cid"),
         transform(col("__v"), x => x.cast("double")).as("__dv"))
+      // ONE row per label even when the corpus duplicates a seed id (the
+      // semi join keeps every copy): deterministic lexicographic-min
+      // vector per cid — without this, a duplicated id would ride two
+      // (cid, cv) rows through every Lloyd join, a phantom centroid under
+      // one label. k-sized, partial-aggregable.
+      .groupBy(col("cid")).agg(min(col("__dv")).as("__dv"))
       .withColumn("__n",
         sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
       .select(col("cid"), unitize(col("__dv"), col("__n")).as("cv"))

@@ -69,12 +69,11 @@ object NearDupStream {
     // STATIC state, so the probe runs at stream setup, not per
     // micro-batch. A mismatched shingle width would yield silently WRONG
     // Jaccard values — the sidecar's stamp is gated the same way.
-    graft.pipeline.IndexStamp.require(
-      index, "hash_family", Dedup.hashFamily(fastHash), "band index")
+    Dedup.requireBandScheme(index, k, bands, fastHash)
     storedShingles.foreach(graft.pipeline.IndexStamp.require(
-      _, "shingle_n", "3", "shingle-set sidecar"))
+      _, "shingle_n", Dedup.ShingleN.toString, "shingle-set sidecar"))
     def shingles(c: Column): Column =
-      array_distinct(graft.functions.TextFunctions.word_ngrams(c, 3))
+      array_distinct(graft.functions.TextFunctions.word_ngrams(c, Dedup.ShingleN))
     // band rows with the arriving doc's SHINGLE SET riding the tag column
     // (computed at banding — per-arrival cost, never per-candidate);
     // zero-gram docs drop inside the shared projection, exactly like the

@@ -598,11 +598,13 @@ object SqlValidator {
     *    round-trip composes exactly.
     * The operand is the preceding primary expression: an optionally
     * qualified identifier, a call or parenthesized expression, or a typed
-    * literal (`TIMESTAMP '...'`). Anything else — or a zone that is not a
-    * string literal, or a capture that is only a FRAGMENT of the real
-    * operand (`x::timestamp AT TIME ZONE ...`, a CASE tail — the
-    * [[wholeCapture]] guard the quantifier bridge shares) — declines to
-    * the parser's error. */
+    * literal (`TIMESTAMP '...'`). AT TIME ZONE binds TIGHTER than every
+    * binary operator in Postgres, so an operator-preceded primary
+    * (`ts + i AT TIME ZONE 'x'` ⇒ `ts + (i AT TIME ZONE 'x')`) is a
+    * CORRECT capture and bridges; only non-expression fragments — a `::`
+    * cast tail (the capture would be the bare type name) or a CASE END —
+    * decline to the parser's error, as does a zone that is not a string
+    * literal. */
   private[validation] def translateAtTimeZone(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -620,8 +622,22 @@ object SqlValidator {
             if (p < sql.length && sql.charAt(p) == '\'') {
               val zEnd = literalEnd(sql, p)
               val zone = sql.substring(p, zEnd)
-              operandStart(out.toString)
-                  .filter(wholeCapture(out, _, out.length)).foreach { st =>
+              // fragment guard, NARROWER than the quantifier bridge's:
+              // AT TIME ZONE binds TIGHTER than every binary operator in
+              // Postgres, so an operator-preceded primary (`a + b AT TIME
+              // ZONE 'x'`, `x = ts AT TIME ZONE 'x'`) really is the whole
+              // operand and bridges correctly. Only the cases where the
+              // capture is a NON-EXPRESSION fragment decline: a '::' cast
+              // tail (the capture is the bare type name) and a CASE END.
+              operandStart(out.toString).filter { st =>
+                val v = out.substring(st).trim
+                var q = st
+                while (q > 0 && Character.isWhitespace(out.charAt(q - 1)))
+                  q -= 1
+                val pc = if (q == 0) ' ' else out.charAt(q - 1)
+                v.nonEmpty && !v.equalsIgnoreCase("END") &&
+                  pc != ':' && pc != '.'
+              }.foreach { st =>
                 val operand = out.substring(st).trim
                 // instant detection must see through wrapping parens:
                 // `(ts AT TIME ZONE 'UTC') AT TIME ZONE 'x'` arrives here

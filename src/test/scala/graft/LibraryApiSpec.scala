@@ -625,8 +625,10 @@ class LibraryApiSpec extends AnyFunSuite {
     val merged = Multimodal.appendToPhashIndex(spark.read.parquet(s"$dir/g1"), ds(b2))
     assert(rows(merged) == oneShot,
       s"merged=${rows(merged).size} oneShot=${oneShot.size}")
-    // probing the merged generation equals probing a fresh full build
+    // the merged generation round-trips parquet intact (stamps included)
     merged.write.parquet(s"$dir/g2")
+    assert(rows(spark.read.parquet(s"$dir/g2")) == oneShot)
+    // probing the merged generation equals probing a fresh full build
     val viaMerged = Multimodal
       .incrementalPhashPairs(ds(b2), spark.read.parquet(s"$dir/g1"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -932,7 +932,7 @@ class PipelineSpec extends AnyFunSuite {
     val b2 = docs.where(col("doc_id") % 4 === 3)
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-        r.getString(3))).toSet
+        r.getString(3), r.getInt(4), r.getInt(5))).toSet
     val oneShot = rows(graft.pipeline.Dedup.bandIndex(docs, "doc_id", "text"))
     // each generation round-trips parquet — the rolling-pipeline shape:
     // only the batch is ever banded, never the corpus

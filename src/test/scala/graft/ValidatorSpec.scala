@@ -366,16 +366,22 @@ class ValidatorSpec extends AnyFunSuite {
     // zone must be a string literal; otherwise decline to the parser error
     val zexpr = "SELECT ts AT TIME ZONE tzcol FROM events"
     assert(SqlValidator.preprocess(zexpr) == zexpr)
-    // fragment captures decline WHOLE (the wholeCapture guard the
-    // quantifier bridge shares): a '::' cast tail or a CASE END must not
-    // rewrite into garbled `x::to_utc_timestamp(timestamp, ...)` text
+    // NON-EXPRESSION fragment captures decline WHOLE: a '::' cast tail or
+    // a CASE END must not rewrite into garbled
+    // `x::to_utc_timestamp(timestamp, ...)` text
     val castFrag = "SELECT x::timestamp AT TIME ZONE 'UTC' FROM events"
     assert(SqlValidator.preprocess(castFrag) == castFrag)
     val caseFrag =
       "SELECT CASE WHEN p THEN ts ELSE ts END AT TIME ZONE 'UTC' FROM events"
     assert(SqlValidator.preprocess(caseFrag) == caseFrag)
-    val arithFrag = "SELECT ts + i AT TIME ZONE 'UTC' FROM events"
-    assert(SqlValidator.preprocess(arithFrag) == arithFrag)
+    // ...but an operator-preceded primary IS the whole operand (AT TIME
+    // ZONE binds tighter than every binary operator in Postgres): these
+    // bridge, they do not decline
+    assert(SqlValidator.preprocess("SELECT ts + i AT TIME ZONE 'UTC' FROM events") ==
+      "SELECT ts + to_utc_timestamp(i, 'UTC') FROM events")
+    assert(SqlValidator.preprocess(
+      "SELECT k FROM t WHERE x = ts AT TIME ZONE 'UTC'") ==
+      "SELECT k FROM t WHERE x = to_utc_timestamp(ts, 'UTC')")
     // literal safety
     val lit = "SELECT k FROM t WHERE s = 'AT TIME ZONE ''x'''"
     assert(SqlValidator.preprocess(lit) == lit)
