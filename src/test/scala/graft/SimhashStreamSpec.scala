@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mesh.Fixtures
+import graft.pipeline.Dedup
+import graft.streaming.SimhashStream
+
+/** Batch ≡ stream for the SIMHASH ingest twin: arrivals signed row-locally
+  * and probed against the STORED signature index must find exactly the
+  * batch incremental operator's stream-vs-corpus pairs with identical
+  * hamming values, under micro-batch cuts AND a replayed slice. The spec
+  * also pins the row-local Scala signature against the batch aggregation
+  * doc-by-doc — the two derivations can never drift. */
+class SimhashStreamSpec extends AnyFunSuite {
+
+  lazy val spark = TestSessions.spark
+
+  test("row-local simhashOf equals the batch aggregation per document") {
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val docs = spark.table("documents").limit(200)
+    val batch = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val local = docs.select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> Dedup.simhashOf(md, r.getString(1))).toMap
+    assert(batch.nonEmpty && batch == local)
+  }
+
+  test("simhash ingest stream == the batch incremental op's cross pairs") {
+    import spark.implicits._
+    Fixtures.registerRaw(spark, TestSessions.sfDir)
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    // the index is STORED state: parquet round-trip like a real ingest
+    val dir = java.nio.file.Files.createTempDirectory("graft_simidx").toString
+    Dedup.simhash(corpus, "doc_id", "text").write.parquet(s"$dir/idx")
+    val stored = spark.read.parquet(s"$dir/idx")
+    val expected = Dedup
+      .incrementalSimhashPairs(batch, stored, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }.toSet
+    assert(expected.nonEmpty, "fixture produced no cross pair — spec is vacuous")
+
+    val all = batch.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val src = ms.toDF.toDF("doc_id", "text")
+    val q = SimhashStream.simhashIngestStream(
+        spark, src, "doc_id", "text", stored)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sim_stream").start()
+    try {
+      val cuts = Seq(all.length / 3, 2 * all.length / 3, all.length)
+      var from = 0
+      cuts.foreach { to =>
+        ms.addData(all.slice(from, to).toSeq)
+        q.processAllAvailable()
+        from = to
+      }
+      // at-least-once replay: re-sent rows are bit-identical, so the
+      // keyed-sink view (the set) must not move
+      ms.addData(all.slice(0, all.length / 3).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sim_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"stream=${got.size} batch=${expected.size}; " +
+          s"diff ${(got diff expected) ++ (expected diff got)}")
+      // per-combination duplicate emissions are identical rows (the
+      // documented contract): raw rows >= distinct pairs
+      assert(spark.table("sim_stream").count() >= got.size)
+    } finally q.stop()
+  }
+}
