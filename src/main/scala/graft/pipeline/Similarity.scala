@@ -681,10 +681,18 @@ object Similarity {
       if (n == 0) v else v.map(_ / n)
     }
     val v = withNorm(vecs, idCol, vecCol).where(col("nrm") > 0)
-    var cents: Seq[Seq[Double]] = v.where(col("__id").isin(seedIds: _*))
-      .orderBy(col("__id"))
-      .select(col("__v")).collect()
-      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)).toSeq
+    // ONE centroid per seed id even when the corpus duplicates an id:
+    // lexicographic-min RAW (double-cast) vector per id — the SAME
+    // reduction the table trainer's seedCentroidFrame applies, so the
+    // two sides of the joinAssignK dispatch boundary train from
+    // identical seed vectors (normalize-then-compare would order
+    // differently; compare raw, then normalize the winner)
+    val seedRows = v.where(col("__id").isin(seedIds: _*))
+      .select(col("__id").cast("long"), col("__v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+    import scala.math.Ordering.Implicits._
+    var cents: Seq[Seq[Double]] = seedRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => normalize(rs.map(_._2).min) }
     for (_ <- 1 to iters) {
       // same large-k dispatch as the serving paths: past joinAssignK the
       // per-iteration assignment joins a broadcast centroid frame instead

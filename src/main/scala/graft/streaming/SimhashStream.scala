@@ -57,9 +57,13 @@ object SimhashStream {
     require(index.columns.contains("doc_id") && index.columns.contains("simhash"),
       "stored simhash index must carry (doc_id, simhash)")
     import spark.implicits._
-    // signature per arrival: row-local Scala twin of the batch
-    // aggregation, one MessageDigest per PARTITION (never per row)
+    // malformed arrivals DROP instead of killing the query: a NULL text
+    // would NPE inside simhashOf (the batch twin's explode(split(null))
+    // silently drops the doc — same outcome), and a NULL id can never
+    // surface a pair anyway (every batch-side join null-drops it). A
+    // forever-running ingest must survive exactly these rows.
     val sig = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>

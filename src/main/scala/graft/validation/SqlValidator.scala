@@ -530,7 +530,8 @@ object SqlValidator {
                 vStart: Option[Int], o: Int,
                 witness: (String, String) => String,
                 nullGuardField: String): Boolean = {
-              val okCapture = vStart.exists(wholeCapture(out, _, o))
+              val okCapture =
+                vStart.exists(wholeCapture(out, _, o, rejectOperators = true))
               if (!okCapture) false
               else {
                 val st = vStart.get
@@ -622,22 +623,15 @@ object SqlValidator {
             if (p < sql.length && sql.charAt(p) == '\'') {
               val zEnd = literalEnd(sql, p)
               val zone = sql.substring(p, zEnd)
-              // fragment guard, NARROWER than the quantifier bridge's:
-              // AT TIME ZONE binds TIGHTER than every binary operator in
-              // Postgres, so an operator-preceded primary (`a + b AT TIME
-              // ZONE 'x'`, `x = ts AT TIME ZONE 'x'`) really is the whole
-              // operand and bridges correctly. Only the cases where the
-              // capture is a NON-EXPRESSION fragment decline: a '::' cast
-              // tail (the capture is the bare type name) and a CASE END.
-              operandStart(out.toString).filter { st =>
-                val v = out.substring(st).trim
-                var q = st
-                while (q > 0 && Character.isWhitespace(out.charAt(q - 1)))
-                  q -= 1
-                val pc = if (q == 0) ' ' else out.charAt(q - 1)
-                v.nonEmpty && !v.equalsIgnoreCase("END") &&
-                  pc != ':' && pc != '.'
-              }.foreach { st =>
+              // shared fragment guard, operator-tolerant: AT TIME ZONE
+              // binds TIGHTER than every binary operator in Postgres, so
+              // an operator-preceded primary (`a + b AT TIME ZONE 'x'`,
+              // `x = ts AT TIME ZONE 'x'`) really is the whole operand
+              // and bridges correctly; only non-expression fragments
+              // ('::' cast tails, '.'-preceded, CASE END) decline
+              operandStart(out.toString)
+                  .filter(wholeCapture(out, _, out.length, rejectOperators = false))
+                  .foreach { st =>
                 val operand = out.substring(st).trim
                 // instant detection must see through wrapping parens:
                 // `(ts AT TIME ZONE 'UTC') AT TIME ZONE 'x'` arrives here
@@ -666,22 +660,24 @@ object SqlValidator {
   }
 
   /** Whether the primary captured at `emitted[st, end)` is usable as a
-    * WHOLE operand: non-empty, not a CASE tail (`END`), and not preceded
-    * by a binary operator / field access / '::' cast — those mean
-    * [[operandStart]] saw only a FRAGMENT of the real expression
-    * (`a + b`, `x::int`, `CASE ... END`), and a bridge must decline whole
-    * to the parser's error rather than emit garbled SQL. Shared by every
-    * operand-capturing bridge so they cannot disagree on what counts as
-    * capturable. */
-  private def wholeCapture(emitted: StringBuilder, st: Int, end: Int): Boolean = {
+    * WHOLE operand — the ONE guard every operand-capturing bridge runs,
+    * so they cannot disagree on what counts as capturable. Always
+    * rejected: empty captures, CASE tails (`END`), and '.'/'::'-preceded
+    * captures (a field-access or cast FRAGMENT — `x::int` would capture
+    * the bare type name). `rejectOperators` additionally rejects
+    * binary-operator-preceded captures (`a + b` would capture only `b`):
+    * pass true for a bridge whose phrase binds LOOSER than arithmetic
+    * (the quantifier comparisons), false for one that binds TIGHTER
+    * (AT TIME ZONE — there `b` really is the whole operand). */
+  private def wholeCapture(
+      emitted: StringBuilder, st: Int, end: Int,
+      rejectOperators: Boolean): Boolean = {
     val v = emitted.substring(st, end).trim
     var q = st
     while (q > 0 && Character.isWhitespace(emitted.charAt(q - 1))) q -= 1
     val pc = if (q == 0) ' ' else emitted.charAt(q - 1)
-    // ':' covers '::' casts — `a::int > ALL (...)` must decline whole,
-    // not capture the bare type name
-    v.nonEmpty && !v.equalsIgnoreCase("END") &&
-      "+-*/%^|&<>=!.:".indexOf(pc.toInt) < 0
+    val rejected = if (rejectOperators) "+-*/%^|&<>=!.:" else ".:"
+    v.nonEmpty && !v.equalsIgnoreCase("END") && rejected.indexOf(pc.toInt) < 0
   }
 
   /** Start index of the primary expression ending at `s`'s end (trailing

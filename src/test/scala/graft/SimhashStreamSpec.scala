@@ -19,7 +19,9 @@ class SimhashStreamSpec extends AnyFunSuite {
 
   test("row-local simhashOf equals the batch aggregation per document") {
     Fixtures.registerRaw(spark, TestSessions.sfDir)
-    val docs = spark.table("documents").limit(200)
+    // deterministic subset (limit without orderBy may pick different rows
+    // per action — this spec collects the frame twice)
+    val docs = spark.table("documents").where(col("doc_id") < 200)
     val batch = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val md = java.security.MessageDigest.getInstance("MD5")
