@@ -124,6 +124,19 @@ object PipelineQueries {
        |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
        |          UNION ALL SELECT db, da FROM pairs)""".stripMargin
 
+  /** Full-corpus connected-components oracle (recursive reachability
+    * closure over the verified pair graph, min label per node) — consumed
+    * VERBATIM by dd7 (direct clustering) and dd14 (stored-assignment
+    * merge): two computation paths, one answer. */
+  private lazy val fullClustersDuckSql =
+    s"""WITH RECURSIVE $duckPairsChain,
+       |reach(node, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
+       |SELECT node AS doc_id, min(label) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   // exact dot product between two float vectors, index-ordered double
   // summation (bit-identical across Spark and DuckDB). Norms are
   // precomputed once per vector — higher-order functions are interpreted
@@ -2817,6 +2830,25 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
     }
 
+  /** dd14's stored CORPUS-ONLY cluster assignment (connected components
+    * over the corpus-internal pair list) — the dedup decision artifact a
+    * rolling pipeline holds between generations; the ingest merges new
+    * pairs into it by label-graph contraction instead of re-clustering
+    * the corpus. Cached per (session, sf) like the band index it pairs
+    * with. */
+  private val corpusClusterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedCorpusClusters(s: SparkSession, dir: String) =
+    cachedDataset(corpusClusterCache, s, dir) {
+      import org.apache.spark.sql.functions.col
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(
+          graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
+            .where(col("doc_id") % 10 =!= 0),
+          "doc_id", "text"))
+    }
+
   private val simhashIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
 
@@ -2926,6 +2958,27 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 =!= 0),
         cachedMergedIndex(s, dir).toDF(),
         "doc_id", "text")
+    }),
+
+    // dd14: CLUSTER-STATE merge — the dedup DECISION's rolling update:
+    // the stored corpus-only component assignment (cached, the artifact
+    // a pipeline holds between generations) absorbs the ingest's
+    // newly-found pairs by label-graph contraction
+    // (Dedup.mergeComponents) — the corpus pair list is never
+    // re-clustered. Oracle: the full-graph recursive closure (dd7's
+    // exact text) — the merge path must land exactly where direct
+    // clustering lands.
+    "dd14_cluster_merge" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      val ingest = Dedup.incrementalNearDupPairs(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        cachedBandIndex(s, dir).toDF(),
+        "doc_id", "text")
+      Dedup.mergeComponents(cachedCorpusClusters(s, dir).toDF(), ingest)
+        .orderBy(col("doc_id"))
     }),
 
     // dd12: incremental SIMHASH ingest — the stored state is the 16-byte
@@ -4442,14 +4495,14 @@ object PipelineQueries {
           |      FROM documents) s
           |ORDER BY doc_id""".stripMargin,
 
-      "dd7_dedup_clusters" ->
-        s"""WITH RECURSIVE $duckPairsChain,
-           |reach(node, label) AS (
-           |  SELECT a, a FROM edges
-           |  UNION
-           |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
-           |SELECT node AS doc_id, min(label) AS cluster_id
-           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+      "dd7_dedup_clusters" -> fullClustersDuckSql,
+
+      // dd14: same ANSWER as dd7 by construction — the merge path
+      // (stored corpus assignment + label-graph contraction of the
+      // ingest's pairs) must land exactly where direct clustering over
+      // the full pair graph lands; ONE shared oracle definition keeps
+      // the contract honest
+      "dd14_cluster_merge" -> fullClustersDuckSql,
 
       // the sp8 chain end-to-end: recursive closure over the verified
       // pair list -> per-doc group key (cluster id, else own id) -> sp5's

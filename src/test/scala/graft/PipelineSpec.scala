@@ -893,6 +893,38 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${expected -- got}, extra=${got -- expected}")
   }
 
+  test("cluster-state merge equals full re-clustering (dd14 contraction)") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = graft.pipeline.Dedup
+      .minhashLshPairs(docs, "doc_id", "text").localCheckpoint()
+    val full = asMap(graft.pipeline.Dedup.connectedComponents(allPairs))
+    // the rolling-pipeline path: stored corpus-only assignment + the
+    // ingest's newly-found pairs folded in by label-graph contraction
+    val stored = graft.pipeline.Dedup.connectedComponents(
+      graft.pipeline.Dedup.minhashLshPairs(corpus, "doc_id", "text"))
+      .localCheckpoint()
+    val ingest = graft.pipeline.Dedup.incrementalNearDupPairs(
+      batch, corpus, graft.pipeline.Dedup.bandIndex(corpus, "doc_id", "text"),
+      "doc_id", "text")
+    val merged = asMap(graft.pipeline.Dedup.mergeComponents(stored, ingest))
+    assert(merged == full,
+      s"merged=${merged.size} full=${full.size}; " +
+        s"diff=${(merged.toSet diff full.toSet) ++ (full.toSet diff merged.toSet)}")
+    // the merge must actually fuse cross components AND admit new docs
+    assert(merged.keys.exists(_ % 10 == 0), "no batch doc entered the assignment")
+    assert(stored.count() < merged.size, "merge added nothing — spec is vacuous")
+    // idempotency: re-merging pairs already internal to the assignment's
+    // components is a no-op (every label edge collapses)
+    val fullDf = graft.pipeline.Dedup.connectedComponents(allPairs)
+    val again = asMap(graft.pipeline.Dedup.mergeComponents(fullDf, allPairs))
+    assert(again == full)
+  }
+
   test("stored-shingle verification equals the text re-read path (dd11 sidecar)") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
