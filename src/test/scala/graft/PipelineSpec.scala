@@ -1079,6 +1079,72 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${expected -- results.toSet}, extra=${results.toSet -- expected}")
   }
 
+  test("rolling generations: index delta-appends + cluster merges fold forward per batch") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val corpus0 = docs.where(col("doc_id") % 10 < 6)
+    val sliceA = docs.where(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+    val sliceB = docs.where(col("doc_id") % 10 === 8 || col("doc_id") % 10 === 9)
+
+    // the COMPLETE rolling-pipeline state layout: corpus + band index +
+    // component assignment, all stored tables. Each arriving micro-batch
+    // (1) dedups against the CURRENT generation, (2) folds its band rows
+    // in via the validated delta append (bandIndexDeltaFor — IO
+    // proportional to the batch), and (3) folds its pairs into the
+    // cluster assignment via label-graph contraction (mergeComponents,
+    // written as generation g+1 and swapped). The corpus is never
+    // re-banded and the pair graph never re-clustered.
+    val root = java.nio.file.Files.createTempDirectory("graft_rollgen").toString
+    val storeDir = s"$root/corpus"; val idxDir = s"$root/index"; val inDir = s"$root/in"
+    corpus0.write.parquet(storeDir)
+    graft.pipeline.Dedup.bandIndex(corpus0, "doc_id", "text").write.parquet(idxDir)
+    graft.pipeline.Dedup.connectedComponents(
+        graft.pipeline.Dedup.minhashLshPairs(corpus0, "doc_id", "text"))
+      .write.parquet(s"$root/cl0")
+    sliceA.coalesce(1).write.parquet(inDir)
+    sliceB.coalesce(1).write.mode("append").parquet(inDir)
+
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val corpus = spark.read.parquet(storeDir)
+        val index = spark.read.parquet(idxDir)
+        val g = gen.get()
+        val clusters = spark.read.parquet(s"$root/cl$g")
+        val pairs = graft.pipeline.Dedup
+          .incrementalNearDupPairs(b, corpus, index, "doc_id", "text")
+          .localCheckpoint()
+        graft.pipeline.Dedup.mergeComponents(clusters, pairs)
+          .write.parquet(s"$root/cl${g + 1}")
+        gen.incrementAndGet()
+        b.write.mode("append").parquet(storeDir)
+        graft.pipeline.Dedup.bandIndexDeltaFor(index, b, "doc_id", "text")
+          .write.mode("append").parquet(idxDir)
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+
+    // the final generation's assignment ≡ clustering the WHOLE corpus's
+    // pair graph from scratch — the rolling path must lose nothing
+    val full = graft.pipeline.Dedup.connectedComponents(
+        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rolled = spark.read.parquet(s"$root/cl${gen.get()}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gen.get() == 2, s"expected 2 generations, got ${gen.get()}")
+    assert(rolled == full,
+      s"rolled=${rolled.size} full=${full.size}; " +
+        s"diff=${(rolled.toSet diff full.toSet) ++ (full.toSet diff rolled.toSet)}")
+    // ... and the final index equals a one-shot build over everything
+    val idxRows = spark.read.parquet(idxDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val oneShot = graft.pipeline.Dedup.bandIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(idxRows == oneShot)
+  }
+
   test("winnowing guarantee: near-dup pairs share selected fingerprints") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
