@@ -742,8 +742,9 @@ object SqlValidator {
     * every set-op/semicolon-shy bridge decline bridgeable SQL), then
     * SIMILAR TO -> anchored RLIKE, LISTAGG ON OVERFLOW -> dropped clause,
     * ARRAY(subquery) -> scalar collect_list, AT TIME ZONE ->
-    * to/from_utc_timestamp, quantified ANY/SOME/ALL -> IN / NOT IN /
-    * MIN-MAX subqueries, TOP n -> LIMIT n, DISTINCT ON -> row_number
+    * to/from_utc_timestamp, quantified ANY/SOME/ALL (all six operator ×
+    * quantifier combinations) -> IN / NOT IN / one struct-subquery
+    * tri-state CASE, TOP n -> LIMIT n, DISTINCT ON -> row_number
     * window. (`IS [NOT] UNKNOWN` needs no bridge — Spark 4 parses it
     * natively with the reference's semantics, q41-pinned.) */
   def preprocess(sql: String): String = {
