@@ -124,6 +124,33 @@ object PipelineQueries {
        |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
        |          UNION ALL SELECT db, da FROM pairs)""".stripMargin
 
+  /** mm9 AND mm10 share ONE oracle text (both probe the %5=2 image batch
+    * against everything else; mm10 merely reaches its index via the
+    * generation merge): mm8's char-wise phash re-derivation + banding
+    * restricted to batch-touching pairs. */
+  private lazy val phashIngestDuckSql =
+    """WITH p AS (SELECT doc_id,
+      |  CAST(coalesce(list_sum(list_transform(range(0, 48),
+      |       j -> CASE WHEN px[CAST(j + 1 AS INT)] > list_sum(px) / 48.0
+      |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS phash
+      |FROM (SELECT doc_id,
+      |        list_transform(range(0, 48),
+      |          j -> CASE WHEN length(text) = 0 THEN 0
+      |               ELSE ord(substr(text, CAST((j * length(text)) // 48 + 1 AS INT), 1)) END) AS px
+      |      FROM documents) s),
+      |bands AS (SELECT doc_id, phash, band,
+      |        (phash >> CAST(band * 8 AS INT)) & 255 AS bv
+      |      FROM p, unnest(range(0, 6)) AS t(band)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, a.phash AS pa,
+      |               b.doc_id AS db, b.phash AS pb
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT da AS doc_a, db AS doc_b,
+      |       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
+      |  AND (da % 5 = 2 OR db % 5 = 2)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Full-corpus connected-components oracle (recursive reachability
     * closure over the verified pair graph, min label per node) — consumed
     * VERBATIM by dd7 (direct clustering) and dd14 (stored-assignment
@@ -2871,6 +2898,25 @@ object PipelineQueries {
           // make the oracle vacuously empty
           .where(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 2))))
 
+  /** mm10's merged phash GENERATION 1: base media corpus (doc_id % 5
+    * NOT IN (1, 2)) indexed once, batch1 (% 5 = 1) folded in by
+    * appendToPhashIndex — only batch1 decodes at the merge. Cached as
+    * stored state so mm10 measures the batch2 probe against the merged
+    * generation (dd13's contract, on the image side). */
+  private val mergedPhashCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedMergedPhashIndex(s: SparkSession, dir: String) =
+    cachedDataset(mergedPhashCache, s, dir) {
+      import org.apache.spark.sql.functions.col
+      Multimodal.appendToPhashIndex(
+        Multimodal.phashBandIndex(Multimodal.toMediaRecords(s,
+          mediaDocs(s, dir)
+            .where(col("doc_id") % 5 =!= 1 && col("doc_id") % 5 =!= 2))),
+        Multimodal.toMediaRecords(s,
+          mediaDocs(s, dir).where(col("doc_id") % 5 === 1)))
+    }
+
   /** Deduped click (one row per user,ts) and purchase frames — shared by
     * the backward (ao1) and forward (ao2) as-of drivers. */
   private def clickPurchFrames(s: SparkSession): (DataFrame, DataFrame) = {
@@ -3007,6 +3053,20 @@ object PipelineQueries {
       Multimodal.incrementalPhashPairs(
         cachedMedia(s, dir).where(col("doc_id") % 5 === 2),
         cachedPhashIndex(s, dir).toDF())
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // mm10: the image-side GENERATION-MERGE ingest (dd13's contract):
+    // batch2 (% 5 = 2) probes the cached merged generation — base media
+    // corpus + batch1 folded in by appendToPhashIndex, decoding only
+    // batch1; verification popcounts the stored hashes, no payload ever
+    // re-reads
+    "mm10_image_generation_merge" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      Multimodal.incrementalPhashPairs(
+        cachedMedia(s, dir).where(col("doc_id") % 5 === 2),
+        cachedMergedPhashIndex(s, dir).toDF())
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -4755,28 +4815,15 @@ object PipelineQueries {
       // mm9: mm8's derivation + banding restricted to pairs with >= 1
       // batch (doc_id % 5 = 2) member — bucket sharing is symmetric and
       // split-independent, so the stored-index ingest finds exactly these
-      "mm9_image_ingest" ->
-        """WITH p AS (SELECT doc_id,
-          |  CAST(coalesce(list_sum(list_transform(range(0, 48),
-          |       j -> CASE WHEN px[CAST(j + 1 AS INT)] > list_sum(px) / 48.0
-          |                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT) AS phash
-          |FROM (SELECT doc_id,
-          |        list_transform(range(0, 48),
-          |          j -> CASE WHEN length(text) = 0 THEN 0
-          |               ELSE ord(substr(text, CAST((j * length(text)) // 48 + 1 AS INT), 1)) END) AS px
-          |      FROM documents) s),
-          |bands AS (SELECT doc_id, phash, band,
-          |        (phash >> CAST(band * 8 AS INT)) & 255 AS bv
-          |      FROM p, unnest(range(0, 6)) AS t(band)),
-          |cand AS (SELECT DISTINCT a.doc_id AS da, a.phash AS pa,
-          |               b.doc_id AS db, b.phash AS pb
-          |         FROM bands a JOIN bands b
-          |           ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-          |SELECT da AS doc_a, db AS doc_b,
-          |       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-          |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
-          |  AND (da % 5 = 2 OR db % 5 = 2)
-          |ORDER BY doc_a, doc_b""".stripMargin,
+      "mm9_image_ingest" -> phashIngestDuckSql,
+
+      // mm10: same ANSWER as mm9 by construction — the probe runs
+      // against a generation built by appendToPhashIndex (base corpus +
+      // batch1 folded in, decoding only batch1) instead of a one-shot
+      // index; band rows are row-local so append-built ≡ one-shot
+      // (LibraryApiSpec pins it bit-equal). ONE shared oracle definition
+      // keeps the contract honest.
+      "mm10_image_generation_merge" -> phashIngestDuckSql,
 
       "cp1_curation" ->
         """WITH gated AS (
