@@ -61,8 +61,11 @@ object PhashStream {
     IndexStamp.require(index, "ph_bands", bands.toString, "phash index")
     import spark.implicits._
     // decode + hash once per arrival; codec per PARTITION, not per row
-    // (the ImageIO init and finalizer discipline of the batch path)
+    // (the ImageIO init and finalizer discipline of the batch path).
+    // Malformed arrivals (NULL id/payload) DROP instead of NPE-killing
+    // the continuous query — the SimhashStream/NearDupStream contract.
     val ph = images
+      .where(col(idCol).isNotNull && col(payloadCol).isNotNull)
       .select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
