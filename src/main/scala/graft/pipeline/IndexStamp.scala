@@ -28,18 +28,46 @@ private[graft] object IndexStamp {
 
   /** The stamp for `colName` rendered as a string: schema metadata under
     * the column's own name when present (works on an empty index), else
-    * the first row's value, else None — empty AND unstamped, which
-    * callers must treat as unverifiable, not as a pass. */
+    * the rows' (required-uniform) value, else None — empty AND unstamped,
+    * which callers must treat as unverifiable, not as a pass. */
   def read(index: DataFrame, colName: String): Option[String] = {
     val field = index.schema(index.schema.fieldIndex(colName))
     val md = field.metadata
     if (md.contains(colName)) {
-      // metadata values keep their original JSON type; render uniformly
+      // metadata values keep their original JSON type; stamps are written
+      // as strings or longs — anything else is a FUTURE writer this
+      // reader does not understand, which must surface as its own error,
+      // not as an opaque cast failure from the wrong typed getter
       val v =
         try md.getString(colName)
-        catch { case _: Exception => md.getLong(colName).toString }
+        catch {
+          case _: Exception =>
+            try md.getLong(colName).toString
+            catch {
+              case _: Exception =>
+                throw new IllegalArgumentException(
+                  s"stamp metadata '$colName' carries a type this reader " +
+                    s"does not understand (not a string or long): " +
+                    s"${md.json} — written by a newer builder; upgrade " +
+                    "the reader before probing this index")
+            }
+        }
       Some(v)
-    } else index.select(colName).head(1).headOption.map(r => String.valueOf(r.get(0)))
+    } else {
+      // data-row fallback for metadata-less tables (externally written):
+      // a raw append that bypassed the validated delta builders could
+      // leave MIXED stamps, and blessing whichever row head() returns
+      // would validate a poisoned index — demand uniformity (two
+      // distinct values suffice to fail, so the probe stays bounded)
+      val vals = index.select(colName).distinct().limit(2).collect()
+      if (vals.length > 1)
+        throw new IllegalArgumentException(
+          s"stored index carries MIXED '$colName' stamps (e.g. " +
+            s"'${vals(0).get(0)}' and '${vals(1).get(0)}') — rows from " +
+            "different schemes were appended without validation; the " +
+            "index is poisoned and must be rebuilt")
+      vals.headOption.map(r => String.valueOf(r.get(0)))
+    }
   }
 
   /** Require `colName`'s stamp to equal `expected` (string-rendered),

@@ -2881,7 +2881,7 @@ object PipelineQueries {
 
   private def cachedSimhashIndex(s: SparkSession, dir: String) =
     cachedDataset(simhashIndexCache, s, dir)(
-      Dedup.simhash(
+      Dedup.simhashIndex(
         graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
           .where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
         "doc_id", "text"))

@@ -44,7 +44,7 @@ import graft.pipeline.Dedup
 object SimhashStream {
 
   /** Near-dup verdicts over a streaming document frame against a stored
-    * simhash index (`Dedup.simhash` output: (doc_id, simhash)). Output:
+    * simhash index (`Dedup.simhashIndex` output, sh_scheme-stamped). Output:
     * (doc_a, doc_b, hamming) with doc_a < doc_b — the batch incremental
     * operator's columns. Stream and corpus ids must be disjoint (the
     * incrementalSimhashPairs convention). */
@@ -54,8 +54,11 @@ object SimhashStream {
     require(maxHamming <= blocks - 2,
       "pigeonhole exhaustiveness needs maxHamming <= blocks - 2")
     require(64 % blocks == 0, "blocks must divide 64")
-    require(index.columns.contains("doc_id") && index.columns.contains("simhash"),
-      "stored simhash index must carry (doc_id, simhash)")
+    // same loud scheme gate as the batch ingest, at stream SETUP (the
+    // index is static state; IndexStamp metadata verifies even an empty
+    // index): signatures from a mismatched tokenizer/bit mapping would
+    // popcount unrelated vectors with no error
+    Dedup.requireSimhashScheme(index)
     import spark.implicits._
     // malformed arrivals DROP instead of killing the query: a NULL text
     // would NPE inside simhashOf (the batch twin's explode(split(null))

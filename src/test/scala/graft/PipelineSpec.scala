@@ -589,7 +589,7 @@ class PipelineSpec extends AnyFunSuite {
     val docs = spark.table("documents")
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
     val batch = docs.where(col("doc_id") % 5 === 0)
-    val index = graft.pipeline.Dedup.simhash(corpus, "doc_id", "text")
+    val index = graft.pipeline.Dedup.simhashIndex(corpus, "doc_id", "text")
     val inc = graft.pipeline.Dedup
       .incrementalSimhashPairs(batch, index, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -954,6 +954,70 @@ class PipelineSpec extends AnyFunSuite {
           graft.pipeline.Dedup.shingleSets(corpus, "doc_id", "text", n = 2)))
     }
     assert(e.getMessage.contains("does not match"))
+    // COVERAGE gate: the width stamp proves the sidecar was built right,
+    // not that it is COMPLETE — a store missing a candidate document
+    // (an index delta appended without its sidecar companion) would
+    // silently drop that doc's pairs at the verify join; refused loudly
+    val someCorpusCand = viaText.iterator.flatMap { case (a, b, _) =>
+      Seq(a, b).filter(_ % 10 != 3)
+    }.next()
+    val holed = graft.pipeline.Dedup.shingleSets(
+      corpus.where(col("doc_id") =!= someCorpusCand), "doc_id", "text")
+    val eCov = intercept[IllegalStateException] {
+      graft.pipeline.Dedup.incrementalNearDupPairs(
+        batch, corpus, index, "doc_id", "text", storedShingles = Some(holed))
+    }
+    assert(eCov.getMessage.contains("does not cover"))
+  }
+
+  test("rolling-merge broadcasts are size-gated: past the bound the joins run unhinted, results identical") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val batch = docs.where(col("doc_id") % 10 === 3)
+    val corpus = docs.where(col("doc_id") % 10 =!= 3)
+    val index = graft.pipeline.Dedup.bandIndex(corpus, "doc_id", "text")
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ingest candidate joins: proven-small broadcast under the bound,
+    // UNHINTED (shuffle at worst, AQE's call at runtime) past it — the
+    // backfill-sized-call guard. Results must be identical either side.
+    val hinted = graft.pipeline.Dedup
+      .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text")
+    val gated = graft.pipeline.Dedup
+      .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
+        inListMaxIds = 0)
+    assert(hints(hinted) > 0, "default ingest lost its proven-small broadcast")
+    assert(hints(gated) == 0,
+      "a backfill-sized ingest must not carry an explicit broadcast hint")
+    val p = pairsOf(hinted)
+    assert(p == pairsOf(gated) && p.nonEmpty)
+    // the stored-sidecar path the same way (In-list under the bound —
+    // no join at all — vs unhinted semi joins past it)
+    val store = graft.pipeline.Dedup.shingleSets(corpus, "doc_id", "text")
+    val gatedStore = graft.pipeline.Dedup
+      .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
+        storedShingles = Some(store), inListMaxIds = 0)
+    assert(hints(gatedStore) == 0)
+    assert(pairsOf(gatedStore) == p)
+    // mergeComponents: the relabel broadcast is gated by the label-graph
+    // count — a backfill-sized pair list relabels through a plain join
+    val pairs = hinted.localCheckpoint()
+    val clusters = graft.pipeline.Dedup.connectedComponents(
+      graft.pipeline.Dedup.minhashLshPairs(corpus, "doc_id", "text"))
+      .localCheckpoint()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mHinted = graft.pipeline.Dedup.mergeComponents(clusters, pairs)
+    val mGated = graft.pipeline.Dedup.mergeComponents(clusters, pairs,
+      broadcastMaxLabels = -1)
+    assert(hints(mHinted) > 0, "ingest-sized relabel lost its broadcast")
+    assert(hints(mGated) == 0,
+      "a backfill-sized relabel must not carry an explicit broadcast hint")
+    assert(asMap(mHinted) == asMap(mGated) && asMap(mHinted).nonEmpty)
   }
 
   test("band-index generation merge: sequential appends == one build") {
@@ -1024,16 +1088,37 @@ class PipelineSpec extends AnyFunSuite {
         spark.read.parquet(s"$dir/sh0"), b1, "doc_id", "text"),
       b2, "doc_id", "text")
     assert(shRows(shMerged) == shOne)
-    // simhash index merge: signatures are per-document and append-only
+    // simhash index merge: signatures are per-document and append-only;
+    // like every stored index the generation carries its scheme stamp
+    // through the parquet round-trip
     def simRows(df: org.apache.spark.sql.DataFrame) = df
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val simOne = simRows(graft.pipeline.Dedup.simhash(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val simOne = simRows(graft.pipeline.Dedup.simhashIndex(docs, "doc_id", "text"))
+    graft.pipeline.Dedup.simhashIndex(c0, "doc_id", "text")
+      .write.parquet(s"$dir/sim0")
     val simMerged = simRows(graft.pipeline.Dedup.appendToSimhashIndex(
       graft.pipeline.Dedup.appendToSimhashIndex(
-        graft.pipeline.Dedup.simhash(c0, "doc_id", "text"),
-        b1, "doc_id", "text"),
+        spark.read.parquet(s"$dir/sim0"), b1, "doc_id", "text"),
       b2, "doc_id", "text"))
     assert(simMerged == simOne)
+    // the append-FILES delta form, scheme-validated like the band index's
+    val simDelta = graft.pipeline.Dedup.simhashIndexDeltaFor(
+      spark.read.parquet(s"$dir/sim0"), b1, "doc_id", "text")
+    assert(simRows(spark.read.parquet(s"$dir/sim0")) ++ simRows(simDelta) ==
+      simRows(graft.pipeline.Dedup.simhashIndex(
+        docs.where(col("doc_id") % 4 <= 2), "doc_id", "text")))
+    // an unstamped (pre-versioning) simhash index is refused loudly at
+    // merge and at probe — the uniformity gate every stored index carries
+    val eSim = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.appendToSimhashIndex(
+        graft.pipeline.Dedup.simhash(c0, "doc_id", "text"), b1, "doc_id", "text")
+    }
+    assert(eSim.getMessage.contains("no sh_scheme"))
+    val eSim2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.incrementalSimhashPairs(
+        b1, graft.pipeline.Dedup.simhash(c0, "doc_id", "text"), "doc_id", "text")
+    }
+    assert(eSim2.getMessage.contains("no sh_scheme"))
   }
 
   test("streaming ingest dedup: foreachBatch + stored band index equals batch recompute") {

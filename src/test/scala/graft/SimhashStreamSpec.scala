@@ -38,7 +38,7 @@ class SimhashStreamSpec extends AnyFunSuite {
     val batch = docs.where(col("doc_id") % 10 === 0)
     // the index is STORED state: parquet round-trip like a real ingest
     val dir = java.nio.file.Files.createTempDirectory("graft_simidx").toString
-    Dedup.simhash(corpus, "doc_id", "text").write.parquet(s"$dir/idx")
+    Dedup.simhashIndex(corpus, "doc_id", "text").write.parquet(s"$dir/idx")
     val stored = spark.read.parquet(s"$dir/idx")
     val expected = Dedup
       .incrementalSimhashPairs(batch, stored, "doc_id", "text")
@@ -76,5 +76,13 @@ class SimhashStreamSpec extends AnyFunSuite {
       // documented contract): raw rows >= distinct pairs
       assert(spark.table("sim_stream").count() >= got.size)
     } finally q.stop()
+    // an unstamped (pre-versioning) index is refused loudly at stream
+    // SETUP, never a silently-wrong popcount stream
+    val e = intercept[IllegalArgumentException] {
+      SimhashStream.simhashIngestStream(
+        spark, src, "doc_id", "text",
+        Dedup.simhash(corpus, "doc_id", "text"))
+    }
+    assert(e.getMessage.contains("no sh_scheme"))
   }
 }
