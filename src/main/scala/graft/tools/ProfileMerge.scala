@@ -38,11 +38,17 @@ object ProfileMerge {
     }.min
     def copyDir(src: String, dst: String): Unit = {
       val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
-      java.nio.file.Files.walk(s).forEach { p =>
-        val t = d.resolve(s.relativize(p))
-        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-        else { java.nio.file.Files.copy(p, t); () }
-        ()
+      scala.util.Using.resource(java.nio.file.Files.walk(s)) { walk =>
+        walk.forEach { p =>
+          val t = d.resolve(s.relativize(p))
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+          else {
+            java.nio.file.Files.copy(p, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
+          ()
+        }
       }
     }
     // pre-copy g0/sh0 per run so the timed leg is ONLY the delta append
@@ -76,6 +82,44 @@ object ProfileMerge {
     val nFull = spark.read.parquet(s"$root/gf").count()
     println(f"PROF merge appendFiles=$tAppendFiles%.2f s unionRewrite=$tUnion%.2f s " +
       f"rebuild=$tRebuild%.2f s rows app=$nApp full=$nFull")
+
+    // DEGRADATION-then-COMPACTION: how much probe latency N accumulated
+    // delta file-sets cost, and what one union-compaction buys back.
+    // Generations: corpus = %10 in 5..9 indexed once, batches %10 = 0..3
+    // delta-appended (index + sidecar), batch %10 = 4 is the PROBE. The
+    // probe is the real serving operation (incrementalNearDupPairs over
+    // the stored sidecar), timed over the N-append layout and again over
+    // the compacted layout — identical rows, only file counts differ.
+    import graft.pipeline.IndexMaintenance
+    val corpusN = docs.where(col("doc_id") % 10 > 4)
+    val probeBatch = docs.where(col("doc_id") % 10 === 4)
+    val probeCorpus = docs.where(col("doc_id") % 10 =!= 4)
+    Dedup.bandIndex(corpusN, "doc_id", "text").write.parquet(s"$root/dn")
+    Dedup.shingleSetStore(corpusN, "doc_id", "text").write.parquet(s"$root/sn")
+    (0 to 3).foreach { i =>
+      val b = docs.where(col("doc_id") % 10 === i)
+      Dedup.bandIndexDeltaFor(spark.read.parquet(s"$root/dn"), b, "doc_id", "text")
+        .write.mode("append").parquet(s"$root/dn")
+      Dedup.shingleSetsDeltaFor(spark.read.parquet(s"$root/sn"), b, "doc_id", "text")
+        .write.mode("append").parquet(s"$root/sn")
+    }
+    def timeProbe(): Double = timeMin { _ =>
+      Dedup.incrementalNearDupPairs(
+          probeBatch, probeCorpus, spark.read.parquet(s"$root/dn"),
+          "doc_id", "text",
+          storedShingles = Some(spark.read.parquet(s"$root/sn")))
+        .write.mode("overwrite").parquet(s"$root/probe_out")
+    }
+    val hIdx0 = IndexMaintenance.health(spark, s"$root/dn")
+    val hSh0 = IndexMaintenance.health(spark, s"$root/sn")
+    val tProbeAppended = timeProbe()
+    val hIdx1 = IndexMaintenance.compactIndex(spark, s"$root/dn")
+    val hSh1 = IndexMaintenance.compactIndex(spark, s"$root/sn",
+      IndexMaintenance.rangeByIdLayout("__id"))
+    val tProbeCompacted = timeProbe()
+    println(f"PROF compaction idxFiles=${hIdx0.dataFiles}->${hIdx1.dataFiles} " +
+      f"shFiles=${hSh0.dataFiles}->${hSh1.dataFiles} " +
+      f"probeAppended=$tProbeAppended%.2f s probeCompacted=$tProbeCompacted%.2f s")
     spark.stop()
   }
 }

@@ -1121,6 +1121,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(eSim2.getMessage.contains("no sh_scheme"))
   }
 
+  test("delta-append generations compact to a bit-equal single generation") {
+    Fixtures.registerRaw(spark, sfDir)
+    val docs = spark.table("documents")
+    val corpus0 = docs.where(col("doc_id") % 10 > 4)
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val idxDir = s"$root/idx"; val shDir = s"$root/sh"
+    graft.pipeline.Dedup.bandIndex(corpus0, "doc_id", "text").write.parquet(idxDir)
+    graft.pipeline.Dedup.shingleSetStore(corpus0, "doc_id", "text").write.parquet(shDir)
+    // four ingest generations fold forward as append-files deltas — the
+    // batch-proportional merge — leaving one file-set behind per append
+    (0 to 3).foreach { i =>
+      val b = docs.where(col("doc_id") % 10 === i)
+      graft.pipeline.Dedup
+        .bandIndexDeltaFor(spark.read.parquet(idxDir), b, "doc_id", "text")
+        .write.mode("append").parquet(idxDir)
+      graft.pipeline.Dedup
+        .shingleSetsDeltaFor(spark.read.parquet(shDir), b, "doc_id", "text")
+        .write.mode("append").parquet(shDir)
+    }
+    val before = graft.pipeline.IndexMaintenance.health(spark, idxDir)
+    assert(graft.pipeline.IndexMaintenance.shouldCompact(spark, idxDir, maxFiles = 8),
+      s"file accumulation did not trip the trigger (files=${before.dataFiles})")
+    def idxRows(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getInt(5))).toSet
+    def shRows(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet, r.getInt(2))).toSet
+    val idxBefore = idxRows(idxDir)
+    val shBefore = shRows(shDir)
+    // serving probe over the appended state (batch %10=4 is NOT indexed)
+    val probeBatch = docs.where(col("doc_id") % 10 === 4)
+    val probeCorpus = docs.where(col("doc_id") % 10 =!= 4)
+    def probe() = graft.pipeline.Dedup.incrementalNearDupPairs(
+        probeBatch, probeCorpus, spark.read.parquet(idxDir), "doc_id", "text",
+        storedShingles = Some(spark.read.parquet(shDir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairsBefore = probe()
+    assert(pairsBefore.nonEmpty)
+    // compact both stores in place (the sidecar restores its range-by-id
+    // layout — the In-filter pruning contract)
+    val afterIdx = graft.pipeline.IndexMaintenance.compactIndex(spark, idxDir)
+    graft.pipeline.IndexMaintenance.compactIndex(spark, shDir,
+      graft.pipeline.IndexMaintenance.rangeByIdLayout("__id"))
+    assert(afterIdx.dataFiles < before.dataFiles)
+    assert(!graft.pipeline.IndexMaintenance.shouldCompact(spark, idxDir, maxFiles = 8))
+    // bit-equal rows (scheme stamps included), identical probe verdicts,
+    // and the stamp gates still verify from the rewritten metadata
+    assert(idxRows(idxDir) == idxBefore)
+    assert(shRows(shDir) == shBefore)
+    assert(probe() == pairsBefore)
+    graft.pipeline.Dedup.requireBandScheme(
+      spark.read.parquet(idxDir), 12, 4, fastHash = false)
+  }
+
   test("streaming ingest dedup: foreachBatch + stored band index equals batch recompute") {
     Fixtures.registerRaw(spark, sfDir)
     val docs = spark.table("documents")
