@@ -381,8 +381,20 @@ object SqlValidator {
     *    native ARRAY);
     *  - no ORDER BY -> the unsorted unwrap (the standard leaves the
     *    order unspecified; so does this engine);
-    *  - any other ORDER BY (DESC, expressions, multiple keys) has no
-    *    merge-order-independent spelling -> decline to the parser error.
+    *  - ANY OTHER ORDER BY (DESC, expressions, multiple keys) rides a
+    *    rank column: the body's projection gains
+    *    `row_number() OVER (ORDER BY keys)` and elements collect as
+    *    (rank, value) structs, array_sort on the never-null unique rank —
+    *    merge-order-independent for arbitrary keys. Keys keep their
+    *    written direction; an UNSPECIFIED null placement becomes explicit
+    *    `NULLS LAST` in BOTH directions — DuckDB's default (the engine of
+    *    record for the oracle; Spark's own default flips by direction,
+    *    and silently inheriting it would diverge). Ordinal `1` and the
+    *    projection's output alias resolve to the projected expression
+    *    (a window spec cannot see either). Declined to the parser error:
+    *    WITH bodies, DISTINCT projections (a rank column would change
+    *    their semantics), set-op bodies, LIMIT/OFFSET after the ordering,
+    *    and ordinals beyond the single projected column.
     * Applies only when the parenthesized body starts with SELECT/WITH —
     * `array(1, 2)` element constructors pass through. */
   private[validation] def translateArraySubquery(sql: String): String = {
@@ -396,40 +408,100 @@ object SqlValidator {
         val p = skipWs(sql, i + 5)
         val close =
           if (p < sql.length && sql.charAt(p) == '(') matchParen(sql, p) else -1
-        val body = if (close < 0) "" else sql.substring(p + 1, close).trim
-        val agg: Option[String] =
-          if (close < 0 || !(body.regionMatches(true, 0, "SELECT", 0, 6) ||
-              body.regionMatches(true, 0, "WITH", 0, 4))) None
+        val body0 = if (close < 0) "" else sql.substring(p + 1, close).trim
+        val rewritten: Option[String] =
+          if (close < 0 || !(body0.regionMatches(true, 0, "SELECT", 0, 6) ||
+              body0.regionMatches(true, 0, "WITH", 0, 4))) None
           else {
+            // nested ARRAY(...) in the body bridges first, so the clause
+            // surgery below scans already-balanced translated text
+            val body = translateArraySubquery(body0)
             val obIdx = findTopLevel(body, "ORDER")
             val isOb = obIdx >= 0 && java.util.regex.Pattern
               .compile("(?is)^ORDER\\s+BY\\s").matcher(body.substring(obIdx))
               .lookingAt()
             val unwrap =
               "transform(collect_list(struct(__graft_ac)), x -> x.__graft_ac)"
-            if (!isOb) Some(unwrap)
+            def scalar(a: String) =
+              s"(SELECT $a FROM ($body) __graft_at(__graft_ac))"
+            if (!isOb) Some(scalar(unwrap))
             else {
               val tail = body.substring(obIdx)
                 .replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
               val cut = Seq(findTopLevel(tail, "LIMIT"),
                 findTopLevel(tail, "OFFSET")).filter(_ >= 0).sorted.headOption
               val keys = cut.map(tail.substring(0, _)).getOrElse(tail).trim
-              if (keys.matches("(?is)1(\\s+ASC)?"))
-                Some(s"array_sort($unwrap)")
-              else None
+              if (keys.matches("(?is)1(\\s+ASC)?")) Some(scalar(s"array_sort($unwrap)"))
+              else translateArrayOrdered(body, obIdx, keys, hasPaging = cut.isDefined)
             }
           }
-        agg match {
-          case Some(a) =>
-            out.append(s"(SELECT $a FROM (")
-              .append(translateArraySubquery(body))
-              .append(") __graft_at(__graft_ac))")
+        rewritten match {
+          case Some(r) =>
+            out.append(r)
             i = close + 1
           case None => out += c; i += 1
         }
       } else { out += c; i += 1 }
     }
     out.toString
+  }
+
+  /** The general-ordering ARRAY(subquery) emission (`validation.rs:296`
+    * with an ORDER BY beyond `1 [ASC]`): elements collect as
+    * (row_number, value) structs and array_sort orders on the non-null
+    * UNIQUE rank, so the array order is the window's order regardless of
+    * how partial aggregates merge. The rank column is injected into the
+    * body's own projection — ordering keys may reference any input
+    * column, not just the projected one. None (decline to the parser's
+    * error) for the shapes the injection cannot express; see
+    * [[translateArraySubquery]]. */
+  private def translateArrayOrdered(
+      body: String, obIdx: Int, keys: String, hasPaging: Boolean): Option[String] = {
+    def isIdentChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    if (hasPaging) return None
+    if (!body.regionMatches(true, 0, "SELECT", 0, 6) ||
+        (body.length > 6 && isIdentChar(body.charAt(6)))) return None
+    if (hasTopLevel(body, Seq("UNION", "INTERSECT", "EXCEPT"))) return None
+    if (java.util.regex.Pattern.compile("(?is)^\\s*(DISTINCT|ALL)\\b")
+        .matcher(body.substring(6)).lookingAt()) return None
+    val fromIdx = findTopLevel(body, "FROM")
+    if (fromIdx < 0 || fromIdx > obIdx) return None
+    val proj = body.substring(6, fromIdx).trim
+    if (proj.isEmpty || splitTopLevel(proj).size != 1) return None
+    val rest = body.substring(fromIdx + 4, obIdx).trim
+    if (rest.isEmpty) return None
+    // the projected expression sans alias: ordinal-1 / output-alias keys
+    // substitute it (neither resolves inside a window spec)
+    val asM = java.util.regex.Pattern
+      .compile("(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$").matcher(proj)
+    val (projExpr, alias) =
+      if (asM.matches()) (asM.group(1), Some(asM.group(2)))
+      else (proj, Option.empty[String])
+    val items = splitTopLevel(keys).map(_.trim)
+    if (items.isEmpty || items.exists(_.isEmpty)) return None
+    val rendered = items.map { it =>
+      val nm = java.util.regex.Pattern
+        .compile("(?is)^(.*?)\\s+NULLS\\s+(FIRST|LAST)\\s*$").matcher(it)
+      val (noNulls, nulls) =
+        if (nm.matches()) (nm.group(1), Some(nm.group(2).toUpperCase))
+        else (it, Option.empty[String])
+      val dm = java.util.regex.Pattern
+        .compile("(?is)^(.*?)\\s+(ASC|DESC)\\s*$").matcher(noNulls)
+      val (e0, dir) =
+        if (dm.matches()) (dm.group(1).trim, dm.group(2).toUpperCase)
+        else (noNulls.trim, "ASC")
+      val e =
+        if (e0 == "1" || alias.exists(_.equalsIgnoreCase(e0))) Some(s"($projExpr)")
+        else if (e0.isEmpty || e0.matches("\\d+")) None
+        else Some(e0)
+      e.map(x => s"$x $dir NULLS ${nulls.getOrElse("LAST")}")
+    }
+    if (rendered.exists(_.isEmpty)) return None
+    Some("(SELECT transform(array_sort(collect_list(" +
+      "struct(__graft_rn, __graft_ac))), x -> x.__graft_ac) " +
+      s"FROM (SELECT $proj, row_number() OVER " +
+      s"(ORDER BY ${rendered.map(_.get).mkString(", ")}) AS __graft_rn " +
+      s"FROM $rest) __graft_at(__graft_ac, __graft_rn))")
   }
 
   /** Index of the ')' matching the '(' at `open` (literal-aware), or -1. */
@@ -477,11 +549,16 @@ object SqlValidator {
     *    three-distinct-subquery emission). The operand evaluates up to
     *    thrice (comparison + IS NULL) — fine for the deterministic
     *    expressions the validator admits.
+    * The left operand may be a COMPOUND expression (`a + b > ALL (...)`,
+    * `x || y <> ANY (...)`, `-v < ANY (...)`): the quantified comparison
+    * binds looser than every arithmetic/bitwise/concat operator, so the
+    * capture extends across the whole operator chain
+    * ([[quantifierOperandStart]]) and the emission parenthesizes it once.
     * SOME is ANY's synonym. Declined to the parser's error: a keyword not
     * followed by a parenthesized SELECT/WITH (`UNION ALL`, `SELECT ALL`,
-    * `any(...)` calls pass through untouched), a comparison whose left
-    * operand is not a parenthesizable primary (`a + b > ALL (...)` —
-    * write `(a + b) > ALL (...)`), and a CASE-expression operand. */
+    * `any(...)` calls pass through untouched), a CASE-expression operand,
+    * and operand chains with an uncapturable link (an array-index/cast
+    * tail, an interval-unit fragment). */
   private[validation] def translateQuantified(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -525,17 +602,19 @@ object SqlValidator {
             // decides immediately (its comparison NULL-skips when the
             // relevant extremum is NULL — empty or all-NULL set); a NULL
             // operand against a set with any non-null member is NULL; all
-            // remaining outcomes are the subquery-computed default
+            // remaining outcomes are the subquery-computed default.
+            // COMPOUND captures (`a + b > ALL (...)` — the quantified
+            // comparison binds looser than every arithmetic/concat
+            // operator, so the whole chain is the operand) emit
+            // parenthesized once; simple primaries emit verbatim.
             def emitCase(
-                vStart: Option[Int], o: Int,
+                cap: Option[(Int, Boolean)], o: Int,
                 witness: (String, String) => String,
-                nullGuardField: String): Boolean = {
-              val okCapture =
-                vStart.exists(wholeCapture(out, _, o, rejectOperators = true))
-              if (!okCapture) false
-              else {
-                val st = vStart.get
-                val v = out.substring(st, o).trim
+                nullGuardField: String): Boolean = cap match {
+              case None => false
+              case Some((st, isCompound)) =>
+                val raw = out.substring(st, o).trim
+                val v = if (isCompound) s"($raw)" else raw
                 out.delete(st, out.length)
                 out.append(
                   s"(CASE ${witness(v, sq)} " +
@@ -543,7 +622,6 @@ object SqlValidator {
                     s"ELSE $sq.r END)")
                 i = close + 1
                 true
-              }
             }
             (op, isAll) match {
               case ("=", false) | ("<>", true) | ("!=", true) =>
@@ -561,7 +639,7 @@ object SqlValidator {
                 // friendliest element (MIN for >/>=), ALL the harshest
                 val f =
                   if ((op == ">" || op == ">=") != isAll) "mn" else "mx"
-                emitCase(operandStart(out.substring(0, o)), o,
+                emitCase(quantifierOperandStart(out.substring(0, o)), o,
                   (v, s) =>
                     if (isAll) s"WHEN NOT ($v $op $s.$f) THEN FALSE"
                     else s"WHEN $v $op $s.$f THEN TRUE",
@@ -571,7 +649,7 @@ object SqlValidator {
                 // DIFFERING from the operand — exists iff min != v or
                 // max != v over the non-null values (total order), which
                 // NULL-skips exactly when no non-null element exists
-                emitCase(operandStart(out.substring(0, o)), o,
+                emitCase(quantifierOperandStart(out.substring(0, o)), o,
                   (v, s) =>
                     s"WHEN ($v <> $s.mn OR $v <> $s.mx) " +
                       s"THEN ${if (isAll) "FALSE" else "TRUE"}",
@@ -630,7 +708,7 @@ object SqlValidator {
               // and bridges correctly; only non-expression fragments
               // ('::' cast tails, '.'-preceded, CASE END) decline
               operandStart(out.toString)
-                  .filter(wholeCapture(out, _, out.length, rejectOperators = false))
+                  .filter(wholeCapture(out, _, out.length))
                   .foreach { st =>
                 val operand = out.substring(st).trim
                 // instant detection must see through wrapping parens:
@@ -660,24 +738,126 @@ object SqlValidator {
   }
 
   /** Whether the primary captured at `emitted[st, end)` is usable as a
-    * WHOLE operand — the ONE guard every operand-capturing bridge runs,
-    * so they cannot disagree on what counts as capturable. Always
-    * rejected: empty captures, CASE tails (`END`), and '.'/'::'-preceded
-    * captures (a field-access or cast FRAGMENT — `x::int` would capture
-    * the bare type name). `rejectOperators` additionally rejects
-    * binary-operator-preceded captures (`a + b` would capture only `b`):
-    * pass true for a bridge whose phrase binds LOOSER than arithmetic
-    * (the quantifier comparisons), false for one that binds TIGHTER
-    * (AT TIME ZONE — there `b` really is the whole operand). */
+    * WHOLE operand for a bridge whose phrase binds TIGHTER than every
+    * binary operator (AT TIME ZONE — an operator-preceded primary really
+    * is the whole operand there). Rejected: empty captures, CASE tails
+    * (`END`), and '.'/'::'-preceded captures (a field-access or cast
+    * FRAGMENT — `x::int` would capture the bare type name). Bridges that
+    * bind LOOSER than arithmetic (the quantifier comparisons) use
+    * [[quantifierOperandStart]], which EXTENDS across the operators this
+    * guard would otherwise sit behind. */
   private def wholeCapture(
-      emitted: StringBuilder, st: Int, end: Int,
-      rejectOperators: Boolean): Boolean = {
+      emitted: StringBuilder, st: Int, end: Int): Boolean = {
     val v = emitted.substring(st, end).trim
     var q = st
     while (q > 0 && Character.isWhitespace(emitted.charAt(q - 1))) q -= 1
     val pc = if (q == 0) ' ' else emitted.charAt(q - 1)
-    val rejected = if (rejectOperators) "+-*/%^|&<>=!.:" else ".:"
-    v.nonEmpty && !v.equalsIgnoreCase("END") && rejected.indexOf(pc.toInt) < 0
+    v.nonEmpty && !v.equalsIgnoreCase("END") && ".:".indexOf(pc.toInt) < 0
+  }
+
+  /** Keywords that end a quantifier operand chain: anything binding
+    * LOOSER than the comparison itself (logical/clause context, CASE
+    * branch markers), plus END (a CASE tail is not capturable without
+    * its whole CASE) and INTERVAL (an interval literal's head). */
+  private val QuantBoundaryKw = Set(
+    "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "CASE", "END", "IN", "IS",
+    "LIKE", "ILIKE", "RLIKE", "BETWEEN", "ESCAPE", "SELECT", "WHERE",
+    "FROM", "HAVING", "ON", "BY", "AS", "DISTINCT", "ALL", "ANY", "SOME",
+    "LIMIT", "OFFSET", "JOIN", "USING", "OVER", "UNION", "INTERSECT",
+    "EXCEPT", "VALUES", "EXISTS", "INTERVAL", "SET")
+
+  /** Start of the longest capturable LEFT OPERAND ending at `s`'s end for
+    * a quantified comparison, plus whether it is COMPOUND (spans an
+    * operator — the emission then parenthesizes it once). The reference
+    * whitelists an ARBITRARY left expression on ANY/ALL
+    * (`validation.rs:164-171`), and the quantified comparison binds
+    * LOOSER than every arithmetic/bitwise/concat operator, so the
+    * primary capture ([[operandStart]]) extends left across binary
+    * `+ - * / % ^ & | ||` links and unary signs — the whole chain really
+    * is the operand — stopping at any lower-precedence boundary (a
+    * [[QuantBoundaryKw]] keyword, a comma, an opening paren, the
+    * statement head). None — decline to the parser's error, leaving the
+    * original text — when any link is NOT capturable: an
+    * array-index/cast tail, a CASE END, an interval-unit fragment (bare
+    * identifier directly after a string literal), or a
+    * comparison-preceded capture (a chained comparison is not valid SQL,
+    * and re-parenthesizing a piece of one would invent semantics). */
+  private[validation] def quantifierOperandStart(s: String): Option[(Int, Boolean)] = {
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wsBack(k0: Int): Int = {
+      var k = k0
+      while (k > 0 && Character.isWhitespace(s.charAt(k - 1))) k -= 1
+      k
+    }
+    // one primary ending at `end`; None on keyword/fragment primaries
+    def primaryBefore(end: Int): Option[Int] = {
+      val prefix = s.substring(0, end)
+      operandStart(prefix).flatMap { p =>
+        val tok = prefix.substring(p).trim
+        val q = wsBack(p)
+        val pc = if (q == 0) ' ' else s.charAt(q - 1)
+        val isBareWord = tok.nonEmpty && tok.forall(isIdent)
+        if (isBareWord && QuantBoundaryKw.contains(tok.toUpperCase)) None
+        // a bare identifier directly after a string literal is a
+        // typed-literal/interval-unit TAIL (INTERVAL '1' DAY), not an
+        // operand — extending over it would garble the statement
+        else if (isBareWord && (pc == '\'' || pc == '"')) None
+        else Some(p)
+      }
+    }
+    var st = primaryBefore(s.length) match {
+      case Some(p) => p
+      case None => return None
+    }
+    var compound = false
+    var done = false
+    while (!done) {
+      val k = wsBack(st)
+      if (k == 0) done = true
+      else {
+        val c = s.charAt(k - 1)
+        val opStart =
+          if (c == '|' && k >= 2 && s.charAt(k - 2) == '|') Some(k - 2)
+          else if ("+-*/%^&|".indexOf(c.toInt) >= 0) Some(k - 1)
+          else None
+        opStart match {
+          case None => done = true
+          case Some(os) =>
+            val q = wsBack(os)
+            val pc = if (q == 0) ' ' else s.charAt(q - 1)
+            val kwBefore =
+              if (q > 0 && isIdent(pc)) {
+                var w = q
+                while (w > 0 && isIdent(s.charAt(w - 1))) w -= 1
+                Some(s.substring(w, q).toUpperCase)
+              } else None
+            val signable = c == '+' || c == '-'
+            // a sign with no left operand (expression head, after '(' or
+            // ',' or another operator or a boundary keyword) is UNARY:
+            // include it and keep walking left
+            val unaryContext = q == 0 || pc == '(' || pc == ',' ||
+              "+-*/%^&|<>=!".indexOf(pc.toInt) >= 0 ||
+              kwBefore.exists(QuantBoundaryKw.contains)
+            if (signable && unaryContext) {
+              compound = true
+              st = os
+              if (q == 0 || pc == '(' || pc == ',' ||
+                  kwBefore.exists(QuantBoundaryKw.contains)) done = true
+              // else an operator precedes the sign — next loop examines it
+            } else {
+              primaryBefore(os) match {
+                case Some(p) => compound = true; st = p
+                case None => return None
+              }
+            }
+        }
+      }
+    }
+    val q = wsBack(st)
+    val pc = if (q == 0) ' ' else s.charAt(q - 1)
+    val v = s.substring(st).trim
+    if (v.isEmpty || ".:<>=!".indexOf(pc.toInt) >= 0) None
+    else Some((st, compound))
   }
 
   /** Start index of the primary expression ending at `s`'s end (trailing

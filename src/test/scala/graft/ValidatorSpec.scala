@@ -288,17 +288,37 @@ class ValidatorSpec extends AnyFunSuite {
       s"SELECT k FROM t WHERE ${quantCase("v", "<", "MAX", b, isAll = false)}")
     assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE v >= ALL ($b)") ==
       s"SELECT k FROM t WHERE ${quantCase("v", ">=", "MAX", b, isAll = true)}")
-    // parenthesized and call operands capture whole; a bare arithmetic
-    // operand would capture a fragment -> decline to the parser error
+    // parenthesized and call operands capture whole
     assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE (a + b) > ALL ($b)") ==
       s"SELECT k FROM t WHERE ${quantCase("(a + b)", ">", "MAX", b, isAll = true)}")
-    val frag = s"SELECT k FROM t WHERE a + b > ALL ($b)"
-    assert(SqlValidator.preprocess(frag) == frag)
+    // COMPOUND left operands (validation.rs:164-171 whitelists an
+    // arbitrary left expression): the capture extends across the whole
+    // arithmetic/concat chain — the comparison binds looser than all of
+    // it — and the emission parenthesizes the operand once
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE a + b > ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("(a + b)", ">", "MAX", b, isAll = true)}")
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE a || b <> ANY ($b)") ==
+      s"SELECT k FROM t WHERE ${quantEqCase("(a || b)", b, isAll = false)}")
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE -v < ANY ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("(-v)", "<", "MAX", b, isAll = false)}")
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE t.v * f(y) % 3 >= ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("(t.v * f(y) % 3)", ">=", "MAX", b, isAll = true)}")
+    // the chain stops at a LOWER-precedence boundary: `p AND b` captures
+    // only `b` (AND binds looser than the comparison — correct scope)
+    assert(SqlValidator.preprocess(s"SELECT k FROM t WHERE p AND b = ALL ($b)") ==
+      s"SELECT k FROM t WHERE p AND ${quantEqCase("b", b, isAll = true)}")
     val caseOp = s"SELECT k FROM t WHERE CASE WHEN p THEN q ELSE r END > ALL ($b)"
     assert(SqlValidator.preprocess(caseOp) == caseOp)
-    // a '::' cast operand is a fragment too — decline whole
+    // fragments still decline WHOLE (never a partial re-parenthesize):
+    // '::' cast tails, interval-unit tails, array-index tails
     val castOp = s"SELECT k FROM t WHERE a::int > ALL ($b)"
     assert(SqlValidator.preprocess(castOp) == castOp)
+    val castChain = s"SELECT k FROM t WHERE a::int + b > ALL ($b)"
+    assert(SqlValidator.preprocess(castChain) == castChain)
+    val intervalOp = s"SELECT k FROM t WHERE ts + INTERVAL '1' DAY > ALL ($b)"
+    assert(SqlValidator.preprocess(intervalOp) == intervalOp)
+    val idxOp = s"SELECT k FROM t WHERE arr[1] + b > ALL ($b)"
+    assert(SqlValidator.preprocess(idxOp) == idxOp)
     // = ALL and <> ANY bridge to the equality-witness CASE (a non-null
     // element differing from the operand decides; the dual identities
     // = ANY -> IN / <> ALL -> NOT IN stay on Spark's native IN)
@@ -308,10 +328,10 @@ class ValidatorSpec extends AnyFunSuite {
       s"SELECT k FROM t WHERE ${quantEqCase("v", "SELECT v FROM u", isAll = false)}")
     assert(SqlValidator.preprocess("SELECT k FROM t WHERE v != ANY (SELECT v FROM u)") ==
       s"SELECT k FROM t WHERE ${quantEqCase("v", "SELECT v FROM u", isAll = false)}")
-    // the equality forms share the fragment guard: an arithmetic operand
-    // declines whole, and literal bytes survive untouched
-    val eqFrag = "SELECT k FROM t WHERE a + b = ALL (SELECT v FROM u)"
-    assert(SqlValidator.preprocess(eqFrag) == eqFrag)
+    // the equality forms share the compound capture, and literal bytes
+    // survive untouched
+    assert(SqlValidator.preprocess("SELECT k FROM t WHERE a + b = ALL (SELECT v FROM u)") ==
+      s"SELECT k FROM t WHERE ${quantEqCase("(a + b)", "SELECT v FROM u", isAll = true)}")
     val eqLit = "SELECT k FROM t WHERE s = '= ALL (SELECT 1)'"
     assert(SqlValidator.preprocess(eqLit) == eqLit)
     // non-subquery operands and non-operator contexts pass through:
@@ -405,11 +425,48 @@ class ValidatorSpec extends AnyFunSuite {
       "SELECT ARRAY(SELECT k FROM u) AS arr FROM t") ==
       s"SELECT (SELECT $unwrap FROM (SELECT k FROM u) " +
         "__graft_at(__graft_ac)) AS arr FROM t")
-    // any other ORDER BY has no merge-order-independent spelling: decline
-    val byCol = "SELECT ARRAY(SELECT k FROM u ORDER BY k) AS arr FROM t"
-    assert(SqlValidator.preprocess(byCol) == byCol)
-    val byDesc = "SELECT ARRAY(SELECT k FROM u ORDER BY 1 DESC) AS arr FROM t"
-    assert(SqlValidator.preprocess(byDesc) == byDesc)
+    // any OTHER ordering rides a rank column: the body projects
+    // row_number() over the written keys (direction kept, unspecified
+    // null placement made explicitly NULLS LAST — DuckDB's default in
+    // both directions, where Spark's own flips) and array_sort orders on
+    // the never-null unique rank — merge-order-independent for arbitrary
+    // keys. Ordinal 1 / the output alias resolve to the projected
+    // expression (a window spec sees neither).
+    def ranked(proj: String, keys: String, rest: String) =
+      "(SELECT transform(array_sort(collect_list(" +
+        "struct(__graft_rn, __graft_ac))), x -> x.__graft_ac) " +
+        s"FROM (SELECT $proj, row_number() OVER (ORDER BY $keys) " +
+        s"AS __graft_rn FROM $rest) __graft_at(__graft_ac, __graft_rn))"
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k FROM u ORDER BY k) AS arr FROM t") ==
+      s"SELECT ${ranked("k", "k ASC NULLS LAST", "u")} AS arr FROM t")
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k FROM u ORDER BY k DESC) AS arr FROM t") ==
+      s"SELECT ${ranked("k", "k DESC NULLS LAST", "u")} AS arr FROM t")
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k FROM u ORDER BY v DESC NULLS FIRST, k ASC) AS arr FROM t") ==
+      s"SELECT ${ranked("k", "v DESC NULLS FIRST, k ASC NULLS LAST", "u")} AS arr FROM t")
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k AS a FROM u ORDER BY a DESC) AS arr FROM t") ==
+      s"SELECT ${ranked("k AS a", "(k) DESC NULLS LAST", "u")} AS arr FROM t")
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k FROM u ORDER BY 1 DESC) AS arr FROM t") ==
+      s"SELECT ${ranked("k", "(k) DESC NULLS LAST", "u")} AS arr FROM t")
+    // GROUP BY bodies keep their aggregation under the rank projection
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT k FROM u GROUP BY k ORDER BY length(k) DESC, k) AS arr FROM t") ==
+      s"SELECT ${ranked("k", "length(k) DESC NULLS LAST, k ASC NULLS LAST",
+        "u GROUP BY k")} AS arr FROM t")
+    // shapes the rank injection cannot express still decline whole:
+    // DISTINCT projections, ordinals beyond the projection, paging
+    val byDistinct =
+      "SELECT ARRAY(SELECT DISTINCT k FROM u ORDER BY k DESC) AS arr FROM t"
+    assert(SqlValidator.preprocess(byDistinct) == byDistinct)
+    val byOrd2 = "SELECT ARRAY(SELECT k FROM u ORDER BY 2) AS arr FROM t"
+    assert(SqlValidator.preprocess(byOrd2) == byOrd2)
+    val byPaged =
+      "SELECT ARRAY(SELECT k FROM u ORDER BY k DESC LIMIT 3) AS arr FROM t"
+    assert(SqlValidator.preprocess(byPaged) == byPaged)
     // the element-expression constructor is Spark-native — untouched
     assert(SqlValidator.preprocess("SELECT array(1, 2) FROM t") ==
       "SELECT array(1, 2) FROM t")
