@@ -519,6 +519,58 @@ object SqlSurface {
         |ORDER BY c1.custkey""".stripMargin,
       bridge = true),
 
+    // COMPOUND left operands on quantifiers (validation.rs:164-171
+    // whitelists an arbitrary left expression): arithmetic sums/products,
+    // unary negation, string concat, and a correlated modulo = ALL — the
+    // capture extends across the whole operator chain and the emission
+    // parenthesizes it once; DuckDB executes the SAME text natively, so
+    // two independent quantifier implementations must agree hash-exact
+    // on every operator x quantifier combination with a compound operand.
+    Q("q43_compound_quantifiers",
+      """SELECT c1.custkey, c1.nationkey, round(c1.acctbal, 2) AS bal,
+        |  (c1.acctbal + c1.custkey > ALL (SELECT acctbal FROM customer_entity WHERE mktsegment = 'BUILDING')) AS sum_gt_all,
+        |  (c1.acctbal * 2 < ANY (SELECT CASE WHEN nationkey = 2 THEN acctbal END
+        |                         FROM customer_entity WHERE nationkey <= 2)) AS dbl_lt_any_nulls,
+        |  (-c1.acctbal <= ALL (SELECT -acctbal FROM customer_entity WHERE nationkey = 1)) AS neg_le_all,
+        |  (c1.mktsegment || '_x' <> ANY (SELECT mktsegment || '_x' FROM customer_entity WHERE custkey < 0)) AS cat_ne_any_empty,
+        |  (c1.custkey % 5 = ALL (SELECT c2.custkey % 5 FROM customer_entity c2 WHERE c2.custkey = c1.custkey)) AS mod_eq_all,
+        |  (c1.custkey + 0 >= SOME (SELECT custkey FROM customer_entity WHERE nationkey = 1)) AS plus_ge_some
+        |FROM customer_entity c1
+        |WHERE c1.custkey <= 400
+        |  AND c1.acctbal + c1.custkey / 2 > ANY (SELECT acctbal FROM customer_entity WHERE nationkey = 3)
+        |ORDER BY c1.custkey""".stripMargin,
+      bridge = true),
+
+    // ARRAY(subquery) with ARBITRARY orderings (validation.rs:296 beyond
+    // the ORDER BY 1 fast path): DESC, multi-key expression orderings,
+    // ordinal DESC, and an output-alias key — bridged onto a rank column
+    // (row_number inside the body, array_sort on the never-null unique
+    // rank) so the array order is merge-order-independent; DuckDB runs
+    // the same ARRAY text natively. Keys are tie-free so both engines'
+    // orders are fully determined.
+    Q("q44_array_ordering",
+      """SELECT nationkey, count(*) AS n,
+        |  array_join(ARRAY(SELECT mktsegment FROM customer_entity
+        |                   GROUP BY mktsegment
+        |                   ORDER BY length(mktsegment) DESC, mktsegment), ',') AS segs_by_len,
+        |  array_join(ARRAY(SELECT mktsegment FROM customer_entity
+        |                   GROUP BY mktsegment ORDER BY 1 DESC), ',') AS segs_desc,
+        |  array_join(ARRAY(SELECT upper(mktsegment) AS s FROM customer_entity
+        |                   GROUP BY mktsegment ORDER BY s DESC), ',') AS segs_alias
+        |FROM customer_entity GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+      oracleOverride = Some(
+        s"""$prelude
+           |SELECT nationkey, count(*) AS n,
+           |  array_to_string(ARRAY(SELECT mktsegment FROM customer_entity
+           |                   GROUP BY mktsegment
+           |                   ORDER BY length(mktsegment) DESC, mktsegment), ',') AS segs_by_len,
+           |  array_to_string(ARRAY(SELECT mktsegment FROM customer_entity
+           |                   GROUP BY mktsegment ORDER BY 1 DESC), ',') AS segs_desc,
+           |  array_to_string(ARRAY(SELECT upper(mktsegment) AS s FROM customer_entity
+           |                   GROUP BY mktsegment ORDER BY s DESC), ',') AS segs_alias
+           |FROM customer_entity GROUP BY nationkey ORDER BY nationkey""".stripMargin),
+      bridge = true),
+
     Q("q41_whitelist_corners",
       """SELECT nationkey,
         |  count(*) FILTER (WHERE (CASE WHEN custkey % 3 = 0 THEN NULL ELSE acctbal > 5000 END) IS UNKNOWN) AS n_unknown,
