@@ -369,6 +369,18 @@ object PipelineQueries {
     Q("dd13_generation_merge", batchIngestSparkSql, batchIngestDuckSql),
 
     // ------------------------------------------------------------------
+    // dd15: COMPACTED generation probe — dd13's rolling merge taken all
+    // the way through the maintenance cycle: generation 0 on DISK, batch1
+    // folded in as an append-files DELTA (bandIndexDeltaFor +
+    // mode("append") — batch-proportional IO), then
+    // IndexMaintenance.compactIndex rewrites the accumulated file-sets as
+    // one generation, and batch2 probes the COMPACTED store. Oracle:
+    // IDENTICAL to dd11/dd13's (one shared definition) — compaction
+    // changes file layout only, never rows, so the probe must land
+    // exactly where the in-memory merged generation lands.
+    Q("dd15_compacted_generation_probe", batchIngestSparkSql, batchIngestDuckSql),
+
+    // ------------------------------------------------------------------
     // dd3: exact n-gram Jaccard on a deterministic pair sample (metric
     // correctness incl. zero-overlap pairs; LEFT JOIN keeps jaccard=0).
     Q("dd3_ngram_jaccard",
@@ -2857,6 +2869,33 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
     }
 
+  /** dd15's COMPACTED merged generation: dd13's generation 1 built the
+    * way a long-lived pipeline actually holds it — generation 0 written
+    * to disk, batch1 folded in as an append-files delta, then the
+    * accumulated file-sets rewritten by IndexMaintenance.compactIndex
+    * (bit-equal rows, one compacted layout). Cached per (session, sf) as
+    * the read-back of the compacted store, so dd15 measures the batch2
+    * probe against post-maintenance stored state. */
+  private val compactedIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]]
+
+  private def cachedCompactedIndex(s: SparkSession, dir: String) =
+    cachedDataset(compactedIndexCache, s, dir) {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.LocalLayout.parquet(s, s"$dir/documents.parquet")
+      val root = java.nio.file.Files.createTempDirectory("graft_dd15").toString
+      Dedup.bandIndex(
+          docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+          "doc_id", "text")
+        .write.parquet(s"$root/idx")
+      Dedup.bandIndexDeltaFor(
+          s.read.parquet(s"$root/idx"),
+          docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
+        .write.mode("append").parquet(s"$root/idx")
+      IndexMaintenance.compactIndex(s, s"$root/idx")
+      s.read.parquet(s"$root/idx")
+    }
+
   /** dd14's stored CORPUS-ONLY cluster assignment (connected components
     * over the corpus-internal pair list) — the dedup decision artifact a
     * rolling pipeline holds between generations; the ingest merges new
@@ -3003,6 +3042,21 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 === 0),
         docs.where(col("doc_id") % 10 =!= 0),
         cachedMergedIndex(s, dir).toDF(),
+        "doc_id", "text")
+    }),
+
+    // dd15: the COMPACTED-generation probe — batch2 probes stored state
+    // that went disk-gen0 -> delta-append(batch1) -> compactIndex;
+    // verification keeps dd11's measured-faster text path. Same oracle
+    // as dd11/dd13: compaction moves bytes between files, never rows.
+    "dd15_compacted_generation_probe" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      Fixtures.registerRaw(s, dir)
+      val docs = s.table("documents")
+      Dedup.incrementalNearDupPairs(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        cachedCompactedIndex(s, dir).toDF(),
         "doc_id", "text")
     }),
 
