@@ -40,15 +40,24 @@ object IndexMaintenance {
   val DefaultTargetFileBytes: Long = 128L << 20
 
   def health(spark: SparkSession, path: String): IndexHealth = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(p, true)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootUri = fs.makeQualified(root).toUri
+    // a path is live data only if NO component under the root is hidden —
+    // Spark's readers skip whole '_'/'.'-prefixed DIRECTORIES (a crashed
+    // append's _temporary attempt files must not count as probe-visible
+    // data, or the trigger and the probe would disagree)
+    def live(p: Path): Boolean = {
+      val rel = rootUri.relativize(fs.makeQualified(p).toUri).getPath
+      rel.split('/').forall(seg =>
+        seg.nonEmpty && !seg.startsWith("_") && !seg.startsWith("."))
+    }
+    val it = fs.listFiles(root, true)
     var files = 0L
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
+      if (live(f.getPath)) {
         files += 1
         bytes += f.getLen
       }

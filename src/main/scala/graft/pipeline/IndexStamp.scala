@@ -54,11 +54,15 @@ private[graft] object IndexStamp {
         }
       Some(v)
     } else {
-      // data-row fallback for metadata-less tables (externally written):
-      // a raw append that bypassed the validated delta builders could
-      // leave MIXED stamps, and blessing whichever row head() returns
-      // would validate a poisoned index — demand uniformity (two
-      // distinct values suffice to fail, so the probe stays bounded)
+      // data-row fallback for metadata-less tables (externally written —
+      // every index THIS library writes carries metadata and never takes
+      // this path): a raw append that bypassed the validated delta
+      // builders could leave MIXED stamps, and blessing whichever row
+      // head() returns would validate a poisoned index — demand
+      // uniformity. This is a column-pruned distinct AGGREGATION over
+      // the stamp column (a real scan, unlike the old first-row fetch) —
+      // the deliberate price of admitting foreign-written state at all;
+      // only the RESULT is bounded at two rows
       val vals = index.select(colName).distinct().limit(2).collect()
       if (vals.length > 1)
         throw new IllegalArgumentException(

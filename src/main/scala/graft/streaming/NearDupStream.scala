@@ -93,6 +93,22 @@ object NearDupStream {
       .getOrElse(corpus.select(col(corpusIdCol).cast("long").as("__cid"),
         shingles(col(corpusTextCol)).as("__sb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // COVERAGE gate at setup (the batch ingest's companion gate): the
+    // width stamp proves HOW the serving sets were built, not that they
+    // cover the index — an index delta appended without its sidecar
+    // companion (or an index over docs missing from the corpus table)
+    // would make the verify join below silently drop every pair of the
+    // missing docs for the stream's whole LIFETIME. One anti-join probe
+    // of the index's doc ids against the serving set frame, paid once at
+    // (re)start — exactly when a generation swap could introduce the hole.
+    val missing = index.select(col("__id").cast("long").as("__cid")).distinct()
+      .join(corp, Seq("__cid"), "left_anti")
+    if (!missing.isEmpty)
+      throw new IllegalStateException(
+        "near-dup serving state does not cover every indexed document " +
+          "(e.g. " + missing.head.get(0) + ") — the band index and the " +
+          "shingle source are out of sync (a delta append folded the index " +
+          "but not the sidecar?); re-append the missing generation")
     banded.join(idx, Seq("band", "bsig"))
       .where(col("__id") =!= col("__cid"))
       .join(corp, Seq("__cid"))

@@ -834,10 +834,14 @@ object SqlValidator {
             val signable = c == '+' || c == '-'
             // a sign with no left operand (expression head, after '(' or
             // ',' or another operator or a boundary keyword) is UNARY:
-            // include it and keep walking left
+            // include it and keep walking left. END is NOT a unary
+            // context — it CLOSES an expression, so an operator after it
+            // is binary with a CASE-tail left operand, which the binary
+            // branch below declines whole (a partial capture of `+ 1`
+            // out of `CASE ... END + 1` would garble the statement)
             val unaryContext = q == 0 || pc == '(' || pc == ',' ||
               "+-*/%^&|<>=!".indexOf(pc.toInt) >= 0 ||
-              kwBefore.exists(QuantBoundaryKw.contains)
+              kwBefore.exists(k => k != "END" && QuantBoundaryKw.contains(k))
             if (signable && unaryContext) {
               compound = true
               st = os

@@ -95,6 +95,15 @@ class GenerationSwapSpec extends AnyFunSuite {
     Dedup.bandIndexDeltaFor(
         spark.read.parquet(s"$root/idx"), sliceA, "doc_id", "text")
       .write.mode("append").parquet(s"$root/idx")
+    // a HALF-folded generation (index appended, sidecar forgotten) is
+    // LOUD at restart — never a silently-incomplete verdict stream
+    val eHole = intercept[IllegalStateException] {
+      NearDupStream.nearDupIngestStream(
+        spark, sliceB.limit(0), "doc_id", "text",
+        spark.read.parquet(s"$root/idx"), corpus0, "doc_id", "text",
+        storedShingles = Some(spark.read.parquet(s"$root/sh")))
+    }
+    assert(eHole.getMessage.contains("does not cover"))
     Dedup.shingleSetsDeltaFor(
         spark.read.parquet(s"$root/sh"), sliceA, "doc_id", "text")
       .write.mode("append").parquet(s"$root/sh")

@@ -989,7 +989,7 @@ class PipelineSpec extends AnyFunSuite {
       .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text")
     val gated = graft.pipeline.Dedup
       .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
-        inListMaxIds = 0)
+        inListMaxIds = 0, broadcastMaxIds = -1)
     assert(hints(hinted) > 0, "default ingest lost its proven-small broadcast")
     assert(hints(gated) == 0,
       "a backfill-sized ingest must not carry an explicit broadcast hint")
@@ -1000,9 +1000,17 @@ class PipelineSpec extends AnyFunSuite {
     val store = graft.pipeline.Dedup.shingleSets(corpus, "doc_id", "text")
     val gatedStore = graft.pipeline.Dedup
       .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
-        storedShingles = Some(store), inListMaxIds = 0)
+        storedShingles = Some(store), inListMaxIds = 0, broadcastMaxIds = -1)
     assert(hints(gatedStore) == 0)
     assert(pairsOf(gatedStore) == p)
+    // the ambiguous band (2·pairs over the In-list bound): the id set is
+    // checkpoint-materialized and counted EXACTLY — clustered graphs
+    // whose distinct ids undershoot their pair count keep the In-filter
+    // path — and results are identical wherever the decision lands
+    val ambiguous = graft.pipeline.Dedup
+      .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
+        storedShingles = Some(store), inListMaxIds = 1)
+    assert(pairsOf(ambiguous) == p)
     // mergeComponents: the relabel broadcast is gated by the label-graph
     // count — a backfill-sized pair list relabels through a plain join
     val pairs = hinted.localCheckpoint()

@@ -309,6 +309,12 @@ class ValidatorSpec extends AnyFunSuite {
       s"SELECT k FROM t WHERE p AND ${quantEqCase("b", b, isAll = true)}")
     val caseOp = s"SELECT k FROM t WHERE CASE WHEN p THEN q ELSE r END > ALL ($b)"
     assert(SqlValidator.preprocess(caseOp) == caseOp)
+    // an operator after END is BINARY with a CASE-tail left operand —
+    // uncapturable, so the whole chain declines (a partial capture of
+    // `+ 1` would garble the statement, the round-12 class)
+    val caseArith =
+      s"SELECT k FROM t WHERE CASE WHEN p THEN q ELSE r END + 1 > ALL ($b)"
+    assert(SqlValidator.preprocess(caseArith) == caseArith)
     // fragments still decline WHOLE (never a partial re-parenthesize):
     // '::' cast tails, interval-unit tails, array-index tails
     val castOp = s"SELECT k FROM t WHERE a::int > ALL ($b)"
