@@ -29,11 +29,18 @@ object IndexMaintenance {
     * only — `_SUCCESS`/hidden files excluded, no data read). */
   final case class IndexHealth(dataFiles: Long, bytes: Long)
 
-  /** Default file-count trigger: below ~64 files a probe's footer/open
-    * overhead is noise next to its row work; past it the per-file cost
-    * compounds linearly with ingest count while giving nothing back
-    * (ProfileMerge's degradation rows measure the drift). */
-  val DefaultMaxFiles: Int = 64
+  /** Default file-count trigger, set AT the measured knee
+    * (ProfileCompaction, sf1 band index, local SSD): a scan-bound probe
+    * is FLAT to ~512 files (128→0.74 s, 512→0.80 s) and degrades
+    * linearly past it (2,048→1.76 s, 8,192→4.30 s) — per-file open and
+    * footer cost, which an object store only makes worse (each open is
+    * a round-trip GET). Each delta append leaves ~write-parallelism
+    * files, so 512 ≈ one compaction every ~16 ingests at 32-way — rare
+    * enough that the corpus-sized rewrite never erodes the
+    * batch-proportional merge it pays for (a threshold at the old 64
+    * would have tripped every second ingest for a probe cost the curve
+    * shows is still noise there). */
+  val DefaultMaxFiles: Int = 512
 
   /** Default compaction file target — parquet's comfortable row-group
     * packing; also the upper bound a single probe task pays to open. */
@@ -113,6 +120,15 @@ object IndexMaintenance {
       s"compaction wrote but could not swap in the new generation of $path — " +
         s"the previous generation is intact at $old")
     fs.delete(old, true)
+    // an IN-PLACE rewrite under a long-lived session poisons every
+    // reader whose plan was built (or cached — Spark dedups cache
+    // entries by plan, so even a NEW reader of the same path resolves
+    // to the stale entry) against the pre-swap file listing:
+    // FAILED_READ_FILE on the deleted generation. Invalidate the
+    // path's cached data and file listings as part of the swap —
+    // found by GenerationSwapSpec's compact-inside-the-swap-window
+    // phase, not hypothetical.
+    spark.catalog.refreshByPath(base)
     health(spark, path)
   }
 }

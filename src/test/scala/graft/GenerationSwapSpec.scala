@@ -107,6 +107,13 @@ class GenerationSwapSpec extends AnyFunSuite {
     Dedup.shingleSetsDeltaFor(
         spark.read.parquet(s"$root/sh"), sliceA, "doc_id", "text")
       .write.mode("append").parquet(s"$root/sh")
+    // maintenance inside the swap window: compact BOTH stores before the
+    // restart — the stream must serve a post-compaction generation with
+    // verdicts unchanged (compaction moves bytes between files, never
+    // rows; the sidecar's range layout is restored)
+    graft.pipeline.IndexMaintenance.compactIndex(spark, s"$root/idx")
+    graft.pipeline.IndexMaintenance.compactIndex(spark, s"$root/sh",
+      graft.pipeline.IndexMaintenance.rangeByIdLayout("__id"))
     val corpus1 = corpus0.unionByName(sliceA)
     val crossB = pairs(Dedup.incrementalNearDupPairs(
       sliceB, corpus1, spark.read.parquet(s"$root/idx"), "doc_id", "text",
