@@ -521,11 +521,13 @@ object SqlSurface {
 
     // COMPOUND left operands on quantifiers (validation.rs:164-171
     // whitelists an arbitrary left expression): arithmetic sums/products,
-    // unary negation, string concat, and a correlated modulo = ALL — the
-    // capture extends across the whole operator chain and the emission
-    // parenthesizes it once; DuckDB executes the SAME text natively, so
-    // two independent quantifier implementations must agree hash-exact
-    // on every operator x quantifier combination with a compound operand.
+    // unary negation, string concat, a correlated modulo = ALL, and a
+    // date + single-unit INTERVAL literal chain — the capture extends
+    // across the whole operator chain (interval literals are one
+    // primary) and the emission parenthesizes it once; DuckDB executes
+    // the SAME text natively, so two independent quantifier
+    // implementations must agree hash-exact on every operator x
+    // quantifier combination with a compound operand.
     Q("q43_compound_quantifiers",
       """SELECT c1.custkey, c1.nationkey, round(c1.acctbal, 2) AS bal,
         |  (c1.acctbal + c1.custkey > ALL (SELECT acctbal FROM customer_entity WHERE mktsegment = 'BUILDING')) AS sum_gt_all,
@@ -534,7 +536,8 @@ object SqlSurface {
         |  (-c1.acctbal <= ALL (SELECT -acctbal FROM customer_entity WHERE nationkey = 1)) AS neg_le_all,
         |  (c1.mktsegment || '_x' <> ANY (SELECT mktsegment || '_x' FROM customer_entity WHERE custkey < 0)) AS cat_ne_any_empty,
         |  (c1.custkey % 5 = ALL (SELECT c2.custkey % 5 FROM customer_entity c2 WHERE c2.custkey = c1.custkey)) AS mod_eq_all,
-        |  (c1.custkey + 0 >= SOME (SELECT custkey FROM customer_entity WHERE nationkey = 1)) AS plus_ge_some
+        |  (c1.custkey + 0 >= SOME (SELECT custkey FROM customer_entity WHERE nationkey = 1)) AS plus_ge_some,
+        |  (DATE '1996-06-01' + INTERVAL '30' DAY < ANY (SELECT o.orderdate FROM orders_entity o WHERE o.custkey = c1.custkey)) AS date_lt_any
         |FROM customer_entity c1
         |WHERE c1.custkey <= 400
         |  AND c1.acctbal + c1.custkey / 2 > ANY (SELECT acctbal FROM customer_entity WHERE nationkey = 3)
@@ -543,7 +546,9 @@ object SqlSurface {
 
     // ARRAY(subquery) with ARBITRARY orderings (validation.rs:296 beyond
     // the ORDER BY 1 fast path): DESC, multi-key expression orderings,
-    // ordinal DESC, and an output-alias key — bridged onto a rank column
+    // ordinal DESC, an output-alias key, and a DISTINCT body ordered by
+    // its projected value DESC (ranked ABOVE the intact distinct) —
+    // bridged onto a rank column
     // (row_number inside the body, array_sort on the never-null unique
     // rank) so the array order is merge-order-independent; DuckDB runs
     // the same ARRAY text natively. Keys are tie-free so both engines'
@@ -556,7 +561,9 @@ object SqlSurface {
         |  array_join(ARRAY(SELECT mktsegment FROM customer_entity
         |                   GROUP BY mktsegment ORDER BY 1 DESC), ',') AS segs_desc,
         |  array_join(ARRAY(SELECT upper(mktsegment) AS s FROM customer_entity
-        |                   GROUP BY mktsegment ORDER BY s DESC), ',') AS segs_alias
+        |                   GROUP BY mktsegment ORDER BY s DESC), ',') AS segs_alias,
+        |  array_join(ARRAY(SELECT DISTINCT mktsegment FROM customer_entity
+        |                   ORDER BY mktsegment DESC), ',') AS segs_distinct_desc
         |FROM customer_entity GROUP BY nationkey ORDER BY nationkey""".stripMargin,
       oracleOverride = Some(
         s"""$prelude
@@ -567,7 +574,9 @@ object SqlSurface {
            |  array_to_string(ARRAY(SELECT mktsegment FROM customer_entity
            |                   GROUP BY mktsegment ORDER BY 1 DESC), ',') AS segs_desc,
            |  array_to_string(ARRAY(SELECT upper(mktsegment) AS s FROM customer_entity
-           |                   GROUP BY mktsegment ORDER BY s DESC), ',') AS segs_alias
+           |                   GROUP BY mktsegment ORDER BY s DESC), ',') AS segs_alias,
+           |  array_to_string(ARRAY(SELECT DISTINCT mktsegment FROM customer_entity
+           |                   ORDER BY mktsegment DESC), ',') AS segs_distinct_desc
            |FROM customer_entity GROUP BY nationkey ORDER BY nationkey""".stripMargin),
       bridge = true),
 

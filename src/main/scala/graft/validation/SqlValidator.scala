@@ -391,10 +391,15 @@ object SqlValidator {
     *    record for the oracle; Spark's own default flips by direction,
     *    and silently inheriting it would diverge). Ordinal `1` and the
     *    projection's output alias resolve to the projected expression
-    *    (a window spec cannot see either). Declined to the parser error:
-    *    WITH bodies, DISTINCT projections (a rank column would change
-    *    their semantics), set-op bodies, LIMIT/OFFSET after the ordering,
-    *    and ordinals beyond the single projected column.
+    *    (a window spec cannot see either). DISTINCT bodies rank ABOVE
+    *    the distinct (the distinct SELECT stays intact underneath — a
+    *    rank inside it would change its semantics), so their keys may
+    *    only be the projected value: ordinal 1, the alias, or the
+    *    projected expression verbatim — the standard's own
+    *    SELECT DISTINCT ordering constraint. Declined to the parser
+    *    error: WITH bodies, set-op bodies, LIMIT/OFFSET after the
+    *    ordering, ordinals beyond the single projected column, and
+    *    DISTINCT keys beyond the projected value.
     * Applies only when the parenthesized body starts with SELECT/WITH —
     * `array(1, 2)` element constructors pass through. */
   private[validation] def translateArraySubquery(sql: String): String = {
@@ -462,11 +467,15 @@ object SqlValidator {
     if (!body.regionMatches(true, 0, "SELECT", 0, 6) ||
         (body.length > 6 && isIdentChar(body.charAt(6)))) return None
     if (hasTopLevel(body, Seq("UNION", "INTERSECT", "EXCEPT"))) return None
-    if (java.util.regex.Pattern.compile("(?is)^\\s*(DISTINCT|ALL)\\b")
+    if (java.util.regex.Pattern.compile("(?is)^\\s*ALL\\b")
         .matcher(body.substring(6)).lookingAt()) return None
+    val distinctM = java.util.regex.Pattern.compile("(?is)^\\s*DISTINCT\\b")
+      .matcher(body.substring(6))
+    val isDistinct = distinctM.lookingAt()
+    val projFrom = if (isDistinct) 6 + distinctM.end() else 6
     val fromIdx = findTopLevel(body, "FROM")
-    if (fromIdx < 0 || fromIdx > obIdx) return None
-    val proj = body.substring(6, fromIdx).trim
+    if (fromIdx < 0 || fromIdx > obIdx || fromIdx < projFrom) return None
+    val proj = body.substring(projFrom, fromIdx).trim
     if (proj.isEmpty || splitTopLevel(proj).size != 1) return None
     val rest = body.substring(fromIdx + 4, obIdx).trim
     if (rest.isEmpty) return None
@@ -490,17 +499,38 @@ object SqlValidator {
       val (e0, dir) =
         if (dm.matches()) (dm.group(1).trim, dm.group(2).toUpperCase)
         else (noNulls.trim, "ASC")
+      def norm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
+      // DISTINCT bodies: the rank column must sit ABOVE the distinct (a
+      // rank inside it would change its semantics), so keys may only be
+      // the projected value itself — ordinal 1, the output alias, or the
+      // projected expression verbatim (the standard's own constraint:
+      // for SELECT DISTINCT, ORDER BY expressions must appear in the
+      // select list) — and substitute to the wrapped column
       val e =
-        if (e0 == "1" || alias.exists(_.equalsIgnoreCase(e0))) Some(s"($projExpr)")
+        if (e0 == "1" || alias.exists(_.equalsIgnoreCase(e0)))
+          Some(if (isDistinct) "__graft_ac" else s"($projExpr)")
         else if (e0.isEmpty || e0.matches("\\d+")) None
+        else if (isDistinct)
+          if (norm(e0) == norm(projExpr)) Some("__graft_ac") else None
         else Some(e0)
       e.map(x => s"$x $dir NULLS ${nulls.getOrElse("LAST")}")
     }
     if (rendered.exists(_.isEmpty)) return None
-    Some("(SELECT transform(array_sort(collect_list(" +
-      "struct(__graft_rn, __graft_ac))), x -> x.__graft_ac) " +
+    val keysSql = rendered.map(_.get).mkString(", ")
+    val wrap = "(SELECT transform(array_sort(collect_list(" +
+      "struct(__graft_rn, __graft_ac))), x -> x.__graft_ac) "
+    if (isDistinct) {
+      // the distinct SELECT stays intact underneath; the rank projects
+      // over its (aliased) single output column
+      val bodyNoOb = body.substring(0, obIdx).trim
+      Some(wrap +
+        "FROM (SELECT __graft_ac, row_number() OVER " +
+        s"(ORDER BY $keysSql) AS __graft_rn " +
+        s"FROM ($bodyNoOb) __graft_ad(__graft_ac)) " +
+        "__graft_at(__graft_ac, __graft_rn))")
+    } else Some(wrap +
       s"FROM (SELECT $proj, row_number() OVER " +
-      s"(ORDER BY ${rendered.map(_.get).mkString(", ")}) AS __graft_rn " +
+      s"(ORDER BY $keysSql) AS __graft_rn " +
       s"FROM $rest) __graft_at(__graft_ac, __graft_rn))")
   }
 
@@ -797,12 +827,46 @@ object SqlValidator {
         val q = wsBack(p)
         val pc = if (q == 0) ' ' else s.charAt(q - 1)
         val isBareWord = tok.nonEmpty && tok.forall(isIdent)
+        val prevWord =
+          if (q > 0 && isIdent(pc)) {
+            var w = q
+            while (w > 0 && isIdent(s.charAt(w - 1))) w -= 1
+            Some(s.substring(w, q).toUpperCase)
+          } else None
         if (isBareWord && QuantBoundaryKw.contains(tok.toUpperCase)) None
+        // a unit after TO is the tail of a compound interval literal
+        // (INTERVAL '1-2' YEAR TO MONTH) — not capturable as a primary;
+        // decline whole rather than re-parenthesize a piece of it
+        else if (isBareWord && prevWord.contains("TO")) None
         // a bare identifier directly after a string literal is a
-        // typed-literal/interval-unit TAIL (INTERVAL '1' DAY), not an
-        // operand — extending over it would garble the statement
-        else if (isBareWord && (pc == '\'' || pc == '"')) None
+        // typed-literal tail: `INTERVAL '<v>' UNIT` captures as ONE
+        // primary from the INTERVAL head (the single-unit interval
+        // literal is a valid quantifier operand); anything else
+        // ('1' FOO) is a fragment — decline whole
+        else if (isBareWord && (pc == '\'' || pc == '"'))
+          intervalLiteralStart(prefix, q)
         else Some(p)
+      }
+    }
+    // start of `INTERVAL '<v>'` given the index just AFTER the literal's
+    // closing quote (forward literal scan — backwards quote counting is
+    // ambiguous); None when no INTERVAL keyword heads the literal
+    def intervalLiteralStart(prefix: String, litEndIdx: Int): Option[Int] = {
+      var i2 = 0
+      var ls = -1
+      while (i2 < litEndIdx) {
+        val ch = prefix.charAt(i2)
+        if (ch == '\'' || ch == '"') {
+          val e2 = literalEnd(prefix, i2)
+          if (e2 == litEndIdx) ls = i2
+          i2 = e2
+        } else i2 += 1
+      }
+      if (ls < 0) None
+      else {
+        var w = ls
+        while (w > 0 && Character.isWhitespace(prefix.charAt(w - 1))) w -= 1
+        if (w >= 8 && wordAt(prefix, w - 8, "INTERVAL")) Some(w - 8) else None
       }
     }
     var st = primaryBefore(s.length) match {

@@ -1083,6 +1083,19 @@ class PipelineSpec extends AnyFunSuite {
       graft.pipeline.Dedup.appendToBandIndex(stripped, b1, "doc_id", "text")
     }
     assert(e2.getMessage.contains("EMPTY"))
+    // a metadata-less table with MIXED stamp values (a raw append that
+    // bypassed the validated builders — only foreign writers can produce
+    // this) is refused as poisoned, never blessed by whichever row a
+    // first-row probe happens to return
+    val mixedRows = graft.pipeline.Dedup.bandIndex(c0, "doc_id", "text")
+      .union(graft.pipeline.Dedup.bandIndex(b1, "doc_id", "text", fastHash = true))
+      .collect()
+    val mixed = spark.createDataFrame(
+      java.util.Arrays.asList(mixedRows: _*), stripped.schema)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.appendToBandIndex(mixed, b2, "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("MIXED"))
     // the shingle-set sidecar merges the same way (per-document,
     // append-only): sets compare as SETS (collect order is merge order)
     def shRows(df: org.apache.spark.sql.DataFrame) = df

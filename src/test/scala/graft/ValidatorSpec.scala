@@ -315,14 +315,20 @@ class ValidatorSpec extends AnyFunSuite {
     val caseArith =
       s"SELECT k FROM t WHERE CASE WHEN p THEN q ELSE r END + 1 > ALL ($b)"
     assert(SqlValidator.preprocess(caseArith) == caseArith)
+    // single-unit interval literals are capturable primaries — the
+    // date-arithmetic operand chain bridges whole
+    assert(SqlValidator.preprocess(
+      s"SELECT k FROM t WHERE ts + INTERVAL '1' DAY > ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("(ts + INTERVAL '1' DAY)", ">", "MAX", b, isAll = true)}")
     // fragments still decline WHOLE (never a partial re-parenthesize):
-    // '::' cast tails, interval-unit tails, array-index tails
+    // '::' cast tails, compound TO-unit interval tails, array-index tails
     val castOp = s"SELECT k FROM t WHERE a::int > ALL ($b)"
     assert(SqlValidator.preprocess(castOp) == castOp)
     val castChain = s"SELECT k FROM t WHERE a::int + b > ALL ($b)"
     assert(SqlValidator.preprocess(castChain) == castChain)
-    val intervalOp = s"SELECT k FROM t WHERE ts + INTERVAL '1' DAY > ALL ($b)"
-    assert(SqlValidator.preprocess(intervalOp) == intervalOp)
+    val toChain =
+      s"SELECT k FROM t WHERE ts + INTERVAL '1-2' YEAR TO MONTH > ALL ($b)"
+    assert(SqlValidator.preprocess(toChain) == toChain)
     val idxOp = s"SELECT k FROM t WHERE arr[1] + b > ALL ($b)"
     assert(SqlValidator.preprocess(idxOp) == idxOp)
     // = ALL and <> ANY bridge to the equality-witness CASE (a non-null
@@ -463,11 +469,29 @@ class ValidatorSpec extends AnyFunSuite {
       "SELECT ARRAY(SELECT k FROM u GROUP BY k ORDER BY length(k) DESC, k) AS arr FROM t") ==
       s"SELECT ${ranked("k", "length(k) DESC NULLS LAST, k ASC NULLS LAST",
         "u GROUP BY k")} AS arr FROM t")
-    // shapes the rank injection cannot express still decline whole:
-    // DISTINCT projections, ordinals beyond the projection, paging
-    val byDistinct =
-      "SELECT ARRAY(SELECT DISTINCT k FROM u ORDER BY k DESC) AS arr FROM t"
-    assert(SqlValidator.preprocess(byDistinct) == byDistinct)
+    // DISTINCT bodies rank ABOVE the intact distinct SELECT; keys may
+    // only be the projected value (ordinal/alias/verbatim expression —
+    // the standard's own SELECT DISTINCT ordering constraint)
+    def rankedDistinct(body: String, keys: String) =
+      "(SELECT transform(array_sort(collect_list(" +
+        "struct(__graft_rn, __graft_ac))), x -> x.__graft_ac) " +
+        s"FROM (SELECT __graft_ac, row_number() OVER (ORDER BY $keys) " +
+        s"AS __graft_rn FROM ($body) __graft_ad(__graft_ac)) " +
+        "__graft_at(__graft_ac, __graft_rn))"
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT DISTINCT k FROM u ORDER BY k DESC) AS arr FROM t") ==
+      s"SELECT ${rankedDistinct("SELECT DISTINCT k FROM u",
+        "__graft_ac DESC NULLS LAST")} AS arr FROM t")
+    assert(SqlValidator.preprocess(
+      "SELECT ARRAY(SELECT DISTINCT k FROM u ORDER BY 1 DESC NULLS FIRST) AS arr FROM t") ==
+      s"SELECT ${rankedDistinct("SELECT DISTINCT k FROM u",
+        "__graft_ac DESC NULLS FIRST")} AS arr FROM t")
+    // a DISTINCT key beyond the projected value cannot rank above the
+    // distinct — decline whole
+    val byDistinctExpr =
+      "SELECT ARRAY(SELECT DISTINCT k FROM u ORDER BY length(k) DESC) AS arr FROM t"
+    assert(SqlValidator.preprocess(byDistinctExpr) == byDistinctExpr)
+    // ordinals beyond the projection and paging still decline whole
     val byOrd2 = "SELECT ARRAY(SELECT k FROM u ORDER BY 2) AS arr FROM t"
     assert(SqlValidator.preprocess(byOrd2) == byOrd2)
     val byPaged =
