@@ -101,14 +101,21 @@ object NearDupStream {
     // missing docs for the stream's whole LIFETIME. One anti-join probe
     // of the index's doc ids against the serving set frame, paid once at
     // (re)start — exactly when a generation swap could introduce the hole.
+    // ONE take(1) — not isEmpty + head, which would run the anti-join
+    // twice; on failure the just-materialized serving cache is released
+    // before throwing, so a supervisor retrying (re)starts against a
+    // stale sidecar does not accumulate corpus-sized cache entries
     val missing = index.select(col("__id").cast("long").as("__cid")).distinct()
       .join(corp, Seq("__cid"), "left_anti")
-    if (!missing.isEmpty)
+      .take(1)
+    if (missing.nonEmpty) {
+      corp.unpersist()
       throw new IllegalStateException(
         "near-dup serving state does not cover every indexed document " +
-          "(e.g. " + missing.head.get(0) + ") — the band index and the " +
+          "(e.g. " + missing(0).get(0) + ") — the band index and the " +
           "shingle source are out of sync (a delta append folded the index " +
           "but not the sidecar?); re-append the missing generation")
+    }
     banded.join(idx, Seq("band", "bsig"))
       .where(col("__id") =!= col("__cid"))
       .join(corp, Seq("__cid"))

@@ -7,8 +7,8 @@ import graft.pipeline.{Dedup, IndexMaintenance}
 /** File-count degradation curve for delta-appended stored indexes: where
   * does small-file accumulation actually start to cost a probe on THIS
   * rig, and what does one compaction buy back? ProfileMerge's 4-append
-  * state (160 files) measured flat — this tool pushes the file count an
-  * order of magnitude per step by re-appending the SAME batch rows into
+  * state (160 files) measured flat — this tool QUADRUPLES the file
+  * count per step by re-appending the SAME batch rows into
   * throwaway copies (row content equal per step is irrelevant here; the
   * probe's open/footer cost depends only on the file layout), then times
   * a SCAN-BOUND probe (full index read + bucket-group count — the

@@ -827,22 +827,34 @@ object SqlValidator {
         val q = wsBack(p)
         val pc = if (q == 0) ' ' else s.charAt(q - 1)
         val isBareWord = tok.nonEmpty && tok.forall(isIdent)
-        val prevWord =
+        val prevTok =
           if (q > 0 && isIdent(pc)) {
             var w = q
             while (w > 0 && isIdent(s.charAt(w - 1))) w -= 1
-            Some(s.substring(w, q).toUpperCase)
+            Some((s.substring(w, q).toUpperCase, w))
           } else None
         if (isBareWord && QuantBoundaryKw.contains(tok.toUpperCase)) None
         // a unit after TO is the tail of a compound interval literal
         // (INTERVAL '1-2' YEAR TO MONTH) — not capturable as a primary;
         // decline whole rather than re-parenthesize a piece of it
-        else if (isBareWord && prevWord.contains("TO")) None
+        else if (isBareWord && prevTok.exists(_._1 == "TO")) None
+        // a bare word after a NUMBER is the unit of the unquoted
+        // interval spelling: `INTERVAL <n> UNIT` captures as ONE primary
+        // from the INTERVAL head; any other word-after-number tail is a
+        // fragment — decline whole
+        else if (isBareWord && prevTok.exists(t => t._1.forall(_.isDigit))) {
+          var w2 = prevTok.get._2
+          while (w2 > 0 && Character.isWhitespace(s.charAt(w2 - 1))) w2 -= 1
+          if (w2 >= 8 && wordAt(s, w2 - 8, "INTERVAL")) Some(w2 - 8) else None
+        }
         // a bare identifier directly after a string literal is a
         // typed-literal tail: `INTERVAL '<v>' UNIT` captures as ONE
         // primary from the INTERVAL head (the single-unit interval
         // literal is a valid quantifier operand); anything else
-        // ('1' FOO) is a fragment — decline whole
+        // ('1' FOO) is a fragment — decline whole. The unit-INSIDE
+        // spelling `INTERVAL '1 day'` never reaches this branch:
+        // operandStart's typed-literal capture includes the INTERVAL
+        // head, so the whole literal is one primary already.
         else if (isBareWord && (pc == '\'' || pc == '"'))
           intervalLiteralStart(prefix, q)
         else Some(p)
@@ -974,7 +986,7 @@ object SqlValidator {
       // typed literal: include a TIMESTAMP/DATE/TIME keyword before it
       var k = ls
       while (k > 0 && Character.isWhitespace(s.charAt(k - 1))) k -= 1
-      val kwEndsHere = Seq("TIMESTAMP", "DATE", "TIME").find(w =>
+      val kwEndsHere = Seq("TIMESTAMP", "DATE", "TIME", "INTERVAL").find(w =>
         k >= w.length && wordAt(s, k - w.length, w))
       Some(kwEndsHere.map(w => k - w.length).getOrElse(ls))
     } else if (isIdent(last)) {

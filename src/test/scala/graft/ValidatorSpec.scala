@@ -315,11 +315,22 @@ class ValidatorSpec extends AnyFunSuite {
     val caseArith =
       s"SELECT k FROM t WHERE CASE WHEN p THEN q ELSE r END + 1 > ALL ($b)"
     assert(SqlValidator.preprocess(caseArith) == caseArith)
-    // single-unit interval literals are capturable primaries — the
-    // date-arithmetic operand chain bridges whole
+    // single-unit interval literals are capturable primaries in ALL
+    // three spellings (unit after the literal, unit inside the literal,
+    // unquoted) — the date-arithmetic operand chain bridges whole
     assert(SqlValidator.preprocess(
       s"SELECT k FROM t WHERE ts + INTERVAL '1' DAY > ALL ($b)") ==
       s"SELECT k FROM t WHERE ${quantCase("(ts + INTERVAL '1' DAY)", ">", "MAX", b, isAll = true)}")
+    assert(SqlValidator.preprocess(
+      s"SELECT k FROM t WHERE ts + INTERVAL '1 day' > ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("(ts + INTERVAL '1 day')", ">", "MAX", b, isAll = true)}")
+    assert(SqlValidator.preprocess(
+      s"SELECT k FROM t WHERE ts + INTERVAL 1 DAY > ALL ($b)") ==
+      s"SELECT k FROM t WHERE ${quantCase("(ts + INTERVAL 1 DAY)", ">", "MAX", b, isAll = true)}")
+    // a bare word after a number WITHOUT the INTERVAL head is a
+    // fragment — decline whole
+    val numTail = s"SELECT k FROM t WHERE 1 FOO > ALL ($b)"
+    assert(SqlValidator.preprocess(numTail) == numTail)
     // fragments still decline WHOLE (never a partial re-parenthesize):
     // '::' cast tails, compound TO-unit interval tails, array-index tails
     val castOp = s"SELECT k FROM t WHERE a::int > ALL ($b)"
