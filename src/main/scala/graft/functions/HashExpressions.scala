@@ -218,6 +218,82 @@ object Md5Words {
   }
 }
 
+/** Native 64-bit document SimHash: `simhash64(text)` == the
+  * explode(split(text, ' ')) → md5 token halves → 64 majority bit-sums
+  * aggregation, fused into ONE row-local pass over the document's token
+  * stream. A signature depends only on its own document's text, so the
+  * aggregation spelling's per-TOKEN exchange (|tokens| rows of
+  * (id, h1, h2) shuffled per corpus/batch, then a 65-aggregate groupBy)
+  * buys nothing — this expression keeps the token stream inside the
+  * scan stage. The kernel is the one the streaming ingest twin already
+  * runs per arrival ([[graft.pipeline.Dedup.simhashOf]] delegates here);
+  * SimhashStreamSpec pins bit-equality against the aggregation spelling
+  * doc-by-doc, and the dd6/dd12 DuckDB oracles re-derive the same
+  * values independently. Same tokenization as Spark's split(text, ' ')
+  * with limit -1: trailing empty tokens KEPT; a null text is null (the
+  * aggregation form dropped the row — callers filter nulls first). */
+case class SimhashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires a string input, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashSig.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimhashSig.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): Long = compute(digest.get(), s.toString)
+
+  /** The shared kernel (caller-supplied digest — the streaming twin holds
+    * one per partition): the same `split(text, " ", -1)` tokenization as
+    * Spark's split (trailing empty tokens KEPT), md5 leading halves
+    * ([[Md5Words]]'s byte packing), physical bit mapping logical bit b =
+    * bit 31-b of half 1 / 63-b of half 2, majority rule over the raw
+    * (duplicate-bearing) token multiset. */
+  def compute(md: java.security.MessageDigest, text: String): Long = {
+    val toks = text.split(" ", -1)
+    val counts = new Array[Int](64)
+    var n = 0
+    var t = 0
+    while (t < toks.length) {
+      val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val w0 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val w1 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var b = 0
+      while (b < 32) { counts(b) += ((w0 >>> (31 - b)) & 1L).toInt; b += 1 }
+      while (b < 64) { counts(b) += ((w1 >>> (63 - b)) & 1L).toInt; b += 1 }
+      n += 1
+      t += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (2 * counts(b) > n) sim |= (1L << b); b += 1 }
+    sim
+  }
+}
+
 /** Per-thread byte buffer for rendering multi-column hash keys without
   * allocation — the backing state of [[Md5Key48]]. Rendering rules mirror
   * `concat_ws(':', cast(c as string)...)` byte for byte: decimal digits
@@ -388,6 +464,9 @@ object HashFunctions {
 
   /** Both unsigned 32-bit md5 halves from one digest: array<long>[2]. */
   def md5_words(c: Column): Column = column(Md5Words(expression(c)))
+
+  /** Row-local 64-bit document SimHash over a text column. */
+  def simhash64(c: Column): Column = column(SimhashSig(expression(c)))
 
   /** Register `md5_48` / `md5_key48` for SQL use (e.g. inside `transform`
     * lambdas, or the SQL-form sketch queries). Idempotent. */

@@ -633,6 +633,37 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: driver union-find tier equals the distributed loop") {
+    import spark.implicits._
+    // multi-round topology: a diameter-5 chain entered from the high end
+    // (the worst case for one-hop propagation), a merge-in edge, a
+    // separate pair, a self-contained triangle
+    val pairs = Seq((8L, 9L), (7L, 8L), (6L, 7L), (5L, 6L), (4L, 5L),
+      (2L, 9L), (20L, 21L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = graft.pipeline.Dedup.connectedComponents(pairs)
+    val dist = graft.pipeline.Dedup.connectedComponents(pairs, driverMaxEdges = -1)
+    assert(asMap(drv) == asMap(dist) && asMap(drv)(4L) == 2L)
+    // the driver tier's output is a LocalRelation: the dedup decision
+    // costs no further jobs and joins against it broadcast for free
+    assert(drv.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "driver tier must return a LocalRelation")
+    assert(dist.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "forced-distributed tier must not collect to the driver")
+    // mergeComponents through the forced-distributed tier lands on the
+    // same assignment as the (default) driver tier
+    val stored = graft.pipeline.Dedup.connectedComponents(
+      Seq((4L, 5L), (30L, 31L)).toDF("doc_a", "doc_b"))
+    val mDrv = graft.pipeline.Dedup.mergeComponents(stored, pairs)
+    val mDist = graft.pipeline.Dedup.mergeComponents(stored, pairs,
+      driverMaxEdges = -1)
+    assert(asMap(mDrv) == asMap(mDist))
+  }
+
   test("simhash of near-dup pairs has small hamming distance") {
     val sim = run("dd4_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dups = run("dd2_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -982,17 +1013,18 @@ class PipelineSpec extends AnyFunSuite {
       }.size
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // ingest candidate joins: proven-small broadcast under the bound,
-    // UNHINTED (shuffle at worst, AQE's call at runtime) past it — the
+    // ingest candidate filters: driver In-list under the bound, UNHINTED
+    // semi joins (shuffle at worst, AQE's call at runtime) past it — the
     // backfill-sized-call guard. Results must be identical either side.
+    // (The verify subtree is eagerly checkpointed, so the final frame's
+    // analyzed plan can no longer carry its hints — the strategy tiers
+    // are pinned by result equality here and by the ProfileIngestDecision
+    // job accounting.)
     val hinted = graft.pipeline.Dedup
       .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text")
     val gated = graft.pipeline.Dedup
       .incrementalNearDupPairs(batch, corpus, index, "doc_id", "text",
         inListMaxIds = 0, broadcastMaxIds = -1)
-    assert(hints(hinted) > 0, "default ingest lost its proven-small broadcast")
-    assert(hints(gated) == 0,
-      "a backfill-sized ingest must not carry an explicit broadcast hint")
     val p = pairsOf(hinted)
     assert(p == pairsOf(gated) && p.nonEmpty)
     // the stored-sidecar path the same way (In-list under the bound —
