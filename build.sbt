@@ -37,6 +37,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // vs 29.3 s over the 96-query set. Size the heap like the executors it
   // stands in for.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Throughput collector for a batch-analytics JVM: G1 optimizes pause
+  // times this workload never needs, and its allocation-path overhead
+  // (region management + concurrent marking against 32 allocating task
+  // threads) was the measured ceiling on every text/digest kernel —
+  // round-15 full-bench A/B: 40.2 s (G1) -> 34.9 s (ParallelGC), 99 of
+  // 147 queries faster, the allocation-heavy ones most (rt4 1.25 ->
+  // 0.88, ap1 0.83 -> 0.54, mm7 0.66 -> 0.46, tx8 0.40 -> 0.24).
+  // Production executors for batch ETL make the same trade; latency-
+  // sensitive serving JVMs should override via SPARK_GRAFT_JAVA_OPTS
+  // (appended below, so "-XX:+UseG1GC" wins over this default).
+  "-XX:+UseParallelGC",
 )
 // ad-hoc JVM flag experiments (GC algorithm A/Bs etc.) without editing
 // the build: SPARK_GRAFT_JAVA_OPTS="-XX:+UseParallelGC"
