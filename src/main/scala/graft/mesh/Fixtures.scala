@@ -308,4 +308,14 @@ object Fixtures {
     registerRaw(spark, sfDir)
     EntityResolver.resolve(spark, mesh, "global", entity, user)
   }
+
+  /** The memoized raw-table frame set — the [[graft.queries.PlanCache]]
+    * scope object for plans that resolve straight over the raw views
+    * (q6's per-site partials, q8's telemetry entity): rebuilt only when
+    * [[registerRaw]] rebuilds the frames for a new (session, sf), which
+    * is exactly when a dependent cached plan must re-analyze. */
+  def rawScope(spark: SparkSession, sfDir: String): AnyRef = {
+    registerRaw(spark, sfDir)
+    rawDfCache((spark, sfDir))
+  }
 }

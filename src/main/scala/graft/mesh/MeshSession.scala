@@ -35,6 +35,23 @@ class MeshSession private (
   /** The catalog as of NOW (re-read per query for registry-backed sessions). */
   def mesh: graft.catalog.Mesh = meshProvider()
 
+  /** Per-session analysis-plan cache (round-16): a repeated query text
+    * skips validate -> resolve -> register -> analyze when NOTHING it
+    * depends on has moved. Validity is (a) the Mesh VALUE's reference
+    * identity — the registry swaps in a new immutable Mesh on every
+    * admin upsert, so any catalog mutation invalidates every cached
+    * plan on the next query (MeshSessionSpec pins it) — and (b) the
+    * ViewEpoch, so any shared-temp-view shadow (another session's
+    * entity registration, a fixture re-assert) also re-analyzes.
+    * Cached = a PLAN; every action re-optimizes and re-executes from
+    * the sources. Bounded: a serving session's distinct-text cache is
+    * capped, dropping wholesale at the cap (plans are cheap to rebuild;
+    * an LRU would be ceremony). */
+  private val planCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Option[String], Boolean, Option[StructType]),
+      (graft.catalog.Mesh, Long, DataFrame)]
+  private val PlanCacheMax = 128
+
   /** Validate + execute `sqlText` as `user` against this site's catalog.
     *
     * @param returnSchema caller-declared result schema; the output is cast
@@ -44,19 +61,30 @@ class MeshSession private (
   def sql(sqlText: String, user: Option[String] = None,
       withProvenance: Boolean = false,
       returnSchema: Option[StructType] = None): DataFrame = {
-    val entity = SqlValidator.validate(sqlText, spark)
-    if (!mesh.site(siteName).entities.contains(entity))
-      throw SqlValidator.InvalidQuery(s"Entity $entity not found on relay $siteName")
-    val entityDF =
-      EntityResolver.resolve(spark, mesh, siteName, entity, user, withProvenance)
-    // register + analyze atomically w.r.t. concurrent async submits that
-    // use the same shared-name view
-    val out = QueryService.planLock.synchronized {
-      entityDF.createOrReplaceTempView(entity)
-      ViewEpoch.noteShadow()
-      spark.sql(SqlValidator.preprocess(sqlText))
+    val key = (sqlText, user, withProvenance, returnSchema)
+    val meshNow = mesh
+    planCache.get(key) match {
+      case Some((m, e, df)) if (m eq meshNow) && e == ViewEpoch.current => df
+      case _ =>
+        val entity = SqlValidator.validate(sqlText, spark)
+        if (!meshNow.site(siteName).entities.contains(entity))
+          throw SqlValidator.InvalidQuery(s"Entity $entity not found on relay $siteName")
+        val entityDF =
+          EntityResolver.resolve(spark, meshNow, siteName, entity, user, withProvenance)
+        // register + analyze atomically w.r.t. concurrent async submits that
+        // use the same shared-name view
+        val out = QueryService.planLock.synchronized {
+          entityDF.createOrReplaceTempView(entity)
+          ViewEpoch.noteShadow()
+          spark.sql(SqlValidator.preprocess(sqlText))
+        }
+        val cast = returnSchema.map(EntityResolver.castToSchema(out, _)).getOrElse(out)
+        if (planCache.size >= PlanCacheMax) planCache.clear()
+        // the epoch AFTER our own registration bump — unchanged epoch
+        // means unchanged catalog for the next identical query
+        planCache.put(key, (meshNow, ViewEpoch.current, cast))
+        cast
     }
-    returnSchema.map(EntityResolver.castToSchema(out, _)).getOrElse(out)
   }
 
   /** The relay-to-relay entry point behind [[graft.transport.RelayServer]]'s

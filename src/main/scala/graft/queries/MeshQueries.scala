@@ -12,11 +12,20 @@ import graft.mesh.Fixtures
   */
 object MeshQueries {
 
+  /** Analysis-plan cached (round-16): the view registration + epoch bump
+    * + SQL analysis happen only when the MEMOIZED resolved view (the
+    * scope object) changes — a cache hit touches no catalog state, so it
+    * also stops the per-query shadow bump that forced every later
+    * raw/entity re-assert (~45 ms) on unrelated queries. Results still
+    * compute from parquet on every action (PlanCacheSpec). */
   private def meshSql(user: Option[String], sql: String)(
       s: SparkSession, dir: String): DataFrame = {
-    Fixtures.lineitemView(s, dir, user).createOrReplaceTempView("lineitem_entity")
-    graft.mesh.ViewEpoch.noteShadow()
-    s.sql(sql)
+    val view = Fixtures.lineitemView(s, dir, user)
+    PlanCache.of(s, s"mesh:$dir:${user.getOrElse("")}:$sql", view) {
+      view.createOrReplaceTempView("lineitem_entity")
+      graft.mesh.ViewEpoch.noteShadow()
+      s.sql(sql)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,15 +60,17 @@ object MeshQueries {
         |ORDER BY returnflag, linestatus""".stripMargin)(s, dir)),
 
     "q5_provenance_counts" -> { (s, dir) =>
-      Fixtures.lineitemView(s, dir, Some("admin"), withProvenance = true)
-        .createOrReplaceTempView("lineitem_entity_prov")
-      graft.mesh.ViewEpoch.noteShadow()
-      s.sql(
-        """SELECT _source_relay_, _source_id_, count(*) AS n,
-          |       round(sum(CAST(round(tax_amount * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_tax
-          |FROM lineitem_entity_prov
-          |GROUP BY _source_relay_, _source_id_
-          |ORDER BY _source_relay_, _source_id_""".stripMargin)
+      val view = Fixtures.lineitemView(s, dir, Some("admin"), withProvenance = true)
+      PlanCache.of(s, s"mesh:$dir:q5", view) {
+        view.createOrReplaceTempView("lineitem_entity_prov")
+        graft.mesh.ViewEpoch.noteShadow()
+        s.sql(
+          """SELECT _source_relay_, _source_id_, count(*) AS n,
+            |       round(sum(CAST(round(tax_amount * 100) AS BIGINT)) / CAST(100 AS DOUBLE), 2) AS sum_tax
+            |FROM lineitem_entity_prov
+            |GROUP BY _source_relay_, _source_id_
+            |ORDER BY _source_relay_, _source_id_""".stripMargin)
+      }
     },
 
     // Explicit client-side recombination of per-site partial aggregates —
@@ -68,19 +79,23 @@ object MeshQueries {
     // global weighted average). Runs the full grouped query per leaf site,
     // unions the partials, then re-aggregates.
     "q6_partial_recombine" -> { (s, dir) =>
-      Fixtures.registerRaw(s, dir)
-      val mesh = Fixtures.mesh
-      val partials = Seq("na", "emea", "apac").map { site =>
-        graft.mesh.EntityResolver.resolve(s, mesh, site, "lineitem", Some("admin"))
+      // plan-cached on the raw-frame scope: the three per-site
+      // resolutions are pure plan construction over the memoized raw
+      // views (~100 ms of driver time per invocation)
+      PlanCache.of(s, s"mesh:$dir:q6", Fixtures.rawScope(s, dir)) {
+        val mesh = Fixtures.mesh
+        val partials = Seq("na", "emea", "apac").map { site =>
+          graft.mesh.EntityResolver.resolve(s, mesh, site, "lineitem", Some("admin"))
+            .groupBy(col("returnflag"), col("linestatus"))
+            .agg(sum(col("quantity")).as("p_sum_qty"), count(lit(1)).as("p_count"))
+        }
+        partials.reduce(_.unionByName(_))
           .groupBy(col("returnflag"), col("linestatus"))
-          .agg(sum(col("quantity")).as("p_sum_qty"), count(lit(1)).as("p_count"))
+          .agg(
+            round(sum(col("p_sum_qty")) / sum(col("p_count")), 4).as("avg_qty"),
+            sum(col("p_count")).as("count_order"))
+          .orderBy(col("returnflag"), col("linestatus"))
       }
-      partials.reduce(_.unionByName(_))
-        .groupBy(col("returnflag"), col("linestatus"))
-        .agg(
-          round(sum(col("p_sum_qty")) / sum(col("p_count")), 4).as("avg_qty"),
-          sum(col("p_count")).as("count_order"))
-        .orderBy(col("returnflag"), col("linestatus"))
     },
 
     // Two-hop transformation composition (R10): na_us exposes quantity ×2,
@@ -94,15 +109,16 @@ object MeshQueries {
     // `$.props.k` (rendered as get_json_object over the physical column;
     // `core/src/model/data_stores/mod.rs:55-62`).
     "q8_jsonpath_field" -> { (s, dir) =>
-      Fixtures.registerRaw(s, dir)
-      graft.mesh.EntityResolver
-        .resolve(s, Fixtures.mesh, "global", "telemetry", Some("admin"))
-        .createOrReplaceTempView("telemetry_entity")
-      graft.mesh.ViewEpoch.noteShadow()
-      s.sql(
-        """SELECT event_type, count(*) AS n, sum(k) AS sum_k
-          |FROM telemetry_entity
-          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      PlanCache.of(s, s"mesh:$dir:q8", Fixtures.rawScope(s, dir)) {
+        graft.mesh.EntityResolver
+          .resolve(s, Fixtures.mesh, "global", "telemetry", Some("admin"))
+          .createOrReplaceTempView("telemetry_entity")
+        graft.mesh.ViewEpoch.noteShadow()
+        s.sql(
+          """SELECT event_type, count(*) AS n, sum(k) AS sum_k
+            |FROM telemetry_entity
+            |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      }
     },
 
     // Federation OVER THE WIRE: a second relay surface is served on

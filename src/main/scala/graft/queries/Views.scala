@@ -84,4 +84,18 @@ object Views {
 
   private val lastAsserted =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long)]
+
+  /** The memoized resolved-view triple itself — the [[PlanCache]] scope
+    * object for SqlSurface plans: a plan analyzed over these three frames
+    * stays valid exactly as long as this instance is what [[registerAll]]
+    * would (re-)assert; a re-resolution (new session/sf, or an eviction)
+    * swaps the instance and every dependent cached plan misses. Builds
+    * via [[registerAll]] on first use; on the hit path it deliberately
+    * does NOT re-assert any temp view — a cached plan consults no
+    * catalog, so the lookup stays a map read. */
+  def scope(spark: SparkSession, sfDir: String): AnyRef =
+    resolvedCache.getOrElse((spark, sfDir), {
+      registerAll(spark, sfDir)
+      resolvedCache((spark, sfDir))
+    })
 }
