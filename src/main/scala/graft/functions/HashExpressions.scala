@@ -227,9 +227,10 @@ object Md5Words {
   * buys nothing — this expression keeps the token stream inside the
   * scan stage. The kernel is the one the streaming ingest twin already
   * runs per arrival ([[graft.pipeline.Dedup.simhashOf]] delegates here);
-  * SimhashStreamSpec pins bit-equality against the aggregation spelling
-  * doc-by-doc, and the dd6/dd12 DuckDB oracles re-derive the same
-  * values independently. Same tokenization as Spark's split(text, ' ')
+  * SimhashStreamSpec pins bit-equality against GOLDEN literals plus an
+  * independent md5-hex re-derivation doc-by-doc (the aggregation
+  * spelling is retired), and the dd6/dd12 DuckDB oracles re-derive the
+  * same values independently. Same tokenization as Spark's split(text, ' ')
   * with limit -1: trailing empty tokens KEPT; a null text is null (the
   * aggregation form dropped the row — callers filter nulls first). */
 case class SimhashSig(child: Expression) extends UnaryExpression {
@@ -446,6 +447,79 @@ case class Md5Key48(children: Seq[Expression]) extends Expression {
       newChildren: IndexedSeq[Expression]): Md5Key48 = copy(children = newChildren)
 }
 
+/** Codegen'd hamming-radius probe against a DRIVER-LITERAL signature set:
+  * `hamming_matches(doc_id, sig)` returns array<struct<mid, hamming>> of
+  * every (id, signature) in the embedded batch whose 64-bit signature is
+  * within `maxHamming` of `sig` (excluding the row's own id) — the
+  * small-batch ingest tier of dd12/mm9/mm10 (round 16).
+  *
+  * Why an expression and not a join: the batch side is gate-bounded
+  * (≤ ~1024 sigs = 16 KB), and every join spelling of this probe pays a
+  * per-stored-row toll this loop does not — the banded equality join
+  * materializes C(blocks,2) struct rows per stored row (allocation-bound:
+  * 15 s task-time / 2.5 s CPU on dd12's 64-task probe stage at sf0.1),
+  * and a broadcast nested-loop join evaluates its condition INTERPRETED
+  * per (row, sig) pair (~500 ns/pair measured — a full A/B regressed
+  * dd12 0.40 → 0.55 s). This kernel runs inside whole-stage codegen,
+  * costs |batch| xor+popcounts per stored row, and allocates ONLY for
+  * matches — which near-dup probes make rare by construction. */
+case class HammingMatches(
+    left: Expression, right: Expression,
+    ids: Array[Long], sigs: Array[Long], maxHamming: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(ids.length == sigs.length, "ids/sigs must be parallel arrays")
+
+  override def dataType: DataType = ArrayType(
+    new StructType().add("mid", LongType).add("hamming", LongType),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hamming_matches requires (bigint, bigint) inputs, got $other")
+    }
+
+  override def nullSafeEval(id: Any, sig: Any): Any =
+    HammingMatches.compute(id.asInstanceOf[Long], sig.asInstanceOf[Long],
+      ids, sigs, maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("hmIds", ids, "long[]")
+    val sigsRef = ctx.addReferenceObj("hmSigs", sigs, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HammingMatches.compute(" +
+        s"$a, $b, $idsRef, $sigsRef, $maxHamming);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingMatches =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingMatches {
+  def compute(docId: Long, sig: Long, ids: Array[Long], sigs: Array[Long],
+      maxHamming: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var buf: scala.collection.mutable.ArrayBuffer[Any] = null
+    var i = 0
+    while (i < sigs.length) {
+      val h = java.lang.Long.bitCount(sig ^ sigs(i))
+      if (h <= maxHamming && ids(i) != docId) {
+        if (buf == null) buf = new scala.collection.mutable.ArrayBuffer[Any](4)
+        buf += org.apache.spark.sql.catalyst.InternalRow(ids(i), h.toLong)
+      }
+      i += 1
+    }
+    if (buf == null) HammingMatches.empty
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
+  private val empty =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -467,6 +541,13 @@ object HashFunctions {
 
   /** Row-local 64-bit document SimHash over a text column. */
   def simhash64(c: Column): Column = column(SimhashSig(expression(c)))
+
+  /** Hamming-radius matches of (idCol, sigCol) against a driver-literal
+    * signature set — the small-batch ingest probe. */
+  def hamming_matches(idCol: Column, sigCol: Column,
+      ids: Array[Long], sigs: Array[Long], maxHamming: Int): Column =
+    column(HammingMatches(expression(idCol), expression(sigCol),
+      ids, sigs, maxHamming))
 
   /** Register `md5_48` / `md5_key48` for SQL use (e.g. inside `transform`
     * lambdas, or the SQL-form sketch queries). Idempotent. */

@@ -429,7 +429,8 @@ object Multimodal {
     * output contract as
     * [[phashNearDupPairs]]: (doc_a, doc_b, hamming), doc_a < doc_b. */
   def incrementalPhashPairs(batch: Dataset[MediaRecord], index: DataFrame,
-      bits: Int = 48, bands: Int = 6, maxHamming: Int = 5): DataFrame = {
+      bits: Int = 48, bands: Int = 6, maxHamming: Int = 5,
+      bruteForceMaxBatch: Long = 1024L): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming ($maxHamming) < bands ($bands)")
     // loud scheme gate, EMPTY-index safe: the former first-row probe
@@ -443,26 +444,63 @@ object Multimodal {
     // post-explode would store bands x the rows for nothing)
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     val bandBits = bits / bands
-    val bi = bandedPhash(
-      phashFrame(batch, bits).localCheckpoint(),
-      bandBits, bands, (1L << bandBits) - 1)
-    val all = index.select(col("doc_id"), col("phash"), col("band"), col("bv"))
-      .union(bi)
-    bi.as("a").join(all.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      // normalize pair order (a cross pair may arrive with the larger id on
-      // the batch side) and keep each side's phash aligned with the order
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-        when(col("a.doc_id") < col("b.doc_id"), col("a.phash"))
-          .otherwise(col("b.phash")).as("pa"),
-        when(col("a.doc_id") < col("b.doc_id"), col("b.phash"))
-          .otherwise(col("a.phash")).as("pb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val bsig = phashFrame(batch, bits).localCheckpoint()
+    val nBatch = bsig.count() // block scan over the checkpoint
+    if (nBatch <= bruteForceMaxBatch) {
+      // SMALL-BATCH tier (round 16, the dd12 shape): the batch's hashes
+      // (≤ gate × 16 B) collect from the checkpoint blocks and probe ONE
+      // stored row per doc — the index's band-0 rows, a row-local filter
+      // instead of a corpus distinct — through the codegen'd
+      // HammingMatches literal kernel: ≤ |batch| xor+popcounts per
+      // stored row, allocation only on matches, zero band explode, zero
+      // join machinery (a broadcast nested-loop spelling evaluated its
+      // condition interpreted per pair and A/B'd SLOWER on mm10).
+      // Batch-internal pairs are ≤ gate² driver popcounts. Identical
+      // pair set to the banded tier (pigeonhole exhaustiveness at
+      // hamming < bands; both post-filter at maxHamming — spec-pinned).
+      // Past the gate the pigeonhole banding below keeps per-stored-row
+      // work constant in |batch|.
+      val sess = batch.sparkSession
+      import sess.implicits._
+      val rows = bsig.collect() // second block scan, no recompute
+      val ids = rows.map(_.getLong(0))
+      val hs = rows.map(_.getLong(1))
+      val internal = for {
+        i <- ids.indices.iterator
+        j <- (i + 1) until ids.length
+        h = java.lang.Long.bitCount(hs(i) ^ hs(j))
+        if h <= maxHamming && ids(i) != ids(j)
+      } yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)), h.toLong)
+      val internalDf = internal.toSeq.toDF("doc_a", "doc_b", "hamming")
+      index.where(col("band") === 0)
+        .select(col("doc_id"),
+          explode(graft.functions.HashFunctions.hamming_matches(
+            col("doc_id"), col("phash"), ids, hs, maxHamming)).as("m"))
+        .select(least(col("doc_id"), col("m.mid")).as("doc_a"),
+          greatest(col("doc_id"), col("m.mid")).as("doc_b"),
+          col("m.hamming").as("hamming"))
+        .union(internalDf)
+        .distinct()
+    } else {
+      val bi = bandedPhash(bsig, bandBits, bands, (1L << bandBits) - 1)
+      val all = index.select(col("doc_id"), col("phash"), col("band"), col("bv"))
+        .union(bi)
+      bi.as("a").join(all.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        // normalize pair order (a cross pair may arrive with the larger id on
+        // the batch side) and keep each side's phash aligned with the order
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          when(col("a.doc_id") < col("b.doc_id"), col("a.phash"))
+            .otherwise(col("b.phash")).as("pa"),
+          when(col("a.doc_id") < col("b.doc_id"), col("b.phash"))
+            .otherwise(col("a.phash")).as("pb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+        .where(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }
   }
 
   /** Real image resize: decode, nearest-neighbour sample each row to

@@ -590,6 +590,12 @@ class LibraryApiSpec extends AnyFunSuite {
     // minus what the index build already found
     assert(inc == (full -- corpusOnly),
       s"inc=${inc.size} full=${full.size} corpus=${corpusOnly.size}")
+    // forced past the small-batch gate = the pigeonhole-banded tier; both
+    // tiers must produce the identical pair set
+    val banded = Multimodal
+      .incrementalPhashPairs(ds(batch), stored, bruteForceMaxBatch = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == inc, s"banded=${banded.size} brute=${inc.size}")
     assert(inc.exists { case (a, b, _) => a < 18 && b >= 18 },
       "fixture produced no cross pair — spec is vacuous")
     assert(inc.exists { case (a, b, _) => a >= 18 && b >= 18 },

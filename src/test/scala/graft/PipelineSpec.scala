@@ -590,15 +590,35 @@ class PipelineSpec extends AnyFunSuite {
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
     val batch = docs.where(col("doc_id") % 5 === 0)
     val index = graft.pipeline.Dedup.simhashIndex(corpus, "doc_id", "text")
+    // default gate = the small-batch brute tier (broadcast popcount)
     val inc = graft.pipeline.Dedup
       .incrementalSimhashPairs(batch, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // forced past the gate = the pigeonhole-banded tier; both tiers must
+    // produce the identical pair set (banding is exhaustive at h<=6)
+    val banded = graft.pipeline.Dedup
+      .incrementalSimhashPairs(batch, index, "doc_id", "text",
+        bruteForceMaxBatch = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // full recompute, restricted to pairs touching the batch
     val full = graft.SparkEntry.queries("dd6_simhash_pairs")(spark, sfDir)
       .where(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(inc == full)
+    assert(banded == full)
     assert(inc.nonEmpty)
+  }
+
+  test("connected components refuse null endpoints loudly in both tiers") {
+    import spark.implicits._
+    val bad = Seq((Some(1L), Some(2L)), (Some(3L), None))
+      .toDF("doc_a", "doc_b")
+    val eDrv = intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.connectedComponents(bad).collect())
+    assert(eDrv.getMessage.contains("null endpoint"))
+    val eDist = intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.connectedComponents(bad, driverMaxEdges = -1).collect())
+    assert(eDist.getMessage.contains("null endpoint"))
   }
 
   test("grouped LSH bucket cap drops only mega-bucket pairs") {
@@ -999,6 +1019,29 @@ class PipelineSpec extends AnyFunSuite {
         batch, corpus, index, "doc_id", "text", storedShingles = Some(holed))
     }
     assert(eCov.getMessage.contains("does not cover"))
+    // DUPLICATE sidecar rows (a generation delta appended twice) would
+    // silently MULTIPLY the duplicated doc's pairs at the verify join —
+    // and under the retired raw-count gate, a duplicate could exactly
+    // offset a missing doc and pass. Both shapes refuse loudly now.
+    val fullStore = graft.pipeline.Dedup.shingleSets(corpus, "doc_id", "text")
+    val dupRow = fullStore.where(col("__id") === someCorpusCand)
+    val eDup = intercept[IllegalStateException] {
+      graft.pipeline.Dedup.incrementalNearDupPairs(
+        batch, corpus, index, "doc_id", "text",
+        storedShingles = Some(fullStore.union(dupRow)))
+    }
+    assert(eDup.getMessage.contains("DUPLICATE"))
+    val otherCand = viaText.iterator.flatMap { case (a, b, _) =>
+      Seq(a, b).filter(c => c % 10 != 3 && c != someCorpusCand)
+    }.next()
+    val offsetStore = graft.pipeline.Dedup.shingleSets(
+      corpus.where(col("doc_id") =!= otherCand), "doc_id", "text").union(dupRow)
+    val eOffset = intercept[IllegalStateException] {
+      graft.pipeline.Dedup.incrementalNearDupPairs(
+        batch, corpus, index, "doc_id", "text",
+        storedShingles = Some(offsetStore))
+    }
+    assert(eOffset.getMessage.contains("does not cover"))
   }
 
   test("rolling-merge broadcasts are size-gated: past the bound the joins run unhinted, results identical") {

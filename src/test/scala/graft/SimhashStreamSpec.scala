@@ -11,22 +11,59 @@ import graft.streaming.SimhashStream
   * and probed against the STORED signature index must find exactly the
   * batch incremental operator's stream-vs-corpus pairs with identical
   * hamming values, under micro-batch cuts AND a replayed slice. The spec
-  * also pins the row-local Scala signature against the batch aggregation
-  * doc-by-doc — the two derivations can never drift. */
+  * also pins the shared signature kernel against golden literals and a
+  * spec-local independent md5-hex derivation — batch and stream share ONE
+  * kernel (SimhashSig), so value correctness needs an outside witness. */
 class SimhashStreamSpec extends AnyFunSuite {
 
   lazy val spark = TestSessions.spark
 
-  test("row-local simhashOf equals the batch aggregation per document") {
+  /** INDEPENDENT re-derivation of the documented signature contract —
+    * "bit b of a token's contribution is bit (3 - b%4) of hex char
+    * (b div 4) of its md5; majority over the raw token multiset" — via
+    * the hex-string route, sharing no byte-packing code with
+    * [[graft.functions.SimhashSig]]. */
+  private def refSimhash(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = text.split(" ", -1)
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val hex = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"${b & 0xff}%02x").mkString
+      for (b <- 0 until 64) {
+        val c = Integer.parseInt(hex.charAt(b / 4).toString, 16)
+        counts(b) += (c >> (3 - b % 4)) & 1
+      }
+    }
+    var sim = 0L
+    for (b <- 0 until 64) if (2 * counts(b) > toks.length) sim |= (1L << b)
+    sim
+  }
+
+  test("row-local simhashOf matches golden values + an independent md5-hex derivation") {
+    // the batch projection and simhashOf now share ONE kernel (SimhashSig),
+    // so comparing them is tautological; value correctness is pinned by
+    // (a) GOLDEN literals precomputed with an out-of-JVM md5 implementation
+    // and (b) the spec-local hex-route re-derivation above
+    val golden = Seq(
+      "the quick brown fox" -> 245043733036149744L,
+      "hash join spark" -> 8665780067988244504L,
+      "" -> 2327517620111259691L,
+      "a a a b" -> 1544047492951081776L,
+      "spark stream fast window" -> 309069683538136456L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    golden.foreach { case (text, expected) =>
+      assert(Dedup.simhashOf(md, text) == expected, s"golden mismatch for '$text'")
+      assert(refSimhash(text) == expected, s"reference derivation drifted for '$text'")
+    }
+    // and across real corpus docs, the kernel equals the independent
+    // derivation document-by-document
     Fixtures.registerRaw(spark, TestSessions.sfDir)
-    // deterministic subset (limit without orderBy may pick different rows
-    // per action — this spec collects the frame twice)
     val docs = spark.table("documents").where(col("doc_id") < 200)
     val batch = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val md = java.security.MessageDigest.getInstance("MD5")
     val local = docs.select(col("doc_id").cast("long"), col("text"))
-      .collect().map(r => r.getLong(0) -> Dedup.simhashOf(md, r.getString(1))).toMap
+      .collect().map(r => r.getLong(0) -> refSimhash(r.getString(1))).toMap
     assert(batch.nonEmpty && batch == local)
   }
 
